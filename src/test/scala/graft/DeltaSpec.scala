@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.delta.Incremental
+import graft.sources.Sources
+
+/** Incremental delta (J4/U1) — null-safe whole-row anti-join semantics. */
+class DeltaSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("v", DoubleType),
+    StructField("s", StringType)))
+
+  private def df(rows: Seq[Row]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+
+  test("delta treats null == null per column (Python tuple-set semantics)") {
+    val acc = df(Seq(Row(1L, null, "a"), Row(2L, 2.0, null)))
+    val inc = df(Seq(
+      Row(1L, null, "a"),   // already present (null-safe match) -> excluded
+      Row(2L, 2.0, null),   // already present -> excluded
+      Row(2L, 2.0, "x"),    // new
+      Row(3L, null, null))) // new
+    val d = Incremental.delta(inc, acc).collect().toSet
+    assert(d === Set(Row(2L, 2.0, "x"), Row(3L, null, null)))
+  }
+
+  test("old + delta == incoming total (accumulation invariant)") {
+    val orders = Sources.table(spark, sf, "orders")
+    val acc = orders.where("o_orderkey % 4 <> 1")
+    val (delta, appended) = Incremental.step(orders, acc)
+    assert(acc.count() + delta.count() === orders.count())
+    assert(appended.count() === orders.count())
+    assert(appended.exceptAll(orders).isEmpty)
+    assert(orders.exceptAll(appended).isEmpty)
+  }
+
+  test("delta of an already-accumulated table is empty (idempotent re-run)") {
+    val orders = Sources.table(spark, sf, "orders")
+    assert(Incremental.delta(orders, orders).isEmpty)
+  }
+
+  test("partition-pruned delta equals plain delta on touched keys") {
+    val orders = Sources.table(spark, sf, "orders")
+    val acc = orders.where("o_orderkey % 4 <> 1")
+    val inc = orders.where("o_orderkey % 2 = 1")
+    val plain = Incremental.delta(inc, acc)
+    val pruned = Incremental.deltaPartitionPruned(inc, acc, "o_orderstatus")
+    assert(plain.exceptAll(pruned).isEmpty && pruned.exceptAll(plain).isEmpty)
+  }
+}
