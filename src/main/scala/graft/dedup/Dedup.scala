@@ -1,0 +1,123 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. (Embedding-cosine near-dup lives in
+  * graft.similarity.Similarity.)
+  *
+  * SCALE DESIGN. Exact dedup is a hash-groupBy: one shuffle on a 128-bit
+  * content hash, never on the document text (bytes shuffled = 8+16 per doc,
+  * not the doc). MinHash/LSH follows the standard shingle -> K minhashes ->
+  * B bands pipeline: candidate generation is a self-join on (band,
+  * signature) buckets — documents only meet if they collide in a band, so
+  * the join fan-out is bounded by bucket sizes, not |docs|^2. SimHash is a
+  * pure map-side signature (one shuffle to group bit-votes per doc).
+  * Pairwise n-gram Jaccard is intentionally restricted to candidate pairs
+  * (from LSH or a caller-provided blocking key): the all-pairs form exists
+  * for oracle-checkable sizes only.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one row per distinct content
+    * with the keeper id (min) and the duplicate count. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    docs
+      .where(size(toks) >= n) // sequence(1, k<1) counts down — guard
+      .select(col(idCol), explode(grams).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions, the
+    * min 60-bit hash over the doc's shingles. Output: (id, seed, minhash). */
+  def minhash(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("seed")
+    sh.select(col(idCol), col("shingle"), seeds)
+      .select(col(idCol), col("seed"),
+        TextOps.hash64(concat_ws("#", col("shingle"), col("seed"))).as("h"))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(col("h")).as("minhash"))
+  }
+
+  /** LSH band signatures: group `rows`-sized runs of minhashes into band
+    * strings. Output: (id, band, sig). */
+  def lshBands(mh: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    mh.withColumn("band", (col("seed") / rows).cast(IntegerType))
+      .groupBy(col(idCol), col("band"))
+      // deterministic in-band order via sort_array over (seed, minhash) pairs
+      .agg(concat_ws("|",
+        transform(sort_array(collect_list(struct(col("seed"), col("minhash")))),
+          s => s.getField("minhash"))).as("sig"))
+  }
+
+  /** Candidate near-duplicate pairs: docs sharing any LSH band bucket. */
+  def lshCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_a"))
+    val b = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full MinHash-LSH pipeline: shingle -> minhash -> bands -> candidates. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleN)
+    lshCandidates(lshBands(minhash(sh, idCol, numHashes), idCol, numHashes, bands), idCol)
+  }
+
+  /** SimHash signature (default 16 bits for oracle-checkable size; up to 60
+    * supported by the 60-bit token hash). Every token votes +1/-1 per bit;
+    * the signature sets bits with positive vote sums. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", TextOps.hash64(col("tok")))
+    tok
+      .select(col(idCol), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("b"))
+      // bit b of h: SQL shiftright accepts a column shift amount (the Scala
+      // DSL's shiftright only takes a literal Int). h >= 0 so % is safe.
+      .withColumn("bit", expr("(h >> b) % 2"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("bit") * 2 - 1).as("votes"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("votes") > 0, expr("CAST(1 AS BIGINT) << b"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Exact pairwise n-gram Jaccard over candidate or sampled docs.
+    * inter/union on DISTINCT shingles; `minJaccard` filters output. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, minJaccard: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "jaccard")
+  }
+}

@@ -1,0 +1,391 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.sources.Sources
+import graft.text.TextOps
+import graft.queries.Relational.Q
+
+/** Beyond-reference operators for 100 TB training-data pipelines
+  * (deduplication, similarity search, multimodal columns, text analysis),
+  * each with a DuckDB oracle. Sampling predicates (doc_id/vec_id bounds) are
+  * absolute, not sf-relative, so pairwise stages stay bounded while the
+  * map-side stages sweep the full table at every scale factor.
+  *
+  * Cross-engine notes: 60-bit hashes derive from md5 (identical in both
+  * engines); cosine arithmetic was verified bit-identical between Spark's
+  * sequential double fold and DuckDB's list_cosine_similarity over DOUBLE[]
+  * (maxdiff 0.0 over 3160 pairs), so ranking and thresholds agree exactly.
+  */
+object TrainingData {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    Sources.table(s, dir, name)
+
+  private val dec = DecimalType(38, 4)
+
+  private val enStop = TextOps.langStopwords.head._2
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Deduplication -------------------------------------------------
+
+    // Exact dedup: hash-groupBy on content md5 (shuffle moves 24 bytes per
+    // doc, never the text). The self-union plants known duplicates.
+    Q("q30_dedup_exact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val planted = docs.where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+        Dedup.exactGroups(docs.unionByName(planted), "doc_id", "text")
+          .orderBy("fp")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+             |SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+             |FROM all_docs GROUP BY md5(text) ORDER BY fp""".stripMargin)),
+
+    // MinHash signatures (16 seeded 60-bit hashes over 3-gram shingles).
+    Q("q31_minhash_signatures",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("doc_id") < 64)
+        Dedup.minhash(Dedup.shingles(docs, "doc_id", "text", 3), "doc_id", 16)
+          .orderBy("doc_id", "seed")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id < 64),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, u.s AS shingle
+             |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
+             |       i -> array_to_string(d.toks[i:i+2], ' '))) u(s)
+             |  WHERE len(d.toks) >= 3),
+             |h AS (
+             |  SELECT doc_id, CAST(seed AS INT) AS seed,
+             |         ('0x'||substr(md5(shingle || '#' || seed::VARCHAR),1,15))::BIGINT AS h
+             |  FROM sh CROSS JOIN range(0,16) r(seed))
+             |SELECT doc_id, seed, min(h) AS minhash
+             |FROM h GROUP BY doc_id, seed ORDER BY doc_id, seed""".stripMargin)),
+
+    // MinHash-LSH candidate pairs: 4 bands x 4 rows; docs meet only on a
+    // shared band bucket (join fan-out bounded by bucket size, not n^2).
+    Q("q32_minhash_lsh_candidates",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("doc_id") < 256)
+        Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id < 256),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, u.s AS shingle
+             |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
+             |       i -> array_to_string(d.toks[i:i+2], ' '))) u(s)
+             |  WHERE len(d.toks) >= 3),
+             |mh AS (
+             |  SELECT doc_id, CAST(seed AS INT) AS seed,
+             |         min(('0x'||substr(md5(shingle || '#' || seed::VARCHAR),1,15))::BIGINT) AS minhash
+             |  FROM sh CROSS JOIN range(0,16) r(seed)
+             |  GROUP BY doc_id, seed),
+             |bands AS (
+             |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             |         string_agg(minhash::VARCHAR, '|' ORDER BY seed) AS sig
+             |  FROM mh GROUP BY doc_id, CAST(seed // 4 AS INT))
+             |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+             |WHERE a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // SimHash (16-bit oracle-sized; library supports up to 60).
+    Q("q33_simhash",
+      (s, dir) => Dedup.simhash(
+        t(s, dir, "documents").where(col("doc_id") < 256), "doc_id", "text", 16)
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents WHERE doc_id < 256),
+             |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM tok),
+             |votes AS (
+             |  SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS votes
+             |  FROM h CROSS JOIN range(0,16) r(b)
+             |  GROUP BY doc_id, b)
+             |SELECT doc_id,
+             |       CAST(SUM(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+             |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Pairwise n-gram Jaccard on distinct 3-gram shingle sets.
+    Q("q34_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccard(
+        t(s, dir, "documents").where(col("doc_id") < 256), "doc_id", "text",
+        3, 0.2).orderBy("id_a", "id_b"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id < 256),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, u.s AS shingle
+             |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
+             |       i -> array_to_string(d.toks[i:i+2], ' '))) u(s)
+             |  WHERE len(d.toks) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id)
+             |SELECT id_a, id_b, inter,
+             |       inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = id_a
+             |JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Embedding-cosine near-duplicate pairs (bit-identical cross-engine
+    // cosine -> the threshold cut agrees exactly).
+    Q("q35_embedding_neardup",
+      (s, dir) => Similarity.cosineNearDups(
+        t(s, dir, "embeddings").where(col("vec_id") < 300)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")), 0.3)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings WHERE vec_id < 300)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |       list_cosine_similarity(a.v, b.v) AS sim
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.v, b.v) > 0.3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- Similarity search --------------------------------------------
+
+    // Exact brute-force cosine top-k: broadcast 5 query vectors against the
+    // full corpus; one map-side scoring pass + per-query top-k window.
+    Q("q36_ann_bruteforce",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.bruteForceTopK(e.where(col("id") < 5), e, 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_cosine_similarity(q.v, c.v) AS sim
+             |  FROM q JOIN c ON q.vec_id <> c.vec_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, sim,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |              ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, sim
+             |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // LSH-bucketed ANN (the 100 TB scale path): sign-bit bucket signature,
+    // equi-join on bucket, rank within bucket only.
+    Q("q37_ann_lsh",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.lshTopK(e.where(col("id") < 5), e, 3, 6)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val bucket = (0 until 6).map(i =>
+          s"(CASE WHEN v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |           CAST($bucket AS BIGINT) AS bucket
+           |           FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         list_cosine_similarity(q.v, c.v) AS sim
+           |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 5),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, sim,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |              ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, sim
+           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // ---- Text analysis -------------------------------------------------
+
+    // Token counting + quality scoring (map-side only; no shuffle).
+    Q("q38_text_stats",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCountWs(col("text")).as("n_tokens_ws"),
+        TextOps.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.stopwordRatio(col("text"), enStop).as("stopword_ratio"),
+        TextOps.qualityScore(col("text"), enStop).as("quality_score"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, lower(text) AS lt, lower(trim(text)) AS t,
+             |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(toks) AS INT) AS n_tokens_ws,
+             |  CAST(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_tokens_bpe,
+             |  length(regexp_replace(lt, '[a-z0-9\s]', '', 'g')) / length(lt) AS punct_ratio,
+             |  len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x))) / len(toks) AS stopword_ratio,
+             |  0.4::DOUBLE * (len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x))) / len(toks))
+             |      + 0.3::DOUBLE * least(1.0::DOUBLE, len(toks) / 100.0::DOUBLE)
+             |      + 0.3::DOUBLE * (1.0::DOUBLE - length(regexp_replace(lt, '[a-z0-9\s]', '', 'g')) / length(lt)) AS quality_score
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // Language ID: stopword-hit argmax with deterministic tie-break.
+    Q("q39_langid",
+      (s, dir) => t(s, dir, "documents").select(
+        Seq(col("doc_id")) ++
+          TextOps.langStopwords.map { case (l, ws) =>
+            TextOps.langHits(col("text"), ws).as(s"hits_$l")
+          } ++ Seq(TextOps.langId(col("text")).as("pred_lang")): _*)
+        .orderBy("doc_id"),
+      Some {
+        val hits = TextOps.langStopwords.map { case (l, ws) =>
+          val list = ws.map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter(toks, x -> list_contains([$list], x))) AS INT) AS hits_$l"
+        }.mkString(",\n  ")
+        """WITH d AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM documents),
+          |h AS (SELECT doc_id,
+          |  """.stripMargin + hits + """
+          |  FROM d)
+          |SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+          |  CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+          |       WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+          |       WHEN hits_de >= hits_fr THEN 'de'
+          |       ELSE 'fr' END AS pred_lang
+          |FROM h ORDER BY doc_id""".stripMargin
+      }),
+
+    // Document fingerprinting: whole-content md5 + winnowing rolling min-hash.
+    Q("q40_fingerprint",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprintMd5(col("text")).as("fp_md5"),
+        TextOps.winnowFingerprint(col("text"), 8).as("winnow_fp"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  md5(array_to_string(toks, ' ')) AS fp_md5,
+             |  CASE WHEN len(toks) >= 8 THEN
+             |    list_min(list_transform(range(1, len(toks)-6),
+             |      i -> ('0x'||substr(md5(array_to_string(toks[i:i+7], ' ')),1,15))::BIGINT))
+             |  ELSE NULL END AS winnow_fp
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // ---- Multimodal columns -------------------------------------------
+
+    // Binary media plumbing: opaque blob + typed metadata + deterministic
+    // fake features (decode is a stub; see Multimodal.FakeDecoder).
+    Q("q41_multimodal_meta",
+      (s, dir) => {
+        val media = Multimodal.withMetadata(
+          Multimodal.asBinaryMedia(t(s, dir, "documents"), "doc_id", "text"))
+        def feat(j: Int) =
+          ((TextOps.hash64(concat(col("content_md5"), lit(s"#f$j"))) % 1000)
+            / lit(1000.0)).as(s"f$j")
+        media.select(col("media_id"), col("kind"), col("n_bytes"),
+          col("content_md5"), feat(0), feat(1), feat(2), feat(3))
+          .orderBy("media_id")
+      },
+      Some {
+        def feat(j: Int) =
+          s"(('0x'||substr(md5(md5(text) || '#f$j'),1,15))::BIGINT % 1000) / CAST(1000 AS DOUBLE) AS f$j"
+        s"""SELECT doc_id AS media_id,
+           |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           |  md5(text) AS content_md5,
+           |  ${feat(0)}, ${feat(1)}, ${feat(2)}, ${feat(3)}
+           |FROM documents ORDER BY media_id""".stripMargin
+      }),
+
+    // ---- Events: streaming-shaped batch ops ---------------------------
+
+    // Hourly windowed aggregation (batch form of the streaming window agg;
+    // see graft.streaming.EventStreams for the readStream equivalent).
+    Q("q42_events_hourly",
+      (s, dir) => Sources.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sum_value"))
+        .orderBy("hour_ts", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+             |       count(*) AS n, SUM(CAST(value AS DECIMAL(38,4))) AS sum_value
+             |FROM events GROUP BY date_trunc('hour', ts), event_type
+             |ORDER BY hour_ts, event_type""".stripMargin)),
+
+    // Gap-based sessionization (30-min inactivity): the batch twin of
+    // mapGroupsWithState session windows.
+    Q("q43_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prevUs = unix_micros(lag(col("ts"), 1).over(w))
+        Sources.events(s, dir)
+          .withColumn("is_new",
+            when(prevUs.isNull ||
+              unix_micros(col("ts")) - prevUs > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("is_new")).over(run))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(dec)).as("sum_value"),
+            min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |       SUM(CAST(value AS DECIMAL(38,4))) AS sum_value,
+             |       min(ts) AS start_ts, max(ts) AS end_ts
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // Skew-safe salted aggregation: pre-aggregate on (key, salt), then
+    // merge — equals the plain GROUP BY (the oracle) by construction.
+    Q("q44_salted_agg",
+      (s, dir) => Sources.events(s, dir)
+        .groupBy(col("event_type"), pmod(col("event_id"), lit(8)).as("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("value").cast(dec)).as("psum"))
+        .groupBy("event_type")
+        .agg(sum(col("pn")).as("n"), sum(col("psum")).as("sum_value"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |       SUM(CAST(value AS DECIMAL(38,4))) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Semi-structured props: JSON field extraction.
+    Q("q45_json_extract",
+      (s, dir) => Sources.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_val
+             |FROM events ORDER BY event_id""".stripMargin))
+  )
+}

@@ -1,0 +1,88 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline: a broadcast of the (small)
+  * query set against the full corpus — one map-side pass over the corpus, a
+  * per-query top-k via window rank. At 100 TB the scale path is the
+  * LSH-bucketed variant: corpus and queries are bucketed by sign-bit
+  * signatures (random-hyperplane LSH, here axis hyperplanes for engine-
+  * portable determinism), so each query only scans its bucket — the join is
+  * an equi-join on the bucket key, shuffle bounded by bucket sizes. An IVF
+  * variant would replace the signature with a learned centroid id; the
+  * plumbing (bucket join + in-bucket rank) is identical.
+  *
+  * All arithmetic is element-order-sequential double accumulation so DuckDB
+  * oracles reproduce results bit-for-bit before the 4-decimal rounding.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product with per-element double casts. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (double). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (id, vec). Self-matches excluded. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Axis-hyperplane LSH bucket signature: one bit per leading dimension's
+    * sign. Deterministic and engine-portable (sign of a float is exact). */
+  def signBucket(vec: Column, bitsN: Int): Column =
+    (0 until bitsN).map { i =>
+      when(get(vec, lit(i)) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: only candidates in the query's LSH bucket are
+    * scored. Recall < 1.0 by construction; bucket count 2^bits trades
+    * recall for per-query work. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bitsN: Int = 6): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      signBucket(col("vec"), bitsN).as("bucket")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      signBucket(col("vec"), bitsN).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (the
+    * embedding-space cousin of MinHash dedup). All-pairs within the given
+    * frame — restrict the input to candidates/samples at scale. */
+  def cosineNearDups(vecs: DataFrame, threshold: Double): DataFrame = {
+    val a = vecs.select(col("id").as("id_a"), col("vec").as("va"))
+    val b = vecs.select(col("id").as("id_b"), col("vec").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .where(col("sim") > threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.10).
+  *
+  * The reference's closest analogue is Airflow's dataset-triggered
+  * re-run (dags/Load.py:17) — a file-watcher. Here that becomes a real
+  * incremental pipeline: `readStream` over a directory, event-time windowed
+  * aggregation with a watermark bounding state, and `foreachBatch` for the
+  * delta-append pattern (J4 anti-join per micro-batch).
+  *
+  * SCALE DESIGN: watermark + windowed agg keeps state bounded to
+  * (windows in watermark horizon) x (keys) regardless of total stream
+  * volume; `Trigger.AvailableNow` drains a backlog in rate-limited batches
+  * rather than one giant batch — the 100 TB-backfill-safe default.
+  */
+object EventStreams {
+
+  /** events schema after ns->ts normalization (see Sources.events). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a parquet directory of event files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Event-time hourly counts per type with a watermark bounding state. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Drain all available input into an in-memory table (test/backfill
+    * harness): AvailableNow + processAllAvailable. Returns the query for
+    * the caller to stop. */
+  def drainToMemory(agg: DataFrame, name: String): StreamingQuery = {
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Incremental delta-append per micro-batch: the streaming form of the
+    * reference's add_changes_to_* tasks (J4 + U1) — each batch anti-joins
+    * against the accumulated sink before appending. */
+  def deltaAppendSink(events: DataFrame, sinkPath: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val accumulated =
+          try Some(spark.read.parquet(sinkPath)) catch { case _: Throwable => None }
+        val delta = accumulated match {
+          case Some(acc) => graft.delta.Incremental.delta(batch, acc)
+          case None => batch
+        }
+        delta.write.mode("append").parquet(sinkPath)
+      }
+      .start()
+}

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting. All pure built-in/higher-order expressions — codegen'd,
+  * no UDFs, embarrassingly parallel (no shuffle at all): at 100 TB these run
+  * map-side at scan speed with full column pruning.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of normalized text. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation —
+    * the usual pre-tokenizer regex shape. */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpePattern), lit(0)))
+
+  /** Punctuation character ratio (chars outside [a-z0-9\s] over length). */
+  def punctRatio(text: Column): Column = {
+    val t = lower(text)
+    val punct = length(regexp_replace(t, "[a-z0-9\\s]", ""))
+    punct / length(t)
+  }
+
+  /** Ratio of tokens that are stopwords (duplicates counted — `filter` HOF,
+    * not the deduping array_intersect). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val sw = typedlit(stopwords)
+    val toks = tokens(text)
+    size(filter(toks, t => array_contains(sw, t))) / size(toks)
+  }
+
+  /** Composite quality score in [0,1]: stopword presence, length saturation,
+    * low punctuation. Weights arbitrary but fixed; deterministic. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val sw = typedlit(stopwords)
+    val toks = tokens(text)
+    val sr = size(filter(toks, t => array_contains(sw, t))) / size(toks)
+    val lenSat = least(lit(1.0), size(toks) / lit(100.0))
+    val punct = length(regexp_replace(lower(text), "[a-z0-9\\s]", "")) / length(text)
+    // raw double, no rounding: both engines produce bit-identical doubles
+    // for identical op order, while round() half-boundary behavior differs.
+    lit(0.4) * sr + lit(0.3) * lenSat + lit(0.3) * (lit(1.0) - punct)
+  }
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small + disjoint so ties are rare. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  /** Stopword-hit count for one language. */
+  def langHits(text: Column, words: Seq[String]): Column = {
+    val sw = typedlit(words)
+    size(filter(tokens(text), t => array_contains(sw, t)))
+  }
+
+  /** Language-ID: argmax of per-language hit counts, first-listed language
+    * wins ties (deterministic). */
+  def langId(text: Column): Column = {
+    val scores = langStopwords.map { case (l, ws) => l -> langHits(text, ws) }
+    val (_, sEn) :: (_, sEs) :: (_, sDe) :: (_, sFr) :: Nil = scores.toList
+    when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
+      .when(sEs >= sDe && sEs >= sFr, "es")
+      .when(sDe >= sFr, "de")
+      .otherwise("fr")
+  }
+
+  /** 60-bit hash from md5 (cross-engine reproducible: DuckDB computes the
+    * same md5 and the same hex->int value). 15 hex chars < 2^60: no sign
+    * issues in a signed 64-bit long. */
+  def hash64(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+
+  /** Whole-document content fingerprint over normalized tokens. */
+  def fingerprintMd5(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Winnowing-style rolling fingerprint: min 60-bit hash over all 8-token
+    * windows (null for docs shorter than 8 tokens). A near-identical doc
+    * keeps the same minimum with high probability. */
+  def winnowFingerprint(text: Column, window: Int = 8): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val hashes = transform(
+      sequence(lit(1), n - (window - 1)),
+      i => hash64(concat_ws(" ", slice(toks, i, lit(window)))))
+    // guard: sequence(1, k) counts DOWN when k < 1 (Spark semantics)
+    when(n >= window, array_min(hashes)).otherwise(lit(null).cast(LongType))
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.sources.Sources
+import graft.text.TextOps
+
+/** Semantics specs for the training-data operators (dedup / similarity /
+  * text / multimodal) beyond the oracle hash-match. */
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Sources.table(spark, sf, "documents")
+
+  test("exact dedup groups planted duplicates under one fingerprint") {
+    val planted = docs.select("doc_id", "text").where($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 100000)
+    val g = Dedup.exactGroups(
+      docs.select("doc_id", "text").unionByName(planted), "doc_id", "text")
+    assert(g.where($"n_dups" === 2).count() === planted.count())
+    // keeper is always the original id
+    assert(g.where($"n_dups" === 2 && $"keep_id" >= 100000).count() === 0)
+  }
+
+  /** docs 0-99 plus a planted near-duplicate of doc 8 (one appended token)
+    * under id 9999 — a controlled near-dup independent of the sf's data. */
+  private lazy val withPlantedNearDup = {
+    val base = docs.select("doc_id", "text").where($"doc_id" < 100)
+    val nearDup = base.where($"doc_id" === 8)
+      .select(lit(9999L).as("doc_id"), concat($"text", lit(" extra")).as("text"))
+    base.unionByName(nearDup)
+  }
+
+  test("minhash-LSH surfaces the planted near-duplicate pair") {
+    val cand = Dedup.minhashLsh(withPlantedNearDup, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((8L, 9999L)),
+      s"expected (8,9999) in candidates, got ${cand.take(20)}")
+  }
+
+  test("ngram jaccard scores the planted near-dup ~1.0, respects threshold") {
+    val j = Dedup.ngramJaccard(withPlantedNearDup, "doc_id", "text", 3, 0.2)
+    val top = j.where($"id_a" === 8 && $"id_b" === 9999)
+      .select("jaccard").as[Double].collect()
+    assert(top.nonEmpty && top.head > 0.9, s"got ${top.toSeq}")
+    assert(j.where($"jaccard" < 0.2).count() === 0)
+  }
+
+  test("simhash of near-identical docs has small hamming distance") {
+    val sh = Dedup.simhash(
+      withPlantedNearDup.where($"doc_id".isin(8, 9999, 50)), "doc_id", "text", 16)
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(8L), sh(9999L)) <= 3)  // near-dups: close signatures
+    assert(hamming(sh(8L), sh(50L)) >= 1)    // unrelated: differ
+  }
+
+  test("brute-force ANN: rank 1 neighbor has the max cosine (exactness)") {
+    val e = Sources.table(spark, sf, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val topk = Similarity.bruteForceTopK(e.where($"id" < 2), e, 5)
+    assert(topk.groupBy("query_id").count().where($"count" =!= 5).count() === 0)
+    // verify rank-1 equals exhaustive argmax for query 0
+    val sims = e.where($"id" =!= 0).crossJoin(
+        e.where($"id" === 0).select($"vec".as("qv")))
+      .select($"id", Similarity.cosine($"qv", $"vec").as("s"))
+      .orderBy($"s".desc, $"id".asc).limit(1)
+      .as[(Long, Double)].collect().head
+    val got = topk.where($"query_id" === 0 && $"rank" === 1)
+      .select("neighbor_id").as[Long].collect().head
+    assert(got === sims._1)
+  }
+
+  test("LSH ANN returns only same-bucket neighbors (recall/cost trade)") {
+    val e = Sources.table(spark, sf, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .withColumn("bucket", Similarity.signBucket($"vec", 6))
+    val topk = Similarity.lshTopK(
+      e.select("id", "vec").where($"id" < 5), e.select("id", "vec"), 3, 6)
+    val buckets = e.select($"id", $"bucket").as[(Long, Long)].collect().toMap
+    topk.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) => assert(buckets(q) === buckets(n)) }
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el perro de la casa que ladra los dias"),
+      (3L, "der hund und die katze das ist gut")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "en", 2L -> "es", 3L -> "de"))
+  }
+
+  test("winnow fingerprint: tail append only shrinks the min; md5 flips") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val edited = base + "appended tail words here"
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val r = df.select($"doc_id",
+      TextOps.fingerprintMd5($"text").as("fp"),
+      TextOps.winnowFingerprint($"text", 8).as("w"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(r(0)._2 !== r(1)._2) // md5 differs on any edit
+    // edited's windows are a superset of base's -> min can only decrease
+    assert(r(1)._3 <= r(0)._3)
+    // identical docs share the fingerprint exactly
+    val dup = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+      .select(TextOps.winnowFingerprint($"text", 8).as("w"))
+      .as[Long].collect()
+    assert(dup(0) === dup(1))
+  }
+
+  test("multimodal: mapPartitions decoder matches the expression path") {
+    val media = Multimodal.asBinaryMedia(docs.limit(50), "doc_id", "text")
+    val viaExpr = Multimodal.withMetadata(media)
+      .select($"media_id", $"n_bytes", $"content_md5")
+    val viaDecoder = Multimodal.extractFeatures(spark, media, 4)
+      .select($"media_id", $"n_bytes", $"content_md5")
+    assert(viaExpr.exceptAll(viaDecoder).isEmpty)
+    assert(viaDecoder.exceptAll(viaExpr).isEmpty)
+    // feature values match the q41 expression formula
+    val f0expr = Multimodal.withMetadata(media).select($"media_id",
+      ((TextOps.hash64(concat($"content_md5", lit("#f0"))) % 1000)
+        / lit(1000.0)).as("f0"))
+    val f0dec = Multimodal.extractFeatures(spark, media, 4)
+      .select($"media_id", element_at($"feature", 1).as("f0"))
+    assert(f0expr.exceptAll(f0dec).isEmpty)
+  }
+
+  test("fake decoder keeps blob bytes out of the feature output schema") {
+    val media = Multimodal.asBinaryMedia(docs.limit(5), "doc_id", "text")
+    val out = Multimodal.extractFeatures(spark, media, 2)
+    assert(!out.schema.fieldNames.contains("content"))
+  }
+}
