@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Relational, TrainingData}
+import graft.queries.{Extended, Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,7 @@ import graft.queries.{Relational, TrainingData}
   */
 object SparkEntry {
 
-  private def suites: Seq[Relational.Q] = Relational.all ++ TrainingData.all
+  private def suites: Seq[Relational.Q] = Relational.all ++ TrainingData.all ++ Extended.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
