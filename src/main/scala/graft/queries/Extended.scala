@@ -97,7 +97,67 @@ object Extended {
         graft.warehouse.Warehouse.registerTestdata(s, dir)
         s.sql(corrSql)
       },
-      Some(corrSql))
+      Some(corrSql)),
+
+    // S1-S5: CSV sink + schema'd CSV scan round-trip. Spark writes a subset
+    // as headered CSV, re-reads it with an explicit schema, and aggregates;
+    // the oracle aggregates the original parquet — equality proves the CSV
+    // codec (quoting, double formatting) is lossless.
+    Q("q50_csv_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val sub = t(s, dir, "lineitem").where(col("l_orderkey") < 500)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag")
+        val path = s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+        Sources.writeCsv(sub, path)
+        val schema = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_linenumber", IntegerType),
+          StructField("l_quantity", DoubleType),
+          StructField("l_extendedprice", DoubleType),
+          StructField("l_returnflag", StringType)))
+        Sources.csv(s, path, schema)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(dec)).as("sum_qty"),
+            sum(col("l_extendedprice").cast(dec)).as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty,
+             |  SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS sum_price
+             |FROM lineitem WHERE l_orderkey < 500
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // P10-P13: casts, null imputation (column + constant), arithmetic
+    // derivation — nulls synthesized from a predicate since testdata has
+    // none.
+    Q("q51_null_impute",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val withNulls = t(s, dir, "lineitem")
+          .withColumn("qty_n",
+            when(col("l_discount") > 0.05, lit(null).cast(DoubleType))
+              .otherwise(col("l_quantity")))
+        withNulls.select(
+          col("l_orderkey"), col("l_linenumber"),
+          coalesce(col("qty_n"), col("l_quantity")).as("qty_from_col"),   // P11
+          coalesce(col("qty_n"), lit(0.0)).as("qty_from_const"),          // P12
+          (col("l_extendedprice") - col("l_quantity")).as("price_minus_qty"), // P13
+          col("l_quantity").cast(LongType).as("qty_long"))                // P10
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH w AS (
+             |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             |    CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END AS qty_n
+             |  FROM lineitem)
+             |SELECT l_orderkey, l_linenumber,
+             |  coalesce(qty_n, l_quantity) AS qty_from_col,
+             |  coalesce(qty_n, 0.0) AS qty_from_const,
+             |  l_extendedprice - l_quantity AS price_minus_qty,
+             |  CAST(trunc(l_quantity) AS BIGINT) AS qty_long
+             |FROM w ORDER BY l_orderkey, l_linenumber""".stripMargin))
   )
 
   private lazy val corrSql: String =

@@ -34,12 +34,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
-    * `queries`/`corpus`: (id, vec). Self-matches excluded. */
+    * `queries`/`corpus`: (id, vec). Self-matches excluded.
+    * Norms are precomputed per ROW (not per pair): with |Q| queries each
+    * corpus vector would otherwise fold its own norm |Q| times. Bit-for-bit
+    * identical result — a vector's norm doesn't depend on the pair. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv")))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      norm(col("vec")).as("qn")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      norm(col("vec")).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
@@ -60,12 +65,12 @@ object Similarity {
     * recall for per-query work. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bitsN: Int = 6): DataFrame = {
     val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv"),
-      signBucket(col("vec"), bitsN).as("bucket")))
+      norm(col("vec")).as("qn"), signBucket(col("vec"), bitsN).as("bucket")))
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-      signBucket(col("vec"), bitsN).as("bucket"))
+      norm(col("vec")).as("cn"), signBucket(col("vec"), bitsN).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
@@ -78,10 +83,12 @@ object Similarity {
     * embedding-space cousin of MinHash dedup). All-pairs within the given
     * frame — restrict the input to candidates/samples at scale. */
   def cosineNearDups(vecs: DataFrame, threshold: Double): DataFrame = {
-    val a = vecs.select(col("id").as("id_a"), col("vec").as("va"))
-    val b = vecs.select(col("id").as("id_b"), col("vec").as("vb"))
+    val a = vecs.select(col("id").as("id_a"), col("vec").as("va"),
+      norm(col("vec")).as("na"))
+    val b = vecs.select(col("id").as("id_b"), col("vec").as("vb"),
+      norm(col("vec")).as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("sim") > threshold)
       .select("id_a", "id_b", "sim")
   }

@@ -50,9 +50,15 @@ object Sources {
     }
   }
 
-  /** S5 — curated CSV sink, header, no index (ET:338-339). */
+  /** S5 — curated CSV sink, header, no index (ET:338-339). Doubled-quote
+    * escaping to match the reader (and pandas' CSV convention) — Spark's
+    * default backslash escape would not round-trip through [[csv]]. */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .csv(path)
 
   /** Curated parquet sink; `partitionBy` for scale-out pruning (e.g. the
     * flights fact partitioned by date at 100 TB). */

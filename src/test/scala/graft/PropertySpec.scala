@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.delta.Incremental
+import graft.ops.ColumnOps
+
+/** Property-based specs (SURVEY.md §5.2): raw ScalaCheck driven from
+  * ScalaTest (the scalatestplus bridge isn't on the offline classpath).
+  * Each property evaluates a whole generated dataset in ONE Spark job. */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop, n: Int = 15): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(n).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val rowGen: Gen[(Long, Option[Double], Option[String])] = for {
+    k <- Gen.choose(0L, 6L)
+    v <- Gen.option(Gen.oneOf(0.0, 1.5, 2.5))
+    s <- Gen.option(Gen.oneOf("a", "b"))
+  } yield (k, v, s)
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("v", DoubleType),
+    StructField("s", StringType)))
+
+  private def df(rows: List[(Long, Option[Double], Option[String])]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (k, v, s) => Row(k, v.orNull, s.orNull) }, 2),
+      schema)
+
+  test("J4 delta == set-minus with null-safe equality (random frames)") {
+    val p = Prop.forAll(Gen.listOfN(12, rowGen), Gen.listOfN(12, rowGen)) {
+      (inc, acc) =>
+        val got = Incremental.delta(df(inc), df(acc))
+          .collect().map(r => (r.get(0), Option(r.get(1)), Option(r.get(2))))
+          .toList.sortBy(_.toString)
+        val accSet = acc.map { case (k, v, s) => (k, v, s) }.toSet
+        val want = inc.filterNot { case (k, v, s) => accSet((k, v, s)) }
+          .map { case (k, v, s) => (k: Any, v.map(x => x: Any), s.map(x => x: Any)) }
+          .sortBy(_.toString)
+        got == want
+    }
+    check(p)
+  }
+
+  test("J4/U1 invariant: acc + delta == union multiset (random frames)") {
+    val p = Prop.forAll(Gen.listOfN(15, rowGen), Gen.listOfN(15, rowGen)) {
+      (inc, acc) =>
+        val (d, appended) = Incremental.step(df(inc), df(acc))
+        // every incoming row is represented: re-running delta yields nothing
+        Incremental.delta(df(inc), appended).isEmpty &&
+          appended.count() == acc.size + d.count()
+    }
+    check(p, n = 10)
+  }
+
+  test("P15 arithmetic == Python floor-div/positive-mod for any delay") {
+    val gen = Gen.listOfN(200, for {
+      t <- Gen.choose(0L, 2359L)
+      d <- Gen.choose(-720L, 720L)
+    } yield (t, d))
+    val p = Prop.forAll(gen) { cases =>
+      val in = spark.createDataFrame(
+        spark.sparkContext.parallelize(cases.map { case (t, d) => Row(t, d) }, 2),
+        StructType(Seq(StructField("t", LongType), StructField("d", LongType))))
+      val got = in.select(ColumnOps.minutesDeltaToHhmm(col("t"), col("d")))
+        .collect().map(_.getLong(0)).toList
+      val want = cases.map { case (t, d) =>
+        t + Math.floorDiv(d, 60) * 100 + Math.floorMod(d, 60) }
+      got.sorted == want.sorted
+    }
+    check(p, n = 5)
+  }
+
+  test("P14 intended codec: hhmm -> minutes is exact for all 1440 times") {
+    val all = spark.range(0, 1440).select(
+      (floor(col("id") / 60) * 100 + col("id") % 60).as("hhmm"),
+      col("id").as("want"))
+    val bad = all.select(
+      ColumnOps.hhmmToMinutes(col("hhmm")).as("got"), col("want"))
+      .where(col("got") =!= col("want"))
+    assert(bad.isEmpty)
+  }
+
+  test("P20 fact surrogate keys: dense ids regardless of partition count") {
+    val p = Prop.forAll(Gen.choose(1, 8), Gen.choose(1L, 500L)) { (parts, n) =>
+      val keyed = ColumnOps.factSurrogateKey(
+        spark.range(0, n).repartition(parts).toDF("x"), "id")
+      keyed.agg(count_distinct(col("id")), max(col("id")))
+        .head match { case Row(distinct: Long, mx: Long) =>
+          distinct == n && mx == n - 1 }
+    }
+    check(p, n = 8)
+  }
+}
