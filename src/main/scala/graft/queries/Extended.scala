@@ -157,7 +157,98 @@ object Extended {
              |  coalesce(qty_n, 0.0) AS qty_from_const,
              |  l_extendedprice - l_quantity AS price_minus_qty,
              |  CAST(trunc(l_quantity) AS BIGINT) AS qty_long
-             |FROM w ORDER BY l_orderkey, l_linenumber""".stripMargin))
+             |FROM w ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Exact continuous percentiles (interpolating): Spark `percentile` vs
+    // DuckDB `quantile_cont`.
+    Q("q52_percentiles",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+             |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Exact distinct counts (two-phase partial dedup; the approximate HLL
+    // variant exists as approx_count_distinct but has no cross-engine
+    // oracle — see SCALING.md).
+    Q("q53_distinct_counts",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("nd_parts"),
+          count_distinct(col("l_suppkey")).as("nd_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS nd_parts,
+             |  count(DISTINCT l_suppkey) AS nd_supps,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Scalar string-function battery (P1-P9 cousins exposed as first-class
+    // engine surface).
+    Q("q54_string_funcs",
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lpad(col("p_partkey").cast(StringType), 8, "0").as("padded"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        instr(col("p_name"), "widget").as("widget_at"),
+        substring(col("p_name"), 2, 5).as("sub"),
+        reverse(col("p_name")).as("rev"),
+        expr("left(p_name, 3)").as("l3"),
+        expr("right(p_type, 3)").as("r3"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("tr"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  upper(p_name) AS up,
+             |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+             |  regexp_replace(p_name, ' ', '_', 'g') AS snake,
+             |  CAST(instr(p_name, 'widget') AS INT) AS widget_at,
+             |  substr(p_name, 2, 5) AS sub,
+             |  reverse(p_name) AS rev,
+             |  left(p_name, 3) AS l3,
+             |  right(p_type, 3) AS r3,
+             |  CAST(levenshtein(p_brand, p_type) AS INT) AS lev,
+             |  translate(p_name, 'aeiou', 'AEIOU') AS tr
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Array-column operators over embeddings (size/min/max/element/sum).
+    Q("q55_array_ops",
+      (s, dir) => t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        array_min(col("embedding")).as("min_e"),
+        array_max(col("embedding")).as("max_e"),
+        get(col("embedding"), lit(0)).as("first_e"),
+        graft.similarity.Similarity.dot(col("embedding"), col("embedding"))
+          .as("sq_norm"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS INT) AS dim,
+             |  list_min(embedding) AS min_e,
+             |  list_max(embedding) AS max_e,
+             |  embedding[1] AS first_e,
+             |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS sq_norm
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // Regex extraction/counting over semi-structured text.
+    Q("q56_regexp_extract",
+      (s, dir) => Sources.events(s, dir).select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).as("k_str"),
+        size(regexp_extract_all(col("props"), lit("[0-9]"), lit(0))).as("n_digits"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str,
+             |  CAST(len(regexp_extract_all(props, '[0-9]')) AS INT) AS n_digits
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 
   private lazy val corrSql: String =

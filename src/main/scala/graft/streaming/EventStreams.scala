@@ -56,6 +56,65 @@ object EventStreams {
     q
   }
 
+  // ---- Custom state: gap-based session windows -----------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  case class SessionState(sessionId: Long, lastTsUs: Long,
+                          nEvents: Long, startUs: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
+
+  /** Stateful gap-based sessionization via `flatMapGroupsWithState`: custom
+    * per-user O(1) state (the 30-min-gap twin of batch q43). A session is
+    * emitted when a later event closes it; the tail session per user stays
+    * open in state (a production deploy would close it with an event-time
+    * timeout against the watermark — kept timeout-free here so an
+    * AvailableNow drain terminates deterministically).
+    */
+  def sessionizeStateful(spark: SparkSession, events: DataFrame,
+                         gapMinutes: Long = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    // java.sql.Timestamp: getTime is ms; microseconds live in getNanos.
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000000L * 1000)
+      t.setNanos(((us % 1000000L) * 1000).toInt)
+      t
+    }
+
+    def fn(user: Long, rows: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      // within-batch arrival order is not event-time order: sort the batch.
+      // (Cross-batch disorder is a watermark/holding concern — the source
+      // here feeds batches in event-time order.)
+      val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+      val out = scala.collection.mutable.ListBuffer[SessionOut]()
+      var st = state.getOption.getOrElse(SessionState(-1L, Long.MinValue, 0L, 0L))
+      sorted.foreach { e =>
+        val us = toUs(e.ts)
+        if (st.sessionId < 0 || us - st.lastTsUs > gapUs) {
+          if (st.sessionId >= 0)
+            out += SessionOut(user, st.sessionId, st.nEvents,
+              toTs(st.startUs), toTs(st.lastTsUs))
+          st = SessionState(st.sessionId + 1, us, 1L, us)
+        } else st = st.copy(lastTsUs = us, nEvents = st.nEvents + 1)
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   /** Incremental delta-append per micro-batch: the streaming form of the
     * reference's add_changes_to_* tasks (J4 + U1) — each batch anti-joins
     * against the accumulated sink before appending. */

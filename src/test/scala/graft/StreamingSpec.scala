@@ -15,7 +15,10 @@ class StreamingSpec extends SparkSpec {
     // stage normalized events (ns->timestamp) as a parquet dir the
     // streaming source can watch
     val dir = Files.createTempDirectory("graft_events").toString
-    Sources.events(spark, sf).write.mode("overwrite").parquet(dir)
+    // single sorted file: AvailableNow then feeds micro-batches in
+    // event-time order (cross-batch disorder is out of scope here)
+    Sources.events(spark, sf).orderBy("ts", "event_id")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
     dir
   }
 
@@ -35,6 +38,37 @@ class StreamingSpec extends SparkSpec {
       val diff = streamed.exceptAll(batch.select("hour_ts", "event_type", "n"))
       assert(diff.isEmpty, "streamed rows not found in batch result")
       assert(streamed.count() >= batch.count() / 2)
+    } finally q.stop()
+  }
+
+  test("stateful flatMapGroupsWithState sessions match the batch sessionizer") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = stagedEventsDir()
+    val stream = EventStreams.readEvents(spark, dir)
+    val q = EventStreams.drainToMemory(
+      EventStreams.sessionizeStateful(spark, stream), "sessions_test")
+    try {
+      val streamed = spark.table("sessions_test")
+        .select("user_id", "n_events", "start_ts", "end_ts")
+      // batch twin (q43 logic) on the same data
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevUs = unix_micros(lag(col("ts"), 1).over(w))
+      val batch = Sources.events(spark, sf)
+        .withColumn("is_new", when(prevUs.isNull ||
+          unix_micros(col("ts")) - prevUs > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("is_new")).over(run))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        .select("user_id", "n_events", "start_ts", "end_ts")
+      // every emitted (closed) session must exist in the batch result;
+      // only each user's final open session may be withheld
+      assert(streamed.exceptAll(batch).isEmpty,
+        "streamed session not present in batch sessions")
+      val nUsers = batch.select("user_id").distinct().count()
+      assert(streamed.count() >= batch.count() - nUsers)
+      assert(streamed.count() > 0)
     } finally q.stop()
   }
 
