@@ -248,7 +248,46 @@ object Extended {
       Some("""SELECT event_id,
              |  regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str,
              |  CAST(len(regexp_extract_all(props, '[0-9]')) AS INT) AS n_digits
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Generator/explode (UDTF-shaped): token frequency via explode ->
+    // groupBy — the Spark Generator path the reference's loops map onto.
+    Q("q57_word_freq",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20),
+      Some("""SELECT tok, count(*) AS n
+             |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |      FROM documents)
+             |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin)),
+
+    // Window-function battery: lag/lead/row_number/running decimal sum.
+    Q("q58_window_battery",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val run = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Sources.events(s, dir).select(
+          col("event_id"), col("user_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          row_number().over(w).as("rn"),
+          sum(col("value").cast(dec)).over(run).as("running_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  lag(value) OVER w AS prev_value,
+             |  lead(value) OVER w AS next_value,
+             |  CAST(row_number() OVER w AS INT) AS rn,
+             |  SUM(CAST(value AS DECIMAL(38,4)))
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS UNBOUNDED PRECEDING) AS running_value
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin))
   )
 
   private lazy val corrSql: String =
