@@ -287,7 +287,71 @@ object Extended {
              |          ROWS UNBOUNDED PRECEDING) AS running_value
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // As-of join (point-in-time lookup): each event picks the most recent
+    // signup at-or-before its timestamp for the same user. Spark-side:
+    // union+sort+LOCF composition (operators.AsOfJoin — one shuffle, no
+    // range-join explosion); oracle: DuckDB's native ASOF JOIN.
+    Q("q59_asof_join",
+      (s, dir) => {
+        val events = Sources.events(s, dir)
+        val signups = events.where(col("event_type") === "signup")
+          .groupBy("user_id", "ts")
+          .agg(max(col("event_id")).as("signup_event"))
+        graft.operators.AsOfJoin.backward(
+          events, signups, Seq("user_id"), "ts", "ts", Seq("signup_event"))
+          .select("event_id", "user_id", "signup_event")
+          .orderBy("event_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, ts AS s_ts, max(event_id) AS signup_event
+             |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+             |SELECT e.event_id, e.user_id, s.signup_event
+             |FROM events e ASOF LEFT JOIN s
+             |  ON e.user_id = s.user_id AND e.ts >= s.s_ts
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // IVF-flat ANN (nprobe=1): vectors partitioned into inverted lists by
+    // nearest centroid (centroids = first 8 vectors standing in for a
+    // k-means output); each query scans only its own list.
+    Q("q60_ann_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val centroids = e.where(col("id") < 8)
+          .select(col("id").as("cid"), col("vec"))
+        graft.similarity.Similarity.ivfTopK(
+          e.where(col("id").between(100, 104)), e, centroids, 3)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH cents AS (
+             |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id < 8),
+             |assign AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+             |                 c.cid) AS rn
+             |    FROM embeddings e CROSS JOIN cents c)
+             |  WHERE rn = 1),
+             |q AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, a.cid
+             |      FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+             |      WHERE e.vec_id BETWEEN 100 AND 104),
+             |cand AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, a.cid
+             |         FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, cand.vec_id AS neighbor_id,
+             |         list_cosine_similarity(q.v, cand.v) AS sim
+             |  FROM q JOIN cand ON q.cid = cand.cid AND q.vec_id <> cand.vec_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, sim,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |              ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, sim
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
   )
 
   private lazy val corrSql: String =

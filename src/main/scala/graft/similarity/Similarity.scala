@@ -79,6 +79,47 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** IVF assignment: nearest centroid (by cosine, centroid-id tiebreak) for
+    * every vector. `centroids`: (cid, vec) — in production the output of a
+    * k-means job; any deterministic centroid table works. Broadcast
+    * centroids x corpus scan: one map-side pass + a per-vector top-1 window.
+    */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids.select(col("cid"), col("vec").as("cv"),
+      norm(col("vec")).as("cn")))
+    val v = vecs.select(col("id"), col("vec"), norm(col("vec")).as("vn"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    v.join(c, lit(true))
+      .withColumn("csim", dot(col("vec"), col("cv")) / (col("vn") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("cid"))
+  }
+
+  /** IVF-flat top-k search (nprobe=1): each query scans ONLY the inverted
+    * list of its nearest centroid — expected corpus/K work per query. The
+    * 100 TB layout stores the corpus partitioned (or bucketed) by `cid`, so
+    * a probe is a partition-pruned scan, not a shuffle. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int): DataFrame = {
+    val corpusAssigned = corpus.join(ivfAssign(corpus, centroids), Seq("id"))
+      .select(col("id").as("neighbor_id"), col("vec").as("cv2"),
+        norm(col("vec")).as("cn2"), col("cid"))
+    val queriesAssigned = broadcast(
+      queries.join(ivfAssign(queries, centroids), Seq("id"))
+        .select(col("id").as("query_id"), col("vec").as("qv"),
+          norm(col("vec")).as("qn"), col("cid")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    queriesAssigned.join(corpusAssigned, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (the
     * embedding-space cousin of MinHash dedup). All-pairs within the given
     * frame — restrict the input to candidates/samples at scale. */
