@@ -351,7 +351,55 @@ object Extended {
              |              ORDER BY sim DESC, neighbor_id) AS INT) AS rank
              |  FROM scored)
              |SELECT query_id, rank, neighbor_id, sim
-             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // TPC-H Q13-style distribution: orders-per-customer histogram (left
+    // join preserving zero-order customers, two-level aggregation).
+    Q("q61_count_histogram",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(c("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .groupBy("n_orders")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("n_orders"))
+      },
+      Some("""SELECT n_orders, count(*) AS n_customers FROM (
+             |  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+             |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+             |  GROUP BY c.c_custkey)
+             |GROUP BY n_orders ORDER BY n_orders""".stripMargin)),
+
+    // Calendar gap-fill: dense hour spine via sequence+explode (the G1
+    // generator pattern as a join dimension), zero-filled counts.
+    Q("q62_time_gap_fill",
+      (s, dir) => {
+        val ev = Sources.events(s, dir)
+        val bounds = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        val spine = bounds.select(explode(sequence(
+          col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+        val counts = ev.groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+          .agg(count(lit(1)).as("n0"))
+        spine.join(counts, Seq("hour_ts"), "left")
+          .select(col("hour_ts"), coalesce(col("n0"), lit(0L)).as("n"))
+          .orderBy("hour_ts")
+      },
+      Some("""WITH bounds AS (
+             |  SELECT date_trunc('hour', min(ts)) AS lo,
+             |         date_trunc('hour', max(ts)) AS hi FROM events),
+             |spine AS (
+             |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+             |  FROM bounds),
+             |counts AS (
+             |  SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n0
+             |  FROM events GROUP BY date_trunc('hour', ts))
+             |SELECT s.hour_ts, coalesce(c.n0, 0) AS n
+             |FROM spine s LEFT JOIN counts c ON s.hour_ts = c.hour_ts
+             |ORDER BY s.hour_ts""".stripMargin))
   )
 
   private lazy val corrSql: String =
