@@ -74,11 +74,22 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Full MinHash-LSH pipeline: shingle -> minhash -> bands -> candidates. */
+  /** Full MinHash-LSH pipeline: shingle -> minhash -> bands -> candidates.
+    * The band table feeds BOTH sides of the candidate self-join and Catalyst
+    * does not reuse non-identical exchange subtrees: set
+    * `persistIntermediate` on big corpora to materialize it once instead of
+    * recomputing the shingle explode + two aggregations per side (measured:
+    * a net LOSS below ~100k docs, where recompute beats cache I/O — hence
+    * opt-in, not default). */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                 shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                 persistIntermediate: Boolean = false): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleN)
-    lshCandidates(lshBands(minhash(sh, idCol, numHashes), idCol, numHashes, bands), idCol)
+    val bandsDf0 = lshBands(minhash(sh, idCol, numHashes), idCol, numHashes, bands)
+    val bandsDf = if (persistIntermediate)
+      bandsDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bandsDf0
+    lshCandidates(bandsDf, idCol)
   }
 
   /** SimHash signature (default 16 bits for oracle-checkable size; up to 60
@@ -104,8 +115,15 @@ object Dedup {
   /** Exact pairwise n-gram Jaccard over candidate or sampled docs.
     * inter/union on DISTINCT shingles; `minJaccard` filters output. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, minJaccard: Double): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+                   n: Int, minJaccard: Double,
+                   persistIntermediate: Boolean = false): DataFrame = {
+    // shingles feed the intersect self-join (twice) AND the size table —
+    // persistIntermediate materializes them once on big corpora
+    // (see minhashLsh note for why this is opt-in)
+    val sh0 = shingles(docs, idCol, textCol, n)
+    val sh = if (persistIntermediate)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
