@@ -399,7 +399,26 @@ object Extended {
              |  FROM events GROUP BY date_trunc('hour', ts))
              |SELECT s.hour_ts, coalesce(c.n0, 0) AS n
              |FROM spine s LEFT JOIN counts c ON s.hour_ts = c.hour_ts
-             |ORDER BY s.hour_ts""".stripMargin))
+             |ORDER BY s.hour_ts""".stripMargin)),
+
+    // Bounded-memory group-wise top-k via a custom typed Aggregator
+    // (functions.TopKAgg): O(k) heap buffer per group with map-side partial
+    // merge — vs collect_list's O(group) or a window's full shuffle+sort.
+    Q("q63_grouped_topk",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(graft.functions.TopKAgg.topK(col("l_extendedprice"), 5).as("topk"))
+        .select(col("l_returnflag"), posexplode(col("topk")).as(Seq("pos", "price")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast(IntegerType).as("rank"),
+          col("price"))
+        .orderBy("l_returnflag", "rank"),
+      Some("""WITH t AS (
+             |  SELECT l_returnflag, list_sort(list(l_extendedprice), 'DESC')[1:5] AS v
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, CAST(i AS INT) AS rank, v[CAST(i AS INT)] AS price
+             |FROM t CROSS JOIN range(1, 6) r(i)
+             |WHERE i <= len(v)
+             |ORDER BY l_returnflag, rank""".stripMargin))
   )
 
   private lazy val corrSql: String =
