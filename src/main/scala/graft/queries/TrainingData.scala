@@ -379,6 +379,45 @@ object TrainingData {
              |       SUM(CAST(value AS DECIMAL(38,4))) AS sum_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Repetition quality signals (Gopher/C4-style filters): distinct-token
+    // ratio + dominant-token share. One explode + two-level agg.
+    Q("q64_repetition_signals",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(col("doc_id"),
+          TextOps.tokens(col("text")).as("toks"))
+        val stats = base.select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"))
+        val topTok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max(col("c")).as("top_tok_n"))
+        stats.join(topTok, Seq("doc_id"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            (col("n_distinct") / col("n_tokens")).as("distinct_ratio"),
+            col("top_tok_n"),
+            (col("top_tok_n") / col("n_tokens")).as("top_tok_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |stats AS (
+             |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+             |         CAST(len(list_distinct(toks)) AS INT) AS n_distinct
+             |  FROM d),
+             |top AS (
+             |  SELECT doc_id, max(c) AS top_tok_n FROM (
+             |    SELECT doc_id, tok, count(*) AS c
+             |    FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+             |    GROUP BY doc_id, tok)
+             |  GROUP BY doc_id)
+             |SELECT s.doc_id, s.n_tokens, s.n_distinct,
+             |       s.n_distinct / s.n_tokens AS distinct_ratio,
+             |       t.top_tok_n,
+             |       t.top_tok_n / s.n_tokens AS top_tok_ratio
+             |FROM stats s JOIN top t ON s.doc_id = t.doc_id
+             |ORDER BY s.doc_id""".stripMargin)),
+
     // Semi-structured props: JSON field extraction.
     Q("q45_json_extract",
       (s, dir) => Sources.events(s, dir).select(
