@@ -29,7 +29,7 @@ object Incremental {
   /** J4 — rows of `incoming` not already present in `accumulated`
     * (whole-row, null-safe). */
   def delta(incoming: DataFrame, accumulated: DataFrame): DataFrame = {
-    val acc = accumulated.select(incoming.columns.map(col): _*)
+    val acc = accumulated.select(incoming.columns.toIndexedSeq.map(col): _*)
     incoming.join(acc, nullSafeCond(incoming, acc), "left_anti")
   }
 

@@ -54,7 +54,7 @@ object AsOfJoin {
         payload.map(col) ++ leftCols.filterNot(keys.contains).map(col): _*)
     val rPadded = leftCols.filterNot(keys.contains).foldLeft(r) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(unioned.columns.map(col): _*)
+    }.select(unioned.columns.toIndexedSeq.map(col): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__tag").asc)
@@ -63,6 +63,6 @@ object AsOfJoin {
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
     }
     locf.where(col("__tag") === 1)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+      .select(leftCols.toIndexedSeq.map(col) ++ payload.map(col): _*)
   }
 }

@@ -418,7 +418,56 @@ object Extended {
              |SELECT l_returnflag, CAST(i AS INT) AS rank, v[CAST(i AS INT)] AS price
              |FROM t CROSS JOIN range(1, 6) r(i)
              |WHERE i <= len(v)
-             |ORDER BY l_returnflag, rank""".stripMargin))
+             |ORDER BY l_returnflag, rank""".stripMargin)),
+
+    // Full outer join (both null sides exercised: odd-key customers vs
+    // high-value order customers) + explicit cross join (region x nation
+    // grouped). Sort keys coalesced to stay null-free.
+    Q("q65_outer_cross_join",
+      (s, dir) => {
+        val a = t(s, dir, "customer").where(col("c_custkey") % 2 === 1)
+          .select(col("c_custkey").as("k"), col("c_mktsegment"))
+        val b = t(s, dir, "orders").where(col("o_totalprice") > 200000)
+          .select(col("o_custkey").as("k"), col("o_orderkey"))
+        a.join(b, Seq("k"), "full_outer")
+          .groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"))
+          .agg(count(lit(1)).as("n"),
+            count(col("o_orderkey")).as("n_orders"))
+          .orderBy("segment")
+      },
+      Some("""WITH a AS (SELECT c_custkey AS k, c_mktsegment FROM customer
+             |          WHERE c_custkey % 2 = 1),
+             |b AS (SELECT o_custkey AS k, o_orderkey FROM orders
+             |      WHERE o_totalprice > 200000)
+             |SELECT coalesce(c_mktsegment, '(none)') AS segment,
+             |       count(*) AS n, count(o_orderkey) AS n_orders
+             |FROM a FULL OUTER JOIN b USING (k)
+             |GROUP BY coalesce(c_mktsegment, '(none)')
+             |ORDER BY segment""".stripMargin)),
+
+    // Date/interval arithmetic battery.
+    Q("q66_date_arith",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+              .as("ship_lag_days"),
+            date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+            last_day(to_date(col("o_orderdate"))).as("month_end"),
+            dayofyear(to_date(col("o_orderdate"))).as("doy"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+             |                 CAST(l_shipdate AS DATE)) AS INT) AS ship_lag_days,
+             |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |  CAST(dayofyear(o_orderdate) AS INT) AS doy
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin))
   )
 
   private lazy val corrSql: String =
