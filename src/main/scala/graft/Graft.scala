@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Top-level façade: one place to get a correctly-configured session and
+  * reach every operator family. A user of the reference ETL switches by
+  * importing `graft._` and calling `Graft.session()`.
+  *
+  * {{{
+  * val spark = Graft.session(cores = 8)
+  * val wh = graft.pipeline.Pipeline.run(spark, flightsRaw, airportsRaw,
+  *   carriersRaw, "/data/warehouse")
+  * spark.sql("SELECT ... FROM flights JOIN date ...")
+  * }}}
+  */
+object Graft {
+
+  /** The engine's recommended session configuration — single source of
+    * truth shared by Verify, Bench and the test harness:
+    * AQE on (runtime coalesce + skew handling), UTC (oracle/cluster
+    * reproducibility), nanos-as-long (TIMESTAMP(NANOS) parquet inputs),
+    * shuffle partitions sized to cores (local) instead of the 200 default. */
+  def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session with the recommended configuration. */
+  def session(cores: Int = Runtime.getRuntime.availableProcessors(),
+              appName: String = "graft"): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName), cores)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

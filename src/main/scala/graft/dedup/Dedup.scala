@@ -112,6 +112,22 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: signatures within `maxHamming` bits.
+    * Pair generation over SIGNATURES (one long per doc), not text — the
+    * payoff of the simhash reduction: a 100 TB corpus compares 8-byte
+    * values. All-pairs here (sample-bound the input); the scale path blocks
+    * on signature bands (split the bits into chunks, join on exact chunk
+    * match — Hamming<=d pairs must collide on some chunk by pigeonhole). */
+  def simhashNearDups(sigs: DataFrame, idCol: String,
+                      maxHamming: Int): DataFrame = {
+    val a = sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a"))
+    val b = sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact pairwise n-gram Jaccard over candidate or sampled docs.
     * inter/union on DISTINCT shingles; `minJaccard` filters output. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,

@@ -121,6 +121,31 @@ object TrainingData {
              |       CAST(SUM(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
              |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // SimHash pair search: near-dup candidates by hamming distance over the
+    // 8-byte signatures (never the text).
+    Q("q67_simhash_pairs",
+      (s, dir) => Dedup.simhashNearDups(
+        Dedup.simhash(t(s, dir, "documents").where(col("doc_id") < 256),
+          "doc_id", "text", 16),
+        "doc_id", 3).orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents WHERE doc_id < 256),
+             |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM tok),
+             |votes AS (
+             |  SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS votes
+             |  FROM h CROSS JOIN range(0,16) r(b)
+             |  GROUP BY doc_id, b),
+             |sig AS (
+             |  SELECT doc_id,
+             |         CAST(SUM(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+             |  FROM votes GROUP BY doc_id)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Pairwise n-gram Jaccard on distinct 3-gram shingle sets.
     Q("q34_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(

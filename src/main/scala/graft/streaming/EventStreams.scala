@@ -56,6 +56,15 @@ object EventStreams {
     q
   }
 
+  /** Streaming exact dedup: drop repeated event_ids with state bounded by
+    * the watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
+    * twin of exact dedup (q30): at-least-once upstream delivery becomes
+    * exactly-once content downstream, without unbounded key state. */
+  def dedupped(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- Custom state: gap-based session windows -----------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

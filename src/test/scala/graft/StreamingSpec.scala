@@ -72,6 +72,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    val dir = Files.createTempDirectory("graft_dup").toString
+    // stage the events TWICE (at-least-once delivery simulation)
+    val ev = Sources.events(spark, sf).orderBy("ts", "event_id").coalesce(1)
+    ev.write.mode("overwrite").parquet(dir)
+    ev.write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() === 2 * ev.count())
+
+    val q = EventStreams.drainToMemory(
+      EventStreams.dedupped(EventStreams.readEvents(spark, dir)), "dedup_test")
+    try {
+      val out = spark.table("dedup_test")
+      assert(out.count() === ev.count(), "duplicates survived")
+      assert(out.select("event_id").distinct().count() === ev.count())
+    } finally q.stop()
+  }
+
   test("foreachBatch delta-append sink is idempotent across replays") {
     val dir = stagedEventsDir()
     val sink = Files.createTempDirectory("graft_sink").toString + "/acc"
