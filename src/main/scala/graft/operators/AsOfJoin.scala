@@ -39,6 +39,8 @@ object AsOfJoin {
                payload: Seq[String]): DataFrame = {
     require(payload.forall(p => !left.columns.contains(p)),
       s"payload columns ${payload.mkString(",")} must not collide with left columns")
+    require(!(left.columns ++ right.columns).exists(Set("__ts", "__tag")),
+      "__ts/__tag are reserved working-column names")
     val leftCols = left.columns
     // right side: keys + ts + payload, tagged 0
     val r = right.select(

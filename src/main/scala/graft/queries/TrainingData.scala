@@ -187,6 +187,32 @@ object TrainingData {
              |WHERE list_cosine_similarity(a.v, b.v) > 0.3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Deterministic stratified train/val/test split: content-hash bucket
+    // (never Math.random — reproducible across runs/clusters/engines) with
+    // per-language stratification counts. The same predicate is a 10%
+    // deterministic sample at any scale.
+    Q("q68_stratified_split",
+      (s, dir) => {
+        val bucket = pmod(TextOps.hash64(concat(lit("split#"),
+          col("doc_id").cast(StringType))), lit(100))
+        val split = when(bucket < 80, "train")
+          .when(bucket < 90, "val").otherwise("test")
+        t(s, dir, "documents")
+          .select(col("lang"), split.as("split"))
+          .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "split")
+      },
+      Some("""WITH b AS (
+             |  SELECT lang,
+             |    ('0x'||substr(md5('split#' || doc_id::VARCHAR),1,15))::BIGINT % 100 AS bucket
+             |  FROM documents)
+             |SELECT lang,
+             |  CASE WHEN bucket < 80 THEN 'train'
+             |       WHEN bucket < 90 THEN 'val'
+             |       ELSE 'test' END AS split,
+             |  count(*) AS n
+             |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
     // ---- Similarity search --------------------------------------------
 
     // Exact brute-force cosine top-k: broadcast 5 query vectors against the
