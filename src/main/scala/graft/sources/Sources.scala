@@ -40,6 +40,9 @@ object Sources {
     * integer division (`div` — a long->double cast would lose precision above
     * 2^53 ns and drift vs DuckDB's own ns->us truncation). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // runtime-settable SQL conf: makes events readable even from a session
+    // built without this flag (e.g. the driver's own smoke harness)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
