@@ -56,6 +56,14 @@ object EventStreams {
     q
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (broadcast per micro-batch — the streaming twin of the fact
+    * table's broadcast FK joins; the static side re-reads, so a dimension
+    * update is picked up by the next batch without restarting the query). */
+  def enriched(events: DataFrame, dim: DataFrame,
+               keys: Seq[String]): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** Streaming exact dedup: drop repeated event_ids with state bounded by
     * the watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
     * twin of exact dedup (q30): at-least-once upstream delivery becomes

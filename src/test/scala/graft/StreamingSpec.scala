@@ -72,6 +72,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment equals the batch join") {
+    import spark.implicits._
+    val dir = stagedEventsDir()
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+      ("signup", 3.0), ("error", 0.0)).toDF("event_type", "weight")
+    val q = EventStreams.drainToMemory(
+      EventStreams.enriched(EventStreams.readEvents(spark, dir), dim,
+        Seq("event_type"))
+        .select($"event_id", $"weight"), "enriched_test")
+    try {
+      val streamed = spark.table("enriched_test")
+      val batch = Sources.events(spark, sf)
+        .join(dim, Seq("event_type"), "left")
+        .select($"event_id", $"weight")
+      assert(streamed.exceptAll(batch).isEmpty
+        && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     val dir = Files.createTempDirectory("graft_dup").toString
     // stage the events TWICE (at-least-once delivery simulation)
