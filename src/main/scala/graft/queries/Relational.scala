@@ -60,6 +60,18 @@ object Relational {
              |WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1997-01-01'
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // P1-P3: select/reorder, drop, rename — the reference's column surgery
+    // (ET:93-97,121-122,259-283) as an explicit battery.
+    Q("q00_project_rename",
+      (s, dir) => t(s, dir, "part")
+        .withColumnRenamed("p_brand", "brand")
+        .withColumnRenamed("p_type", "category")
+        .drop("p_retailprice", "p_size")
+        .select("p_partkey", "brand", "category", "p_name")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_brand AS brand, p_type AS category, p_name
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // P4-P6: airport-description parsing semantics (ET:66-91) over a
     // synthesized "City, ST: Name"-shaped string; every 10th row exercises
     // the no-delimiter default branches.
