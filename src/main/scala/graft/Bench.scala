@@ -17,23 +17,39 @@ object Bench {
     // shuffle accounting per query (stderr only — stdout stays the one
     // contract JSON line): a query whose shuffle bytes balloon between
     // rounds regressed its plan even if wall-clock noise hides it.
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    // Listener events are ASYNC, so attribution is by job group (stage ->
+    // job -> group), and the report prints after a drain pause — sampling a
+    // counter inline would credit late stages to the wrong query.
+    val stageToGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val groupBytes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val group = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("?")
+          j.stageIds.foreach(sid => stageToGroup.put(sid, group))
+        }
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          shuffleBytes.addAndGet(
-            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          val group = stageToGroup.getOrDefault(sc.stageInfo.stageId, "?")
+          groupBytes.computeIfAbsent(group,
+            _ => new java.util.concurrent.atomic.AtomicLong)
+            .addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         }
       })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val s0 = shuffleBytes.get()
+      spark.sparkContext.setJobGroup(name, name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(
-        s"[bench] $name ${f"$sec%.3f"}s shuffleWrite=${shuffleBytes.get() - s0}B")
+      spark.sparkContext.clearJobGroup()
       name -> sec
+    }
+    Thread.sleep(1000) // drain the async listener bus before reporting
+    results.foreach { case (name, sec) =>
+      val b = Option(groupBytes.get(name)).map(_.get()).getOrElse(0L)
+      System.err.println(s"[bench] $name ${f"$sec%.3f"}s shuffleWrite=${b}B")
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

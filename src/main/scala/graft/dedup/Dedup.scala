@@ -80,7 +80,10 @@ object Dedup {
     * `persistIntermediate` on big corpora to materialize it once instead of
     * recomputing the shingle explode + two aggregations per side (measured:
     * a net LOSS below ~100k docs, where recompute beats cache I/O — hence
-    * opt-in, not default). */
+    * opt-in, not default). The cache is session-owned: nothing can
+    * unpersist it after this returns (the band table is not reachable from
+    * the result), so long-lived sessions batching many corpora should keep
+    * the default or call spark.catalog.clearCache() between batches. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  persistIntermediate: Boolean = false): DataFrame = {

@@ -52,15 +52,10 @@ object Multimodal {
     * batching, joins) is fully exercisable and reproducible. */
   object FakeDecoder {
     def decode(row: MediaRow): MediaFeatures = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(row.content)
-      val hex = md.map("%02x".format(_)).mkString
-      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val hex = md5hex(row.content)
       val feature = Array.tabulate(4) { j =>
         // same arithmetic as the SQL oracle: (h60(md5(bytes)#j) % 1000)/1000
-        val hj = java.security.MessageDigest.getInstance("MD5")
-          .digest((hex + "#f" + j).getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
+        val hj = md5hex((hex + "#f" + j).getBytes("UTF-8"))
         java.lang.Long.parseLong(hj.substring(0, 15), 16) % 1000 / 1000.0
       }
       MediaFeatures(row.media_id, row.kind, row.content.length.toLong, hex, feature)
@@ -87,7 +82,8 @@ object Multimodal {
     media.select("media_id", "kind", "content").as[MediaRow]
       .mapPartitions { it =>
         it.map { r =>
-          val stride = math.max(1, r.content.length / targetBytes)
+          val stride =
+            math.max(1, (r.content.length + targetBytes - 1) / targetBytes)
           r.copy(content =
             r.content.grouped(stride).map(_.head).toArray)
         }

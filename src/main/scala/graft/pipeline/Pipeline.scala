@@ -61,15 +61,23 @@ object Pipeline {
     * ET:333-499, with intended — not inverted — emptiness semantics). */
   def publishIncremental(spark: SparkSession, table: DataFrame,
                          path: String): Long = {
-    val accumulated =
-      try Some(spark.read.parquet(path)) catch { case _: Throwable => None }
-    val delta = accumulated match {
-      case Some(acc) => Incremental.delta(table, acc)
-      case None => table
-    }
-    val n = delta.count()
-    if (n > 0) delta.write.mode("append").parquet(path)
-    n
+    // explicit existence check — a catch-all here would turn a transient
+    // read error into a full-table duplicate append
+    val delta =
+      if (pathExists(spark, path)) Incremental.delta(table, spark.read.parquet(path))
+      else table
+    // persist so count + write execute the (expensive) anti-join once
+    delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = delta.count()
+      if (n > 0) delta.write.mode("append").parquet(path)
+      n
+    } finally delta.unpersist()
+  }
+
+  private[graft] def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Full run: build, assert quality, publish all tables incrementally under

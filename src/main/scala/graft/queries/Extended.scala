@@ -109,7 +109,8 @@ object Extended {
         val sub = t(s, dir, "lineitem").where(col("l_orderkey") < 500)
           .select("l_orderkey", "l_linenumber", "l_quantity",
             "l_extendedprice", "l_returnflag")
-        val path = s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_csv_roundtrip").toString + "/t"
         Sources.writeCsv(sub, path)
         val schema = StructType(Seq(
           StructField("l_orderkey", LongType),

@@ -141,12 +141,12 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val accumulated =
-          try Some(spark.read.parquet(sinkPath)) catch { case _: Throwable => None }
-        val delta = accumulated match {
-          case Some(acc) => graft.delta.Incremental.delta(batch, acc)
-          case None => batch
-        }
+        // explicit existence check (a catch-all would alias transient read
+        // errors to "first batch" and append duplicates)
+        val delta =
+          if (graft.pipeline.Pipeline.pathExists(spark, sinkPath))
+            graft.delta.Incremental.delta(batch, spark.read.parquet(sinkPath))
+          else batch
         delta.write.mode("append").parquet(sinkPath)
       }
       .start()

@@ -29,7 +29,9 @@ object TextOps {
   def punctRatio(text: Column): Column = {
     val t = lower(text)
     val punct = length(regexp_replace(t, "[a-z0-9\\s]", ""))
-    punct / length(t)
+    // empty text -> null (DuckDB x/0 is NULL; Spark 0.0/0 would be NaN and
+    // silently fall through every `score > t` quality filter)
+    when(length(t) > 0, punct / length(t))
   }
 
   /** Ratio of tokens that are stopwords (duplicates counted — `filter` HOF,
@@ -50,7 +52,9 @@ object TextOps {
     val punct = length(regexp_replace(lower(text), "[a-z0-9\\s]", "")) / length(text)
     // raw double, no rounding: both engines produce bit-identical doubles
     // for identical op order, while round() half-boundary behavior differs.
-    lit(0.4) * sr + lit(0.3) * lenSat + lit(0.3) * (lit(1.0) - punct)
+    // Empty text -> null (see punctRatio).
+    when(length(text) > 0,
+      lit(0.4) * sr + lit(0.3) * lenSat + lit(0.3) * (lit(1.0) - punct))
   }
 
   /** Per-language stopword lists for the n-gram/stopword language-ID

@@ -134,7 +134,7 @@ class TrainingDataSpec extends SparkSpec {
     val media = Multimodal.asBinaryMedia(docs.limit(20), "doc_id", "text")
     val resized = Multimodal.resizeStub(spark, media, 16)
     val sizes = resized.collect().map(r => r.media_id -> r.content.length).toMap
-    assert(sizes.values.forall(n => n > 0 && n <= 32))
+    assert(sizes.values.forall(n => n > 0 && n <= 16))
     assert(sizes.keySet === media.select("media_id")
       .as[Long].collect().toSet)
   }
