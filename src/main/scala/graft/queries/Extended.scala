@@ -468,7 +468,49 @@ object Extended {
              |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
              |  CAST(dayofyear(o_orderdate) AS INT) AS doy
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Conditional-expression battery: CASE/nullif/ifnull/greatest/least.
+    Q("q69_conditionals",
+      (s, dir) => t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "debt")
+          .when(col("c_acctbal") < 5000, "low").otherwise("high").as("band"),
+        nullif(col("c_mktsegment"), lit("MACHINERY")).as("seg_nullable"),
+        coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("(m)"))
+          .as("seg_filled"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor0"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_cap"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_acctbal < 0 THEN 'debt'
+             |       WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band,
+             |  nullif(c_mktsegment, 'MACHINERY') AS seg_nullable,
+             |  coalesce(nullif(c_mktsegment, 'MACHINERY'), '(m)') AS seg_filled,
+             |  greatest(c_acctbal, 0.0) AS bal_floor0,
+             |  least(c_acctbal, 1000.0) AS bal_cap
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // Exact numeric functions (abs/sign/sqrt/floor/ceil/pmod — IEEE-exact
+    // ops only; transcendentals excluded: libm results differ per engine).
+    Q("q70_numeric_funcs",
+      (s, dir) => t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        abs(col("s_acctbal") - 3000).as("abs_dev"),
+        signum(col("s_acctbal") - 3000).as("sgn"),
+        sqrt(abs(col("s_acctbal"))).as("root"),
+        floor(col("s_acctbal")).as("flr"),
+        ceil(col("s_acctbal")).as("cl"),
+        pmod(col("s_suppkey"), lit(7)).as("m7"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey,
+             |  abs(s_acctbal - 3000) AS abs_dev,
+             |  CAST(sign(s_acctbal - 3000) AS DOUBLE) AS sgn,
+             |  sqrt(abs(s_acctbal)) AS root,
+             |  CAST(floor(s_acctbal) AS BIGINT) AS flr,
+             |  CAST(ceil(s_acctbal) AS BIGINT) AS cl,
+             |  CAST(s_suppkey % 7 AS BIGINT) AS m7
+             |FROM supplier ORDER BY s_suppkey""".stripMargin))
   )
 
   private lazy val corrSql: String =
