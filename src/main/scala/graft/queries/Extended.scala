@@ -510,7 +510,32 @@ object Extended {
              |  CAST(floor(s_acctbal) AS BIGINT) AS flr,
              |  CAST(ceil(s_acctbal) AS BIGINT) AS cl,
              |  CAST(s_suppkey % 7 AS BIGINT) AS m7
-             |FROM supplier ORDER BY s_suppkey""".stripMargin))
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // Ranking-window battery: ntile/percent_rank/cume_dist/dense_rank over
+    // a unique ordering (rank ties impossible -> exact cross-engine values;
+    // percent_rank/cume_dist are ratios of exact ints, bit-identical).
+    Q("q71_window_stats",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        t(s, dir, "customer").select(
+          col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          dense_rank().over(w).as("drank"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume,
+             |  CAST(dense_rank() OVER w AS INT) AS drank
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_custkey""".stripMargin))
   )
 
   private lazy val corrSql: String =
