@@ -535,7 +535,45 @@ object Extended {
              |  CAST(dense_rank() OVER w AS INT) AS drank
              |FROM customer
              |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Pivot: hour-of-day x event-type count matrix via conditional
+    // aggregation (explicit value list -> stable cross-engine column names,
+    // single pass — what Dataset.pivot compiles to under the hood).
+    Q("q72_pivot",
+      (s, dir) => {
+        val hr = hour(col("ts")).cast(IntegerType)
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Sources.events(s, dir)
+          .groupBy(hr.as("hr"))
+          .agg(types.map(t =>
+            count(when(col("event_type") === t, 1)).as(s"${t}_n")).head,
+            types.tail.map(t =>
+              count(when(col("event_type") === t, 1)).as(s"${t}_n")): _*)
+          .orderBy("hr")
+      },
+      Some("""SELECT CAST(hour(ts) AS INT) AS hr,
+             |  count(*) FILTER (WHERE event_type = 'click') AS click_n,
+             |  count(*) FILTER (WHERE event_type = 'error') AS error_n,
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+             |  count(*) FILTER (WHERE event_type = 'signup') AS signup_n,
+             |  count(*) FILTER (WHERE event_type = 'view') AS view_n
+             |FROM events GROUP BY CAST(hour(ts) AS INT) ORDER BY hr""".stripMargin)),
+
+    // Unpivot (melt): wide per-order money columns back to (measure, value)
+    // rows via stack — the inverse reshape, exercised as a Generator.
+    Q("q73_unpivot",
+      (s, dir) => t(s, dir, "orders")
+        .where(col("o_orderkey") < 100)
+        .selectExpr("o_orderkey",
+          "stack(2, 'total', o_totalprice, 'half', o_totalprice / 2) AS (measure, value)")
+        .orderBy("o_orderkey", "measure"),
+      Some("""SELECT o_orderkey, 'total' AS measure, o_totalprice AS value
+             |FROM orders WHERE o_orderkey < 100
+             |UNION ALL
+             |SELECT o_orderkey, 'half', o_totalprice / 2
+             |FROM orders WHERE o_orderkey < 100
+             |ORDER BY o_orderkey, measure""".stripMargin))
   )
 
   private lazy val corrSql: String =
