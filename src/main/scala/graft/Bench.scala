@@ -46,11 +46,15 @@ object Bench {
       spark.sparkContext.clearJobGroup()
       name -> sec
     }
-    Thread.sleep(1000) // drain the async listener bus before reporting
+    Thread.sleep(1000) // best-effort drain of the async listener bus
     results.foreach { case (name, sec) =>
       val b = Option(groupBytes.get(name)).map(_.get()).getOrElse(0L)
       System.err.println(s"[bench] $name ${f"$sec%.3f"}s shuffleWrite=${b}B")
     }
+    // stages without a job group (e.g. broadcast builds on pool threads)
+    // land here — surfaced so under-reporting above is visible
+    Option(groupBytes.get("?")).map(_.get()).filter(_ > 0).foreach(b =>
+      System.err.println(s"[bench] (unattributed) shuffleWrite=${b}B"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -61,11 +61,10 @@ object Pipeline {
     * ET:333-499, with intended — not inverted — emptiness semantics). */
   def publishIncremental(spark: SparkSession, table: DataFrame,
                          path: String): Long = {
-    // explicit existence check — a catch-all here would turn a transient
-    // read error into a full-table duplicate append
-    val delta =
-      if (pathExists(spark, path)) Incremental.delta(table, spark.read.parquet(path))
-      else table
+    val delta = readAccumulated(spark, path) match {
+      case Some(acc) => Incremental.delta(table, acc)
+      case None => table
+    }
     // persist so count + write execute the (expensive) anti-join once
     delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -75,9 +74,20 @@ object Pipeline {
     } finally delta.unpersist()
   }
 
-  private[graft] def pathExists(spark: SparkSession, path: String): Boolean = {
+  /** The accumulated table, or None when there is genuinely no data yet:
+    * path absent, or present but with no readable parquet layout (an
+    * interrupted first write leaving only _temporary raises
+    * AnalysisException at schema inference). Anything else — transient FS
+    * errors, corrupt footers at execution — PROPAGATES: treating those as
+    * "first run" would append the whole table as duplicates. */
+  private[graft] def readAccumulated(spark: SparkSession,
+                                     path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (!exists) None
+    else
+      try Some(spark.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
   }
 
   /** Full run: build, assert quality, publish all tables incrementally under

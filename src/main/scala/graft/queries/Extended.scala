@@ -109,8 +109,10 @@ object Extended {
         val sub = t(s, dir, "lineitem").where(col("l_orderkey") < 500)
           .select("l_orderkey", "l_linenumber", "l_quantity",
             "l_extendedprice", "l_returnflag")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_csv_roundtrip").toString + "/t"
+        // one dir per JVM: overwrite-reused within a process (no /tmp
+        // growth across repeated runs), pid-isolated across processes
+        val path = System.getProperty("java.io.tmpdir") +
+          s"/graft_csv_roundtrip_${ProcessHandle.current().pid()}"
         Sources.writeCsv(sub, path)
         val schema = StructType(Seq(
           StructField("l_orderkey", LongType),
@@ -544,12 +546,11 @@ object Extended {
       (s, dir) => {
         val hr = hour(col("ts")).cast(IntegerType)
         val types = Seq("click", "error", "purchase", "signup", "view")
+        val aggs = types.map(t =>
+          count(when(col("event_type") === t, 1)).as(s"${t}_n"))
         Sources.events(s, dir)
           .groupBy(hr.as("hr"))
-          .agg(types.map(t =>
-            count(when(col("event_type") === t, 1)).as(s"${t}_n")).head,
-            types.tail.map(t =>
-              count(when(col("event_type") === t, 1)).as(s"${t}_n")): _*)
+          .agg(aggs.head, aggs.tail: _*)
           .orderBy("hr")
       },
       Some("""SELECT CAST(hour(ts) AS INT) AS hr,

@@ -41,10 +41,12 @@ object Sources {
     * 2^53 ns and drift vs DuckDB's own ns->us truncation). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // runtime-settable SQL conf: makes events readable even from a session
-    // built without this flag (e.g. the driver's own smoke harness). A
-    // caller that explicitly set it (either way) is left untouched.
-    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // built without this flag (e.g. the driver's own smoke harness).
+    // Unconditional on purpose: conf.getOption returns the REGISTERED
+    // DEFAULT (Some("false")) for an unset key, so "set only if absent"
+    // can never fire — this table is unreadable without the flag, so
+    // setting it is strictly enabling.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

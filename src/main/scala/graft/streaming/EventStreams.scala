@@ -141,12 +141,13 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // explicit existence check (a catch-all would alias transient read
-        // errors to "first batch" and append duplicates)
+        // empty/absent sink == first batch; transient errors propagate
+        // (a catch-all would alias them to "first batch" -> duplicates)
         val delta =
-          if (graft.pipeline.Pipeline.pathExists(spark, sinkPath))
-            graft.delta.Incremental.delta(batch, spark.read.parquet(sinkPath))
-          else batch
+          graft.pipeline.Pipeline.readAccumulated(spark, sinkPath) match {
+            case Some(acc) => graft.delta.Incremental.delta(batch, acc)
+            case None => batch
+          }
         delta.write.mode("append").parquet(sinkPath)
       }
       .start()
