@@ -294,31 +294,47 @@ object TrainingData {
              |      + 0.3::DOUBLE * (1.0::DOUBLE - length(regexp_replace(lt, '[a-z0-9\s]', '', 'g')) / length(lt)) AS quality_score
              |FROM d ORDER BY doc_id""".stripMargin)),
 
-    // Language ID: stopword-hit argmax with deterministic tie-break.
+    // Language ID: stopword-token hits (x2) + characteristic char-trigram
+    // hits per language, argmax with deterministic tie-break. The oracle
+    // SQL is GENERATED from the same word/gram lists so both engines stay
+    // in sync by construction.
     Q("q39_langid",
       (s, dir) => t(s, dir, "documents").select(
         Seq(col("doc_id")) ++
           TextOps.langStopwords.map { case (l, ws) =>
             TextOps.langHits(col("text"), ws).as(s"hits_$l")
+          } ++
+          TextOps.langTrigrams.map { case (l, gs) =>
+            TextOps.langNgramHits(col("text"), gs).as(s"ngram_$l")
           } ++ Seq(TextOps.langId(col("text")).as("pred_lang")): _*)
         .orderBy("doc_id"),
       Some {
+        def esc(x: String) = x.replace("'", "''")
         val hits = TextOps.langStopwords.map { case (l, ws) =>
-          val list = ws.map(w => s"'$w'").mkString(", ")
+          val list = ws.map(w => s"'${esc(w)}'").mkString(", ")
           s"CAST(len(list_filter(toks, x -> list_contains([$list], x))) AS INT) AS hits_$l"
         }.mkString(",\n  ")
-        """WITH d AS (
-          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-          |  FROM documents),
-          |h AS (SELECT doc_id,
-          |  """.stripMargin + hits + """
-          |  FROM d)
-          |SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
-          |  CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
-          |       WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
-          |       WHEN hits_de >= hits_fr THEN 'de'
-          |       ELSE 'fr' END AS pred_lang
-          |FROM h ORDER BY doc_id""".stripMargin
+        val ngrams = TextOps.langTrigrams.map { case (l, gs) =>
+          gs.map(g =>
+            s"CAST((length(t) - length(replace(t, '${esc(g)}', ''))) / ${g.length} AS INT)")
+            .mkString("(", " + ", s") AS ngram_$l")
+        }.mkString(",\n  ")
+        val score = (l: String) => s"(hits_$l * 2 + ngram_$l)"
+        s"""WITH d AS (
+           |  SELECT doc_id, lower(trim(text)) AS t,
+           |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           |  FROM documents),
+           |h AS (SELECT doc_id,
+           |  $hits,
+           |  $ngrams
+           |  FROM d)
+           |SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+           |       ngram_en, ngram_es, ngram_de, ngram_fr,
+           |  CASE WHEN ${score("en")} >= ${score("es")} AND ${score("en")} >= ${score("de")} AND ${score("en")} >= ${score("fr")} THEN 'en'
+           |       WHEN ${score("es")} >= ${score("de")} AND ${score("es")} >= ${score("fr")} THEN 'es'
+           |       WHEN ${score("de")} >= ${score("fr")} THEN 'de'
+           |       ELSE 'fr' END AS pred_lang
+           |FROM h ORDER BY doc_id""".stripMargin
       }),
 
     // Document fingerprinting: whole-content md5 + winnowing rolling min-hash.

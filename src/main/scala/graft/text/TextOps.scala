@@ -71,11 +71,36 @@ object TextOps {
     size(filter(tokens(text), t => array_contains(sw, t)))
   }
 
-  /** Language-ID: argmax of per-language hit counts, first-listed language
-    * wins ties (deterministic). */
+  /** Characteristic character trigrams per language (the n-gram half of the
+    * language-ID heuristic; includes word boundaries as spaces). */
+  val langTrigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he ", "ing", " of "),
+    "es" -> Seq(" el ", " que ", "os ", "ción"),
+    "de" -> Seq(" der ", "sch", " und ", "ein"),
+    "fr" -> Seq(" le ", " les ", "eau", " est "))
+
+  /** Occurrence count of one literal n-gram: (len - len(text without gram))
+    * / len(gram) — portable to any SQL engine with replace(). */
+  def ngramHits(text: Column, gram: String): Column = {
+    val t = lower(text)
+    ((length(t) - length(replace(t, lit(gram), lit("")))) / gram.length)
+      .cast(IntegerType)
+  }
+
+  /** Total characteristic-trigram hits for one language. */
+  def langNgramHits(text: Column, grams: Seq[String]): Column =
+    grams.map(g => ngramHits(text, g)).reduce(_ + _)
+
+  /** Language-ID: argmax over combined evidence — stopword-token hits
+    * (weight 2: a whole token is stronger evidence than a char n-gram)
+    * plus characteristic-trigram hits. First-listed language wins ties
+    * (deterministic). */
   def langId(text: Column): Column = {
-    val scores = langStopwords.map { case (l, ws) => l -> langHits(text, ws) }
-    val (_, sEn) :: (_, sEs) :: (_, sDe) :: (_, sFr) :: Nil = scores.toList
+    val byLang = langStopwords.map { case (l, ws) =>
+      val grams = langTrigrams.toMap.apply(l)
+      l -> (langHits(text, ws) * 2 + langNgramHits(text, grams))
+    }
+    val (_, sEn) :: (_, sEs) :: (_, sDe) :: (_, sFr) :: Nil = byLang.toList
     when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
       .when(sEs >= sDe && sEs >= sFr, "es")
       .when(sDe >= sFr, "de")
