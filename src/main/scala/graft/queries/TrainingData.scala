@@ -485,6 +485,40 @@ object TrainingData {
              |FROM stats s JOIN top t ON s.doc_id = t.doc_id
              |ORDER BY s.doc_id""".stripMargin)),
 
+    // Time-series resample: per-user hourly grid with linear interpolation
+    // between nearest observations (operators.Resample — union + one keyed
+    // sort + two IGNORE NULLS windows; an as-of join in both directions).
+    Q("q74_resample_interp",
+      (s, dir) => graft.operators.Resample.hourlyLinear(
+        Sources.events(s, dir).where(col("user_id") < 8),
+        "user_id", "ts", "value")
+        .orderBy("user_id", "grid_ts"),
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |         unnest(generate_series(date_trunc('hour', min(ts)),
+             |                date_trunc('hour', max(ts)), INTERVAL 1 HOUR)) AS ts,
+             |         1 AS is_grid, CAST(NULL AS DOUBLE) AS v
+             |  FROM events WHERE user_id < 8 GROUP BY user_id),
+             |o AS (SELECT user_id, ts, 0 AS is_grid, value AS v
+             |      FROM events WHERE user_id < 8),
+             |u AS (SELECT * FROM g UNION ALL SELECT * FROM o),
+             |n AS (SELECT user_id, ts, is_grid, epoch_us(ts) AS us,
+             |  last_value(v IGNORE NULLS) OVER wb AS pv,
+             |  last_value(CASE WHEN is_grid = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER wb AS pt,
+             |  first_value(v IGNORE NULLS) OVER wf AS nv,
+             |  first_value(CASE WHEN is_grid = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER wf AS nt
+             |  FROM u
+             |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_grid
+             |                ROWS UNBOUNDED PRECEDING),
+             |         wf AS (PARTITION BY user_id ORDER BY ts, is_grid
+             |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, ts AS grid_ts,
+             |  CASE WHEN pt IS NULL THEN nv
+             |       WHEN nt IS NULL THEN pv
+             |       WHEN nt = pt THEN pv
+             |       ELSE pv + (nv - pv) * (us - pt) / (nt - pt) END AS value_interp
+             |FROM n WHERE is_grid = 1 ORDER BY user_id, grid_ts""".stripMargin)),
+
     // Semi-structured props: JSON field extraction.
     Q("q45_json_extract",
       (s, dir) => Sources.events(s, dir).select(
