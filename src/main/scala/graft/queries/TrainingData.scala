@@ -519,6 +519,76 @@ object TrainingData {
              |       ELSE pv + (nv - pv) * (us - pt) / (nt - pt) END AS value_interp
              |FROM n WHERE is_grid = 1 ORDER BY user_id, grid_ts""".stripMargin)),
 
+    // Text normalization battery: tokenize, strip stopwords, collapse
+    // adjacent repeated tokens (boilerplate de-repetition), rejoin — with
+    // per-stage token counts. Pure map-side HOF lambdas, no shuffle.
+    Q("q75_text_normalize",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_raw"),
+          TextOps.removeStopwords(col("toks"), enStop :+ "a").as("kept"))
+        .select(col("doc_id"), col("n_raw"), size(col("kept")).as("n_stop"),
+          TextOps.collapseAdjacent(col("kept")).as("collapsed"))
+        .select(col("doc_id"), col("n_raw"), col("n_stop"),
+          size(col("collapsed")).as("n_norm"),
+          concat_ws(" ", col("collapsed")).as("norm_text"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |k AS (
+             |  SELECT doc_id, CAST(len(toks) AS INT) AS n_raw,
+             |    list_filter(toks,
+             |      x -> NOT list_contains(['the','and','of','to','in','a'], x)) AS kept
+             |  FROM t),
+             |c AS (
+             |  SELECT doc_id, n_raw, CAST(len(kept) AS INT) AS n_stop,
+             |    list_filter(kept, (x, i) -> i = 1 OR x != kept[i-1]) AS collapsed
+             |  FROM k)
+             |SELECT doc_id, n_raw, n_stop, CAST(len(collapsed) AS INT) AS n_norm,
+             |  array_to_string(collapsed, ' ') AS norm_text
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Per-domain cap (deterministic reservoir): at most 12 docs per source,
+    // selected by stable content-hash order — reproducible downsampling.
+    Q("q76_domain_cap",
+      (s, dir) => graft.operators.Downsample
+        .capPerKey(t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", 12)
+        .orderBy("source", "sample_rank"),
+      Some("""WITH h AS (
+             |  SELECT doc_id, source,
+             |    ('0x'||substr(md5('cap#' || doc_id::VARCHAR),1,15))::BIGINT AS hv
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+             |         AS INT) AS sample_rank
+             |  FROM h)
+             |SELECT doc_id, source, sample_rank FROM r
+             |WHERE sample_rank <= 12 ORDER BY source, sample_rank""".stripMargin)),
+
+    // Int8-style uniform scalar quantization of embeddings: per-vector
+    // [min,max] range to 256 integer codes. Exact integer output — the
+    // engine-portable core of a 4x embedding-storage compression.
+    Q("q77_embedding_quantize",
+      (s, dir) => t(s, dir, "embeddings").select(
+        col("vec_id"),
+        array_min(col("embedding")).cast(DoubleType).as("lo"),
+        array_max(col("embedding")).cast(DoubleType).as("hi"),
+        // joined to one string: the verify compare hashes scalar cells only
+        concat_ws(",", Similarity.quantizeUniform(col("embedding"))).as("codes"))
+        .orderBy("vec_id"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |r AS (
+             |  SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e)
+             |SELECT vec_id, lo, hi,
+             |  array_to_string(CASE WHEN hi > lo THEN list_transform(v,
+             |    x -> CAST(least(255, floor((x - lo) / ((hi - lo) / 255.0))) AS BIGINT))
+             |  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END, ',') AS codes
+             |FROM r ORDER BY vec_id""".stripMargin)),
+
     // Semi-structured props: JSON field extraction.
     Q("q45_json_extract",
       (s, dir) => Sources.events(s, dir).select(

@@ -107,6 +107,22 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Stopword removal preserving order and non-adjacent duplicates (the
+    * cleaning counterpart of [[stopwordRatio]]). Map-side only. */
+  def removeStopwords(toks: Column, stopwords: Seq[String]): Column = {
+    val sw = typedlit(stopwords)
+    filter(toks, t => !array_contains(sw, t))
+  }
+
+  /** Collapse runs of identical adjacent tokens to a single token
+    * (boilerplate de-repetition — nav menus and scraped templates repeat
+    * tokens back-to-back). Index lambda: keep position i iff i == 0 or the
+    * token differs from its predecessor. At i == 0 the `get(toks, -1)`
+    * lookup is null and `t =!= null` is null, so `(i === 0) || null` is
+    * true — no special-casing needed. */
+  def collapseAdjacent(toks: Column): Column =
+    filter(toks, (t, i) => (i === 0) || (t =!= get(toks, i - 1)))
+
   /** 60-bit hash from md5 (cross-engine reproducible: DuckDB computes the
     * same md5 and the same hex->int value). 15 hex chars < 2^60: no sign
     * issues in a signed 64-bit long. */
