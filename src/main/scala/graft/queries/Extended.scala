@@ -574,7 +574,85 @@ object Extended {
              |UNION ALL
              |SELECT o_orderkey, 'half', o_totalprice / 2
              |FROM orders WHERE o_orderkey < 100
-             |ORDER BY o_orderkey, measure""".stripMargin))
+             |ORDER BY o_orderkey, measure""".stripMargin)),
+
+    // Range (interval containment) join: orders against a tiny tier table on
+    // lo <= price < hi. The build side broadcasts, so the non-equi condition
+    // runs as a broadcast nested-loop over 3 rows — no shuffle, no cartesian
+    // blowup; the general pattern for binning against non-aligned intervals
+    // where a CASE ladder can't be generated.
+    Q("q78_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val tiers = broadcast(Seq(
+          ("t0_small", 0.0, 50000.0),
+          ("t1_mid", 50000.0, 150000.0),
+          ("t2_large", 150000.0, 1.0e12)).toDF("tier", "lo", "hi"))
+        t(s, dir, "orders")
+          .join(tiers, col("o_totalprice") >= col("lo") &&
+            col("o_totalprice") < col("hi"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(dec)).as("sum_price"))
+          .orderBy("tier")
+      },
+      Some("""SELECT tier, count(*) AS n_orders,
+             |  sum(CAST(o_totalprice AS DECIMAL(38,4))) AS sum_price
+             |FROM orders JOIN (VALUES
+             |    ('t0_small', 0.0, 50000.0),
+             |    ('t1_mid', 50000.0, 150000.0),
+             |    ('t2_large', 150000.0, 1.0e12)) t(tier, lo, hi)
+             |  ON o_totalprice >= lo AND o_totalprice < hi
+             |GROUP BY tier ORDER BY tier""".stripMargin)),
+
+    // Time-based rolling aggregate: per-customer 7-day RANGE frame (q58/q71
+    // cover ROWS frames; RANGE over a numeric day key is the time-windowed
+    // variant). DECIMAL sum keeps the frame total order-independent.
+    Q("q79_rolling_window_range",
+      (s, dir) => {
+        val day = unix_date(to_date(col("o_orderdate")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy(day)
+          .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+        t(s, dir, "orders").where(col("o_custkey") < 200)
+          .select(col("o_orderkey"), col("o_custkey"), day.as("order_day"),
+            sum(col("o_totalprice").cast(dec)).over(w).as("roll_sum_7d"),
+            count(lit(1)).over(w).as("roll_n_7d"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS order_day,
+             |  sum(CAST(o_totalprice AS DECIMAL(38,4))) OVER w AS roll_sum_7d,
+             |  count(*) OVER w AS roll_n_7d
+             |FROM orders WHERE o_custkey < 200
+             |WINDOW w AS (
+             |  PARTITION BY o_custkey
+             |  ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)
+             |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Schema-evolution union: two readers with divergent column sets merge
+    // via union-by-name with missing columns null-filled — the lakehouse
+    // pattern for appending files written under an older schema.
+    Q("q80_union_by_name",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.select(col("o_orderkey"), col("o_totalprice"))
+          .unionByName(o.select(col("o_orderkey"), col("o_orderstatus")),
+            allowMissingColumns = true)
+          .groupBy(coalesce(col("o_orderstatus"), lit("(price-rows)")).as("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("o_totalprice"), lit(0.0)).cast(dec)).as("sum_price"))
+          .orderBy("status")
+      },
+      Some("""WITH u AS (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  UNION ALL BY NAME
+             |  SELECT o_orderkey, o_orderstatus FROM orders)
+             |SELECT coalesce(o_orderstatus, '(price-rows)') AS status,
+             |  count(*) AS n,
+             |  sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(38,4))) AS sum_price
+             |FROM u GROUP BY 1 ORDER BY status""".stripMargin))
   )
 
   private lazy val corrSql: String =
