@@ -41,21 +41,23 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.sparkContext.setJobGroup(name, name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val rows = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.clearJobGroup()
-      name -> sec
+      (name, sec, rows)
     }
     Thread.sleep(1000) // best-effort drain of the async listener bus
-    results.foreach { case (name, sec) =>
+    results.foreach { case (name, sec, rows) =>
       val b = Option(groupBytes.get(name)).map(_.get()).getOrElse(0L)
-      System.err.println(s"[bench] $name ${f"$sec%.3f"}s shuffleWrite=${b}B")
+      val rps = if (sec > 0 && rows >= 0) f"${rows / sec}%.0f" else "?"
+      System.err.println(
+        s"[bench] $name ${f"$sec%.3f"}s rows=$rows rows/s=$rps shuffleWrite=${b}B")
     }
     // stages without a job group (e.g. broadcast builds on pool threads)
     // land here — surfaced so under-reporting above is visible
     Option(groupBytes.get("?")).map(_.get()).filter(_ > 0).foreach(b =>
       System.err.println(s"[bench] (unattributed) shuffleWrite=${b}B"))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
