@@ -589,6 +589,40 @@ object TrainingData {
              |  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END, ',') AS codes
              |FROM r ORDER BY vec_id""".stripMargin)),
 
+    // Sliding event-time windows (1h length, 15m slide): each event lands
+    // in exactly 4 overlapping windows. The oracle replicates Spark's
+    // window() by cross-joining each event's 15-min bucket with offsets
+    // 0..3. One shuffle on the window key; the streaming twin is
+    // EventStreams.slidingCounts.
+    Q("q81_sliding_window",
+      (s, dir) => Sources.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+        .orderBy("w_start"),
+      Some("""WITH b AS (
+             |  SELECT epoch_us(ts) // 900000000 AS bucket, value FROM events),
+             |w AS (
+             |  SELECT make_timestamp((b.bucket - k.k) * 900000000) AS w_start, value
+             |  FROM b CROSS JOIN (VALUES (0),(1),(2),(3)) k(k))
+             |SELECT w_start, count(*) AS n,
+             |       sum(CAST(value AS DECIMAL(38,4))) AS sum_value
+             |FROM w GROUP BY 1 ORDER BY w_start""".stripMargin)),
+
+    // Approximate aggregates (HLL++ distinct count, approximate median):
+    // no cross-engine oracle — sketch results are engine-specific by
+    // design, so this entry takes the weaker rows-only check; SketchSpec
+    // asserts accuracy bounds against exact counts instead.
+    Q("q82_approx_agg",
+      (s, dir) => Sources.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      None),
+
     // Semi-structured props: JSON field extraction.
     Q("q45_json_extract",
       (s, dir) => Sources.events(s, dir).select(

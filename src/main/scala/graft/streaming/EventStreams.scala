@@ -42,6 +42,16 @@ object EventStreams {
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding event-time windows (1h length, 15m slide): each event lands in
+    * 4 overlapping windows; watermark bounds the open-window state. The
+    * streaming twin of the batch q81 sliding aggregation. */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+
   /** Drain all available input into an in-memory table (test/backfill
     * harness): AvailableNow + processAllAvailable. Returns the query for
     * the caller to stop. */

@@ -21,7 +21,9 @@ class EntrySmokeSpec extends SparkSpec {
   test("oracle coverage: every query name has an oracle entry") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // non-SQL-expressible ops may be rows-only; keep the list explicit
-    val allowedRowsOnly = Set.empty[String]
+    // q82: sketch outputs (HLL++, approx percentile) are engine-specific by
+    // design — accuracy is asserted against exact counts in SketchSpec
+    val allowedRowsOnly = Set("q82_approx_agg")
     assert((missing -- allowedRowsOnly).isEmpty,
       s"queries without oracle: ${missing -- allowedRowsOnly}")
   }

@@ -41,6 +41,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding windows equal the batch sliding aggregation") {
+    val dir = stagedEventsDir()
+    val stream = EventStreams.readEvents(spark, dir)
+    val q = EventStreams.drainToMemory(
+      EventStreams.slidingCounts(stream), "sliding_test")
+    try {
+      val streamed = spark.table("sliding_test").select("w_start", "n")
+      val batch = Sources.events(spark, sf)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("n"))
+      val diff = streamed.exceptAll(batch)
+      assert(diff.isEmpty, "streamed sliding windows not found in batch result")
+      assert(streamed.count() >= batch.count() / 2)
+    } finally q.stop()
+  }
+
   test("stateful flatMapGroupsWithState sessions match the batch sessionizer") {
     import org.apache.spark.sql.expressions.Window
     val dir = stagedEventsDir()
