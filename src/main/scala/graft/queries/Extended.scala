@@ -652,7 +652,56 @@ object Extended {
              |SELECT coalesce(o_orderstatus, '(price-rows)') AS status,
              |  count(*) AS n,
              |  sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(38,4))) AS sum_price
-             |FROM u GROUP BY 1 ORDER BY status""".stripMargin))
+             |FROM u GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    // SCD2 dimension history: each observation becomes a version row with
+    // [valid_from, valid_to) from lead() over the key's timeline; the open
+    // version has valid_to null. One shuffle on the key — history for a
+    // 100 TB dimension costs the same as any keyed window.
+    Q("q83_scd2_history",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        Sources.events(s, dir).where(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("ts").as("valid_from"),
+            lead(col("ts"), 1).over(w).as("valid_to"))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("user_id", "valid_from", "event_id")
+      },
+      Some("""SELECT user_id, event_id, value,
+             |  ts AS valid_from,
+             |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    AS valid_to,
+             |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    IS NULL AS is_current
+             |FROM events WHERE user_id < 10
+             |ORDER BY user_id, valid_from, event_id""".stripMargin)),
+
+    // JSON-lines sink + source roundtrip (explicit schema on re-read — no
+    // inference pass): the interchange-format twin of q50's CSV roundtrip.
+    Q("q84_json_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val sub = t(s, dir, "orders").where(col("o_orderkey") < 500)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val path = System.getProperty("java.io.tmpdir") +
+          s"/graft_json_roundtrip_${ProcessHandle.current().pid()}"
+        Sources.writeJson(sub, path)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType)))
+        Sources.json(s, path, schema)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(dec)).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  sum(CAST(o_totalprice AS DECIMAL(38,4))) AS sum_price
+             |FROM orders WHERE o_orderkey < 500
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 
   private lazy val corrSql: String =

@@ -67,6 +67,17 @@ object Sources {
       .option("escape", "\"")
       .csv(path)
 
+  /** JSON-lines scan with explicit schema — no inference pass (inference
+    * reads the whole input once before the real scan: at 100 TB that is a
+    * doubled job). */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSON-lines sink — the interchange format for pipelines whose next hop
+    * is not Spark; parquet remains the curated format at scale. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** Curated parquet sink; `partitionBy` for scale-out pruning (e.g. the
     * flights fact partitioned by date at 100 TB). */
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
