@@ -139,6 +139,48 @@ object Similarity {
         .otherwise(lit(0L)))
   }
 
+  /** Spherical k-means-lite: learn IVF centroids with a few Lloyd rounds —
+    * normalize, assign by cosine (reusing [[ivfAssign]]), recenter on the
+    * member mean, re-normalize. Sum-of-cosines is monotone non-decreasing
+    * round over round (up to float noise), so a handful of iterations gives
+    * usable inverted lists; production would run to convergence the same
+    * way. Seeds are the k vectors with the smallest id-hash — deterministic
+    * and partition-independent. Each round is one broadcast-assign pass +
+    * one posexplode groupBy (shuffle carries (cid, pos, partial-mean), i.e.
+    * k x dims rows after map-side partials, regardless of corpus size).
+    * Empty clusters drop out (k shrinks) rather than being re-seeded.
+    *
+    * Returns (cid, vec) with unit-norm double vectors, ready for
+    * [[ivfAssign]]/[[ivfTopK]]. */
+  def kmeansLite(vecs: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    import graft.text.TextOps
+    val unit = {
+      val n = norm(col("vec"))
+      vecs.select(col("id"), col("vec"), n.as("n"))
+        .where(col("n") > 0)
+        .select(col("id"),
+          transform(col("vec"), x => x.cast(DoubleType) / col("n")).as("vec"))
+    }
+    var centroids = unit
+      .withColumn("h", TextOps.hash64(concat(lit("km#"), col("id").cast(StringType))))
+      .orderBy("h", "id").limit(k)
+      .select(col("id").as("cid"), col("vec"))
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(unit, centroids)
+      val mean = unit.join(assigned, Seq("id"))
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("vec"))
+      val n = norm(col("vec"))
+      centroids = mean.select(col("cid"), col("vec"), n.as("n"))
+        .where(col("n") > 0)
+        .select(col("cid"), transform(col("vec"), x => x / col("n")).as("vec"))
+    }
+    centroids
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (the
     * embedding-space cousin of MinHash dedup). All-pairs within the given
     * frame — restrict the input to candidates/samples at scale. */
