@@ -45,7 +45,10 @@ object Resample {
     val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     val us = unix_micros(col("ts"))
-    val obsUs = when(col("is_grid") === 0, us)
+    // neighbor timestamps must track the same rows as the ignoreNulls value
+    // windows: an observation with a null value contributes neither its
+    // value nor its timestamp (else pv/pt could come from different rows)
+    val obsUs = when(col("is_grid") === 0 && col("v").isNotNull, us)
     val withNeighbors = grid.unionByName(obs)
       .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
       .withColumn("pt", last(obsUs, ignoreNulls = true).over(back))

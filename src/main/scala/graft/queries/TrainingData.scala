@@ -504,9 +504,9 @@ object TrainingData {
              |u AS (SELECT * FROM g UNION ALL SELECT * FROM o),
              |n AS (SELECT user_id, ts, is_grid, epoch_us(ts) AS us,
              |  last_value(v IGNORE NULLS) OVER wb AS pv,
-             |  last_value(CASE WHEN is_grid = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER wb AS pt,
+             |  last_value(CASE WHEN is_grid = 0 AND v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wb AS pt,
              |  first_value(v IGNORE NULLS) OVER wf AS nv,
-             |  first_value(CASE WHEN is_grid = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER wf AS nt
+             |  first_value(CASE WHEN is_grid = 0 AND v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wf AS nt
              |  FROM u
              |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_grid
              |                ROWS UNBOUNDED PRECEDING),

@@ -38,6 +38,24 @@ class ResampleSpec extends SparkSpec {
     assert(got((2L, "2024-01-01 10:00:00.0")) === 6.0)
   }
 
+  test("null-valued observations are transparent to interpolation") {
+    // the null obs at 11:00 must NOT become a neighbor timestamp: 11:00 and
+    // 12:00 still interpolate 10:00(10) -> 13:00(40) linearly
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(10.0)),
+      (1L, ts("2024-01-01 11:00:00"), None),
+      (1L, ts("2024-01-01 13:00:00"), Some(40.0))
+    ).toDF("user_id", "ts", "value")
+    val got = Resample.hourlyLinear(events, "user_id", "ts", "value")
+      .as[(Long, Timestamp, Double)].collect()
+      .map { case (_, t, v) => t.toString -> v }.toMap
+    assert(got === Map(
+      "2024-01-01 10:00:00.0" -> 10.0,
+      "2024-01-01 11:00:00.0" -> 20.0,
+      "2024-01-01 12:00:00.0" -> 30.0,
+      "2024-01-01 13:00:00.0" -> 40.0))
+  }
+
   test("single-observation key yields one constant grid point") {
     val events = Seq((9L, ts("2024-01-01 03:15:00"), 42.0))
       .toDF("user_id", "ts", "value")
