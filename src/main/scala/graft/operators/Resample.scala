@@ -38,9 +38,14 @@ object Resample {
       lit(0).as("is_grid"), col(valueCol).cast(DoubleType).as("v"))
 
     // observations sort BEFORE grid points at equal ts, so an exactly
-    // aligned observation is its grid point's "previous" neighbor and the
-    // interpolation degenerates to the observed value.
-    val w = Window.partitionBy(k).orderBy(col("ts"), col("is_grid"))
+    // aligned observation is its grid point's "previous" neighbor (us == pt
+    // zeroes the linear term, so the grid point reproduces the observed
+    // value exactly). `v` as the final key breaks ties between same-ts
+    // observations deterministically — without it, last()/first() over the
+    // tied rows would be partition-order dependent. (Null-v rows sort
+    // differently across engines but are invisible to every ignoreNulls
+    // window below.)
+    val w = Window.partitionBy(k).orderBy(col("ts"), col("is_grid"), col("v"))
     val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
@@ -60,7 +65,9 @@ object Resample {
       .withColumn("value_interp",
         when(col("pt").isNull, col("nv"))
           .when(col("nt").isNull, col("pv"))
-          .when(col("nt") === col("pt"), col("pv")) // aligned observation
+          // for surviving grid rows nt > pt always (an aligned observation
+          // sorts before its grid point, so the forward frame only sees
+          // strictly-later observations) — no nt == pt guard needed
           .otherwise(col("pv") + (col("nv") - col("pv")) *
             (us - col("pt")) / (col("nt") - col("pt"))))
       .select(k, col("ts").as("grid_ts"), col("value_interp"))

@@ -508,14 +508,13 @@ object TrainingData {
              |  first_value(v IGNORE NULLS) OVER wf AS nv,
              |  first_value(CASE WHEN is_grid = 0 AND v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wf AS nt
              |  FROM u
-             |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_grid
+             |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_grid, v
              |                ROWS UNBOUNDED PRECEDING),
-             |         wf AS (PARTITION BY user_id ORDER BY ts, is_grid
+             |         wf AS (PARTITION BY user_id ORDER BY ts, is_grid, v
              |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
              |SELECT user_id, ts AS grid_ts,
              |  CASE WHEN pt IS NULL THEN nv
              |       WHEN nt IS NULL THEN pv
-             |       WHEN nt = pt THEN pv
              |       ELSE pv + (nv - pv) * (us - pt) / (nt - pt) END AS value_interp
              |FROM n WHERE is_grid = 1 ORDER BY user_id, grid_ts""".stripMargin)),
 

@@ -154,31 +154,44 @@ object Similarity {
     * [[ivfAssign]]/[[ivfTopK]]. */
   def kmeansLite(vecs: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     import graft.text.TextOps
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // cache the normalized corpus: every round's assign + recenter pass
+    // scans it, and without the cache each round would re-execute the
+    // source scan and all prior rounds' lineage
     val unit = {
       val n = norm(col("vec"))
       vecs.select(col("id"), col("vec"), n.as("n"))
         .where(col("n") > 0)
         .select(col("id"),
           transform(col("vec"), x => x.cast(DoubleType) / col("n")).as("vec"))
-    }
-    var centroids = unit
-      .withColumn("h", TextOps.hash64(concat(lit("km#"), col("id").cast(StringType))))
-      .orderBy("h", "id").limit(k)
-      .select(col("id").as("cid"), col("vec"))
-    for (_ <- 1 to iters) {
-      val assigned = ivfAssign(unit, centroids)
-      val mean = unit.join(assigned, Seq("id"))
-        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("vec"))
-      val n = norm(col("vec"))
-      centroids = mean.select(col("cid"), col("vec"), n.as("n"))
-        .where(col("n") > 0)
-        .select(col("cid"), transform(col("vec"), x => x / col("n")).as("vec"))
-    }
-    centroids
+    }.cache()
+    // centroids are k x dims — driver-size by construction. Materializing
+    // them each round truncates the lineage (round r's plan would otherwise
+    // embed rounds 1..r-1) and makes the returned frame a LocalRelation
+    // independent of the cached corpus.
+    def materialize(df: DataFrame): DataFrame =
+      df.as[(Long, Seq[Double])].collect().toSeq.toDF("cid", "vec")
+    try {
+      var centroids = materialize(unit
+        .withColumn("h", TextOps.hash64(concat(lit("km#"), col("id").cast(StringType))))
+        .orderBy("h", "id").limit(k)
+        .select(col("id").as("cid"), col("vec")))
+      for (_ <- 1 to iters) {
+        val assigned = ivfAssign(unit, centroids)
+        val mean = unit.join(assigned, Seq("id"))
+          .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+          .groupBy("cid")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("vec"))
+        val n = norm(col("vec"))
+        centroids = materialize(mean.select(col("cid"), col("vec"), n.as("n"))
+          .where(col("n") > 0)
+          .select(col("cid"), transform(col("vec"), x => x / col("n")).as("vec")))
+      }
+      centroids
+    } finally unit.unpersist()
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold (the

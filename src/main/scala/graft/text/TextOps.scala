@@ -117,11 +117,11 @@ object TextOps {
   /** Collapse runs of identical adjacent tokens to a single token
     * (boilerplate de-repetition — nav menus and scraped templates repeat
     * tokens back-to-back). Index lambda: keep position i iff i == 0 or the
-    * token differs from its predecessor. At i == 0 the `get(toks, -1)`
-    * lookup is null and `t =!= null` is null, so `(i === 0) || null` is
-    * true — no special-casing needed. */
+    * token differs from its predecessor under null-safe equality, so null
+    * elements collapse as runs too instead of being silently dropped
+    * (plain `=!=` yields null for them, which filter treats as false). */
   def collapseAdjacent(toks: Column): Column =
-    filter(toks, (t, i) => (i === 0) || (t =!= get(toks, i - 1)))
+    filter(toks, (t, i) => (i === 0) || !(t <=> get(toks, i - 1)))
 
   /** 60-bit hash from md5 (cross-engine reproducible: DuckDB computes the
     * same md5 and the same hex->int value). 15 hex chars < 2^60: no sign

@@ -35,7 +35,7 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1) === Seq(0L, 0L, 0L))     // constant vector guard
   }
 
-  test("quantizeUniform reconstruction error is bounded by half a step") {
+  test("quantizeUniform reconstruction error is bounded by one step") {
     val e = graft.sources.Sources.table(spark, sf, "embeddings")
       .select(col("embedding"),
         array_min(col("embedding")).cast("double").as("lo"),
