@@ -622,6 +622,65 @@ object TrainingData {
         .orderBy("event_type"),
       None),
 
+    // The full corpus-curation funnel as ONE declarative plan: quality
+    // threshold -> exact dedup (keep lowest id per content hash) -> per-
+    // domain cap -> deterministic split -> per-(lang, split) accounting.
+    // Catalyst pipelines the whole funnel; only the dedup/cap windows and
+    // the final agg shuffle. This is the shape of a production 100 TB
+    // curation job (each stage already oracle-checked alone: q38/q30/q76/
+    // q68).
+    Q("q85_curation_funnel",
+      (s, dir) => {
+        // project text down to its 16-byte fingerprint BEFORE the dedup
+        // shuffle (q30's rule: the wire carries hashes, never documents)
+        val docs = t(s, dir, "documents")
+          .where(TextOps.qualityScore(col("text"), enStop) > 0.5)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+            md5(col("text")).as("fp"))
+        val dedupW = Window.partitionBy("fp").orderBy("doc_id")
+        val deduped = docs.withColumn("rn", row_number().over(dedupW))
+          .where(col("rn") === 1).drop("rn", "fp")
+        val capped = graft.operators.Downsample
+          .capPerKey(deduped, "source", "doc_id", 20)
+        val bucket = pmod(TextOps.hash64(concat(lit("split#"),
+          col("doc_id").cast(StringType))), lit(100))
+        capped
+          .withColumn("split", when(bucket < 80, "train")
+            .when(bucket < 90, "val").otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang", "split")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, lang, n_chars, text,
+             |         lower(trim(text)) AS lt,
+             |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, source, lang, n_chars, text FROM d
+             |  WHERE 0.4::DOUBLE * (len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x))) / len(toks))
+             |      + 0.3::DOUBLE * least(1.0::DOUBLE, len(toks) / 100.0::DOUBLE)
+             |      + 0.3::DOUBLE * (1.0::DOUBLE - length(regexp_replace(lt, '[a-z0-9\s]', '', 'g')) / length(lt)) > 0.5),
+             |dd AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |    FROM q) WHERE rn = 1),
+             |cap AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY source
+             |      ORDER BY ('0x'||substr(md5('cap#' || doc_id::VARCHAR),1,15))::BIGINT, doc_id) AS cr
+             |    FROM dd) WHERE cr <= 20),
+             |sp AS (
+             |  SELECT lang, n_chars,
+             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM (SELECT *,
+             |    ('0x'||substr(md5('split#' || doc_id::VARCHAR),1,15))::BIGINT % 100 AS b
+             |    FROM cap))
+             |SELECT lang, split, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM sp GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
     // Semi-structured props: JSON field extraction.
     Q("q45_json_extract",
       (s, dir) => Sources.events(s, dir).select(
