@@ -433,6 +433,40 @@ object TrainingData {
              |FROM sess GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // Native session windows: Spark's session_window() merges events into
+    // gap-bounded sessions inside the aggregation itself — no explicit
+    // lag/running-sum plumbing (q43 is the manual twin; also the shape
+    // streaming session aggregation uses). Boundary semantics differ from
+    // q43 by one edge: session_window starts a NEW session at gap == 30min
+    // (next < prev + gap merges), the manual version only at gap > 30min —
+    // the oracle encodes >=.
+    Q("q86_session_window",
+      (s, dir) => Sources.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).as("sum_value"),
+          min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        .select(col("user_id"), col("n_events"), col("sum_value"),
+          col("start_ts"), col("end_ts"))
+        .orderBy("user_id", "start_ts"),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, count(*) AS n_events,
+             |       SUM(CAST(value AS DECIMAL(38,4))) AS sum_value,
+             |       min(ts) AS start_ts, max(ts) AS end_ts
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, start_ts""".stripMargin)),
+
     // Skew-safe salted aggregation: pre-aggregate on (key, salt), then
     // merge — equals the plain GROUP BY (the oracle) by construction.
     Q("q44_salted_agg",
