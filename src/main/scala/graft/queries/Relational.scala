@@ -422,6 +422,35 @@ object Relational {
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 
+    // Arbitrary GROUPING SETS (the generalization rollup/cube specialize):
+    // both single-dimension margins without the grand total — a set
+    // combination neither q19 nor q48 can express. One shuffle; Spark
+    // expands sets map-side before the partial aggregate.
+    Q("q87_grouping_sets",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).as("sum_qty"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .select(
+          when(col("g_rf") === 1, "(all)").otherwise(col("l_returnflag")).as("rf"),
+          when(col("g_ls") === 1, "(all)").otherwise(col("l_linestatus")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT
+             |  CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)' ELSE l_returnflag END AS rf,
+             |  CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)' ELSE l_linestatus END AS ls,
+             |  count(*) AS n,
+             |  SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |                        (l_returnflag), (l_linestatus))
+             |ORDER BY rf, ls""".stripMargin)),
+
     // §3.3 SQL passthrough: the SAME ANSI string runs through Catalyst and
     // DuckDB (temp views over the parquet tables).
     Q("q20_sql_passthrough",
