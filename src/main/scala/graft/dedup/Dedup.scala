@@ -131,6 +131,26 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Blocked fuzzy matching (entity resolution): equi-join on a blocking
+    * key, pairwise edit distance ONLY inside blocks — the scalable shape
+    * for fuzzy joins, where the blocking key (prefix, phonetic code, LSH
+    * bucket) bounds the quadratic stage exactly like LSH bounds MinHash
+    * candidate generation. Cost is Σ block², never n². */
+  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+                 block: Column, maxDist: Int): DataFrame = {
+    val withBlock = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      block.as("block"))
+    val a = withBlock.select(col("id").as("id_a"), col("name").as("name_a"),
+      col("block"))
+    val b = withBlock.select(col("id").as("id_b"), col("name").as("name_b"),
+      col("block"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Exact pairwise n-gram Jaccard over candidate or sampled docs.
     * inter/union on DISTINCT shingles; `minJaccard` filters output. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,

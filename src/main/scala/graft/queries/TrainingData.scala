@@ -656,6 +656,25 @@ object TrainingData {
         .orderBy("event_type"),
       None),
 
+    // Blocked fuzzy matching: customer names paired inside all-but-last-
+    // two-chars prefix blocks, edit distance <= 1 (entity resolution — the
+    // blocking key bounds the quadratic stage like LSH bounds MinHash).
+    Q("q88_fuzzy_match",
+      (s, dir) => Dedup.fuzzyPairs(
+        t(s, dir, "customer").where(col("c_custkey") < 3000),
+        "c_custkey", "c_name",
+        expr("substring(c_name, 1, length(c_name) - 2)"), maxDist = 1)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH c AS (
+             |  SELECT c_custkey AS id, c_name AS name,
+             |         substring(c_name, 1, length(c_name) - 2) AS block
+             |  FROM customer WHERE c_custkey < 3000)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+             |FROM c a JOIN c b ON a.block = b.block AND a.id < b.id
+             |WHERE levenshtein(a.name, b.name) <= 1
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // The full corpus-curation funnel as ONE declarative plan: quality
     // threshold -> exact dedup (keep lowest id per content hash) -> per-
     // domain cap -> deterministic split -> per-(lang, split) accounting.
