@@ -701,7 +701,34 @@ object Extended {
       Some("""SELECT o_orderstatus, count(*) AS n,
              |  sum(CAST(o_totalprice AS DECIMAL(38,4))) AS sum_price
              |FROM orders WHERE o_orderkey < 500
-             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Exact distributed moments: float stddev/corr are summation-order
+    // dependent (not reproducible under AQE re-partitioning), so the
+    // scale-safe pattern is exact DECIMAL sufficient statistics (n, Σx,
+    // Σx², Σxy — source values are 2dp, products exactly 4dp) with the
+    // derived statistics computed from the tiny grouped result
+    // (MomentsSpec shows the derivation matches Spark's built-ins).
+    Q("q89_exact_moments",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).as("sum_qty"),
+          sum((col("l_quantity") * col("l_quantity")).cast(dec)).as("sum_qty2"),
+          sum(col("l_extendedprice").cast(dec)).as("sum_price"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec))
+            .as("sum_price2"),
+          sum((col("l_extendedprice") * col("l_quantity")).cast(dec))
+            .as("sum_pq"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  sum(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty,
+             |  sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS sum_qty2,
+             |  sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS sum_price,
+             |  sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS sum_price2,
+             |  sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS sum_pq
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 
   private lazy val corrSql: String =
