@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
@@ -19,6 +19,15 @@ import graft.text.TextOps
   * pathological head key can reuse the salted-agg pattern.
   */
 object Downsample {
+
+  /** Deterministic train/val/test assignment (80/10/10) from a stable hash
+    * of the row id — the ONE definition both q68 (split accounting) and
+    * q85 (curation funnel) use, so the two can never silently diverge. */
+  def splitLabel(id: Column): Column = {
+    val bucket = pmod(
+      TextOps.hash64(concat(lit("split#"), id.cast(StringType))), lit(100))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
 
   /** Cap rows per `keyCol` at k, ordered by hash of `idCol` (id as the
     * final tiebreak makes the selection total and deterministic). Output

@@ -193,10 +193,7 @@ object TrainingData {
     // deterministic sample at any scale.
     Q("q68_stratified_split",
       (s, dir) => {
-        val bucket = pmod(TextOps.hash64(concat(lit("split#"),
-          col("doc_id").cast(StringType))), lit(100))
-        val split = when(bucket < 80, "train")
-          .when(bucket < 90, "val").otherwise("test")
+        val split = graft.operators.Downsample.splitLabel(col("doc_id"))
         t(s, dir, "documents")
           .select(col("lang"), split.as("split"))
           .groupBy("lang", "split").agg(count(lit(1)).as("n"))
@@ -695,25 +692,23 @@ object TrainingData {
           .where(col("rn") === 1).drop("rn", "fp")
         val capped = graft.operators.Downsample
           .capPerKey(deduped, "source", "doc_id", 20)
-        val bucket = pmod(TextOps.hash64(concat(lit("split#"),
-          col("doc_id").cast(StringType))), lit(100))
         capped
-          .withColumn("split", when(bucket < 80, "train")
-            .when(bucket < 90, "val").otherwise("test"))
+          .withColumn("split",
+            graft.operators.Downsample.splitLabel(col("doc_id")))
           .groupBy("lang", "split")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
           .orderBy("lang", "split")
       },
       Some("""WITH d AS (
              |  SELECT doc_id, source, lang, n_chars, text,
-             |         lower(trim(text)) AS lt,
+             |         lower(text) AS lraw,
              |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
              |  FROM documents),
              |q AS (
              |  SELECT doc_id, source, lang, n_chars, text FROM d
              |  WHERE 0.4::DOUBLE * (len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x))) / len(toks))
              |      + 0.3::DOUBLE * least(1.0::DOUBLE, len(toks) / 100.0::DOUBLE)
-             |      + 0.3::DOUBLE * (1.0::DOUBLE - length(regexp_replace(lt, '[a-z0-9\s]', '', 'g')) / length(lt)) > 0.5),
+             |      + 0.3::DOUBLE * (1.0::DOUBLE - length(regexp_replace(lraw, '[a-z0-9\s]', '', 'g')) / length(lraw)) > 0.5),
              |dd AS (
              |  SELECT * FROM (
              |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

@@ -14,24 +14,29 @@ import graft.sources.Sources
   */
 object Warehouse {
 
+  // last-registered testdata dir per live session (weak keys: a stopped
+  // session's entry is collectable). JVM-side so the memo adds no Spark
+  // job and nothing leaks into the SHOW TABLES / catalog surface.
+  private val testdataDirs =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   /** Register every testdata table under its bare name. Memoized per
     * (session, dir): repeated calls from the same session skip the ~10
     * parquet footer reads (they dominated q20's measured time, which is
-    * otherwise a pure fact-fact join). The marker view is re-checked, not
-    * trusted blindly — a different dir re-registers everything. */
-  def registerTestdata(spark: SparkSession, sfDir: String): Unit = {
-    val marker = "__graft_testdata_dir"
-    val already = spark.catalog.tableExists(marker) &&
-      spark.table(marker).head().getString(0) == sfDir
-    if (!already) {
+    * otherwise a pure fact-fact join). A different dir always re-registers.
+    * Callers that shadowed or dropped one of these views must pass
+    * `force = true` to restore them — the memo cannot see catalog edits. */
+  def registerTestdata(spark: SparkSession, sfDir: String,
+                       force: Boolean = false): Unit = {
+    if (force || testdataDirs.get(spark) != sfDir) {
       Seq("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "documents", "embeddings").foreach { t =>
         Sources.table(spark, sfDir, t).createOrReplaceTempView(t)
       }
       // events needs its nanos->timestamp normalization (see Sources.events)
       Sources.events(spark, sfDir).createOrReplaceTempView("events")
-      import spark.implicits._
-      Seq(sfDir).toDF("dir").createOrReplaceTempView(marker)
+      testdataDirs.put(spark, sfDir)
     }
   }
 
