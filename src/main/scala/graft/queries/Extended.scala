@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.dims.Dims
 import graft.sources.Sources
-import graft.queries.Relational.Q
+import graft.queries.Relational.{Q, decStr}
 
 /** Warehouse-style queries beyond the minimal operator inventory: deep join
   * trees, CUBE grouping sets, correlated subqueries, capped generators. */
@@ -35,12 +35,12 @@ object Extended {
           .groupBy(col("r_name"), col("n_name"))
           .agg(
             count(lit(1)).as("n_lines"),
-            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+            decStr(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)))
               .as("revenue"))
           .orderBy("r_name", "n_name")
       },
       Some("""SELECT r_name, n_name, count(*) AS n_lines,
-             |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS revenue
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS VARCHAR) AS revenue
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -74,7 +74,7 @@ object Extended {
       (s, dir) => t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(dec)).as("sum_total"),
+          decStr(sum(col("o_totalprice").cast(dec))).as("sum_total"),
           grouping(col("o_orderstatus")).as("g_s"),
           grouping(col("o_orderpriority")).as("g_p"))
         .select(
@@ -86,7 +86,7 @@ object Extended {
              |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
              |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
              |  count(*) AS n,
-             |  SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS sum_total
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS sum_total
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
              |ORDER BY status, priority""".stripMargin)),
 
@@ -123,13 +123,13 @@ object Extended {
         Sources.csv(s, path, schema)
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity").cast(dec)).as("sum_qty"),
-            sum(col("l_extendedprice").cast(dec)).as("sum_price"))
+            decStr(sum(col("l_quantity").cast(dec))).as("sum_qty"),
+            decStr(sum(col("l_extendedprice").cast(dec))).as("sum_price"))
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag, count(*) AS n,
-             |  SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty,
-             |  SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS sum_price
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS sum_price
              |FROM lineitem WHERE l_orderkey < 500
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -278,16 +278,16 @@ object Extended {
           lag(col("value"), 1).over(w).as("prev_value"),
           lead(col("value"), 1).over(w).as("next_value"),
           row_number().over(w).as("rn"),
-          sum(col("value").cast(dec)).over(run).as("running_value"))
+          decStr(sum(col("value").cast(dec)).over(run)).as("running_value"))
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id,
              |  lag(value) OVER w AS prev_value,
              |  lead(value) OVER w AS next_value,
              |  CAST(row_number() OVER w AS INT) AS rn,
-             |  SUM(CAST(value AS DECIMAL(38,4)))
+             |  CAST(SUM(CAST(value AS DECIMAL(38,4)))
              |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |          ROWS UNBOUNDED PRECEDING) AS running_value
+             |          ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS running_value
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY event_id""".stripMargin)),
@@ -593,11 +593,11 @@ object Extended {
             col("o_totalprice") < col("hi"))
           .groupBy("tier")
           .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast(dec)).as("sum_price"))
+            decStr(sum(col("o_totalprice").cast(dec))).as("sum_price"))
           .orderBy("tier")
       },
       Some("""SELECT tier, count(*) AS n_orders,
-             |  sum(CAST(o_totalprice AS DECIMAL(38,4))) AS sum_price
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS sum_price
              |FROM orders JOIN (VALUES
              |    ('t0_small', 0.0, 50000.0),
              |    ('t1_mid', 50000.0, 150000.0),
@@ -616,13 +616,13 @@ object Extended {
           .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
         t(s, dir, "orders").where(col("o_custkey") < 200)
           .select(col("o_orderkey"), col("o_custkey"), day.as("order_day"),
-            sum(col("o_totalprice").cast(dec)).over(w).as("roll_sum_7d"),
+            decStr(sum(col("o_totalprice").cast(dec)).over(w)).as("roll_sum_7d"),
             count(lit(1)).over(w).as("roll_n_7d"))
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_custkey,
              |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS order_day,
-             |  sum(CAST(o_totalprice AS DECIMAL(38,4))) OVER w AS roll_sum_7d,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) OVER w AS VARCHAR) AS roll_sum_7d,
              |  count(*) OVER w AS roll_n_7d
              |FROM orders WHERE o_custkey < 200
              |WINDOW w AS (
@@ -642,7 +642,7 @@ object Extended {
             allowMissingColumns = true)
           .groupBy(coalesce(col("o_orderstatus"), lit("(price-rows)")).as("status"))
           .agg(count(lit(1)).as("n"),
-            sum(coalesce(col("o_totalprice"), lit(0.0)).cast(dec)).as("sum_price"))
+            decStr(sum(coalesce(col("o_totalprice"), lit(0.0)).cast(dec))).as("sum_price"))
           .orderBy("status")
       },
       Some("""WITH u AS (
@@ -651,7 +651,7 @@ object Extended {
              |  SELECT o_orderkey, o_orderstatus FROM orders)
              |SELECT coalesce(o_orderstatus, '(price-rows)') AS status,
              |  count(*) AS n,
-             |  sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(38,4))) AS sum_price
+             |  CAST(sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(38,4))) AS VARCHAR) AS sum_price
              |FROM u GROUP BY 1 ORDER BY status""".stripMargin)),
 
     // SCD2 dimension history: each observation becomes a version row with
@@ -695,11 +695,11 @@ object Extended {
         Sources.json(s, path, schema)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),
-            sum(col("o_totalprice").cast(dec)).as("sum_price"))
+            decStr(sum(col("o_totalprice").cast(dec))).as("sum_price"))
           .orderBy("o_orderstatus")
       },
       Some("""SELECT o_orderstatus, count(*) AS n,
-             |  sum(CAST(o_totalprice AS DECIMAL(38,4))) AS sum_price
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS sum_price
              |FROM orders WHERE o_orderkey < 500
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
@@ -713,20 +713,20 @@ object Extended {
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(dec)).as("sum_qty"),
-          sum((col("l_quantity") * col("l_quantity")).cast(dec)).as("sum_qty2"),
-          sum(col("l_extendedprice").cast(dec)).as("sum_price"),
-          sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec))
+          decStr(sum(col("l_quantity").cast(dec))).as("sum_qty"),
+          decStr(sum((col("l_quantity") * col("l_quantity")).cast(dec))).as("sum_qty2"),
+          decStr(sum(col("l_extendedprice").cast(dec))).as("sum_price"),
+          decStr(sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec)))
             .as("sum_price2"),
-          sum((col("l_extendedprice") * col("l_quantity")).cast(dec))
+          decStr(sum((col("l_extendedprice") * col("l_quantity")).cast(dec)))
             .as("sum_pq"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, count(*) AS n,
-             |  sum(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty,
-             |  sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS sum_qty2,
-             |  sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS sum_price,
-             |  sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS sum_price2,
-             |  sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS sum_pq
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS sum_qty,
+             |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS sum_qty2,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS sum_price,
+             |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS sum_price2,
+             |  CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS sum_pq
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin))
   )

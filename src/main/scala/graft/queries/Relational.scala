@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -18,6 +18,17 @@ import graft.sources.Sources
   *  - Aggregated money/quantity columns are summed as DECIMAL(38,4): decimal
   *    addition is exact and order-independent, so results are identical no
   *    matter how partitions combine (doubles would drift with shuffle order).
+  *  - DECIMAL columns leave the query as fixed-scale STRINGS (`decStr` /
+  *    `CAST(... AS VARCHAR)`): a harness that reads Spark parquet natively
+  *    sees Decimal('123.4500') while a DuckDB result fetched through pandas
+  *    degrades to float64 123.45 — same value, different canonical text, so
+  *    a value-hash compare diverges. Both engines render DECIMAL(38,4) as
+  *    identical plain fixed-4dp text ("123.4500", verified incl. zero,
+  *    negatives, and >1e15 magnitudes), so the string boundary is exact and
+  *    engine-portable while the aggregation underneath stays decimal.
+  *    (Cast-to-DOUBLE was rejected: Spark converts via BigDecimal with one
+  *    correct rounding, DuckDB scales an int128 then divides — 1-ulp
+  *    divergence at large magnitudes, e.g. q89's sum_price2 ~4e14.)
   *  - Every query has a deterministic ORDER BY with a unique tiebreaker.
   *  - DuckDB `dayofweek` is Sunday=0 (Spark's is Sunday=1); both sides are
   *    normalized to Python's Monday=0.
@@ -34,16 +45,25 @@ object Relational {
 
   private val dec: DecimalType = DecimalType(38, 4)
 
-  /** TPC-H Q3-flavoured revenue query — identical text runs on both engines. */
+  /** Decimal output boundary: fixed-scale text (see parity rules above). */
+  private[queries] def decStr(c: Column): Column = c.cast(StringType)
+
+  /** TPC-H Q3-flavoured revenue query — identical text runs on both engines
+    * (VARCHAR(64) parses on both; Spark treats it as STRING). The ordering
+    * happens on the DECIMAL value inside the subquery; only the projected
+    * output is text. */
   val sqlQ3: String =
-    """SELECT l_orderkey,
-      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS revenue,
-      |  count(*) AS n_lines
-      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-      |GROUP BY l_orderkey
-      |ORDER BY revenue DESC, l_orderkey
-      |LIMIT 10""".stripMargin
+    """SELECT l_orderkey, CAST(revenue_d AS VARCHAR(64)) AS revenue, n_lines
+      |FROM (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS revenue_d,
+      |    count(*) AS n_lines
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  GROUP BY l_orderkey
+      |  ORDER BY revenue_d DESC, l_orderkey
+      |  LIMIT 10) t
+      |ORDER BY revenue_d DESC, l_orderkey""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -308,11 +328,11 @@ object Relational {
         val (_, appended) = Incremental.step(orders, accumulated)
         appended.groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),
-            sum(col("o_totalprice").cast(dec)).as("sum_total"))
+            decStr(sum(col("o_totalprice").cast(dec))).as("sum_total"))
           .orderBy("o_orderstatus")
       },
       Some("""SELECT o_orderstatus, count(*) AS n,
-             |       SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS sum_total
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS sum_total
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // A1/A2: whole-row distinct.
@@ -329,18 +349,18 @@ object Relational {
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(dec)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+          decStr(sum(col("l_quantity").cast(dec))).as("sum_qty"),
+          decStr(sum(col("l_extendedprice").cast(dec))).as("sum_base_price"),
+          decStr(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)))
             .as("sum_disc_price"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_extendedprice")).as("max_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty,
-             |  SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS sum_base_price,
-             |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS VARCHAR) AS sum_disc_price,
              |  min(l_quantity) AS min_qty,
              |  max(l_extendedprice) AS max_price,
              |  count(*) AS count_order
@@ -406,7 +426,7 @@ object Relational {
       (s, dir) => t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(dec)).as("sum_qty"),
+          decStr(sum(col("l_quantity").cast(dec))).as("sum_qty"),
           grouping(col("l_returnflag")).as("g_rf"),
           grouping(col("l_linestatus")).as("g_ls"))
         .select(
@@ -418,7 +438,7 @@ object Relational {
              |  CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)' ELSE l_returnflag END AS rf,
              |  CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)' ELSE l_linestatus END AS ls,
              |  count(*) AS n,
-             |  SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 
@@ -433,7 +453,7 @@ object Relational {
             Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
           col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(dec)).as("sum_qty"),
+          decStr(sum(col("l_quantity").cast(dec))).as("sum_qty"),
           grouping(col("l_returnflag")).as("g_rf"),
           grouping(col("l_linestatus")).as("g_ls"))
         .select(
@@ -445,7 +465,7 @@ object Relational {
              |  CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)' ELSE l_returnflag END AS rf,
              |  CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)' ELSE l_linestatus END AS ls,
              |  count(*) AS n,
-             |  SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS sum_qty
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
              |                        (l_returnflag), (l_linestatus))

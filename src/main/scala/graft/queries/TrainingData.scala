@@ -9,7 +9,7 @@ import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.sources.Sources
 import graft.text.TextOps
-import graft.queries.Relational.Q
+import graft.queries.Relational.{Q, decStr}
 
 /** Beyond-reference operators for 100 TB training-data pipelines
   * (deduplication, similarity search, multimodal columns, text analysis),
@@ -385,10 +385,12 @@ object TrainingData {
     Q("q42_events_hourly",
       (s, dir) => Sources.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          decStr(sum(col("value").cast(dec))).as("sum_value"))
         .orderBy("hour_ts", "event_type"),
       Some("""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
-             |       count(*) AS n, SUM(CAST(value AS DECIMAL(38,4))) AS sum_value
+             |       count(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS sum_value
              |FROM events GROUP BY date_trunc('hour', ts), event_type
              |ORDER BY hour_ts, event_type""".stripMargin)),
 
@@ -408,7 +410,7 @@ object TrainingData {
           .withColumn("session_id", sum(col("is_new")).over(run))
           .groupBy("user_id", "session_id")
           .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast(dec)).as("sum_value"),
+            decStr(sum(col("value").cast(dec))).as("sum_value"),
             min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
           .orderBy("user_id", "session_id")
       },
@@ -425,7 +427,7 @@ object TrainingData {
              |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |  FROM g)
              |SELECT user_id, session_id, count(*) AS n_events,
-             |       SUM(CAST(value AS DECIMAL(38,4))) AS sum_value,
+             |       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS sum_value,
              |       min(ts) AS start_ts, max(ts) AS end_ts
              |FROM sess GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
@@ -441,7 +443,7 @@ object TrainingData {
       (s, dir) => Sources.events(s, dir)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec)).as("sum_value"),
+          decStr(sum(col("value").cast(dec))).as("sum_value"),
           min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
         .select(col("user_id"), col("n_events"), col("sum_value"),
           col("start_ts"), col("end_ts"))
@@ -459,7 +461,7 @@ object TrainingData {
              |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |  FROM g)
              |SELECT user_id, count(*) AS n_events,
-             |       SUM(CAST(value AS DECIMAL(38,4))) AS sum_value,
+             |       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS sum_value,
              |       min(ts) AS start_ts, max(ts) AS end_ts
              |FROM sess GROUP BY user_id, session_id
              |ORDER BY user_id, start_ts""".stripMargin)),
@@ -471,10 +473,10 @@ object TrainingData {
         .groupBy(col("event_type"), pmod(col("event_id"), lit(8)).as("salt"))
         .agg(count(lit(1)).as("pn"), sum(col("value").cast(dec)).as("psum"))
         .groupBy("event_type")
-        .agg(sum(col("pn")).as("n"), sum(col("psum")).as("sum_value"))
+        .agg(sum(col("pn")).as("n"), decStr(sum(col("psum"))).as("sum_value"))
         .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS n,
-             |       SUM(CAST(value AS DECIMAL(38,4))) AS sum_value
+             |       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS sum_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Repetition quality signals (Gopher/C4-style filters): distinct-token
@@ -627,7 +629,8 @@ object TrainingData {
     Q("q81_sliding_window",
       (s, dir) => Sources.events(s, dir)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          decStr(sum(col("value").cast(dec))).as("sum_value"))
         .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
         .orderBy("w_start"),
       Some("""WITH b AS (
@@ -636,7 +639,7 @@ object TrainingData {
              |  SELECT make_timestamp((b.bucket - k.k) * 900000000) AS w_start, value
              |  FROM b CROSS JOIN (VALUES (0),(1),(2),(3)) k(k))
              |SELECT w_start, count(*) AS n,
-             |       sum(CAST(value AS DECIMAL(38,4))) AS sum_value
+             |       CAST(sum(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS sum_value
              |FROM w GROUP BY 1 ORDER BY w_start""".stripMargin)),
 
     // Approximate aggregates (HLL++ distinct count, approximate median):
