@@ -19,8 +19,10 @@ object Extended {
   val all: Seq[Q] = Seq(
 
     // Deep join tree (fact -> orders -> customer -> nation -> region) with
-    // aggregation: exercises Catalyst join reordering; every dimension side
-    // is broadcastable so the fact never shuffles before the final agg.
+    // aggregation: exercises Catalyst join reordering. nation/region
+    // broadcast (explicitly); orders and customer are fact-scale at 100x so
+    // they correctly stay sort-merge — the two fact-side shuffles are the
+    // genuine cost of this shape, not a planning miss.
     Q("q46_deep_join_tree",
       (s, dir) => {
         val li = t(s, dir, "lineitem")

@@ -678,8 +678,8 @@ object TrainingData {
     // The full corpus-curation funnel as ONE declarative plan: quality
     // threshold -> exact dedup (keep lowest id per content hash) -> per-
     // domain cap -> deterministic split -> per-(lang, split) accounting.
-    // Catalyst pipelines the whole funnel; only the dedup/cap windows and
-    // the final agg shuffle. This is the shape of a production 100 TB
+    // Catalyst pipelines the whole funnel; only the dedup/cap aggregations
+    // and the final agg shuffle. This is the shape of a production 100 TB
     // curation job (each stage already oracle-checked alone: q38/q30/q76/
     // q68).
     Q("q85_curation_funnel",
@@ -690,6 +690,15 @@ object TrainingData {
           .where(TextOps.qualityScore(col("text"), enStop) > 0.5)
           .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
             md5(col("text")).as("fp"))
+        // keeper per content hash via rank-1 window: Spark's
+        // InferWindowGroupLimit pre-prunes to one row per fp inside each
+        // map partition BEFORE the shuffle (paired WindowGroupLimit), so a
+        // duplicate-heavy fp never concentrates its group in one task and
+        // the wire carries at most one row per (fp, map partition). The
+        // groupBy(fp).agg(min(struct(...))) alternative moves the same
+        // bytes but drops out of whole-stage codegen (struct buffers force
+        // SortAggregate) — measured ~1.5x slower on this funnel at sf0.1.
+        // See SCALING.md "Top-k-per-key: window vs aggregate (measured)".
         val dedupW = Window.partitionBy("fp").orderBy("doc_id")
         val deduped = docs.withColumn("rn", row_number().over(dedupW))
           .where(col("rn") === 1).drop("rn", "fp")

@@ -83,7 +83,18 @@ object Similarity {
     * every vector. `centroids`: (cid, vec) — in production the output of a
     * k-means job; any deterministic centroid table works. Broadcast
     * centroids x corpus scan: one map-side pass + a per-vector top-1 window.
-    */
+    *
+    * Why a window and not `groupBy(id).agg(max(struct(sim, -cid, cid)))`:
+    * the "N x k shuffle amplification" a top-1 window suggests does NOT
+    * happen on Spark 3.5+/4 — `InferWindowGroupLimit` turns the `rn = 1`
+    * filter into a paired WindowGroupLimit (Partial below the exchange,
+    * Final above), so each map partition pre-prunes to ONE row per id
+    * before any data moves; the shuffle carries <=N rows either way.
+    * Measured (sf0.1, q60, 16 cores): identical shuffle bytes (34.1 kB vs
+    * 35.4 kB) and the window is ~1.6x faster wall-clock — the struct-max
+    * aggregate loses whole-stage codegen (struct buffers force
+    * SortAggregate) while the window path stays codegen'd. See
+    * SCALING.md "Top-k-per-key: window vs aggregate (measured)". */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val c = broadcast(centroids.select(col("cid"), col("vec").as("cv"),
       norm(col("vec")).as("cn")))
