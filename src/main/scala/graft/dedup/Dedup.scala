@@ -118,14 +118,49 @@ object Dedup {
   /** SimHash near-duplicate pairs: signatures within `maxHamming` bits.
     * Pair generation over SIGNATURES (one long per doc), not text — the
     * payoff of the simhash reduction: a 100 TB corpus compares 8-byte
-    * values. All-pairs here (sample-bound the input); the scale path blocks
-    * on signature bands (split the bits into chunks, join on exact chunk
-    * match — Hamming<=d pairs must collide on some chunk by pigeonhole). */
+    * values. ALL-PAIRS: verification-size inputs only (oracle suites,
+    * candidate rechecks). The scale path is [[simhashBandedDups]], which
+    * computes the identical result through pigeonhole blocking. */
   def simhashNearDups(sigs: DataFrame, idCol: String,
                       maxHamming: Int): DataFrame = {
     val a = sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a"))
     val b = sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Banded simhash near-duplicate pairs — the 100 TB path, exact same
+    * result as [[simhashNearDups]] (no recall loss, unlike MinHash-LSH):
+    * split the `bits`-bit signature into `maxHamming + 1` contiguous
+    * chunks; two signatures within Hamming distance d <= maxHamming differ
+    * in at most d chunks, so by pigeonhole they agree EXACTLY on at least
+    * one chunk. Candidates are therefore an equi-join on (chunk_idx,
+    * chunk_value) — fan-out bounded by chunk-bucket sizes, never |docs|²
+    * — deduped (a pair can collide on several chunks), then Hamming-
+    * verified on the 8-byte signatures. Each doc contributes maxHamming+1
+    * rows of (int, long, long) to the join — the blocking table is ~25x
+    * smaller than the raw text at typical document sizes. */
+  def simhashBandedDups(sigs: DataFrame, idCol: String, bits: Int,
+                        maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    require(bits > 0 && bits <= 60 && chunks <= bits,
+      "need at least one signature bit per chunk")
+    val width = (bits + chunks - 1) / chunks // last chunk may be narrower
+    val chunked = sigs
+      .select(col(idCol), col("simhash"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("ci"))
+      // simhash >= 0 and (sig >> shift) is zero beyond the top bit, so the
+      // last (narrower) chunk masks cleanly with the same width mask
+      .withColumn("cv", expr(s"(simhash >> (ci * $width)) & ${(1L << width) - 1}"))
+    val a = chunked.select(col("ci"), col("cv"), col(idCol).as("id_a"),
+      col("simhash").as("sig_a"))
+    val b = chunked.select(col("ci"), col("cv"), col(idCol).as("id_b"),
+      col("simhash").as("sig_b"))
+    a.join(b, Seq("ci", "cv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
       .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -146,6 +146,33 @@ object TrainingData {
              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Banded (pigeonhole) simhash near-dup search — the 100 TB candidate
+    // path: equi-join on (chunk_idx, chunk_value), Hamming-verify only the
+    // collisions. Exact same output as q67's all-pairs form by the
+    // pigeonhole argument, so the oracle IS the all-pairs SQL.
+    Q("q90_simhash_banded",
+      (s, dir) => Dedup.simhashBandedDups(
+        Dedup.simhash(t(s, dir, "documents").where(col("doc_id") < 256),
+          "doc_id", "text", 16),
+        "doc_id", 16, 3).orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents WHERE doc_id < 256),
+             |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM tok),
+             |votes AS (
+             |  SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS votes
+             |  FROM h CROSS JOIN range(0,16) r(b)
+             |  GROUP BY doc_id, b),
+             |sig AS (
+             |  SELECT doc_id,
+             |         CAST(SUM(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+             |  FROM votes GROUP BY doc_id)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Pairwise n-gram Jaccard on distinct 3-gram shingle sets.
     Q("q34_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(
@@ -642,19 +669,39 @@ object TrainingData {
              |       CAST(sum(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS sum_value
              |FROM w GROUP BY 1 ORDER BY w_start""".stripMargin)),
 
-    // Approximate aggregates (HLL++ distinct count, approximate median):
-    // no cross-engine oracle — sketch results are engine-specific by
-    // design, so this entry takes the weaker rows-only check; SketchSpec
-    // asserts accuracy bounds against exact counts instead.
+    // Approximate aggregates (HLL++ distinct count, approximate median).
+    // Sketch ESTIMATES are engine-specific by design, so the raw numbers
+    // can never hash-match DuckDB — instead the query outputs the exact
+    // sides (n, exact distinct count) plus accuracy VERDICTS: booleans
+    // asserting the deterministic sketch result lands inside its bound
+    // (HLL++ at rsd 0.02 within 5% of exact — 2.5 sigma; measured error
+    // <=0.4% at sf0.001/0.01/0.1, while the DEFAULT rsd 0.05 sketch
+    // actually misses 5% at sf0.1: 6.7% error on 1500 users — the boolean
+    // gate caught it. Approx median within the exact p40..p60.) The
+    // oracle predicts the exact
+    // columns and literal `true` for the verdicts — a sketch regression
+    // flips a boolean and fails the hash gate. SketchSpec asserts the same
+    // bounds with visibility into the raw estimates.
     Q("q82_approx_agg",
       (s, dir) => Sources.events(s, dir)
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("au"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("am"),
+          percentile(col("value"), lit(0.4)).as("p40"),
+          percentile(col("value"), lit(0.6)).as("p60"))
+        .select(col("event_type"), col("n"), col("exact_users"),
+          (abs(col("au") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("approx_users_ok"),
+          col("am").between(col("p40"), col("p60")).as("approx_median_ok"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(DISTINCT user_id) AS exact_users,
+             |  true AS approx_users_ok,
+             |  true AS approx_median_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Blocked fuzzy matching: customer names paired inside all-but-last-
     // two-chars prefix blocks, edit distance <= 1 (entity resolution — the

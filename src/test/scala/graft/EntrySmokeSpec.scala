@@ -19,12 +19,9 @@ class EntrySmokeSpec extends SparkSpec {
   }
 
   test("oracle coverage: every query name has an oracle entry") {
+    // since round 3 EVERY query is oracle-checked — q82 outputs exact
+    // columns + boolean accuracy verdicts instead of raw sketch estimates
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // non-SQL-expressible ops may be rows-only; keep the list explicit
-    // q82: sketch outputs (HLL++, approx percentile) are engine-specific by
-    // design — accuracy is asserted against exact counts in SketchSpec
-    val allowedRowsOnly = Set("q82_approx_agg")
-    assert((missing -- allowedRowsOnly).isEmpty,
-      s"queries without oracle: ${missing -- allowedRowsOnly}")
+    assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 }
