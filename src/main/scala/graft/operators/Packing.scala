@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.text.TextOps
+
+/** Concat-and-chunk sequence packing — the standard LLM-pretraining layout:
+  * documents are concatenated into one token stream and cut into
+  * fixed-`budget` training sequences, so no sequence is padded and a
+  * document may straddle a cut. This operator computes, for every document,
+  * WHERE its tokens land: which sequence it starts in, at what offset, and
+  * how many sequences it spans.
+  *
+  * Scale shape: a single global stream would be one unpartitioned running
+  * sum — a global sort onto one task. Instead the corpus is split into
+  * `shards` deterministic hash-buckets and each shard packs its own stream
+  * independently (production: one shard per output file; thousands of
+  * shards at 100 TB). Within a shard, order is the stable (hash, id) pair —
+  * reproducible across runs/partitionings AND a cheap global shuffle of the
+  * corpus, which packing wants anyway (dedup/curation leave neighboring
+  * docs correlated). Cost: one shuffle on the shard key + per-shard sort —
+  * the same shape as any keyed window.
+  */
+object Packing {
+
+  /** Per-document packing positions. Output adds:
+    *  - `shard`     — deterministic hash bucket in [0, shards)
+    *  - `seq_idx`   — index (within the shard) of the sequence the doc
+    *                  starts in
+    *  - `seq_offset`— token offset of the doc inside that sequence
+    *  - `n_spanned` — how many sequences the doc touches (>= 1; boundary
+    *                  straddlers have 2+)
+    * `nTokCol` must be a positive token (or char/byte) count. */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+                    budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val h = TextOps.hash64(concat(lit("pack#"), col(idCol).cast(StringType)))
+    val w = Window.partitionBy("shard").orderBy(col("pack_hv"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("pack_hv", h)
+      .withColumn("shard", pmod(col("pack_hv"), lit(shards.toLong)))
+      .withColumn("pack_start",
+        coalesce(sum(col(nTokCol)).over(w), lit(0L)))
+      .withColumn("seq_idx", expr(s"pack_start div ${budget}L"))
+      .withColumn("seq_offset", pmod(col("pack_start"), lit(budget)))
+      .withColumn("n_spanned",
+        expr(s"(pack_start + $nTokCol - 1) div ${budget}L") - col("seq_idx") + 1)
+      .drop("pack_hv", "pack_start")
+  }
+}

@@ -173,6 +173,41 @@ object TrainingData {
              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Candidate pairs -> duplicate GROUPS: connected components by min-
+    // label propagation over the banded-simhash candidate graph. (a,b) +
+    // (b,c) collapse into {a,b,c} even though (a,c) never met in a bucket.
+    // The oracle computes reachability with a recursive CTE and takes each
+    // node's min reachable id — the same fixpoint the Pregel-style loop
+    // converges to.
+    Q("q91_dup_groups",
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.simhashBandedDups(
+          Dedup.simhash(t(s, dir, "documents").where(col("doc_id") < 256),
+            "doc_id", "text", 16),
+          "doc_id", 16, 3)).orderBy("id"),
+      Some("""WITH RECURSIVE tok AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents WHERE doc_id < 256),
+             |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM tok),
+             |votes AS (
+             |  SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS votes
+             |  FROM h CROSS JOIN range(0,16) r(b)
+             |  GROUP BY doc_id, b),
+             |sig AS (
+             |  SELECT doc_id,
+             |         CAST(SUM(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+             |  FROM votes GROUP BY doc_id),
+             |edges AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
+             |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+             |reach(id, label) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+             |SELECT id, min(label) AS component
+             |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
     // Pairwise n-gram Jaccard on distinct 3-gram shingle sets.
     Q("q34_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(
@@ -702,6 +737,69 @@ object TrainingData {
              |  true AS approx_users_ok,
              |  true AS approx_median_ok
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Concat-and-chunk sequence packing (operators.Packing): where every
+    // document's tokens land in the fixed-budget training-sequence stream
+    // of its hash shard — seq index, offset, sequences spanned. n_chars
+    // stands in for the token count (same arithmetic, oracle-stable).
+    Q("q92_sequence_packing",
+      (s, dir) => graft.operators.Packing.packSequences(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", 2048L, 8)
+        .orderBy("doc_id"),
+      Some("""WITH h AS (
+             |  SELECT doc_id, n_chars,
+             |    ('0x'||substr(md5('pack#' || doc_id::VARCHAR),1,15))::BIGINT AS hv
+             |  FROM documents),
+             |s AS (SELECT doc_id, n_chars, hv, hv % 8 AS shard FROM h),
+             |r AS (SELECT doc_id, n_chars, shard,
+             |  CAST(coalesce(SUM(n_chars) OVER (PARTITION BY shard ORDER BY hv, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+             |  FROM s)
+             |SELECT doc_id, n_chars, shard,
+             |  st // 2048 AS seq_idx,
+             |  st % 2048 AS seq_offset,
+             |  (st + n_chars - 1) // 2048 - st // 2048 + 1 AS n_spanned
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // PII scrub: count + redact emails/phones/IPv4 to typed placeholders
+    // (map-side regexes kept to the construct subset where java.util.regex
+    // and RE2 agree). Deterministic synthetic PII is appended to every doc
+    // so the redaction path is exercised on all rows.
+    Q("q93_pii_redact",
+      (s, dir) => {
+        val doc = concat(col("text"),
+          lit(" contact "), col("source"), lit("_user"),
+          pmod(col("doc_id"), lit(97L)).cast(StringType),
+          lit("@example.com now 555-"),
+          lpad(pmod(col("doc_id"), lit(1000L)).cast(StringType), 3, "0"),
+          lit("-0199 from 10.0."),
+          pmod(col("doc_id"), lit(256L)).cast(StringType), lit(".77"))
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextOps.piiCount(doc, TextOps.emailPattern).as("n_emails"),
+          TextOps.piiCount(doc, TextOps.phonePattern).as("n_phones"),
+          TextOps.piiCount(doc, TextOps.ipv4Pattern).as("n_ips"),
+          TextOps.redactPii(doc).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    lower(text || ' contact ' || source || '_user' ||
+             |      (doc_id % 97)::VARCHAR || '@example.com now 555-' ||
+             |      lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199 from 10.0.' ||
+             |      (doc_id % 256)::VARCHAR || '.77') AS doc
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(doc, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(doc, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phones,
+             |  CAST(len(regexp_extract_all(doc, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(doc, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+             |FROM d ORDER BY doc_id""".stripMargin)),
 
     // Blocked fuzzy matching: customer names paired inside all-but-last-
     // two-chars prefix blocks, edit distance <= 1 (entity resolution — the

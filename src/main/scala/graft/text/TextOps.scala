@@ -126,6 +126,28 @@ object TextOps {
   /** 60-bit hash from md5 (cross-engine reproducible: DuckDB computes the
     * same md5 and the same hex->int value). 15 hex chars < 2^60: no sign
     * issues in a signed 64-bit long. */
+  /** PII patterns (email, NANP-style phone, dotted-quad IPv4) — kept to
+    * constructs where java.util.regex (Spark) and RE2 (DuckDB) agree:
+    * literal classes, bounded repeats, \\b word boundaries; no lookaround,
+    * no backrefs. Counting + redaction are pure map-side expressions — at
+    * 100 TB this runs at scan speed alongside the other quality signals. */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Occurrences of one PII pattern (input lowercased first). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+
+  /** Redact all three PII classes to typed placeholders. Order matters:
+    * emails first (their local part could otherwise be chewed up by later
+    * passes), then phones, then IPs. */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(lower(text), emailPattern, "<EMAIL>")
+    val p = regexp_replace(e, phonePattern, "<PHONE>")
+    regexp_replace(p, ipv4Pattern, "<IP>")
+  }
+
   def hash64(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
 

@@ -60,4 +60,75 @@ class CorpusOpsSpec extends SparkSpec {
     assert(capped.orderBy("source", "sample_rank").collect()
       === again.orderBy("source", "sample_rank").collect())
   }
+
+  test("connectedComponents: chains collapse to min id, needs multiple rounds") {
+    import spark.implicits._
+    // two components: a 6-node chain (diameter 5 — exercises the iterative
+    // frontier) and a pair; ids deliberately out of order
+    val pairs = Seq((12L, 11L), (11L, 10L), (10L, 9L), (9L, 8L), (8L, 7L),
+      (101L, 100L)).toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup.connectedComponents(pairs.repartition(3))
+      .as[(Long, Long)].collect().toMap
+    assert((7L to 12L).forall(got(_) == 7L))
+    assert(got(100L) == 100L && got(101L) == 100L)
+  }
+
+  test("connectedComponents agrees with brute-force closure on simhash pairs") {
+    import spark.implicits._
+    val sigs = graft.dedup.Dedup.simhash(
+      graft.sources.Sources.table(spark, sf, "documents")
+        .where(col("doc_id") < 128), "doc_id", "text", 16)
+    val pairs = graft.dedup.Dedup.simhashNearDups(sigs, "doc_id", 3)
+    val got = graft.dedup.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    // brute-force union-find on the collected pair list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.select("id_a", "id_b").as[(Long, Long)].collect().foreach {
+      case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    assert(got == want)
+  }
+
+  test("packSequences positions reconstruct the per-shard running stream") {
+    import spark.implicits._
+    val packed = graft.operators.Packing.packSequences(
+      graft.sources.Sources.table(spark, sf, "documents")
+        .select("doc_id", "n_chars").repartition(5),
+      "doc_id", "n_chars", 1000L, 4)
+    val rows = packed
+      .select(col("shard"), col("doc_id"), col("n_chars"),
+        (col("seq_idx") * 1000 + col("seq_offset")).as("start"),
+        col("n_spanned"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.forall { case (_, _, n, st, sp) =>
+      sp == (st + n - 1) / 1000 - st / 1000 + 1 })
+    // starts are exactly the cumulative sums within each shard's hash order
+    rows.groupBy(_._1).values.foreach { shardRows =>
+      val inStreamOrder = shardRows.sortBy(_._4) // by start
+      val cumsums = inStreamOrder.scanLeft(0L)(_ + _._3).init
+      assert(inStreamOrder.map(_._4).toSeq == cumsums.toSeq)
+    }
+  }
+
+  test("redactPii replaces emails, phones, IPv4 and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      "Mail Bob.Smith+x@Sub.Example.ORG or 555-123-4567; host 192.168.0.1.",
+      "no pii here, just 12345 and a-b").toDF("t")
+    val r = df.select(
+      graft.text.TextOps.redactPii(col("t")).as("red"),
+      graft.text.TextOps.piiCount(col("t"), graft.text.TextOps.emailPattern).as("e"),
+      graft.text.TextOps.piiCount(col("t"), graft.text.TextOps.phonePattern).as("p"),
+      graft.text.TextOps.piiCount(col("t"), graft.text.TextOps.ipv4Pattern).as("i"))
+      .as[(String, Int, Int, Int)].collect()
+    assert(r(0) == (("mail <EMAIL> or <PHONE>; host <IP>.", 1, 1, 1)))
+    assert(r(1) == (("no pii here, just 12345 and a-b", 0, 0, 0)))
+  }
 }
