@@ -133,18 +133,32 @@ object ColumnOps {
     df.withColumn(keyName,
       row_number().over(Window.orderBy(orderBy: _*)).cast(LongType) - 1)
 
-  /** Fact-scale surrogate key: `zipWithIndex`-style — dense ids without a
-    * global sort. Computes per-partition counts once (small job over
-    * partition sizes), then offsets each partition locally. Scales to any
-    * number of partitions; preserves partition-local row order.
-    */
+  /** Fact-scale surrogate key: `zipWithIndex` semantics — dense ids in
+    * partition-major order without a global sort — but expressed entirely
+    * in Catalyst so the frame never leaves columnar/whole-stage-codegen
+    * execution (the previous `df.rdd.zipWithIndex` round-tripped every row
+    * through RDD `Row` objects):
+    *  - `monotonically_increasing_id()` encodes (partition << 33 | local
+    *    row number) — partition-local order, no shuffle;
+    *  - a one-row-per-partition count aggregate + running-sum window (tiny:
+    *    #partitions rows on one task) yields each partition's global
+    *    offset;
+    *  - a broadcast join on the partition id adds the offset back.
+    * Like zipWithIndex, this runs two passes over the input and the ids
+    * depend on the physical partitioning — pin the input (cache or stable
+    * scan) if the exact ids must be reproducible across runs. */
   def factSurrogateKey(df: DataFrame, keyName: String): DataFrame = {
-    val spark = df.sparkSession
-    val rdd = df.rdd.zipWithIndex()
-    val schema = df.schema.add(keyName, LongType, nullable = false)
-    val rows = rdd.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(rows, schema)
+    val local = df
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rid",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(
+        sum(col("__cnt")).over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offset")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(keyName, col("__offset") + col("__rid"))
+      .drop("__pid", "__rid", "__offset")
   }
 }
