@@ -89,13 +89,17 @@ object Bench {
       report ++= s"[bench] (unattributed) shuffleWrite=${b}B\n")
 
     val total = results.map(_._2).sum
+    // Locale.ROOT: the f-interpolator uses the default locale — a
+    // comma-decimal locale would emit {"value":12,345} and break the JSON
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jq(entries: Seq[(String, Double)]): String = entries
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${
         jq(results.map(r => r._1 -> r._2))},"sf":"$sfDir"}"""
     val headlineJson =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${
         jq(results.collect { case (n, s, _) if headline.contains(n) => n -> s })},"sf":"$sfDir"}"""
 
     val dir = java.nio.file.Paths.get("target")

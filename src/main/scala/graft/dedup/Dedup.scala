@@ -141,19 +141,31 @@ object Dedup {
     * — deduped (a pair can collide on several chunks), then Hamming-
     * verified on the 8-byte signatures. Each doc contributes maxHamming+1
     * rows of (int, long, long) to the join — the blocking table is ~25x
-    * smaller than the raw text at typical document sizes. */
+    * smaller than the raw text at typical document sizes.
+    *
+    * Chunk widths are BALANCED (floor(bits/chunks), remainder spread over
+    * the low chunks), never a uniform ceil width: ceil-width chunking
+    * leaves the last chunk empty whenever chunks*ceil > bits (e.g.
+    * bits=16, maxHamming=4 -> width 4 puts chunk 4 at bits 16..19 — zero
+    * for EVERY signature, one universal bucket, all-pairs blow-up). */
   def simhashBandedDups(sigs: DataFrame, idCol: String, bits: Int,
                         maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     require(bits > 0 && bits <= 60 && chunks <= bits,
       "need at least one signature bit per chunk")
-    val width = (bits + chunks - 1) / chunks // last chunk may be narrower
+    val widths = Array.tabulate(chunks)(i =>
+      bits / chunks + (if (i < bits % chunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkCols = (0 until chunks).map { i =>
+      struct(lit(i).as("ci"),
+        expr(s"(simhash >> ${offsets(i)}) & ${(1L << widths(i)) - 1}")
+          .as("cv"))
+    }
     val chunked = sigs
       .select(col(idCol), col("simhash"),
-        explode(sequence(lit(0), lit(chunks - 1))).as("ci"))
-      // simhash >= 0 and (sig >> shift) is zero beyond the top bit, so the
-      // last (narrower) chunk masks cleanly with the same width mask
-      .withColumn("cv", expr(s"(simhash >> (ci * $width)) & ${(1L << width) - 1}"))
+        explode(array(chunkCols: _*)).as("c"))
+      .select(col(idCol), col("simhash"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
     val a = chunked.select(col("ci"), col("cv"), col(idCol).as("id_a"),
       col("simhash").as("sig_a"))
     val b = chunked.select(col("ci"), col("cv"), col(idCol).as("id_b"),
@@ -192,9 +204,21 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = pairs.sparkSession.sparkContext
+    // eager localCheckpoint blocks are only freed when the JVM GCs the
+    // dropped Dataset and ContextCleaner notices — across ~20 rounds that
+    // accumulates up to 20 label-table snapshots in executor storage,
+    // evicting the edges cache on exactly the large graphs this operator
+    // targets. Track each round's newly-persisted RDD ids and free round
+    // r-1's explicitly once round r no longer reads it.
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def freeIds(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val before0 = persistedIds
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    var prevIds = persistedIds -- before0
     try {
       var iter = 0
       var converged = false
@@ -209,20 +233,26 @@ object Dedup {
         // pointer jumping: a label is always a node id, and that node's own
         // label is <= it (labels only shrink toward the component min), so
         // label(label(x)) short-circuits half the remaining chain
+        val before = persistedIds
         val next = stepped
           .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
             stepped("label") === col("jid"), "left")
           .select(stepped("id"),
             coalesce(col("jlabel"), stepped("label")).as("label"))
           .localCheckpoint(true)
+        val nextIds = persistedIds -- before
         // one-row driver read: any label still shrinking?
         val changed = next
           .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
           .where(col("label") < col("prev")).limit(1).count()
+        freeIds(prevIds) // round r-1's snapshot: no longer referenced
+        prevIds = nextIds
         labels = next
         converged = changed == 0
         iter += 1
       }
+      // the final round's blocks stay persisted — they back the returned
+      // frame; callers free them like any cached result
       labels.select(col("id"), col("label").as("component"))
     } finally edges.unpersist()
   }

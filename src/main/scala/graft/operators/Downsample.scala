@@ -72,8 +72,10 @@ object Downsample {
         posexplode(col("keep")).as(Seq("pos", "p")))
       .select(col("cap_key"), col("p._2").as("cap_id"),
         (col("pos") + 1).cast(IntegerType).as("sample_rank"))
+    // null-safe equality: a NULL key forms a normal window partition in
+    // capPerKey, so the join-back must not drop the NULL-key group
     df.join(keep,
-        df(keyCol) === keep("cap_key") && col(idCol) === keep("cap_id"))
+        df(keyCol) <=> keep("cap_key") && col(idCol) <=> keep("cap_id"))
       .drop("cap_key", "cap_id")
   }
 }

@@ -32,22 +32,29 @@ object Packing {
     *                  starts in
     *  - `seq_offset`— token offset of the doc inside that sequence
     *  - `n_spanned` — how many sequences the doc touches (>= 1; boundary
-    *                  straddlers have 2+)
-    * `nTokCol` must be a positive token (or char/byte) count. */
+    *                  straddlers have 2+; a zero-token doc counts as
+    *                  touching the sequence its position falls in)
+    * `nTokCol` is a non-negative token (or char/byte) count. */
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
                     budget: Long, shards: Int): DataFrame = {
     require(budget > 0 && shards > 0)
     val h = TextOps.hash64(concat(lit("pack#"), col(idCol).cast(StringType)))
     val w = Window.partitionBy("shard").orderBy(col("pack_hv"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("pack_hv", h)
+    // `__pack_n` pins the token count to a fixed internal name so the SQL
+    // `div` expressions never interpolate a caller-supplied column name
+    df.withColumn("__pack_n", col(nTokCol))
+      .withColumn("pack_hv", h)
       .withColumn("shard", pmod(col("pack_hv"), lit(shards.toLong)))
       .withColumn("pack_start",
-        coalesce(sum(col(nTokCol)).over(w), lit(0L)))
+        coalesce(sum(col("__pack_n")).over(w), lit(0L)))
       .withColumn("seq_idx", expr(s"pack_start div ${budget}L"))
       .withColumn("seq_offset", pmod(col("pack_start"), lit(budget)))
-      .withColumn("n_spanned",
-        expr(s"(pack_start + $nTokCol - 1) div ${budget}L") - col("seq_idx") + 1)
-      .drop("pack_hv", "pack_start")
+      // greatest(1): an empty doc's [start, start) interval has no last
+      // token — clamp so the >=1 span contract holds
+      .withColumn("n_spanned", greatest(lit(1L),
+        expr(s"(pack_start + __pack_n - 1) div ${budget}L")
+          - col("seq_idx") + 1))
+      .drop("pack_hv", "pack_start", "__pack_n")
   }
 }

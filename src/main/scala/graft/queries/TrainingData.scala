@@ -823,8 +823,9 @@ object TrainingData {
     // The full corpus-curation funnel as ONE declarative plan: quality
     // threshold -> exact dedup (keep lowest id per content hash) -> per-
     // domain cap -> deterministic split -> per-(lang, split) accounting.
-    // Catalyst pipelines the whole funnel; only the dedup/cap aggregations
-    // and the final agg shuffle. This is the shape of a production 100 TB
+    // Catalyst pipelines the whole funnel; only the dedup/cap window
+    // group-limits and the final agg shuffle. This is the shape of a
+    // production 100 TB
     // curation job (each stage already oracle-checked alone: q38/q30/q76/
     // q68).
     Q("q85_curation_funnel",

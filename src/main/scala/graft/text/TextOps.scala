@@ -126,6 +126,9 @@ object TextOps {
   /** 60-bit hash from md5 (cross-engine reproducible: DuckDB computes the
     * same md5 and the same hex->int value). 15 hex chars < 2^60: no sign
     * issues in a signed 64-bit long. */
+  def hash64(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+
   /** PII patterns (email, NANP-style phone, dotted-quad IPv4) — kept to
     * constructs where java.util.regex (Spark) and RE2 (DuckDB) agree:
     * literal classes, bounded repeats, \\b word boundaries; no lookaround,
@@ -147,9 +150,6 @@ object TextOps {
     val p = regexp_replace(e, phonePattern, "<PHONE>")
     regexp_replace(p, ipv4Pattern, "<IP>")
   }
-
-  def hash64(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
 
   /** Whole-document content fingerprint over normalized tokens. */
   def fingerprintMd5(text: Column): Column =

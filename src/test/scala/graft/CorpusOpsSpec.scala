@@ -131,4 +131,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(0) == (("mail <EMAIL> or <PHONE>; host <IP>.", 1, 1, 1)))
     assert(r(1) == (("no pii here, just 12345 and a-b", 0, 0, 0)))
   }
+
+  test("simhashBandedDups equals all-pairs when chunks don't divide bits") {
+    // bits=16, maxHamming=4 -> 5 chunks: a uniform ceil-width split would
+    // leave chunk 4 empty (bits 16..19 are zero for every signature), one
+    // universal bucket, and an all-pairs explosion; balanced widths
+    // (4,3,3,3,3) keep the pigeonhole guarantee AND the blocking
+    val sigs = graft.dedup.Dedup.simhash(
+      graft.sources.Sources.table(spark, sf, "documents")
+        .where(col("doc_id") < 128), "doc_id", "text", 16)
+    val banded = graft.dedup.Dedup.simhashBandedDups(sigs, "doc_id", 16, 4)
+    val allPairs = graft.dedup.Dedup.simhashNearDups(sigs, "doc_id", 4)
+    assert(banded.exceptAll(allPairs).isEmpty &&
+      allPairs.exceptAll(banded).isEmpty)
+  }
+
+  test("capPerKeyAgg keeps NULL-key groups (null-safe join-back)") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, None),
+      (5L, None)).toDF("doc_id", "source")
+    val viaWindow = Downsample.capPerKey(df, "source", "doc_id", 2)
+      .select("doc_id", "source", "sample_rank")
+    val viaAgg = Downsample.capPerKeyAgg(df, "source", "doc_id", 2)
+      .select("doc_id", "source", "sample_rank")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty)
+    assert(viaAgg.where(col("source").isNull).count() == 2)
+  }
 }
