@@ -55,4 +55,24 @@ object Incremental {
     val d = delta(incoming, accumulated)
     (d, append(accumulated, d))
   }
+
+  /** Incremental AGGREGATE maintenance: fold a delta's partial aggregates
+    * into an accumulated aggregate table without rescanning history — the
+    * materialized-view refresh pattern. Both inputs share the schema
+    * (keys..., measures...) where every measure is re-aggregable by SUM
+    * (counts, sums — for avg keep (sum, n); min/max fold with their own
+    * functions, not supported here). At 100 TB the history is never read:
+    * the merge shuffles |keys| x 2 aggregate rows, not the fact table —
+    * refresh cost is proportional to the DELTA, which is the entire point.
+    * Equality `merge(agg(old), agg(delta)) == agg(old ∪ delta)` holds
+    * because SUM is associative-commutative (exact for longs/decimals;
+    * see q94's oracle which recomputes from scratch). */
+  def mergeAggregates(acc: DataFrame, delta: DataFrame,
+                      keys: Seq[String]): DataFrame = {
+    val measures = acc.columns.filterNot(keys.contains)
+    acc.unionByName(delta.select(acc.columns.toIndexedSeq.map(col): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(measures.map(m => sum(col(m)).as(m)).toIndexedSeq.head,
+        measures.map(m => sum(col(m)).as(m)).toIndexedSeq.tail: _*)
+  }
 }

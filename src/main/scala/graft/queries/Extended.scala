@@ -731,7 +731,32 @@ object Extended {
              |  CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS sum_pq
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin))
-  )
+  ) :+ q94
+
+  /** Incremental aggregate maintenance (materialized-view refresh): the
+    * accumulated table's aggregates fold with the delta's via
+    * `Incremental.mergeAggregates` — history is never rescanned; the merge
+    * shuffles aggregate rows, not the fact. The oracle recomputes from
+    * scratch, asserting merge(agg(old), agg(delta)) == agg(all). */
+  private lazy val q94: Q =
+    Q("q94_incremental_agg",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        def aggOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast(dec)).as("sum_total"))
+        graft.delta.Incremental.mergeAggregates(
+          aggOf(orders.where(col("o_orderkey") % 4 =!= 1)),
+          aggOf(orders.where(col("o_orderkey") % 4 === 1)),
+          Seq("o_orderstatus"))
+          .select(col("o_orderstatus"), col("n"),
+            decStr(col("sum_total")).as("sum_total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS sum_total
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
   private lazy val corrSql: String =
     """SELECT c_custkey,

@@ -887,6 +887,84 @@ object TrainingData {
              |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM sp GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
 
+    // Token-id encoding against a learned frequency vocab — the tokenizer-
+    // apply step of a pretraining pipeline: vocab = top-1000 tokens by
+    // (freq desc, token), OOV -> -1. The vocab is dimension-sized and
+    // broadcasts; the explode/join/re-gather keeps token order via the
+    // (pos, tid) struct sort. Output rides as a comma string (the verify
+    // compare hashes scalar cells).
+    Q("q95_token_ids",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val freq = d.select(explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val vocab = freq.orderBy(col("n").desc, col("tok")).limit(1000)
+          .withColumn("tid", row_number().over(
+            Window.orderBy(col("n").desc, col("tok"))).cast(LongType) - 1)
+        val pos = d.select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
+        pos.join(broadcast(vocab.select("tok", "tid")), Seq("tok"), "left")
+          .withColumn("tid", coalesce(col("tid"), lit(-1L)))
+          .groupBy("doc_id")
+          .agg(
+            concat_ws(",", transform(
+              array_sort(collect_list(struct(col("pos"), col("tid")))),
+              p => p.getField("tid").cast(StringType))).as("ids"),
+            sum(when(col("tid") === -1L, 1L).otherwise(0L)).as("n_oov"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |freq AS (
+             |  SELECT tok, count(*) AS n
+             |  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+             |vocab AS (
+             |  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT) AS tid
+             |  FROM (SELECT * FROM freq ORDER BY n DESC, tok LIMIT 1000)),
+             |pos AS (
+             |  SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT)] AS tok
+             |  FROM d CROSS JOIN range(1, 1024) r(i) WHERE i <= len(toks)),
+             |enc AS (
+             |  SELECT p.doc_id, p.pos, coalesce(v.tid, -1) AS tid
+             |  FROM pos p LEFT JOIN vocab v ON v.tok = p.tok)
+             |SELECT doc_id,
+             |  string_agg(tid::VARCHAR, ',' ORDER BY pos) AS ids,
+             |  CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+             |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Overlapping context-window chunking (RAG indexing layout): 32-token
+    // chunks on a 24-token stride — chunk k covers tokens [24k, 24k+32).
+    // Pure map-side: sequence+explode per doc, slice per chunk; no shuffle
+    // anywhere, scan-speed at 100 TB.
+    Q("q96_context_chunks",
+      (s, dir) => {
+        val C = 32
+        val S = 24
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .withColumn("n", size(col("toks")))
+          .select(col("doc_id"), col("toks"), col("n"),
+            explode(sequence(lit(0), expr(s"(n - 1) div $S"))).as("k"))
+          .select(col("doc_id"), col("k").cast(IntegerType).as("chunk_idx"),
+            concat_ws(" ",
+              slice(col("toks"), col("k") * S + 1,
+                least(lit(C), col("n") - col("k") * S))).as("chunk"),
+            least(lit(C), col("n") - col("k") * S).cast(IntegerType)
+              .as("n_chunk_tokens"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents)
+             |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+             |  array_to_string(toks[CAST(k*24+1 AS INT):CAST(least(k*24+32, len(toks)) AS INT)], ' ') AS chunk,
+             |  CAST(least(32, len(toks) - k*24) AS INT) AS n_chunk_tokens
+             |FROM d CROSS JOIN range(0, 64) r(k)
+             |WHERE k*24 < len(toks)
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Semi-structured props: JSON field extraction.
     Q("q45_json_extract",
       (s, dir) => Sources.events(s, dir).select(
