@@ -74,6 +74,32 @@ object EventStreams {
                keys: Seq[String]): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
 
+  /** Stream-STREAM inner join with event-time interval bounds: each
+    * purchase joins the same user's views from the preceding hour. Both
+    * sides carry watermarks and the join condition bounds purchase_ts to
+    * [view_ts, view_ts + 1h], so Spark can expire view state older than
+    * watermark + interval and purchase state older than watermark —
+    * bounded state on BOTH sides regardless of stream volume (without the
+    * interval bound a stream-stream join must hold one side forever).
+    * The attribution-window join every event pipeline needs. */
+  def viewPurchaseAttribution(events: DataFrame,
+                              watermark: String = "2 hours"): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming exact dedup: drop repeated event_ids with state bounded by
     * the watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
     * twin of exact dedup (q30): at-least-once upstream delivery becomes
