@@ -56,6 +56,19 @@ object Incremental {
     (d, append(accumulated, d))
   }
 
+  /** SCD1 upsert (MERGE semantics, latest-wins): rows of `acc` whose key
+    * appears in `updates` are REPLACED by the update row; new keys append.
+    * Expressed as keys-only anti join + union — the key projection of the
+    * update set is the only thing the anti join shuffles against, and at
+    * 100 TB the updates side of an incremental merge is delta-sized, so
+    * the anti join broadcasts its build side. (The whole-row [[delta]] is
+    * the INSERT-only cousin; [[mergeAggregates]] the aggregate cousin;
+    * q83's lead() history the SCD2 cousin.) */
+  def upsertByKey(acc: DataFrame, updates: DataFrame,
+                  keys: Seq[String]): DataFrame =
+    acc.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(updates.select(acc.columns.toIndexedSeq.map(col): _*))
+
   /** Incremental AGGREGATE maintenance: fold a delta's partial aggregates
     * into an accumulated aggregate table without rescanning history — the
     * materialized-view refresh pattern. Both inputs share the schema

@@ -731,7 +731,7 @@ object Extended {
              |  CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS sum_pq
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin))
-  ) :+ q94
+  ) :+ q94 :+ q97 :+ q98
 
   /** Incremental aggregate maintenance (materialized-view refresh): the
     * accumulated table's aggregates fold with the delta's via
@@ -757,6 +757,49 @@ object Extended {
       Some("""SELECT o_orderstatus, count(*) AS n,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS sum_total
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** SCD1 upsert: an accumulated table with STALE rows (totalprice +1000
+    * on every key % 3 == 0) merges with fresh update rows for those keys —
+    * latest wins, the result must equal the source of truth, which is
+    * exactly what the oracle selects. */
+  private lazy val q97: Q =
+    Q("q97_upsert_scd1",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val stale = orders.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        val acc = orders.where(col("o_orderkey") % 3 =!= 0).unionByName(stale)
+        val fresh = orders.where(col("o_orderkey") % 3 === 0)
+        graft.delta.Incremental.upsertByKey(acc, fresh, Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT * FROM orders ORDER BY o_orderkey"))
+
+  /** In-plan JSON codec roundtrip: to_json(struct/array/nested) ->
+    * from_json(schema) -> field extraction must be lossless (the in-memory
+    * twin of q84's JSON-file roundtrip; doubles survive via shortest-repr
+    * printing). The oracle recomputes the fields directly from the base
+    * columns — equality proves the codec dropped nothing. */
+  private lazy val q98: Q =
+    Q("q98_json_codec_roundtrip",
+      (s, dir) => {
+        val j = to_json(struct(
+          col("event_id").as("id"), col("event_type").as("t"),
+          array(col("user_id"), pmod(col("event_id"), lit(7L))).as("xs"),
+          struct(col("value").as("v")).as("nest")))
+        val parsed = from_json(j,
+          org.apache.spark.sql.types.DataType.fromDDL(
+            "STRUCT<id: BIGINT, t: STRING, xs: ARRAY<BIGINT>, nest: STRUCT<v: DOUBLE>>"))
+        Sources.events(s, dir)
+          .select(col("event_id"), parsed.as("p"))
+          .select(col("event_id"), col("p.id").as("id"), col("p.t").as("t"),
+            get(col("p.xs"), lit(0)).as("x0"), get(col("p.xs"), lit(1)).as("x1"),
+            col("p.nest.v").as("v"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_id AS id, event_type AS t,
+             |  user_id AS x0, event_id % 7 AS x1, value AS v
+             |FROM events ORDER BY event_id""".stripMargin))
 
   private lazy val corrSql: String =
     """SELECT c_custkey,
