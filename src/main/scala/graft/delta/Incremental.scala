@@ -61,13 +61,34 @@ object Incremental {
     * Expressed as keys-only anti join + union — the key projection of the
     * update set is the only thing the anti join shuffles against, and at
     * 100 TB the updates side of an incremental merge is delta-sized, so
-    * the anti join broadcasts its build side. (The whole-row [[delta]] is
-    * the INSERT-only cousin; [[mergeAggregates]] the aggregate cousin;
-    * q83's lead() history the SCD2 cousin.) */
-  def upsertByKey(acc: DataFrame, updates: DataFrame,
-                  keys: Seq[String]): DataFrame =
-    acc.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      .unionByName(updates.select(acc.columns.toIndexedSeq.map(col): _*))
+    * the anti join broadcasts its build side. Key comparison is null-safe
+    * (`<=>`), the same invariant [[delta]] documents — with `===` a
+    * NULL-key row would never match and every upsert cycle would duplicate
+    * it. (The whole-row [[delta]] is the INSERT-only cousin;
+    * [[mergeAggregates]] the aggregate cousin; q83's lead() history the
+    * SCD2 cousin.)
+    *
+    * `latestBy`: when the update feed can carry SEVERAL versions of one
+    * key (raw CDC), pass the version/order column — updates are compacted
+    * to the max-`latestBy` row per key first (rank-filtered window: the
+    * group-limit-pushdown shape, see SCALING.md). With None, `updates`
+    * must already hold one row per key (a compacted feed) or every
+    * version would be appended and none would "win". */
+  def upsertByKey(acc: DataFrame, updates: DataFrame, keys: Seq[String],
+                  latestBy: Option[Column] = None): DataFrame = {
+    val compacted = latestBy match {
+      case Some(ord) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(ord.desc)
+        updates.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+      case None => updates
+    }
+    val keyRows = compacted.select(keys.map(col): _*).distinct()
+    val cond = keys.map(k => acc(k) <=> keyRows(k)).reduce(_ && _)
+    acc.join(keyRows, cond, "left_anti")
+      .unionByName(compacted.select(acc.columns.toIndexedSeq.map(col): _*))
+  }
 
   /** Incremental AGGREGATE maintenance: fold a delta's partial aggregates
     * into an accumulated aggregate table without rescanning history — the
@@ -83,9 +104,11 @@ object Incremental {
   def mergeAggregates(acc: DataFrame, delta: DataFrame,
                       keys: Seq[String]): DataFrame = {
     val measures = acc.columns.filterNot(keys.contains)
+    require(measures.nonEmpty,
+      s"mergeAggregates needs at least one measure column beyond keys $keys")
+    val aggs = measures.toIndexedSeq.map(m => sum(col(m)).as(m))
     acc.unionByName(delta.select(acc.columns.toIndexedSeq.map(col): _*))
       .groupBy(keys.map(col): _*)
-      .agg(measures.map(m => sum(col(m)).as(m)).toIndexedSeq.head,
-        measures.map(m => sum(col(m)).as(m)).toIndexedSeq.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 }

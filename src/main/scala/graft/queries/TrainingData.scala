@@ -888,8 +888,11 @@ object TrainingData {
              |FROM sp GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
 
     // Token-id encoding against a learned frequency vocab — the tokenizer-
-    // apply step of a pretraining pipeline: vocab = top-1000 tokens by
-    // (freq desc, token), OOV -> -1. The vocab is dimension-sized and
+    // apply step of a pretraining pipeline: vocab = top-20 tokens by
+    // (freq desc, token), OOV -> -1. The cap is 20, BELOW the corpus's 31
+    // distinct tokens, precisely so the OOV branch actually fires and is
+    // oracle-checked (a top-1000 vocab would swallow the whole alphabet
+    // and leave the -1 path dead). The vocab is dimension-sized and
     // broadcasts; the explode/join/re-gather keeps token order via the
     // (pos, tid) struct sort. Output rides as a comma string (the verify
     // compare hashes scalar cells).
@@ -899,9 +902,9 @@ object TrainingData {
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         val freq = d.select(explode(col("toks")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("n"))
-        val vocab = freq.orderBy(col("n").desc, col("tok")).limit(1000)
-          .withColumn("tid", row_number().over(
-            Window.orderBy(col("n").desc, col("tok"))).cast(LongType) - 1)
+        val vocab = graft.ops.ColumnOps.withSurrogateKey(
+          freq.orderBy(col("n").desc, col("tok")).limit(20),
+          "tid", col("n").desc, col("tok"))
         val pos = d.select(col("doc_id"),
           posexplode(col("toks")).as(Seq("pos", "tok")))
         pos.join(broadcast(vocab.select("tok", "tid")), Seq("tok"), "left")
@@ -922,7 +925,7 @@ object TrainingData {
              |  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
              |vocab AS (
              |  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT) AS tid
-             |  FROM (SELECT * FROM freq ORDER BY n DESC, tok LIMIT 1000)),
+             |  FROM (SELECT * FROM freq ORDER BY n DESC, tok LIMIT 20)),
              |pos AS (
              |  SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT)] AS tok
              |  FROM d CROSS JOIN range(1, 1024) r(i) WHERE i <= len(toks)),

@@ -52,4 +52,26 @@ class DeltaSpec extends SparkSpec {
     val pruned = Incremental.deltaPartitionPruned(inc, acc, "o_orderstatus")
     assert(plain.exceptAll(pruned).isEmpty && pruned.exceptAll(plain).isEmpty)
   }
+
+  test("upsertByKey: CDC feed with several versions per key keeps only the latest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val acc = Seq((1L, "old1", 10), (2L, "old2", 10)).toDF("k", "v", "ver")
+    val cdc = Seq((1L, "v11", 11), (1L, "v12", 12), (3L, "v31", 11))
+      .toDF("k", "v", "ver")
+    val merged = Incremental.upsertByKey(acc, cdc, Seq("k"),
+      latestBy = Some(col("ver")))
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(merged.toSeq === Seq((1L, "v12", 12), (2L, "old2", 10),
+      (3L, "v31", 11)))
+  }
+
+  test("upsertByKey replaces NULL-key rows instead of duplicating them") {
+    import spark.implicits._
+    val acc = Seq((Some(1L), "a-old"), (None, "null-old")).toDF("k", "v")
+    val upd = Seq((Some(1L), "a-new"), (None, "null-new")).toDF("k", "v")
+    val merged = Incremental.upsertByKey(acc, upd, Seq("k"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(merged === Set((Some(1L), "a-new"), (None, "null-new")))
+  }
 }
