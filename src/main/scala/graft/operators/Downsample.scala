@@ -29,6 +29,28 @@ object Downsample {
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
   }
 
+  /** Deterministic per-stratum Bernoulli sampling — corpus MIXING: "keep
+    * 80% of web, 30% of forums, 100% of wiki" as one map-side predicate.
+    * Membership is a pure function of the row id (hash bucket in [0,10000)
+    * vs the stratum's rate in basis points), so the mix is reproducible
+    * across runs/engines/partitionings and REFINABLE: lowering a rate
+    * yields a strict subset of the previous sample (the kept buckets are a
+    * prefix). Strata absent from `bps` default to 0 (dropped) — an
+    * explicit mix is a whitelist. Zero shuffle; at 100 TB this is a scan-
+    * speed filter that composes with pushdown. */
+  def mixByWeight(df: DataFrame, strataCol: String, idCol: String,
+                  bps: Map[String, Int]): DataFrame = {
+    bps.values.foreach(r => require(r >= 0 && r <= 10000,
+      s"rate must be basis points in [0, 10000], got $r"))
+    val bucket = pmod(
+      TextOps.hash64(concat(lit("mix#"), col(idCol).cast(StringType))),
+      lit(10000))
+    val rate = bps.foldLeft(lit(0)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, r).otherwise(acc)
+    }
+    df.where(bucket < rate)
+  }
+
   /** Cap rows per `keyCol` at k, ordered by hash of `idCol` (id as the
     * final tiebreak makes the selection total and deterministic). Output
     * keeps all input columns plus `sample_rank` in [1, k].

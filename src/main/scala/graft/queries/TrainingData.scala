@@ -968,6 +968,33 @@ object TrainingData {
              |WHERE k*24 < len(toks)
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Corpus mixing: deterministic per-source sampling weights (the LLM
+    // data-mixing step — "3 parts web, 1 part forums, all of wiki"). The
+    // hash-bucket predicate is engine-portable, so the oracle applies the
+    // SAME membership function; per-(source, kept) accounting shows the
+    // realized rates. Sources not in the mix drop to 0.
+    Q("q99_corpus_mix",
+      (s, dir) => {
+        val mix = Map("src0" -> 10000, "src1" -> 8000, "src2" -> 5000,
+          "src3" -> 2500, "src4" -> 500)
+        graft.operators.Downsample.mixByWeight(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", mix)
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, source,
+             |    ('0x'||substr(md5('mix#' || doc_id::VARCHAR),1,15))::BIGINT % 10000 AS bucket
+             |  FROM documents),
+             |rates(source, bp) AS (VALUES
+             |  ('src0', 10000), ('src1', 8000), ('src2', 5000),
+             |  ('src3', 2500), ('src4', 500))
+             |SELECT b.source, count(*) AS n_kept
+             |FROM b JOIN rates r ON b.source = r.source
+             |WHERE b.bucket < r.bp
+             |GROUP BY b.source ORDER BY b.source""".stripMargin)),
+
     // Semi-structured props: JSON field extraction.
     Q("q45_json_extract",
       (s, dir) => Sources.events(s, dir).select(

@@ -158,4 +158,20 @@ class CorpusOpsSpec extends SparkSpec {
       viaWindow.exceptAll(viaAgg).isEmpty)
     assert(viaAgg.where(col("source").isNull).count() == 2)
   }
+
+  test("mixByWeight: refinement property — lower rate selects a strict subset") {
+    import spark.implicits._
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .select("doc_id", "source")
+    val wide = graft.operators.Downsample.mixByWeight(
+      docs, "source", "doc_id", Map("src0" -> 8000, "src1" -> 8000))
+    val narrow = graft.operators.Downsample.mixByWeight(
+      docs, "source", "doc_id", Map("src0" -> 3000, "src1" -> 8000))
+    // narrowing src0 keeps a subset of its rows and leaves src1 untouched
+    assert(narrow.exceptAll(wide).isEmpty)
+    assert(narrow.where(col("source") === "src1").count() ===
+      wide.where(col("source") === "src1").count())
+    // unlisted sources are dropped entirely
+    assert(wide.where(!col("source").isin("src0", "src1")).count() === 0)
+  }
 }
