@@ -100,4 +100,32 @@ object Sources {
   /** S7 — catalog metadata (reference queried INFORMATION_SCHEMA.TABLES,
     * dags/test_connection.py:16-21). */
   def listTables(spark: SparkSession): DataFrame = spark.sql("SHOW TABLES")
+
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetFileBytes` (sized from the CURRENT on-disk bytes, so the
+    * output file count adapts to the data). Streaming sinks and
+    * incremental appends accumulate thousands of small files; at 100 TB
+    * that is a scan-planning and NameNode/listing tax every downstream
+    * job pays, so periodic compaction is a standing maintenance op.
+    * Write-to-sibling + delete + rename keeps readers from observing a
+    * half-written directory, but this is NOT transactional against
+    * concurrent writers — that isolation is what table formats add on
+    * top; a compaction job owns its table's maintenance window. Returns
+    * the new file count. */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
+    n
+  }
 }

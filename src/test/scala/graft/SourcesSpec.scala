@@ -43,4 +43,18 @@ class SourcesSpec extends SparkSpec {
     val back = Sources.csv(spark, dir + "/t", src.schema)
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
+
+  test("compactParquet collapses a fragmented directory, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val orders = Sources.table(spark, sf, "orders")
+    orders.repartition(40).write.mode("overwrite").parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 40)
+    val n = Sources.compactParquet(spark, dir) // 128MB target >> input
+    assert(n == 1 && parquetFiles == 1)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == orders.count())
+    assert(after.exceptAll(orders).isEmpty && orders.exceptAll(after).isEmpty)
+  }
 }
