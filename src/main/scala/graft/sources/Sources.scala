@@ -101,31 +101,62 @@ object Sources {
     * dags/test_connection.py:16-21). */
   def listTables(spark: SparkSession): DataFrame = spark.sql("SHOW TABLES")
 
-  /** Small-file compaction: rewrite a parquet directory into files of
+  /** Small-file compaction: rewrite a FLAT parquet directory into files of
     * ~`targetFileBytes` (sized from the CURRENT on-disk bytes, so the
-    * output file count adapts to the data). Streaming sinks and
-    * incremental appends accumulate thousands of small files; at 100 TB
-    * that is a scan-planning and NameNode/listing tax every downstream
-    * job pays, so periodic compaction is a standing maintenance op.
-    * Write-to-sibling + delete + rename keeps readers from observing a
-    * half-written directory, but this is NOT transactional against
-    * concurrent writers — that isolation is what table formats add on
-    * top; a compaction job owns its table's maintenance window. Returns
-    * the new file count. */
+    * output file count adapts to the data). Incremental batch appends
+    * (e.g. [[graft.streaming.EventStreams.deltaAppendSink]]'s foreachBatch
+    * parquet appends) accumulate thousands of small files; at 100 TB that
+    * is a scan-planning and listing tax every downstream job pays, so
+    * periodic compaction is a standing maintenance op.
+    *
+    * Guard rails (each a real data-loss mode without it):
+    *  - refuses a `_spark_metadata` dir (a FileStreamSink's exactly-once
+    *    log: deleting it silently hides pre-compaction data from
+    *    log-aware readers — such sinks need log-aware compaction);
+    *  - refuses a directory with no top-level .parquet files (a
+    *    PARTITIONED table: compact each partition directory instead —
+    *    rewriting through the root would collapse the layout and its
+    *    pruning);
+    *  - tmp path derives from the normalized Path, never string concat
+    *    (a trailing slash would nest tmp INSIDE the source and the swap
+    *    would delete both copies);
+    *  - already-compact directories return without rewriting.
+    * The delete+rename swap is crash-windowed, not atomic: a crash
+    * between the two strands the (complete) data under `__compacting`,
+    * and a rerun auto-completes the swap. NOT safe against concurrent
+    * writers — that isolation is what table formats add on top; a
+    * compaction job owns its table's maintenance window. Returns the
+    * resulting file count. */
   def compactParquet(spark: SparkSession, path: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetFileBytes > 0)
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(hPath)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
-    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
-    spark.read.parquet(path).repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hPath, true)
-    require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
+      dir.getName + "__compacting")
+    if (fs.exists(tmp)) {
+      if (!fs.exists(dir)) { // crashed between delete and rename: complete it
+        require(fs.rename(tmp, dir), s"recovery rename $tmp -> $dir failed")
+      } else fs.delete(tmp, true) // stale tmp from a crashed write phase
+    }
+    val entries = fs.listStatus(dir)
+    require(!entries.exists(_.getPath.getName == "_spark_metadata"),
+      s"$dir is a streaming FileStreamSink (has _spark_metadata); " +
+        "compacting it would orphan the exactly-once log")
+    val files = entries.filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty,
+      s"$dir has no top-level parquet files — for a partitioned table, " +
+        "compact each partition directory")
+    val bytes = files.map(_.getLen).sum
+    val nL = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    require(nL <= Int.MaxValue, s"$nL output files: raise targetFileBytes")
+    val n = nL.toInt
+    if (files.length <= n) return files.length // already compact: no rewrite
+    writeParquet(spark.read.parquet(dir.toString).repartition(n), tmp.toString)
+    require(fs.delete(dir, true), s"delete of $dir failed")
+    require(fs.rename(tmp, dir), s"rename $tmp -> $dir failed")
     n
   }
 }

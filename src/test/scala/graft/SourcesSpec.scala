@@ -51,10 +51,27 @@ class SourcesSpec extends SparkSpec {
     def parquetFiles = new java.io.File(dir).listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(parquetFiles == 40)
-    val n = Sources.compactParquet(spark, dir) // 128MB target >> input
+    val n = Sources.compactParquet(spark, dir + "/") // trailing slash must be safe
     assert(n == 1 && parquetFiles == 1)
     val after = spark.read.parquet(dir)
     assert(after.count() == orders.count())
     assert(after.exceptAll(orders).isEmpty && orders.exceptAll(after).isEmpty)
+    // already compact: no rewrite, same count reported
+    assert(Sources.compactParquet(spark, dir) == 1 && parquetFiles == 1)
+  }
+
+  test("compactParquet refuses partitioned and streaming-sink directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    Sources.table(spark, sf, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val e = intercept[IllegalArgumentException](Sources.compactParquet(spark, dir))
+    assert(e.getMessage.contains("partition"))
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_compact_sink").toString
+    Sources.table(spark, sf, "region").coalesce(1)
+      .write.mode("overwrite").parquet(sinkDir)
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(sinkDir, "_spark_metadata"))
+    val e2 = intercept[IllegalArgumentException](Sources.compactParquet(spark, sinkDir))
+    assert(e2.getMessage.contains("_spark_metadata"))
   }
 }
