@@ -100,4 +100,26 @@ class PropertySpec extends SparkSpec {
     }
     check(p, n = 8)
   }
+
+  test("banded simhash == all-pairs for ANY legal (bits, maxHamming)") {
+    import spark.implicits._
+    // fixed deterministic signature table; the property quantifies over the
+    // chunking parameters (the pigeonhole argument must hold for all of
+    // them, including non-divisible widths and the chunks == bits edge)
+    val sigs = (0L until 48L)
+      .map(i => (i, (i * 2654435761L) & 0xFFFFFL)) // 20-bit signatures
+      .toDF("doc_id", "simhash").cache()
+    val gen = for {
+      bits <- Gen.choose(8, 20)
+      d <- Gen.choose(1, 5) if d + 1 <= bits
+    } yield (bits, d)
+    val p = Prop.forAll(gen) { case (bits, d) =>
+      val masked = sigs.select(col("doc_id"),
+        (col("simhash") % (1L << bits)).as("simhash"))
+      val banded = graft.dedup.Dedup.simhashBandedDups(masked, "doc_id", bits, d)
+      val allPairs = graft.dedup.Dedup.simhashNearDups(masked, "doc_id", d)
+      banded.exceptAll(allPairs).isEmpty && allPairs.exceptAll(banded).isEmpty
+    }
+    check(p, n = 10)
+  }
 }
