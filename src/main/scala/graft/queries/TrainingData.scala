@@ -76,15 +76,19 @@ object TrainingData {
 
     // MinHash-LSH candidate pairs: 4 bands x 4 rows; docs meet only on a
     // shared band bucket (join fan-out bounded by bucket size, not n^2).
+    // Bound 1024 (not 256): the sf0.1 corpus's planted near-dups are
+    // spread thinner, and a candidate query that finds ZERO pairs at the
+    // grading scale factor exercises nothing — 1024 yields pairs at all
+    // three SFs (28/25/7).
     Q("q32_minhash_lsh_candidates",
       (s, dir) => {
-        val docs = t(s, dir, "documents").where(col("doc_id") < 256)
+        val docs = t(s, dir, "documents").where(col("doc_id") < 1024)
         Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)
           .orderBy("id_a", "id_b")
       },
       Some("""WITH d AS (
              |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-             |  FROM documents WHERE doc_id < 256),
+             |  FROM documents WHERE doc_id < 1024),
              |sh AS (
              |  SELECT DISTINCT doc_id, u.s AS shingle
              |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
@@ -209,13 +213,14 @@ object TrainingData {
              |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
     // Pairwise n-gram Jaccard on distinct 3-gram shingle sets.
+    // Bound 1024 for the same reason as q32: nonzero pairs at every SF.
     Q("q34_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(
-        t(s, dir, "documents").where(col("doc_id") < 256), "doc_id", "text",
+        t(s, dir, "documents").where(col("doc_id") < 1024), "doc_id", "text",
         3, 0.2).orderBy("id_a", "id_b"),
       Some("""WITH d AS (
              |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-             |  FROM documents WHERE doc_id < 256),
+             |  FROM documents WHERE doc_id < 1024),
              |sh AS (
              |  SELECT DISTINCT doc_id, u.s AS shingle
              |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
