@@ -214,6 +214,15 @@ object Dedup {
     def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     def freeIds(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // materialize the edges cache BEFORE the first snapshot: persist() only
+    // registers the RDD at first materialization, so without this count the
+    // edges cache would register DURING the initial label checkpoint job,
+    // land in that round's id set, and get freed after round 1 — every
+    // later round would then recompute the union+distinct from the pairs
+    // input. (The id-set diffing assumes this loop is the only code
+    // persisting RDDs on the session during the rounds — same session-
+    // owned-cache assumption as minhashLsh's persistIntermediate.)
+    edges.count()
     val before0 = persistedIds
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

@@ -71,15 +71,18 @@ object Incremental {
     * `latestBy`: when the update feed can carry SEVERAL versions of one
     * key (raw CDC), pass the version/order column — updates are compacted
     * to the max-`latestBy` row per key first (rank-filtered window: the
-    * group-limit-pushdown shape, see SCALING.md). With None, `updates`
-    * must already hold one row per key (a compacted feed) or every
-    * version would be appended and none would "win". */
+    * group-limit-pushdown shape, see SCALING.md). Ties on `latestBy` break
+    * on a whole-row hash, so the winner is a pure function of the data,
+    * never of partition order (the repo-wide window-determinism rule).
+    * With None, `updates` must already hold one row per key (a compacted
+    * feed) or every version would be appended and none would "win". */
   def upsertByKey(acc: DataFrame, updates: DataFrame, keys: Seq[String],
                   latestBy: Option[Column] = None): DataFrame = {
     val compacted = latestBy match {
       case Some(ord) =>
+        val tiebreak = xxhash64(updates.columns.toIndexedSeq.map(col): _*)
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*).orderBy(ord.desc)
+          .partitionBy(keys.map(col): _*).orderBy(ord.desc, tiebreak.asc)
         updates.withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
       case None => updates

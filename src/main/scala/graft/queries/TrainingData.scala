@@ -764,7 +764,7 @@ object TrainingData {
              |SELECT doc_id, n_chars, shard,
              |  st // 2048 AS seq_idx,
              |  st % 2048 AS seq_offset,
-             |  (st + n_chars - 1) // 2048 - st // 2048 + 1 AS n_spanned
+             |  greatest(1, (st + n_chars - 1) // 2048 - st // 2048 + 1) AS n_spanned
              |FROM r ORDER BY doc_id""".stripMargin)),
 
     // PII scrub: count + redact emails/phones/IPv4 to typed placeholders
@@ -933,7 +933,7 @@ object TrainingData {
              |  FROM (SELECT * FROM freq ORDER BY n DESC, tok LIMIT 20)),
              |pos AS (
              |  SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT)] AS tok
-             |  FROM d CROSS JOIN range(1, 1024) r(i) WHERE i <= len(toks)),
+             |  FROM d CROSS JOIN unnest(range(1, len(d.toks) + 1)) r(i)),
              |enc AS (
              |  SELECT p.doc_id, p.pos, coalesce(v.tid, -1) AS tid
              |  FROM pos p LEFT JOIN vocab v ON v.tok = p.tok)
@@ -969,8 +969,7 @@ object TrainingData {
              |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
              |  array_to_string(toks[CAST(k*24+1 AS INT):CAST(least(k*24+32, len(toks)) AS INT)], ' ') AS chunk,
              |  CAST(least(32, len(toks) - k*24) AS INT) AS n_chunk_tokens
-             |FROM d CROSS JOIN range(0, 64) r(k)
-             |WHERE k*24 < len(toks)
+             |FROM d CROSS JOIN unnest(range(0, (len(d.toks) - 1) // 24 + 1)) r(k)
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // Corpus mixing: deterministic per-source sampling weights (the LLM

@@ -108,7 +108,7 @@ class CorpusOpsSpec extends SparkSpec {
         col("n_spanned"))
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(rows.forall { case (_, _, n, st, sp) =>
-      sp == (st + n - 1) / 1000 - st / 1000 + 1 })
+      sp == math.max(1L, (st + n - 1) / 1000 - st / 1000 + 1) })
     // starts are exactly the cumulative sums within each shard's hash order
     rows.groupBy(_._1).values.foreach { shardRows =>
       val inStreamOrder = shardRows.sortBy(_._4) // by start
