@@ -235,8 +235,10 @@ object Dedup {
         val nbrMin = edges
           .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
           .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+        // carry the pre-round label as `prev` so convergence detection is a
+        // filter over the checkpointed frame, not an extra join per round
         val stepped = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
+          .select(col("id"), col("label").as("prev"),
             least(col("label"), coalesce(col("nlabel"), col("label")))
               .as("label"))
         // pointer jumping: a label is always a node id, and that node's own
@@ -246,14 +248,12 @@ object Dedup {
         val next = stepped
           .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
             stepped("label") === col("jid"), "left")
-          .select(stepped("id"),
+          .select(stepped("id"), stepped("prev"),
             coalesce(col("jlabel"), stepped("label")).as("label"))
           .localCheckpoint(true)
         val nextIds = persistedIds -- before
         // one-row driver read: any label still shrinking?
-        val changed = next
-          .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
-          .where(col("label") < col("prev")).limit(1).count()
+        val changed = next.where(col("label") < col("prev")).limit(1).count()
         freeIds(prevIds) // round r-1's snapshot: no longer referenced
         prevIds = nextIds
         labels = next
