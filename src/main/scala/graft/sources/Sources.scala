@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Sources and sinks (SURVEY.md §2.1, S1-S8).
@@ -84,6 +84,38 @@ object Sources {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** ORC scan with explicit schema — same no-inference rule as [[json]];
+    * ORC is the other columnar interchange format warehouses exchange
+    * (predicate pushdown and column pruning work as for parquet). */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC sink. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Binary-file ingestion for multimodal corpora: each file under `dir`
+    * matching `glob` becomes one row of (media_id, kind, content) — the
+    * input shape of [[graft.multimodal.Multimodal.withMetadata]] and the
+    * decode path. `media_id` is the 60-bit hash of the file path
+    * (deterministic across runs; collision odds negligible below ~2^30
+    * files) and `kind` is the lowercased filename extension. Spark's
+    * binaryFile source splits FILES across executors but never one file,
+    * so huge media files bound per-task memory — production corpora pack
+    * small media into parquet blob tables (the layout Multimodal's
+    * SCALE DESIGN notes describe) and use this reader for the initial
+    * ingest hop only. */
+  def binaryMedia(spark: SparkSession, dir: String,
+                  glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        graft.text.TextOps.hash64(functions.col("path")).as("media_id"),
+        functions.lower(functions.element_at(
+          functions.split(functions.col("path"), "\\."), -1)).as("kind"),
+        functions.col("content"))
 
   /** S6 — JDBC warehouse sink (reference: Azure SQL via ODBC,
     * dags/test_connection.py:7-12). Config-driven; no driver is bundled in

@@ -74,4 +74,35 @@ class SourcesSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](Sources.compactParquet(spark, sinkDir))
     assert(e2.getMessage.contains("_spark_metadata"))
   }
+
+  test("ORC roundtrip is lossless") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val sub = Sources.table(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    Sources.writeOrc(sub, dir)
+    val back = Sources.orc(spark, dir, sub.schema)
+    assert(back.exceptAll(sub).isEmpty && sub.exceptAll(back).isEmpty)
+  }
+
+  test("binaryMedia ingests files as (media_id, kind, content) rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    val payloads = Map("a.jpg" -> "fake-jpeg-bytes", "b.wav" -> "fake-wav",
+      "c.mp4" -> "fake-video", "skip.txt" -> "not-media")
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(dir.resolve(name), bytes.getBytes("UTF-8"))
+    }
+    val media = Sources.binaryMedia(spark, dir.toString, "*.{jpg,wav,mp4}")
+    val rows = media.withColumn("text", col("content").cast("string"))
+      .select("kind", "text").as[(String, String)].collect().toSet
+    assert(rows === Set(("jpg", "fake-jpeg-bytes"), ("wav", "fake-wav"),
+      ("mp4", "fake-video")))
+    // ids deterministic + distinct; plugs straight into the metadata path
+    val meta = graft.multimodal.Multimodal.withMetadata(media)
+    assert(meta.select("media_id").distinct().count() == 3)
+    assert(meta.where(col("n_bytes") <= 0).count() == 0)
+    val again = Sources.binaryMedia(spark, dir.toString, "*.{jpg,wav,mp4}")
+    assert(media.select("media_id").exceptAll(again.select("media_id")).isEmpty)
+  }
 }
