@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parseability of Bench's one-line JSON contract (rounds 1-3 all
+// failed it): the default LoggedOutput strategy prefixes every forked
+// stdout line with "[info] " and sbt appends "[success] Total time ..."
+// after the task — so the driver's "last stdout line is the JSON" parse
+// never succeeded. StdoutOutput passes the forked process's stdout/stderr
+// through verbatim, and showSuccess/showTiming drop the trailer, leaving
+// the bare JSON as the genuinely last stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+// showSuccess/showTiming are read by sbt's command engine, which the
+// lintUnused scan can't see — exclude them or every invocation logs a
+// false-positive [warn] block (more capture-window noise).
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
