@@ -254,6 +254,40 @@ object TrainingData {
              |WHERE list_cosine_similarity(a.v, b.v) > 0.3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Bucketed embedding near-dup pairs — q35's 100 TB path: sign-LSH
+    // signatures, pigeonhole-banded candidate generation (equi-join on
+    // signature chunks, never |corpus|² — the simhashBandedDups structure
+    // applied to embeddings), cosine-verify only the collisions. Near-dups
+    // are PLANTED (the q30 pattern): each vec_id < 300 gets a copy at
+    // id+10000 with dimension 0 zeroed — cosine(orig, copy) >= 0.92 on
+    // this corpus while the max random pair is ~0.60, and only sign bit 0
+    // can differ, so Hamming(orig, copy) <= 1 DETERMINISTICALLY and the
+    // banded result at maxMismatch=2 equals the all-pairs form — the
+    // oracle is therefore exactly q35's all-pairs SQL over the planted
+    // corpus (recall-complete by construction, not by measurement).
+    Q("q100_embedding_neardup_bucketed",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").where(col("vec_id") < 300)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val planted = e.select((col("id") + 10000).as("id"),
+          transform(col("vec"),
+            (x, i) => when(i === 0, lit(0f)).otherwise(x)).as("vec"))
+        Similarity.lshNearDupPairs(e.unionByName(planted), 0.8, 16, 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings WHERE vec_id < 300),
+             |z AS (SELECT id + 10000 AS id,
+             |             list_transform(v, (x, i) -> CASE WHEN i = 1
+             |               THEN CAST(0 AS DOUBLE) ELSE x END) AS v
+             |      FROM e),
+             |allv AS (SELECT * FROM e UNION ALL SELECT * FROM z)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |       list_cosine_similarity(a.v, b.v) AS sim
+             |FROM allv a JOIN allv b ON a.id < b.id
+             |WHERE list_cosine_similarity(a.v, b.v) > 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Deterministic stratified train/val/test split: content-hash bucket
     // (never Math.random — reproducible across runs/clusters/engines) with
     // per-language stratification counts. The same predicate is a 10%

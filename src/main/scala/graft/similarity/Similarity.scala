@@ -207,13 +207,56 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above a threshold (the
     * embedding-space cousin of MinHash dedup). All-pairs within the given
-    * frame — restrict the input to candidates/samples at scale. */
+    * frame — verification-size inputs only (oracle suites, candidate
+    * rechecks). The scale path is [[lshNearDupPairs]]. */
   def cosineNearDups(vecs: DataFrame, threshold: Double): DataFrame = {
     val a = vecs.select(col("id").as("id_a"), col("vec").as("va"),
       norm(col("vec")).as("na"))
     val b = vecs.select(col("id").as("id_b"), col("vec").as("vb"),
       norm(col("vec")).as("nb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("sim") > threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Bucketed embedding near-duplicate pairs — the 100 TB path for
+    * [[cosineNearDups]], structured exactly like
+    * [[graft.dedup.Dedup.simhashBandedDups]]: reduce each vector to a
+    * `bits`-bit sign-LSH signature ([[signBucket]] — 8 bytes per doc),
+    * generate candidate pairs by pigeonhole banding over the signatures
+    * (two signatures within Hamming distance `maxMismatch` MUST agree
+    * exactly on one of `maxMismatch + 1` balanced chunks, so candidates
+    * are an equi-join on (chunk_idx, chunk_value) — fan-out bounded by
+    * chunk-bucket sizes, never |corpus|²), then join the candidate id
+    * pairs back to the vectors and keep pairs with cosine > `threshold`.
+    *
+    * Contract: returns EXACTLY the pairs with cosine > threshold AND
+    * sign-signature Hamming distance <= maxMismatch — the banding stage
+    * is lossless for that set (pigeonhole, no probabilistic recall), and
+    * the Hamming bound is the only approximation vs the all-pairs form.
+    * Sign-LSH concentrates near-duplicates at small Hamming distance
+    * (collision probability per bit is angle/pi — a cosine-0.95 pair
+    * flips a given bit with p ~= 0.1), so a small `maxMismatch` captures
+    * genuine near-dups while the banding prunes the random mass; recall
+    * vs the unbounded set is data-dependent and should be measured on a
+    * sample (SCALING.md "Embedding near-dup pairs" has the measured
+    * numbers for the test corpus).
+    *
+    * Scale shape: the shuffle for candidate generation carries
+    * (chunk_idx, chunk_value, id, sig) — ~28 bytes/doc/chunk, never a
+    * vector; vectors move only for the final per-candidate cosine check,
+    * twice a |candidates|-bounded hash join. */
+  def lshNearDupPairs(vecs: DataFrame, threshold: Double, bits: Int,
+                      maxMismatch: Int): DataFrame = {
+    val sigs = vecs.select(col("id"), signBucket(col("vec"), bits).as("simhash"))
+    val cand = graft.dedup.Dedup.simhashBandedDups(sigs, "id", bits, maxMismatch)
+      .select("id_a", "id_b")
+    val va = vecs.select(col("id").as("id_a"), col("vec").as("va"),
+      norm(col("vec")).as("na"))
+    val vb = vecs.select(col("id").as("id_b"), col("vec").as("vb"),
+      norm(col("vec")).as("nb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("sim") > threshold)
       .select("id_a", "id_b", "sim")

@@ -146,6 +146,26 @@ class CorpusOpsSpec extends SparkSpec {
       allPairs.exceptAll(banded).isEmpty)
   }
 
+  test("lshNearDupPairs recovers planted near-dups exactly (q100 shape)") {
+    // plant a near-dup per vector (dimension 0 zeroed — only sign bit 0
+    // can differ, so Hamming <= 1 and maxMismatch=2 is recall-complete
+    // by construction); the banded path must equal the all-pairs form
+    val e = graft.sources.Sources.table(spark, sf, "embeddings")
+      .where(col("vec_id") < 100)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val planted = e.select((col("id") + 10000).as("id"),
+      transform(col("vec"),
+        (x, i) => when(i === 0, lit(0f)).otherwise(x)).as("vec"))
+    val corpus = e.unionByName(planted).cache()
+    try {
+      val banded = Similarity.lshNearDupPairs(corpus, 0.8, 16, 2)
+      val allPairs = Similarity.cosineNearDups(corpus, 0.8)
+      assert(banded.exceptAll(allPairs).isEmpty &&
+        allPairs.exceptAll(banded).isEmpty)
+      assert(banded.count() === 100) // exactly the planted pairs
+    } finally corpus.unpersist()
+  }
+
   test("capPerKeyAgg keeps NULL-key groups (null-safe join-back)") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, None),

@@ -122,4 +122,36 @@ class PropertySpec extends SparkSpec {
     }
     check(p, n = 10)
   }
+
+  test("bucketed cosine near-dups == Hamming-bounded all-pairs, any config") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    // fixed deterministic vector table; the property quantifies over
+    // (bits, maxMismatch, threshold) — lshNearDupPairs' contract is exact
+    // equality with the all-pairs form RESTRICTED to the sign-Hamming
+    // bound, for every legal config (not just recall-complete ones)
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.fill(12)(rnd.nextFloat() * 2f - 1f).toSeq))
+      .toDF("id", "vec").cache()
+    val gen = for {
+      bits <- Gen.choose(4, 12)
+      m <- Gen.choose(1, 5) if m + 1 <= bits
+      thr <- Gen.oneOf(-0.2, 0.0, 0.2, 0.5)
+    } yield (bits, m, thr)
+    val p = Prop.forAll(gen) { case (bits, m, thr) =>
+      val banded = Similarity.lshNearDupPairs(vecs, thr, bits, m)
+      // independent reference: all-pairs cosine, then an explicit Hamming
+      // filter over the same sign signatures
+      val sigs = vecs.select(col("id"),
+        Similarity.signBucket(col("vec"), bits).as("sig"))
+      val ref = Similarity.cosineNearDups(vecs, thr)
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
+        .where(bit_count(expr("sa ^ sb")) <= m)
+        .select("id_a", "id_b", "sim")
+      banded.exceptAll(ref).isEmpty && ref.exceptAll(banded).isEmpty
+    }
+    check(p, n = 10)
+  }
 }
