@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+/** Measurement main behind SCALING.md "Embedding near-dup pairs": recall of
+  * the bucketed [[Similarity.lshNearDupPairs]] vs the unbounded all-pairs
+  * [[Similarity.cosineNearDups]] on the test embeddings corpus, across
+  * maxMismatch in {1,2,3} at bits=16, with candidate-pair counts as the
+  * cost proxy. Run:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.NearDupRecall"
+  *
+  * Prints one markdown table row per (threshold, maxMismatch). The numbers
+  * in SCALING.md come from this main verbatim — re-run it when the fixture
+  * or the operator changes.
+  */
+object NearDupRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Graft.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val bits = 16
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .cache()
+    val n = vecs.count()
+    println(s"corpus: $sfDir embeddings, n=$n, bits=$bits")
+    println("| threshold | maxMismatch | true pairs | lsh pairs | recall | candidate pairs | candidates/all-pairs |")
+    println("|---|---|---|---|---|---|---|")
+    try {
+      val allPairs = n * (n - 1) / 2
+      for (thr <- Seq(0.3, 0.5); mm <- Seq(1, 2, 3)) {
+        val truth = Similarity.cosineNearDups(vecs, thr).count()
+        val lsh = Similarity.lshNearDupPairs(vecs, thr, bits, mm).count()
+        val sigs = vecs.select(col("id"),
+          Similarity.signBucket(col("vec"), bits).as("simhash"))
+        val cand = graft.dedup.Dedup
+          .simhashBandedDups(sigs, "id", bits, mm).count()
+        val recall = if (truth == 0) 1.0 else lsh.toDouble / truth
+        println(f"| $thr | $mm | $truth | $lsh | $recall%.3f | $cand | ${cand.toDouble / allPairs}%.4f |")
+      }
+
+      // where the true-pair mass sits in sign-Hamming space: the histogram
+      // a user reads to pick maxMismatch for THEIR similarity band
+      val sigs = vecs.select(col("id"),
+        Similarity.signBucket(col("vec"), bits).as("sig"))
+      println("\nsign-Hamming distance of true pairs (thr=0.3), and mean cosine per distance:")
+      Similarity.cosineNearDups(vecs, 0.3)
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
+        .groupBy(bit_count(expr("sa ^ sb")).as("hamming"))
+        .agg(count(lit(1)).as("pairs"), avg(col("sim")).as("mean_sim"))
+        .orderBy("hamming")
+        .collect()
+        .foreach(r => println(f"| ${r.getInt(0)} | ${r.getLong(1)} | ${r.getDouble(2)}%.3f |"))
+
+      // the designed-for case: planted near-duplicates (q100's corpus shape
+      // — each vector gets a copy with dimension 0 zeroed, cosine >= 0.92
+      // on this data). Recall of the PLANTED pairs per maxMismatch.
+      val planted = vecs.select((col("id") + 1000000).as("id"),
+        transform(col("vec"), (x, i) => when(i === 0, lit(0f)).otherwise(x))
+          .as("vec"))
+      val corpus = vecs.unionByName(planted).cache()
+      corpus.count()
+      try {
+        println("\nplanted near-dup corpus (orig + dim0-zeroed copy, thr=0.8):")
+        println("| maxMismatch | true pairs | lsh pairs | recall | candidate pairs |")
+        println("|---|---|---|---|---|")
+        val truth = Similarity.cosineNearDups(corpus, 0.8).count()
+        for (mm <- Seq(1, 2, 3)) {
+          val lsh = Similarity.lshNearDupPairs(corpus, 0.8, bits, mm).count()
+          val csigs = corpus.select(col("id"),
+            Similarity.signBucket(col("vec"), bits).as("simhash"))
+          val cand = graft.dedup.Dedup
+            .simhashBandedDups(csigs, "id", bits, mm).count()
+          val recall = if (truth == 0) 1.0 else lsh.toDouble / truth
+          println(f"| $mm | $truth | $lsh | $recall%.3f | $cand |")
+        }
+      } finally corpus.unpersist()
+    } finally vecs.unpersist()
+    spark.stop()
+  }
+}

@@ -260,6 +260,17 @@ object Dedup {
         converged = changed == 0
         iter += 1
       }
+      // fail loudly, never return partially-merged components: an
+      // unconverged label table looks exactly like a converged one (same
+      // schema, plausible groups) and silently under-merges duplicates
+      // downstream. Pointer jumping converges in O(log2 diameter) rounds,
+      // so hitting the cap means the cap is wrong, not the graph.
+      if (!converged) {
+        freeIds(prevIds) // nothing returns the final snapshot — free it
+        throw new IllegalArgumentException(
+          s"connectedComponents: not converged after maxIter=$maxIter rounds; " +
+            "rounds needed ~ log2(largest component diameter) — raise maxIter")
+      }
       // the final round's blocks stay persisted — they back the returned
       // frame; callers free them like any cached result
       labels.select(col("id"), col("label").as("component"))

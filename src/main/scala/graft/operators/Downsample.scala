@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 import graft.text.TextOps
 
@@ -84,6 +84,14 @@ object Downsample {
     * and falls back to a shuffle join when key-count x k is itself huge
     * (10M domains x k=20 = 200M keepers would OOM a forced broadcast). */
   def capPerKeyAgg(df: DataFrame, keyCol: String, idCol: String, k: Int): DataFrame = {
+    // enforce the integral-id precondition instead of trusting the caller:
+    // a string id would cast(LongType) to NULL silently, and the <=>
+    // join-back would then match every capped row against every NULL-id
+    // input row — wrong rows, no error
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"capPerKeyAgg: idCol '$idCol' must be integral (byte/short/int/long), " +
+        s"got $idType — use capPerKey for non-integral ids")
     val h = TextOps.hash64(concat(lit("cap#"), col(idCol).cast(StringType)))
     val keep = df
       .select(col(keyCol), h.as("hv"), col(idCol).cast(LongType).as("idv"))

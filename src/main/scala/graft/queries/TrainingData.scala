@@ -751,7 +751,13 @@ object TrainingData {
     // (HLL++ at rsd 0.02 within 5% of exact — 2.5 sigma; measured error
     // <=0.4% at sf0.001/0.01/0.1, while the DEFAULT rsd 0.05 sketch
     // actually misses 5% at sf0.1: 6.7% error on 1500 users — the boolean
-    // gate caught it. Approx median within the exact p40..p60.) The
+    // gate caught it. Approx median within the exact p25..p75: the band
+    // was p40..p60, but percentile_approx's estimate depends on sketch
+    // merge order, i.e. on partitioning — a near-edge estimate could flip
+    // the verdict hash under a different partition layout. The wider band
+    // plus accuracy=10000 (rank error ~n/10000, orders of magnitude inside
+    // the band at any bench sf) makes the verdict partition-independent
+    // while still catching a broken sketch.) The
     // oracle predicts the exact
     // columns and literal `true` for the verdicts — a sketch regression
     // flips a boolean and fails the hash gate. SketchSpec asserts the same
@@ -763,13 +769,13 @@ object TrainingData {
           count(lit(1)).as("n"),
           count_distinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.02).as("au"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("am"),
-          percentile(col("value"), lit(0.4)).as("p40"),
-          percentile(col("value"), lit(0.6)).as("p60"))
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("am"),
+          percentile(col("value"), lit(0.25)).as("p25"),
+          percentile(col("value"), lit(0.75)).as("p75"))
         .select(col("event_type"), col("n"), col("exact_users"),
           (abs(col("au") - col("exact_users"))
             <= col("exact_users") * 0.05).as("approx_users_ok"),
-          col("am").between(col("p40"), col("p60")).as("approx_median_ok"))
+          col("am").between(col("p25"), col("p75")).as("approx_median_ok"))
         .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS n,
              |  count(DISTINCT user_id) AS exact_users,

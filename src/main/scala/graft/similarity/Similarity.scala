@@ -240,8 +240,10 @@ object Similarity {
     * flips a given bit with p ~= 0.1), so a small `maxMismatch` captures
     * genuine near-dups while the banding prunes the random mass; recall
     * vs the unbounded set is data-dependent and should be measured on a
-    * sample (SCALING.md "Embedding near-dup pairs" has the measured
-    * numbers for the test corpus).
+    * sample — [[graft.NearDupRecall]] is that measurement, and SCALING.md
+    * "Embedding near-dup pairs: measured recall" records its output on the
+    * test corpus (recall 1.000 at maxMismatch=1 on planted near-dups;
+    * near-zero at broad similarity bands, which are ANN territory).
     *
     * Scale shape: the shuffle for candidate generation carries
     * (chunk_idx, chunk_value, id, sig) — ~28 bytes/doc/chunk, never a

@@ -73,6 +73,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(100L) == 100L && got(101L) == 100L)
   }
 
+  test("connectedComponents refuses to return unconverged labels at maxIter") {
+    import spark.implicits._
+    // diameter-5 chain needs >1 pointer-jumping round; maxIter=1 must fail
+    // loudly instead of returning a plausible-looking half-merged labeling
+    val pairs = Seq((12L, 11L), (11L, 10L), (10L, 9L), (9L, 8L), (8L, 7L))
+      .toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.connectedComponents(pairs, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("connectedComponents agrees with brute-force closure on simhash pairs") {
     import spark.implicits._
     val sigs = graft.dedup.Dedup.simhash(

@@ -109,18 +109,20 @@ class PropertySpec extends SparkSpec {
     val sigs = (0L until 48L)
       .map(i => (i, (i * 2654435761L) & 0xFFFFFL)) // 20-bit signatures
       .toDF("doc_id", "simhash").cache()
-    val gen = for {
-      bits <- Gen.choose(8, 20)
-      d <- Gen.choose(1, 5) if d + 1 <= bits
-    } yield (bits, d)
-    val p = Prop.forAll(gen) { case (bits, d) =>
-      val masked = sigs.select(col("doc_id"),
-        (col("simhash") % (1L << bits)).as("simhash"))
-      val banded = graft.dedup.Dedup.simhashBandedDups(masked, "doc_id", bits, d)
-      val allPairs = graft.dedup.Dedup.simhashNearDups(masked, "doc_id", d)
-      banded.exceptAll(allPairs).isEmpty && allPairs.exceptAll(banded).isEmpty
-    }
-    check(p, n = 10)
+    try {
+      val gen = for {
+        bits <- Gen.choose(8, 20)
+        d <- Gen.choose(1, 5) if d + 1 <= bits
+      } yield (bits, d)
+      val p = Prop.forAll(gen) { case (bits, d) =>
+        val masked = sigs.select(col("doc_id"),
+          (col("simhash") % (1L << bits)).as("simhash"))
+        val banded = graft.dedup.Dedup.simhashBandedDups(masked, "doc_id", bits, d)
+        val allPairs = graft.dedup.Dedup.simhashNearDups(masked, "doc_id", d)
+        banded.exceptAll(allPairs).isEmpty && allPairs.exceptAll(banded).isEmpty
+      }
+      check(p, n = 10)
+    } finally sigs.unpersist()
   }
 
   test("bucketed cosine near-dups == Hamming-bounded all-pairs, any config") {
@@ -134,24 +136,26 @@ class PropertySpec extends SparkSpec {
     val vecs = (0L until 40L)
       .map(i => (i, Array.fill(12)(rnd.nextFloat() * 2f - 1f).toSeq))
       .toDF("id", "vec").cache()
-    val gen = for {
-      bits <- Gen.choose(4, 12)
-      m <- Gen.choose(1, 5) if m + 1 <= bits
-      thr <- Gen.oneOf(-0.2, 0.0, 0.2, 0.5)
-    } yield (bits, m, thr)
-    val p = Prop.forAll(gen) { case (bits, m, thr) =>
-      val banded = Similarity.lshNearDupPairs(vecs, thr, bits, m)
-      // independent reference: all-pairs cosine, then an explicit Hamming
-      // filter over the same sign signatures
-      val sigs = vecs.select(col("id"),
-        Similarity.signBucket(col("vec"), bits).as("sig"))
-      val ref = Similarity.cosineNearDups(vecs, thr)
-        .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
-        .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
-        .where(bit_count(expr("sa ^ sb")) <= m)
-        .select("id_a", "id_b", "sim")
-      banded.exceptAll(ref).isEmpty && ref.exceptAll(banded).isEmpty
-    }
-    check(p, n = 10)
+    try {
+      val gen = for {
+        bits <- Gen.choose(4, 12)
+        m <- Gen.choose(1, 5) if m + 1 <= bits
+        thr <- Gen.oneOf(-0.2, 0.0, 0.2, 0.5)
+      } yield (bits, m, thr)
+      val p = Prop.forAll(gen) { case (bits, m, thr) =>
+        val banded = Similarity.lshNearDupPairs(vecs, thr, bits, m)
+        // independent reference: all-pairs cosine, then an explicit Hamming
+        // filter over the same sign signatures
+        val sigs = vecs.select(col("id"),
+          Similarity.signBucket(col("vec"), bits).as("sig"))
+        val ref = Similarity.cosineNearDups(vecs, thr)
+          .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
+          .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
+          .where(bit_count(expr("sa ^ sb")) <= m)
+          .select("id_a", "id_b", "sim")
+        banded.exceptAll(ref).isEmpty && ref.exceptAll(banded).isEmpty
+      }
+      check(p, n = 10)
+    } finally vecs.unpersist()
   }
 }

@@ -38,6 +38,17 @@ class TopKAggSpec extends SparkSpec {
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("capPerKeyAgg rejects non-integral id columns") {
+    import graft.operators.Downsample
+    // a string id would cast(Long) to NULL silently and the null-safe
+    // join-back would return wrong rows — must fail fast instead
+    val docs = Seq(("web", "a1"), ("web", "b2")).toDF("source", "sid")
+    val e = intercept[IllegalArgumentException] {
+      Downsample.capPerKeyAgg(docs, "source", "sid", 1)
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
   test("BottomKPairsAgg keeps the k lexicographically-smallest pairs") {
     val df = Seq(("a", 3L, 30L), ("a", 1L, 10L), ("a", 1L, 5L), ("a", 2L, 20L),
       ("b", 9L, 1L)).toDF("g", "hv", "id")

@@ -90,6 +90,12 @@ def spark_rows(path):
         tbl = pq.read_table(f)
         if cols is None:
             cols = list(tbl.column_names)
+        elif list(tbl.column_names) != cols:
+            # never index a part-file by another file's column order —
+            # fail loudly on drift instead of mis-associating values
+            raise RuntimeError(
+                f"column order drift across part-files: {f} has "
+                f"{list(tbl.column_names)}, expected {cols}")
         order = sorted(range(len(cols)), key=lambda i: cols[i])
         data = [tbl.column(i).to_pylist() for i in range(len(cols))]
         for r in range(tbl.num_rows):
