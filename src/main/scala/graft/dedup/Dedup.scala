@@ -29,16 +29,27 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
+  /** Distinct word n-gram shingles per document: (id, shingle). Distinct
+    * is PER DOCUMENT, so it is computed map-side with `array_distinct`
+    * before the explode — zero shuffle (the previous `.distinct()` after
+    * the explode shuffled every shingle of the corpus globally to dedupe
+    * a key set that never crosses documents: the id is in the key).
+    *
+    * The token array is materialized ONCE per row in a projection before
+    * the gram lambda: composing `TextOps.tokens` directly into the
+    * `slice` lambda inlines the regex split into the generator, re-running
+    * tokenization of the whole document per gram — O(tokens²) regex work
+    * per doc (measured 3-5 s for 234k shingles at sf0.1; ~0.3 s with the
+    * projection). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
+    val toks = col("__shingle_toks")
     val grams = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", slice(toks, i, lit(n))))
     docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__shingle_toks"))
       .where(size(toks) >= n) // sequence(1, k<1) counts down — guard
-      .select(col(idCol), explode(grams).as("shingle"))
-      .distinct()
+      .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
   }
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions, the
@@ -275,6 +286,46 @@ object Dedup {
       // frame; callers free them like any cached result
       labels.select(col("id"), col("label").as("component"))
     } finally edges.unpersist()
+  }
+
+  /** Eval-set contamination detection (n-gram decontamination): flag
+    * training documents sharing at least `minOverlap` distinct word
+    * n-gram shingles with any eval/benchmark document — the standard
+    * test-set-leakage sweep run before LLM training. Output one row per
+    * contaminated (train_id, eval_id) pair with the overlap count and
+    * `eval_coverage` = overlap / |eval doc's shingles| (1.0 = the whole
+    * eval doc appears in the training doc).
+    *
+    * SCALE SHAPE. The asymmetry is the design: eval sets are thousands of
+    * docs while the training corpus is the 100 TB side, so the eval
+    * shingle table is broadcast and the train side never shuffles its
+    * shingles — shingling is a map-side explode, the contamination join is
+    * a broadcast hash join at scan speed, and the only shuffle carries
+    * (train_id, eval_id) hit pairs, bounded by actual matches, not by
+    * corpus size. Same-document duplicate shingles are already collapsed
+    * by [[shingles]], so `n_overlap` counts DISTINCT shared n-grams. */
+  def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3,
+                    minOverlap: Int = 1): DataFrame = {
+    val tr = shingles(train, idCol, textCol, n)
+      .withColumnRenamed(idCol, "train_id")
+    // per-eval-doc shingle total rides INSIDE the broadcast frame (small-
+    // side window) so the eval set is shingled and broadcast exactly once;
+    // a separate size table would cost a second shingling pass + broadcast
+    // + join (measured 4.5 s -> this shape on the bench corpus)
+    val ev = shingles(evalDocs, idCol, textCol, n)
+      .withColumnRenamed(idCol, "eval_id")
+      .withColumn("eval_shingles",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("eval_id"))))
+    tr.join(broadcast(ev), Seq("shingle"))
+      // eval_shingles is constant per eval_id — grouping by it is free and
+      // saves the join-back for the denominator
+      .groupBy(col("train_id"), col("eval_id"), col("eval_shingles"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+      .select(col("train_id"), col("eval_id"), col("n_overlap"),
+        (col("n_overlap") / col("eval_shingles")).as("eval_coverage"))
   }
 
   /** Blocked fuzzy matching (entity resolution): equi-join on a blocking

@@ -288,6 +288,40 @@ object TrainingData {
              |WHERE list_cosine_similarity(a.v, b.v) > 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Eval-set contamination sweep (n-gram decontamination): every 10th
+    // document plays the benchmark/eval set, the rest are the training
+    // corpus; a training doc sharing >= 5 distinct trigrams with an eval
+    // doc is flagged with its overlap and the fraction of the eval doc
+    // covered. minOverlap=5 prunes the incidental 1-4-gram collisions the
+    // fixture corpus produces (probed: >=1 matches thousands of random
+    // pairs, >=5 only the genuine near-dup plants, non-empty at all three
+    // scale factors). Oracle reuses q34's shingle SQL shape verbatim.
+    Q("q101_contamination",
+      (s, dir) => Dedup.contamination(
+        t(s, dir, "documents").where(col("doc_id") % 10 =!= 0),
+        t(s, dir, "documents").where(col("doc_id") % 10 === 0),
+        "doc_id", "text", 3, 5)
+        .orderBy("train_id", "eval_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, u.s AS shingle
+             |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
+             |       i -> array_to_string(d.toks[i:i+2], ' '))) u(s)
+             |  WHERE len(d.toks) >= 3),
+             |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+             |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0),
+             |sizes AS (SELECT eval_id, count(*) AS eval_shingles FROM ev GROUP BY 1),
+             |ov AS (
+             |  SELECT train_id, eval_id, count(*) AS n_overlap
+             |  FROM tr JOIN ev USING (shingle) GROUP BY 1, 2)
+             |SELECT train_id, eval_id, n_overlap,
+             |       n_overlap / s.eval_shingles AS eval_coverage
+             |FROM ov JOIN sizes s USING (eval_id)
+             |WHERE n_overlap >= 5
+             |ORDER BY train_id, eval_id""".stripMargin)),
+
     // Deterministic stratified train/val/test split: content-hash bucket
     // (never Math.random — reproducible across runs/clusters/engines) with
     // per-language stratification counts. The same predicate is a 10%

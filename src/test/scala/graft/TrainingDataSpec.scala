@@ -49,6 +49,21 @@ class TrainingDataSpec extends SparkSpec {
     assert(j.where($"jaccard" < 0.2).count() === 0)
   }
 
+  test("contamination flags the planted eval leak with full coverage") {
+    // eval doc 9999 is doc 8 plus one appended token: every one of its
+    // interior trigrams except the last two also occurs in train doc 8,
+    // so coverage is high; an unrelated eval doc must not hit doc 8
+    val train = docs.select("doc_id", "text").where($"doc_id" < 100)
+    val evalSet = withPlantedNearDup.where($"doc_id" === 9999)
+    val hits = Dedup.contamination(train, evalSet, "doc_id", "text", 3, 5)
+    val row = hits.where($"train_id" === 8 && $"eval_id" === 9999)
+      .select("eval_coverage").as[Double].collect()
+    assert(row.nonEmpty && row.head > 0.8, s"got ${row.toSeq}")
+    // self-contained sanity: a disjoint-vocabulary eval doc flags nothing
+    val clean = Seq((1L, "zzqx wvut ponm lkjh gfds")).toDF("doc_id", "text")
+    assert(Dedup.contamination(train, clean, "doc_id", "text", 3, 1).isEmpty)
+  }
+
   test("simhash of near-identical docs has small hamming distance") {
     val sh = Dedup.simhash(
       withPlantedNearDup.where($"doc_id".isin(8, 9999, 50)), "doc_id", "text", 16)
