@@ -159,12 +159,20 @@ object TextOps {
     * windows (null for docs shorter than 8 tokens). A near-identical doc
     * keeps the same minimum with high probability. */
   def winnowFingerprint(text: Column, window: Int = 8): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    val hashes = transform(
-      sequence(lit(1), n - (window - 1)),
-      i => hash64(concat_ws(" ", slice(toks, i, lit(window)))))
-    // guard: sequence(1, k) counts DOWN when k < 1 (Spark semantics)
-    when(n >= window, array_min(hashes)).otherwise(lit(null).cast(LongType))
+    // let-binding via single-element array + transform: the lambda
+    // variable binds the tokenized array ONCE per row. Inlining
+    // `tokens(text)` into the slice lambda would re-run the regex split
+    // per window position — the O(tokens²) generator bug fixed in
+    // Dedup.shingles, which can project the array; a Column function
+    // cannot, hence this idiom.
+    val perDoc = transform(array(tokens(text)), ts => {
+      val n = size(ts)
+      val hashes = transform(
+        sequence(lit(1), n - (window - 1)),
+        i => hash64(concat_ws(" ", slice(ts, i, lit(window)))))
+      // guard: sequence(1, k) counts DOWN when k < 1 (Spark semantics)
+      when(n >= window, array_min(hashes)).otherwise(lit(null).cast(LongType))
+    })
+    element_at(perDoc, 1)
   }
 }
