@@ -91,9 +91,16 @@ object Bench {
         (name, sec, rows)
       }
     }
+    // failure (rows == -1) must stay visible: taking max(rows) with
+    // min(sec) would report a transiently-failed run's short abort time as
+    // the query's time and hide the failure entirely. Any failed run marks
+    // the query failed in the report; sec is the min over SUCCESSFUL runs
+    // (or of the failed ones when both failed).
     val results = runs.head.zip(runs.last).map {
       case ((name, s1, r1), (_, s2, r2)) =>
-        (name, math.min(s1, s2), math.max(r1, r2))
+        val okSecs = Seq((s1, r1), (s2, r2)).collect { case (s, r) if r >= 0 => s }
+        val sec = if (okSecs.nonEmpty) okSecs.min else math.min(s1, s2)
+        (name, sec, if (r1 >= 0 && r2 >= 0) r2 else -1L)
     }
     Thread.sleep(1000) // best-effort drain of the async listener bus
 

@@ -35,25 +35,29 @@ object NearDupRecall {
     println("|---|---|---|---|---|---|---|")
     try {
       val allPairs = n * (n - 1) / 2
-      for (thr <- Seq(0.3, 0.5); mm <- Seq(1, 2, 3)) {
+      // truth depends only on thr, candidates only on mm — hoist both so
+      // the expensive all-pairs scan runs once per threshold, not per cell
+      val sigs = vecs.select(col("id"),
+        Similarity.signBucket(col("vec"), bits).as("simhash"))
+      val candByMm = Seq(1, 2, 3).map(mm => mm ->
+        graft.dedup.Dedup.simhashBandedDups(sigs, "id", bits, mm).count()).toMap
+      for (thr <- Seq(0.3, 0.5)) {
         val truth = Similarity.cosineNearDups(vecs, thr).count()
-        val lsh = Similarity.lshNearDupPairs(vecs, thr, bits, mm).count()
-        val sigs = vecs.select(col("id"),
-          Similarity.signBucket(col("vec"), bits).as("simhash"))
-        val cand = graft.dedup.Dedup
-          .simhashBandedDups(sigs, "id", bits, mm).count()
-        val recall = if (truth == 0) 1.0 else lsh.toDouble / truth
-        println(f"| $thr | $mm | $truth | $lsh | $recall%.3f | $cand | ${cand.toDouble / allPairs}%.4f |")
+        for (mm <- Seq(1, 2, 3)) {
+          val lsh = Similarity.lshNearDupPairs(vecs, thr, bits, mm).count()
+          val cand = candByMm(mm)
+          val recall = if (truth == 0) 1.0 else lsh.toDouble / truth
+          println(f"| $thr | $mm | $truth | $lsh | $recall%.3f | $cand | ${cand.toDouble / allPairs}%.4f |")
+        }
       }
 
       // where the true-pair mass sits in sign-Hamming space: the histogram
       // a user reads to pick maxMismatch for THEIR similarity band
-      val sigs = vecs.select(col("id"),
-        Similarity.signBucket(col("vec"), bits).as("sig"))
+      val hsigs = sigs.withColumnRenamed("simhash", "sig")
       println("\nsign-Hamming distance of true pairs (thr=0.3), and mean cosine per distance:")
       Similarity.cosineNearDups(vecs, 0.3)
-        .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
-        .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
+        .join(hsigs.select(col("id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
+        .join(hsigs.select(col("id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
         .groupBy(bit_count(expr("sa ^ sb")).as("hamming"))
         .agg(count(lit(1)).as("pairs"), avg(col("sim")).as("mean_sim"))
         .orderBy("hamming")
@@ -62,21 +66,28 @@ object NearDupRecall {
 
       // the designed-for case: planted near-duplicates (q100's corpus shape
       // — each vector gets a copy with dimension 0 zeroed, cosine >= 0.92
-      // on this data). Recall of the PLANTED pairs per maxMismatch.
+      // on this data). Recall of the PLANTED pairs per maxMismatch: both
+      // sides of the ratio are restricted to (x, x+1M) pairs so the number
+      // measures exactly what it claims — an incidental base-corpus pair
+      // above the threshold (possible in a regenerated fixture) must not
+      // leak into the denominator of a "planted recall".
       val planted = vecs.select((col("id") + 1000000).as("id"),
         transform(col("vec"), (x, i) => when(i === 0, lit(0f)).otherwise(x))
           .as("vec"))
       val corpus = vecs.unionByName(planted).cache()
       corpus.count()
+      val isPlantedPair = col("id_b") - col("id_a") === 1000000L
       try {
         println("\nplanted near-dup corpus (orig + dim0-zeroed copy, thr=0.8):")
-        println("| maxMismatch | true pairs | lsh pairs | recall | candidate pairs |")
+        println("| maxMismatch | planted pairs | lsh found | recall | candidate pairs |")
         println("|---|---|---|---|---|")
-        val truth = Similarity.cosineNearDups(corpus, 0.8).count()
+        val truth = Similarity.cosineNearDups(corpus, 0.8)
+          .where(isPlantedPair).count()
+        val csigs = corpus.select(col("id"),
+          Similarity.signBucket(col("vec"), bits).as("simhash"))
         for (mm <- Seq(1, 2, 3)) {
-          val lsh = Similarity.lshNearDupPairs(corpus, 0.8, bits, mm).count()
-          val csigs = corpus.select(col("id"),
-            Similarity.signBucket(col("vec"), bits).as("simhash"))
+          val lsh = Similarity.lshNearDupPairs(corpus, 0.8, bits, mm)
+            .where(isPlantedPair).count()
           val cand = graft.dedup.Dedup
             .simhashBandedDups(csigs, "id", bits, mm).count()
           val recall = if (truth == 0) 1.0 else lsh.toDouble / truth

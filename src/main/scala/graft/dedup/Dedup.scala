@@ -40,7 +40,14 @@ object Dedup {
     * `slice` lambda inlines the regex split into the generator, re-running
     * tokenization of the whole document per gram — O(tokens²) regex work
     * per doc (measured 3-5 s for 234k shingles at sf0.1; ~0.3 s with the
-    * projection). */
+    * projection).
+    *
+    * PRECONDITION: `idCol` is a key — one row per document. The map-side
+    * dedup cannot collapse shingles across duplicate ROWS of the same id
+    * (the removed global `.distinct()` silently could), and downstream
+    * consumers (ngramJaccard sizes, contamination's eval_shingles) would
+    * double-count. Duplicate-CONTENT docs under distinct ids are of course
+    * fine — finding those is this module's job. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = col("__shingle_toks")
     val grams = transform(
