@@ -242,8 +242,16 @@ object Dedup {
     // owned-cache assumption as minhashLsh's persistIntermediate.)
     edges.count()
     val before0 = persistedIds
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed labels with min(id, neighbors) instead of id: same single
+    // shuffle as the distinct() it replaces (groupBy on src), but the
+    // trivial first hop is folded into initialization — a flat component
+    // (pair/star, the common dup-group shape) is already labeled with its
+    // min after the seed, saving one full join+checkpoint round. The
+    // pointer-jumping invariant holds: the seed label is a node id in the
+    // same component with label(seed) <= seed.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
       .localCheckpoint(true)
     var prevIds = persistedIds -- before0
     try {
