@@ -30,7 +30,7 @@ object Bench {
     "q34_ngram_jaccard", "q35_embedding_neardup", "q36_ann_bruteforce",
     "q43_sessionize", "q46_deep_join_tree", "q57_word_freq", "q60_ann_ivf",
     "q61_count_histogram", "q85_curation_funnel", "q88_fuzzy_match",
-    "q91_dup_groups")
+    "q91_dup_groups", "q101_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
