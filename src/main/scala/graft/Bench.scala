@@ -95,22 +95,31 @@ object Bench {
     // min(sec) would report a transiently-failed run's short abort time as
     // the query's time and hide the failure entirely. Any failed run marks
     // the query failed in the report; sec is the min over SUCCESSFUL runs
-    // (or of the failed ones when both failed).
+    // (or of the failed ones when both failed). rows == -2 marks both runs
+    // succeeding with DIFFERENT counts (a nondeterministic query) — never
+    // silently prefer run 2's count over run 1's.
     val results = runs.head.zip(runs.last).map {
       case ((name, s1, r1), (_, s2, r2)) =>
         val okSecs = Seq((s1, r1), (s2, r2)).collect { case (s, r) if r >= 0 => s }
         val sec = if (okSecs.nonEmpty) okSecs.min else math.min(s1, s2)
-        (name, sec, if (r1 >= 0 && r2 >= 0) r2 else -1L)
+        val rows =
+          if (r1 >= 0 && r2 >= 0) { if (r1 == r2) r2 else -2L } else -1L
+        (name, sec, rows, r1, r2)
     }
     Thread.sleep(1000) // best-effort drain of the async listener bus
 
     val report = new StringBuilder
-    results.foreach { case (name, sec, rows) =>
+    results.foreach { case (name, sec, rows, r1, r2) =>
       // shuffle bytes from run 2 (steady state; identical plan -> identical
       // bytes unless AQE re-planned between runs, which is itself notable)
-      val b = Option(groupBytes.get(s"$name#2")).map(_.get()).getOrElse(0L)
+      // — unless run 2 failed, where its partial bytes would masquerade as
+      // a plan improvement; fall back to run 1's and say so
+      val (bGroup, bSrc) =
+        if (r2 >= 0) (s"$name#2", "") else (s"$name#1", " (run1: run2 failed)")
+      val b = Option(groupBytes.get(bGroup)).map(_.get()).getOrElse(0L)
       val rps = if (sec > 0 && rows >= 0) f"${rows / sec}%.0f" else "?"
-      report ++= s"[bench] $name ${f"$sec%.3f"}s rows=$rows rows/s=$rps shuffleWrite=${b}B\n"
+      val flag = if (rows == -2L) s" ROWS-MISMATCH(run1=$r1,run2=$r2)" else ""
+      report ++= s"[bench] $name ${f"$sec%.3f"}s rows=$rows rows/s=$rps shuffleWrite=${b}B$bSrc$flag\n"
     }
     // stages without a job group (e.g. broadcast builds on pool threads)
     // land here — surfaced so under-reporting above is visible
