@@ -115,7 +115,10 @@ object Bench {
       // — unless run 2 failed, where its partial bytes would masquerade as
       // a plan improvement; fall back to run 1's and say so
       val (bGroup, bSrc) =
-        if (r2 >= 0) (s"$name#2", "") else (s"$name#1", " (run1: run2 failed)")
+        if (r2 >= 0) (s"$name#2", "")
+        else if (r1 >= 0) (s"$name#1", " (run1: run2 failed)")
+        // both runs failed: run 1's partial bytes are not a measurement either
+        else (s"$name#1", " (both runs failed; bytes are partial)")
       val b = Option(groupBytes.get(bGroup)).map(_.get()).getOrElse(0L)
       val rps = if (sec > 0 && rows >= 0) f"${rows / sec}%.0f" else "?"
       val flag = if (rows == -2L) s" ROWS-MISMATCH(run1=$r1,run2=$r2)" else ""
@@ -138,7 +141,7 @@ object Bench {
         jq(results.map(r => r._1 -> r._2))},"sf":"$sfDir"}"""
     val headlineJson =
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${
-        jq(results.collect { case (n, s, _) if headline.contains(n) => n -> s })},"sf":"$sfDir"}"""
+        jq(results.collect { case (n, s, _, _, _) if headline.contains(n) => n -> s })},"sf":"$sfDir"}"""
 
     val dir = java.nio.file.Paths.get("target")
     java.nio.file.Files.createDirectories(dir)

@@ -47,8 +47,24 @@ object Dedup {
     * (the removed global `.distinct()` silently could), and downstream
     * consumers (ngramJaccard sizes, contamination's eval_shingles) would
     * double-count. Duplicate-CONTENT docs under distinct ids are of course
-    * fine — finding those is this module's job. */
+    * fine — finding those is this module's job.
+    *
+    * The precondition is ENFORCED when `graft.dedup.checkIds=true` on the
+    * session (debug mode): one extra aggregation pass fails loudly on the
+    * first duplicated id. Default is off — at 100 TB an unconditional
+    * key-uniqueness shuffle per shingling call would double the cost of
+    * every dedup pipeline for a condition the upstream load already
+    * guarantees; flip it on when wiring a NEW source. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    if (docs.sparkSession.conf.getOption("graft.dedup.checkIds")
+          .exists(_.toBoolean)) {
+      val dup = docs.groupBy(col(idCol)).count()
+        .where(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"Dedup.shingles precondition violated: idCol '$idCol' is not " +
+          s"unique (e.g. ${dup.head.get(0)} appears ${dup.head.getLong(1)} " +
+          "times); shingle counts downstream would double-count")
+    }
     val toks = col("__shingle_toks")
     val grams = transform(
       sequence(lit(1), size(toks) - (n - 1)),
@@ -368,6 +384,9 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minJaccard: Double,
                    persistIntermediate: Boolean = false): DataFrame = {
+    // inherits shingles' one-row-per-id PRECONDITION: a duplicated id
+    // inflates both `inter` and `n_sh`, silently skewing jaccard.
+    // Set graft.dedup.checkIds=true to enforce.
     // shingles feed the intersect self-join (twice) AND the size table —
     // persistIntermediate materializes them once on big corpora
     // (see minhashLsh note for why this is opt-in)

@@ -61,6 +61,23 @@ class CorpusOpsSpec extends SparkSpec {
       === again.orderBy("source", "sample_rank").collect())
   }
 
+  test("shingles checkIds mode rejects duplicated doc ids loudly") {
+    import spark.implicits._
+    val dup = Seq((1L, "a b c d"), (1L, "e f g h"), (2L, "i j k l"))
+      .toDF("doc_id", "text")
+    spark.conf.set("graft.dedup.checkIds", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.dedup.Dedup.shingles(dup, "doc_id", "text", 2).collect()
+      }
+      assert(e.getMessage.contains("not unique"))
+      // unique ids pass under the same mode
+      val ok = graft.dedup.Dedup
+        .shingles(dup.where(col("doc_id") =!= 1L), "doc_id", "text", 2)
+      assert(ok.count() === 3) // 4 tokens -> 3 bigrams
+    } finally spark.conf.unset("graft.dedup.checkIds")
+  }
+
   test("connectedComponents: chains collapse to min id, needs multiple rounds") {
     import spark.implicits._
     // two components: a 6-node chain (diameter 5 — exercises the iterative
