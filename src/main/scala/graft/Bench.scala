@@ -32,6 +32,62 @@ object Bench {
     "q61_count_histogram", "q85_curation_funnel", "q88_fuzzy_match",
     "q91_dup_groups", "q101_contamination")
 
+  /** Merge the two measured runs into (name, sec, rows, rows1, rows2).
+    * Failure (rows == -1) must stay visible: taking max(rows) with
+    * min(sec) would report a transiently-failed run's short abort time as
+    * the query's time and hide the failure entirely. Any failed run marks
+    * the query failed; sec is the min over SUCCESSFUL runs (or of the
+    * failed ones when both failed). rows == -2 marks both runs succeeding
+    * with DIFFERENT counts (a nondeterministic query) — never silently
+    * prefer run 2's count over run 1's. Extracted from main() and unit-
+    * tested in BenchReportSpec: round 7 shipped a formatting-path edit
+    * that didn't compile because nothing off the main() path executed it. */
+  private[graft] def mergeRuns(
+      run1: Seq[(String, Double, Long)],
+      run2: Seq[(String, Double, Long)]): Seq[(String, Double, Long, Long, Long)] =
+    run1.zip(run2).map { case ((name, s1, r1), (_, s2, r2)) =>
+      val okSecs = Seq((s1, r1), (s2, r2)).collect { case (s, r) if r >= 0 => s }
+      val sec = if (okSecs.nonEmpty) okSecs.min else math.min(s1, s2)
+      val rows =
+        if (r1 >= 0 && r2 >= 0) { if (r1 == r2) r2 else -2L } else -1L
+      (name, sec, rows, r1, r2)
+    }
+
+  /** Which run's shuffle bytes to report and how to label them: run 2 is
+    * steady state; a failed run's partial bytes must never masquerade as
+    * a measurement, so fall back (labelled) to run 1, and when both runs
+    * failed say so instead of implying run 1 succeeded. */
+  private[graft] def bytesSource(name: String, r1: Long, r2: Long): (String, String) =
+    if (r2 >= 0) (s"$name#2", "")
+    else if (r1 >= 0) (s"$name#1", " (run1: run2 failed)")
+    else (s"$name#1", " (both runs failed; bytes are partial)")
+
+  private[graft] def reportLine(name: String, sec: Double, rows: Long,
+                                r1: Long, r2: Long, bytes: Long,
+                                bytesLabel: String): String = {
+    val rps = if (sec > 0 && rows >= 0) f"${rows / sec}%.0f" else "?"
+    val flag = if (rows == -2L) s" ROWS-MISMATCH(run1=$r1,run2=$r2)" else ""
+    s"[bench] $name ${f"$sec%.3f"}s rows=$rows rows/s=$rps shuffleWrite=${bytes}B$bytesLabel$flag"
+  }
+
+  // Locale.ROOT: the f-interpolator uses the default locale — a
+  // comma-decimal locale would emit {"value":12,345} and break the JSON
+  private def d3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def jq(entries: Seq[(String, Double)]): String = entries
+    .map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
+
+  private[graft] def resultsJson(results: Seq[(String, Double, Long, Long, Long)],
+                                 sfDir: String,
+                                 onlyHeadline: Boolean): String = {
+    val total = results.map(_._2).sum
+    val qs = results.collect {
+      case (n, s, _, _, _) if !onlyHeadline || headline.contains(n) => n -> s
+    }
+    s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${
+      jq(qs)},"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -91,57 +147,42 @@ object Bench {
         (name, sec, rows)
       }
     }
-    // failure (rows == -1) must stay visible: taking max(rows) with
-    // min(sec) would report a transiently-failed run's short abort time as
-    // the query's time and hide the failure entirely. Any failed run marks
-    // the query failed in the report; sec is the min over SUCCESSFUL runs
-    // (or of the failed ones when both failed). rows == -2 marks both runs
-    // succeeding with DIFFERENT counts (a nondeterministic query) — never
-    // silently prefer run 2's count over run 1's.
-    val results = runs.head.zip(runs.last).map {
-      case ((name, s1, r1), (_, s2, r2)) =>
-        val okSecs = Seq((s1, r1), (s2, r2)).collect { case (s, r) if r >= 0 => s }
-        val sec = if (okSecs.nonEmpty) okSecs.min else math.min(s1, s2)
-        val rows =
-          if (r1 >= 0 && r2 >= 0) { if (r1 == r2) r2 else -2L } else -1L
-        (name, sec, rows, r1, r2)
-    }
+    val results = mergeRuns(runs.head, runs.last)
     Thread.sleep(1000) // best-effort drain of the async listener bus
 
     val report = new StringBuilder
     results.foreach { case (name, sec, rows, r1, r2) =>
       // shuffle bytes from run 2 (steady state; identical plan -> identical
       // bytes unless AQE re-planned between runs, which is itself notable)
-      // — unless run 2 failed, where its partial bytes would masquerade as
-      // a plan improvement; fall back to run 1's and say so
-      val (bGroup, bSrc) =
-        if (r2 >= 0) (s"$name#2", "")
-        else if (r1 >= 0) (s"$name#1", " (run1: run2 failed)")
-        // both runs failed: run 1's partial bytes are not a measurement either
-        else (s"$name#1", " (both runs failed; bytes are partial)")
+      val (bGroup, bSrc) = bytesSource(name, r1, r2)
       val b = Option(groupBytes.get(bGroup)).map(_.get()).getOrElse(0L)
-      val rps = if (sec > 0 && rows >= 0) f"${rows / sec}%.0f" else "?"
-      val flag = if (rows == -2L) s" ROWS-MISMATCH(run1=$r1,run2=$r2)" else ""
-      report ++= s"[bench] $name ${f"$sec%.3f"}s rows=$rows rows/s=$rps shuffleWrite=${b}B$bSrc$flag\n"
+      report ++= reportLine(name, sec, rows, r1, r2, b, bSrc) + "\n"
     }
     // stages without a job group (e.g. broadcast builds on pool threads)
     // land here — surfaced so under-reporting above is visible
     Option(groupBytes.get("?")).map(_.get()).filter(_ > 0).foreach(b =>
       report ++= s"[bench] (unattributed) shuffleWrite=${b}B\n")
 
-    val total = results.map(_._2).sum
-    // Locale.ROOT: the f-interpolator uses the default locale — a
-    // comma-decimal locale would emit {"value":12,345} and break the JSON
-    def d3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jq(entries: Seq[(String, Double)]): String = entries
-      .map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
-    val fullJson =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${
-        jq(results.map(r => r._1 -> r._2))},"sf":"$sfDir"}"""
-    val headlineJson =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${
-        jq(results.collect { case (n, s, _, _, _) if headline.contains(n) => n -> s })},"sf":"$sfDir"}"""
+    // q82's oracle gate verdicts approx_median inside the exact p25..p75
+    // band — wide enough to be partition-independent, wide enough to hide
+    // slow sketch drift too. Surface the raw |approx − exact| here, NON-
+    // gating (never part of the oracle hash), so round-over-round reports
+    // show the actual error trend. worst/mean are across event_type groups.
+    try {
+      import org.apache.spark.sql.functions.{abs => fabs, _}
+      val d = graft.sources.Sources.events(spark, sfDir)
+        .groupBy(col("event_type"))
+        .agg(fabs(percentile_approx(col("value"), lit(0.5), lit(10000))
+          - percentile(col("value"), lit(0.5))).as("drift"))
+        .agg(max(col("drift")), avg(col("drift"))).head()
+      report ++= f"[bench] q82_sketch_drift worst=${d.getDouble(0)}%.6f " +
+        f"mean=${d.getDouble(1)}%.6f (|approx_median - exact_median|, non-gating)\n"
+    } catch { case e: Throwable =>
+      report ++= s"[bench] q82_sketch_drift unavailable: ${e.getMessage}\n"
+    }
+
+    val fullJson = resultsJson(results, sfDir, onlyHeadline = false)
+    val headlineJson = resultsJson(results, sfDir, onlyHeadline = true)
 
     val dir = java.nio.file.Paths.get("target")
     java.nio.file.Files.createDirectories(dir)

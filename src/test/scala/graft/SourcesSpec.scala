@@ -14,6 +14,24 @@ class SourcesSpec extends SparkSpec {
     assert(w != null)
   }
 
+  test("S6: jdbc sink round-trips through an embedded Derby database") {
+    // Derby ships on Spark's classpath (hive metastore dependency), so the
+    // S6 path gets an EXECUTED check: write a real table through the
+    // config-driven writer, read it back with Spark's jdbc source, compare.
+    // in-memory db: no files to clean up, isolated per test run
+    val url = "jdbc:derby:memory:graft_s6;create=true"
+    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    val df = Sources.table(spark, sf, "region")
+    Sources.jdbcWriter(df, url, "region_rt", Map("driver" -> driver))
+      .mode("overwrite").save()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "region_rt")
+      .option("driver", driver).load()
+    assert(back.schema.fieldNames.toSet === df.schema.fieldNames.toSet)
+    assert(back.orderBy("r_regionkey").collect().map(_.toSeq.toList).toList
+      === df.orderBy("r_regionkey").collect().map(_.toSeq.toList).toList)
+  }
+
   test("S7: SHOW TABLES lists registered star-schema views") {
     Warehouse.registerTestdata(spark, sf)
     val names = Sources.listTables(spark)
