@@ -131,7 +131,16 @@ object Dedup {
 
   /** SimHash signature (default 16 bits for oracle-checkable size; up to 60
     * supported by the 60-bit token hash). Every token votes +1/-1 per bit;
-    * the signature sets bits with positive vote sums. */
+    * the signature sets bits with positive vote sums.
+    *
+    * SIZE `bits` WITH THE CORPUS: signature bits must grow with
+    * log2(corpus size) or the signature space saturates and candidate
+    * pairs stop measuring document similarity — measured at the sf1.0
+    * rehearsal (SCALING.md): 16-bit sigs over 50k docs produced 18.9×
+    * the pairs of a 10×-smaller corpus (super-linear), while 32-bit sigs
+    * at the same maxHamming put the same corpus back on a linear pair
+    * curve with 21× fewer pairs and 7.8× less wall-clock. 16-bit is an
+    * exhibit/oracle size; use 32–60 bits in production. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("tok"))
