@@ -177,6 +177,36 @@ object TrainingData {
              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // The PRODUCTION signature width: 32-bit simhash, same pigeonhole
+    // banding, same maxHamming. 16-bit signatures saturate at corpus scale
+    // (SCALING.md sf1.0 rehearsal: 18.9x pair growth for 10x docs because
+    // 65k distinct signatures collide from space exhaustion, not
+    // similarity); 32 bits keeps the pair curve linear. This query pins
+    // the wide-signature path to the oracle gate so the production
+    // setting, not just the 16-bit exhibit, is hash-verified every round.
+    Q("q102_simhash_wide",
+      (s, dir) => Dedup.simhashBandedDups(
+        Dedup.simhash(t(s, dir, "documents").where(col("doc_id") < 256),
+          "doc_id", "text", 32),
+        "doc_id", 32, 3).orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents WHERE doc_id < 256),
+             |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM tok),
+             |votes AS (
+             |  SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS votes
+             |  FROM h CROSS JOIN range(0,32) r(b)
+             |  GROUP BY doc_id, b),
+             |sig AS (
+             |  SELECT doc_id,
+             |         CAST(SUM(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+             |  FROM votes GROUP BY doc_id)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Candidate pairs -> duplicate GROUPS: connected components by min-
     // label propagation over the banded-simhash candidate graph. (a,b) +
     // (b,c) collapse into {a,b,c} even though (a,c) never met in a bucket.
