@@ -238,10 +238,27 @@ object Dedup {
     * history — measured on a 256-node graph, rounds slowed 1.3s -> 4s+ by
     * round 4 without truncation, and stayed flat with it. The driver-side
     * loop reads ONE number per round (did-any-label-change), the
-    * kmeansLite pattern of bounded driver work. A 1000-executor production
-    * job would swap localCheckpoint for reliable checkpoint() so executor
-    * loss cannot kill the iteration; the round structure is identical. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    * kmeansLite pattern of bounded driver work.
+    *
+    * `reliableCheckpoints = true` is the 1000-executor production mode:
+    * each round's label table goes through a RELIABLE `checkpoint()` to
+    * `spark.sparkContext.checkpointDir` (HDFS/object store on a cluster)
+    * instead of executor-local `localCheckpoint` blocks, so losing an
+    * executor mid-iteration cannot kill the lineage — localCheckpoint
+    * blocks have no replicas and a truncated-lineage frame cannot be
+    * recomputed. The round structure is identical; checkpoint FILES are
+    * cleaned by the ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (the
+    * explicit per-round freeing below only manages in-memory blocks, which
+    * reliable checkpoints don't create). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          reliableCheckpoints: Boolean = false): DataFrame = {
+    if (reliableCheckpoints) require(
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliableCheckpoints=true requires spark.sparkContext.setCheckpointDir " +
+        "(an HDFS/object-store path on a cluster)")
+    def snapshot(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -274,10 +291,9 @@ object Dedup {
     // min after the seed, saving one full join+checkpoint round. The
     // pointer-jumping invariant holds: the seed label is a node id in the
     // same component with label(seed) <= seed.
-    var labels = edges.groupBy(col("src"))
+    var labels = snapshot(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("nmin"))
-      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
-      .localCheckpoint(true)
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label")))
     var prevIds = persistedIds -- before0
     try {
       var iter = 0
@@ -296,12 +312,11 @@ object Dedup {
         // label is <= it (labels only shrink toward the component min), so
         // label(label(x)) short-circuits half the remaining chain
         val before = persistedIds
-        val next = stepped
+        val next = snapshot(stepped
           .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
             stepped("label") === col("jid"), "left")
           .select(stepped("id"), stepped("prev"),
-            coalesce(col("jlabel"), stepped("label")).as("label"))
-          .localCheckpoint(true)
+            coalesce(col("jlabel"), stepped("label")).as("label")))
         val nextIds = persistedIds -- before
         // one-row driver read: any label still shrinking?
         val changed = next.where(col("label") < col("prev")).limit(1).count()

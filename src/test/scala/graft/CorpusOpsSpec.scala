@@ -90,6 +90,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(100L) == 100L && got(101L) == 100L)
   }
 
+  test("connectedComponents reliable-checkpoint mode matches local mode") {
+    import spark.implicits._
+    val pairs = Seq((12L, 11L), (11L, 10L), (10L, 9L), (9L, 8L), (8L, 7L),
+      (101L, 100L)).toDF("id_a", "id_b")
+    // without a checkpoint dir the production mode must refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.connectedComponents(pairs, reliableCheckpoints = true)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val got = graft.dedup.Dedup
+      .connectedComponents(pairs, reliableCheckpoints = true)
+      .as[(Long, Long)].collect().toMap
+    assert((7L to 12L).forall(got(_) == 7L))
+    assert(got(100L) == 100L && got(101L) == 100L)
+  }
+
   test("connectedComponents refuses to return unconverged labels at maxIter") {
     import spark.implicits._
     // diameter-5 chain needs >1 pointer-jumping round; maxIter=1 must fail
