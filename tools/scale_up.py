@@ -54,10 +54,22 @@ FIXED_DIMS = ["region", "nation"]
 
 
 def caesar(r):
+    """Per-replica letter substitution. Replicas 1..25 are Caesar rotations
+    (keeps the committed sf1.0 numbers reproducible); replicas >= 26 use a
+    seeded random alphabet permutation instead — a plain rotation wraps mod
+    26, which made replicas 26..29 of the first sf3.0 build exact text
+    copies of replicas 0..3 and inflated LSH candidate pairs 11.6x over
+    linear (contamination hits doubled: replica 26 re-matched the eval set).
+    Distinct permutations keep cross-replica shingles disjoint for any R."""
+    import random
     lo = string.ascii_lowercase
     up = string.ascii_uppercase
-    k = r % 26
-    return str.maketrans(lo + up, lo[k:] + lo[:k] + up[k:] + up[:k])
+    if r < 26:
+        k = r % 26
+        sub = lo[k:] + lo[:k]
+    else:
+        sub = "".join(random.Random(f"scale-up-replica-{r}").sample(lo, 26))
+    return str.maketrans(lo + up, sub + sub.upper())
 
 
 def replica(tbl, name, r):
@@ -76,6 +88,10 @@ def replica(tbl, name, r):
                  for v in col.to_pylist()], type=field.type)
         elif name == "embeddings" and field.name == "embedding":
             mat = np.array(col.to_pylist(), dtype=np.float32)
+            # roll stride 7 is coprime with dim=64, so roll amounts are
+            # distinct for r < dim; beyond that replicas would repeat.
+            assert r < mat.shape[1], (
+                f"embedding roll wraps at {mat.shape[1]} replicas")
             mat = np.roll(mat, (r * 7) % mat.shape[1], axis=1)
             col = pa.array(list(mat), type=field.type)
         cols.append(col)
