@@ -75,28 +75,59 @@ object Dedup {
       .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
   }
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions, the
-    * min 60-bit hash over the doc's shingles. Output: (id, seed, minhash). */
-  def minhash(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("seed")
-    sh.select(col(idCol), col("shingle"), seeds)
-      .select(col(idCol), col("seed"),
-        TextOps.hash64(concat_ws("#", col("shingle"), col("seed"))).as("h"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(col("h")).as("minhash"))
+  /** 2^56 — the minhash family's modulus (see [[minhashWide]]). */
+  private val M56 = 1L << 56
+
+  /** MinHash signatures, wide format: ONE row per doc with `numHashes`
+    * columns mh0..mhK-1. The hash family is Kirsch–Mitzenmacher double
+    * hashing off a single md5: two independent 56-bit values ha/hb (hex
+    * chars 1–14 and 17–30 of the digest), h_i = (ha + i·hb) mod 2^56.
+    * K-M gives the family the independence minhash banding needs at the
+    * cost of ONE digest per shingle — the per-seed form (md5 of
+    * shingle#seed) pays `numHashes` digests per shingle AND multiplies the
+    * shingle table by `numHashes` before its aggregation shuffle. Here the
+    * group-by carries one row per shingle and partial-aggregates all K
+    * mins map-side, so the shuffle is |docs|-bounded (K longs per doc).
+    * 56-bit halves (not 60) keep ha + 15·hb < 2^60 — exact in a signed 64
+    * in BOTH engines, so the DuckDB oracle replays the arithmetic
+    * verbatim with no overflow divergence. */
+  def minhashWide(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val base = sh
+      .withColumn("__md5", md5(col("shingle")))
+      .select(col(idCol),
+        conv(substring(col("__md5"), 1, 14), 16, 10).cast(LongType).as("ha"),
+        conv(substring(col("__md5"), 17, 14), 16, 10).cast(LongType).as("hb"))
+    val mins = (0 until numHashes).map { i =>
+      min((col("ha") + lit(i.toLong) * col("hb")) % lit(M56)).as(s"mh$i")
+    }
+    base.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH band signatures: group `rows`-sized runs of minhashes into band
-    * strings. Output: (id, band, sig). */
-  def lshBands(mh: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+  /** MinHash signatures, exploded exhibit format (id, seed, minhash) —
+    * the oracle-friendly shape (q31). Same family as [[minhashWide]];
+    * unpivoted with `stack`, so there is exactly one implementation of
+    * the hash family. */
+  def minhash(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val pairs = (0 until numHashes).map(i => s"$i, mh$i").mkString(", ")
+    minhashWide(sh, idCol, numHashes)
+      .selectExpr(idCol, s"stack($numHashes, $pairs) AS (seed, minhash)")
+  }
+
+  /** LSH band signatures from the wide minhash table: band b's signature
+    * is the '|'-join of its `rows` consecutive minhashes — a PROJECTION
+    * plus a docs-sized explode, replacing the former per-(id, band)
+    * aggregation shuffle over the exploded signature table.
+    * Output: (id, band, sig). */
+  def lshBands(wide: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
-    mh.withColumn("band", (col("seed") / rows).cast(IntegerType))
-      .groupBy(col(idCol), col("band"))
-      // deterministic in-band order via sort_array over (seed, minhash) pairs
-      .agg(concat_ws("|",
-        transform(sort_array(collect_list(struct(col("seed"), col("minhash")))),
-          s => s.getField("minhash"))).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|",
+          (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*).as("sig"))
+    }
+    wide.select(col(idCol), explode(array(bandCols: _*)).as("__bs"))
+      .select(col(idCol), col("__bs.band").as("band"), col("__bs.sig").as("sig"))
   }
 
   /** Candidate near-duplicate pairs: docs sharing any LSH band bucket. */
@@ -122,7 +153,7 @@ object Dedup {
                  shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  persistIntermediate: Boolean = false): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleN)
-    val bandsDf0 = lshBands(minhash(sh, idCol, numHashes), idCol, numHashes, bands)
+    val bandsDf0 = lshBands(minhashWide(sh, idCol, numHashes), idCol, numHashes, bands)
     val bandsDf = if (persistIntermediate)
       bandsDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else bandsDf0

@@ -52,7 +52,10 @@ object TrainingData {
              |SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
              |FROM all_docs GROUP BY md5(text) ORDER BY fp""".stripMargin)),
 
-    // MinHash signatures (16 seeded 60-bit hashes over 3-gram shingles).
+    // MinHash signatures: 16-member Kirsch–Mitzenmacher family off ONE
+    // md5 per shingle — h_i = (ha + i*hb) mod 2^56, ha/hb = two 56-bit
+    // halves of the digest (hex chars 1-14 / 17-30). 56 bits keeps
+    // ha + 15*hb < 2^60, exact in signed BIGINT in both engines.
     Q("q31_minhash_signatures",
       (s, dir) => {
         val docs = t(s, dir, "documents").where(col("doc_id") < 64)
@@ -68,11 +71,14 @@ object TrainingData {
              |       i -> array_to_string(d.toks[i:i+2], ' '))) u(s)
              |  WHERE len(d.toks) >= 3),
              |h AS (
-             |  SELECT doc_id, CAST(seed AS INT) AS seed,
-             |         ('0x'||substr(md5(shingle || '#' || seed::VARCHAR),1,15))::BIGINT AS h
-             |  FROM sh CROSS JOIN range(0,16) r(seed))
-             |SELECT doc_id, seed, min(h) AS minhash
-             |FROM h GROUP BY doc_id, seed ORDER BY doc_id, seed""".stripMargin)),
+             |  SELECT doc_id,
+             |         ('0x'||substr(md5(shingle),1,14))::BIGINT AS ha,
+             |         ('0x'||substr(md5(shingle),17,14))::BIGINT AS hb
+             |  FROM sh)
+             |SELECT doc_id, CAST(seed AS INT) AS seed,
+             |       min((ha + seed*hb) % (1::BIGINT << 56)) AS minhash
+             |FROM h CROSS JOIN range(0,16) r(seed)
+             |GROUP BY doc_id, seed ORDER BY doc_id, seed""".stripMargin)),
 
     // MinHash-LSH candidate pairs: 4 bands x 4 rows; docs meet only on a
     // shared band bucket (join fan-out bounded by bucket size, not n^2).
@@ -94,10 +100,15 @@ object TrainingData {
              |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
              |       i -> array_to_string(d.toks[i:i+2], ' '))) u(s)
              |  WHERE len(d.toks) >= 3),
+             |h AS (
+             |  SELECT doc_id,
+             |         ('0x'||substr(md5(shingle),1,14))::BIGINT AS ha,
+             |         ('0x'||substr(md5(shingle),17,14))::BIGINT AS hb
+             |  FROM sh),
              |mh AS (
              |  SELECT doc_id, CAST(seed AS INT) AS seed,
-             |         min(('0x'||substr(md5(shingle || '#' || seed::VARCHAR),1,15))::BIGINT) AS minhash
-             |  FROM sh CROSS JOIN range(0,16) r(seed)
+             |         min((ha + seed*hb) % (1::BIGINT << 56)) AS minhash
+             |  FROM h CROSS JOIN range(0,16) r(seed)
              |  GROUP BY doc_id, seed),
              |bands AS (
              |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
