@@ -130,10 +130,23 @@ object Dedup {
       .select(col(idCol), col("__bs.band").as("band"), col("__bs.sig").as("sig"))
   }
 
-  /** Candidate near-duplicate pairs: docs sharing any LSH band bucket. */
+  /** Candidate near-duplicate pairs: docs sharing any LSH band bucket.
+    * The band frame pins its parallelism with an explicit-count
+    * repartition on the id (same rationale and same placement as
+    * [[simhashBandedDups]]: a band table is kilobytes per thousand docs,
+    * so AQE coalesces its exchange to ~1 partition, but on a dup-heavy
+    * corpus the join output is quadratic in bucket sizes — the operator,
+    * not the input bytes, knows the fan-out; id-hash, not band-hash, so
+    * one hot bucket cannot serialize its whole fan-out into one task). */
   def lshCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_a"))
-    val b = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_b"))
+    val probeParts =
+      bandsDf.sparkSession.sessionState.conf.numShufflePartitions
+    // (id, band) — unique per band row; id alone matches the upstream
+    // minhash aggregate's partitioning and the repartition would be
+    // elided as redundant (see simhashBandedDups)
+    val pinned = bandsDf.repartition(probeParts, col(idCol), col("band"))
+    val a = pinned.select(col("band"), col("sig"), col(idCol).as("id_a"))
+    val b = pinned.select(col("band"), col("sig"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -176,17 +189,21 @@ object Dedup {
     val tok = docs.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", TextOps.hash64(col("tok")))
-    tok
-      .select(col(idCol), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      // bit b of h: SQL shiftright accepts a column shift amount (the Scala
-      // DSL's shiftright only takes a literal Int). h >= 0 so % is safe.
-      .withColumn("bit", expr("(h >> b) % 2"))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("bit") * 2 - 1).as("votes"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("votes") > 0, expr("CAST(1 AS BIGINT) << b"))
-        .otherwise(0L)).as("simhash"))
+    // One groupBy with `bits` partial-aggregated vote columns, signature
+    // as a projection — NOT an explode of every token row by `bits`
+    // followed by a per-(id, bit) aggregation and a second per-id shuffle:
+    // that shape multiplies the token table 32x at production signature
+    // width before its shuffle (240M rows at the 150k-doc rehearsal).
+    // Output is bit-identical (same votes, same thresholds), so the
+    // all-pairs DuckDB oracles replay it unchanged. h >= 0 so % is safe.
+    val votes = (0 until bits).map { b =>
+      sum(expr(s"((h >> $b) % 2) * 2 - 1").cast(LongType)).as(s"__v$b")
+    }
+    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-duplicate pairs: signatures within `maxHamming` bits.
@@ -235,11 +252,54 @@ object Dedup {
         expr(s"(simhash >> ${offsets(i)}) & ${(1L << widths(i)) - 1}")
           .as("cv"))
     }
+    // Pin the signature frame's parallelism with an explicit-count
+    // repartition on the id (REPARTITION_BY_NUM — AQE honors
+    // user-specified counts; the id is unique, so no skew). Without it,
+    // AQE coalesces the upstream signature exchange by its INPUT bytes —
+    // ~1 MB for 50k 8-byte signatures — to ONE partition, and since the
+    // chunk explode, broadcast-probe and pair dedup all fuse into that
+    // exchange's reduce stage, the join's OUTPUT (53M pairs at the
+    // sf1.0 16-bit rehearsal) materializes single-threaded: measured
+    // 147 s starved vs 29 s pinned (on par with coalescing disabled).
+    // Pair-generating joins are exactly the shape AQE mis-sizes: output
+    // explodes relative to input bytes, and only the operator knows
+    // that. Pinning HERE (not the exploded chunk frame) keeps the
+    // explode+probe+pair-dedup fusion in one stage: a chunk-level
+    // round-robin was measured 1.5x worse (it splits the fused stage),
+    // and a (ci, cv) join-key repartition 2.5x worse (only
+    // chunks·2^width distinct keys — 64 at 16-bit/maxHamming 3 — and
+    // the saturated buckets are precisely the hot ones, so each
+    // bucket's quadratic fan-out serializes into one task). The count
+    // is the session's configured shuffle parallelism, so cluster
+    // deployments keep their setting.
+    // (id, simhash), not id alone: the upstream signature aggregate is
+    // already hash-partitioned by id, so a same-key repartition is
+    // recognized as redundant and ELIDED — and the pin silently vanishes
+    // (measured: right back to the coalesced 147 s). The composite key is
+    // still unique per row, so the distribution stays uniform.
+    val probeParts = sigs.sparkSession.sessionState.conf.numShufflePartitions
     val chunked = sigs
+      .repartition(probeParts, col(idCol), col("simhash"))
       .select(col(idCol), col("simhash"),
         explode(array(chunkCols: _*)).as("c"))
       .select(col(idCol), col("simhash"),
         col("c.ci").as("ci"), col("c.cv").as("cv"))
+    // Pin the probe side's parallelism with an explicit-count ROUND-ROBIN
+    // repartition (REPARTITION_BY_NUM — AQE honors user-specified counts).
+    // Without it, AQE coalesces the upstream signature exchange by its
+    // INPUT bytes — ~1 MB for 50k 8-byte signatures — down to one
+    // partition, and the join's OUTPUT (53M pairs at the sf1.0 16-bit
+    // rehearsal) then materializes single-threaded: measured 147 s vs
+    // ~10 s pinned. Pair-generating joins are exactly the shape AQE
+    // mis-sizes: output explodes relative to input, and only the operator
+    // knows that. Round-robin, NOT by join key: there are only
+    // chunks·2^width distinct (ci, cv) values (64 at 16-bit/maxHamming 3)
+    // and the saturated buckets are precisely the hot ones, so key-hash
+    // partitioning serializes each bucket's quadratic fan-out into one
+    // task (measured 6x worse than round-robin). Balanced slices work
+    // because the build side is broadcast — every probe task holds the
+    // full bucket map. The count is the session's configured shuffle
+    // parallelism, so cluster deployments keep their setting.
     val a = chunked.select(col("ci"), col("cv"), col(idCol).as("id_a"),
       col("simhash").as("sig_a"))
     val b = chunked.select(col("ci"), col("cv"), col(idCol).as("id_b"),
