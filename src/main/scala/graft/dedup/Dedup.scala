@@ -109,8 +109,12 @@ object Dedup {
     * the hash family. */
   def minhash(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val pairs = (0 until numHashes).map(i => s"$i, mh$i").mkString(", ")
+    // backtick-quote idCol: a name that is not a bare SQL identifier
+    // (space, dot, keyword) must parse as ONE column reference here,
+    // like the col(idCol) references everywhere else in this module
     minhashWide(sh, idCol, numHashes)
-      .selectExpr(idCol, s"stack($numHashes, $pairs) AS (seed, minhash)")
+      .selectExpr(s"`${idCol.replace("`", "``")}`",
+        s"stack($numHashes, $pairs) AS (seed, minhash)")
   }
 
   /** LSH band signatures from the wide minhash table: band b's signature
@@ -130,6 +134,23 @@ object Dedup {
       .select(col(idCol), col("__bs.band").as("band"), col("__bs.sig").as("sig"))
   }
 
+  /** Resolve a `probeParts` pair-join parallelism-pin setting: `-1` = pin
+    * at the session's configured shuffle parallelism (the scale default),
+    * `0` = skip the pin entirely, `n > 0` = pin at exactly n partitions.
+    *
+    * WHY `0` EXISTS: the pin buys quadratic-output parallelism at the cost
+    * of one extra exchange per join side. On a corpus that costs a fixed
+    * few hundred ms and wins back minutes; on an exhibit-sized input
+    * (hundreds of docs — oracle suites, candidate rechecks) the fan-out
+    * fits in one task anyway and the exchanges are pure overhead
+    * (measured: ~0.4 s of q91's 2.58 s r6 anchor). Callers that KNOW the
+    * input is small pass 0; the default stays scale-safe because only the
+    * caller can know — the operator would need an extra counting pass. */
+  private def resolvePin(df: DataFrame, probeParts: Int): Option[Int] =
+    if (probeParts == 0) None
+    else if (probeParts > 0) Some(probeParts)
+    else Some(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Candidate near-duplicate pairs: docs sharing any LSH band bucket.
     * The band frame pins its parallelism with an explicit-count
     * repartition on the id (same rationale and same placement as
@@ -137,14 +158,32 @@ object Dedup {
     * so AQE coalesces its exchange to ~1 partition, but on a dup-heavy
     * corpus the join output is quadratic in bucket sizes — the operator,
     * not the input bytes, knows the fan-out; id-hash, not band-hash, so
-    * one hot bucket cannot serialize its whole fan-out into one task). */
-  def lshCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val probeParts =
-      bandsDf.sparkSession.sessionState.conf.numShufflePartitions
+    * one hot bucket cannot serialize its whole fan-out into one task).
+    *
+    * PLAN DEPENDENCY: the pin survives only while the self-join is planned
+    * as a broadcast hash join (the band table under the broadcast
+    * threshold, the common case since it is kilobytes per thousand docs) —
+    * a sort-merge plan re-exchanges BOTH sides by the join key (band, sig)
+    * and discards the (id, band) distribution. That fallback is still
+    * parallel (the SMJ exchange is sized by the session parallelism), but
+    * it hash-partitions by bucket key, so one saturated bucket serializes
+    * its quadratic fan-out into one task — the exact skew the pin exists
+    * to avoid (see simhashBandedDups' measured 2.5x join-key-pin
+    * counterfactual). If a corpus pushes the band table past the broadcast
+    * threshold, salt the bucket key (append a few id bits to `sig`) rather
+    * than forcing the broadcast: an over-threshold broadcast OOMs the
+    * executors.
+    *
+    * `probeParts`: see [[resolvePin]] — exhibit-size callers pass 0. */
+  def lshCandidates(bandsDf: DataFrame, idCol: String,
+                    probeParts: Int = -1): DataFrame = {
     // (id, band) — unique per band row; id alone matches the upstream
     // minhash aggregate's partitioning and the repartition would be
     // elided as redundant (see simhashBandedDups)
-    val pinned = bandsDf.repartition(probeParts, col(idCol), col("band"))
+    val pinned = resolvePin(bandsDf, probeParts) match {
+      case Some(n) => bandsDf.repartition(n, col(idCol), col("band"))
+      case None => bandsDf
+    }
     val a = pinned.select(col("band"), col("sig"), col(idCol).as("id_a"))
     val b = pinned.select(col("band"), col("sig"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "sig"))
@@ -164,13 +203,14 @@ object Dedup {
     * the default or call spark.catalog.clearCache() between batches. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                 persistIntermediate: Boolean = false): DataFrame = {
+                 persistIntermediate: Boolean = false,
+                 probeParts: Int = -1): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleN)
     val bandsDf0 = lshBands(minhashWide(sh, idCol, numHashes), idCol, numHashes, bands)
     val bandsDf = if (persistIntermediate)
       bandsDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else bandsDf0
-    lshCandidates(bandsDf, idCol)
+    lshCandidates(bandsDf, idCol, probeParts)
   }
 
   /** SimHash signature (default 16 bits for oracle-checkable size; up to 60
@@ -238,9 +278,11 @@ object Dedup {
     * the low chunks), never a uniform ceil width: ceil-width chunking
     * leaves the last chunk empty whenever chunks*ceil > bits (e.g.
     * bits=16, maxHamming=4 -> width 4 puts chunk 4 at bits 16..19 — zero
-    * for EVERY signature, one universal bucket, all-pairs blow-up). */
+    * for EVERY signature, one universal bucket, all-pairs blow-up).
+    *
+    * `probeParts`: see [[resolvePin]] — exhibit-size callers pass 0. */
   def simhashBandedDups(sigs: DataFrame, idCol: String, bits: Int,
-                        maxHamming: Int): DataFrame = {
+                        maxHamming: Int, probeParts: Int = -1): DataFrame = {
     val chunks = maxHamming + 1
     require(bits > 0 && bits <= 60 && chunks <= bits,
       "need at least one signature bit per chunk")
@@ -277,29 +319,15 @@ object Dedup {
     // recognized as redundant and ELIDED — and the pin silently vanishes
     // (measured: right back to the coalesced 147 s). The composite key is
     // still unique per row, so the distribution stays uniform.
-    val probeParts = sigs.sparkSession.sessionState.conf.numShufflePartitions
-    val chunked = sigs
-      .repartition(probeParts, col(idCol), col("simhash"))
+    val pinnedSigs = resolvePin(sigs, probeParts) match {
+      case Some(n) => sigs.repartition(n, col(idCol), col("simhash"))
+      case None => sigs
+    }
+    val chunked = pinnedSigs
       .select(col(idCol), col("simhash"),
         explode(array(chunkCols: _*)).as("c"))
       .select(col(idCol), col("simhash"),
         col("c.ci").as("ci"), col("c.cv").as("cv"))
-    // Pin the probe side's parallelism with an explicit-count ROUND-ROBIN
-    // repartition (REPARTITION_BY_NUM — AQE honors user-specified counts).
-    // Without it, AQE coalesces the upstream signature exchange by its
-    // INPUT bytes — ~1 MB for 50k 8-byte signatures — down to one
-    // partition, and the join's OUTPUT (53M pairs at the sf1.0 16-bit
-    // rehearsal) then materializes single-threaded: measured 147 s vs
-    // ~10 s pinned. Pair-generating joins are exactly the shape AQE
-    // mis-sizes: output explodes relative to input, and only the operator
-    // knows that. Round-robin, NOT by join key: there are only
-    // chunks·2^width distinct (ci, cv) values (64 at 16-bit/maxHamming 3)
-    // and the saturated buckets are precisely the hot ones, so key-hash
-    // partitioning serializes each bucket's quadratic fan-out into one
-    // task (measured 6x worse than round-robin). Balanced slices work
-    // because the build side is broadcast — every probe task holds the
-    // full bucket map. The count is the session's configured shuffle
-    // parallelism, so cluster deployments keep their setting.
     val a = chunked.select(col("ci"), col("cv"), col(idCol).as("id_a"),
       col("simhash").as("sig_a"))
     val b = chunked.select(col("ci"), col("cv"), col(idCol).as("id_b"),
@@ -341,9 +369,18 @@ object Dedup {
     * cleaned by the ContextCleaner when
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (the
     * explicit per-round freeing below only manages in-memory blocks, which
-    * reliable checkpoints don't create). */
+    * reliable checkpoints don't create).
+    *
+    * `onRound`: opt-in convergence telemetry — called once per completed
+    * round with (round number starting at 1, labels changed this round).
+    * A healthy graph's curve drops geometrically (pointer jumping); a
+    * skewed or adversarial graph shows up as a long flat tail — a CURVE
+    * the operator surfaces long before the maxIter timeout would. Costs
+    * one exact count per round instead of the default LIMIT-1 existence
+    * probe, so it is off unless requested (ScaleRehearsal turns it on). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-                          reliableCheckpoints: Boolean = false): DataFrame = {
+                          reliableCheckpoints: Boolean = false,
+                          onRound: Option[(Int, Long) => Unit] = None): DataFrame = {
     if (reliableCheckpoints) require(
       pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliableCheckpoints=true requires spark.sparkContext.setCheckpointDir " +
@@ -409,8 +446,16 @@ object Dedup {
           .select(stepped("id"), stepped("prev"),
             coalesce(col("jlabel"), stepped("label")).as("label")))
         val nextIds = persistedIds -- before
-        // one-row driver read: any label still shrinking?
-        val changed = next.where(col("label") < col("prev")).limit(1).count()
+        // driver-side read per round: with telemetry an exact changed
+        // count, otherwise a one-row existence probe (any label shrinking?)
+        val changed = onRound match {
+          case Some(report) =>
+            val n = next.where(col("label") < col("prev")).count()
+            report(iter + 1, n)
+            n
+          case None =>
+            next.where(col("label") < col("prev")).limit(1).count()
+        }
         freeIds(prevIds) // round r-1's snapshot: no longer referenced
         prevIds = nextIds
         labels = next

@@ -358,6 +358,53 @@ object Extended {
              |SELECT query_id, rank, neighbor_id, sim
              |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
+    // Multi-probe IVF (nprobe=2): each query unions the inverted lists of
+    // its TWO nearest centroids before ranking — the recall knob of
+    // production IVF search, recovering true neighbors that live just
+    // across a Voronoi boundary from the query (invisible at nprobe=1; see
+    // SimilaritySpec's planted-neighbor proof and SCALING.md's measured
+    // recall-vs-nprobe curve). Corpus vectors keep their single rank-1
+    // list assignment (the index invariant), so the probed union is
+    // dedup-free. The oracle replays the exact algorithm: query
+    // assignment rn <= 2, corpus assignment rn = 1, rank once.
+    Q("q104_ann_ivf_multiprobe",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val centroids = e.where(col("id") < 8)
+          .select(col("id").as("cid"), col("vec"))
+        graft.similarity.Similarity.ivfTopK(
+          e.where(col("id").between(100, 104)), e, centroids, 3, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH cents AS (
+             |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id < 8),
+             |ranked_assign AS (
+             |  SELECT e.vec_id, c.cid,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+             |               c.cid) AS rn
+             |  FROM embeddings e CROSS JOIN cents c),
+             |q AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, a.cid
+             |      FROM embeddings e JOIN ranked_assign a
+             |        ON a.vec_id = e.vec_id AND a.rn <= 2
+             |      WHERE e.vec_id BETWEEN 100 AND 104),
+             |cand AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, a.cid
+             |         FROM embeddings e JOIN ranked_assign a
+             |           ON a.vec_id = e.vec_id AND a.rn = 1),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, cand.vec_id AS neighbor_id,
+             |         list_cosine_similarity(q.v, cand.v) AS sim
+             |  FROM q JOIN cand ON q.cid = cand.cid AND q.vec_id <> cand.vec_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, sim,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |              ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, sim
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     // TPC-H Q13-style distribution: orders-per-customer histogram (left
     // join preserving zero-order customers, two-level aggregation).
     Q("q61_count_histogram",

@@ -89,7 +89,9 @@ object TrainingData {
     Q("q32_minhash_lsh_candidates",
       (s, dir) => {
         val docs = t(s, dir, "documents").where(col("doc_id") < 1024)
-        Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)
+        // probeParts = 0: 1k-doc exhibit — the pair fan-out fits one task,
+        // the pin's extra exchanges would be pure overhead (resolvePin doc)
+        Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4, probeParts = 0)
           .orderBy("id_a", "id_b")
       },
       Some("""WITH d AS (
@@ -109,6 +111,52 @@ object TrainingData {
              |  SELECT doc_id, CAST(seed AS INT) AS seed,
              |         min((ha + seed*hb) % (1::BIGINT << 56)) AS minhash
              |  FROM h CROSS JOIN range(0,16) r(seed)
+             |  GROUP BY doc_id, seed),
+             |bands AS (
+             |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             |         string_agg(minhash::VARCHAR, '|' ORDER BY seed) AS sig
+             |  FROM mh GROUP BY doc_id, CAST(seed // 4 AS INT))
+             |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+             |WHERE a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // The PRODUCTION MinHash width: 64 hashes / 16 bands (4 rows per
+    // band), the q102 move applied to the minhash path — q32's 16-hash/
+    // 4-band setting is exhibit-sized, and the banding S-curve it induces
+    // (match probability 1-(1-j^4)^4) is far too permissive for corpus
+    // scale, where band-bucket collisions must stay similarity-driven.
+    // 64/16 keeps 4-row bands (same per-band precision) with 4x the
+    // detection chances, the standard production operating point. The
+    // K-M family stays exact at i=63: ha + 63*hb < 2^56 * 64 = 2^62,
+    // inside signed-64 in both engines (the family scaladoc's bound
+    // generalizes to numHashes <= 128). This query pins the wide setting
+    // to the oracle gate so production width, not just the exhibit, is
+    // hash-verified every round; the sf1.0 pair-growth curve for this
+    // setting is in SCALING.md.
+    Q("q103_minhash_lsh_wide",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("doc_id") < 1024)
+        Dedup.minhashLsh(docs, "doc_id", "text", 3, 64, 16, probeParts = 0)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id < 1024),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, u.s AS shingle
+             |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
+             |       i -> array_to_string(d.toks[i:i+2], ' '))) u(s)
+             |  WHERE len(d.toks) >= 3),
+             |h AS (
+             |  SELECT doc_id,
+             |         ('0x'||substr(md5(shingle),1,14))::BIGINT AS ha,
+             |         ('0x'||substr(md5(shingle),17,14))::BIGINT AS hb
+             |  FROM sh),
+             |mh AS (
+             |  SELECT doc_id, CAST(seed AS INT) AS seed,
+             |         min((ha + seed*hb) % (1::BIGINT << 56)) AS minhash
+             |  FROM h CROSS JOIN range(0,64) r(seed)
              |  GROUP BY doc_id, seed),
              |bands AS (
              |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
@@ -169,7 +217,7 @@ object TrainingData {
       (s, dir) => Dedup.simhashBandedDups(
         Dedup.simhash(t(s, dir, "documents").where(col("doc_id") < 256),
           "doc_id", "text", 16),
-        "doc_id", 16, 3).orderBy("id_a", "id_b"),
+        "doc_id", 16, 3, probeParts = 0).orderBy("id_a", "id_b"),
       Some("""WITH tok AS (
              |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
              |  FROM documents WHERE doc_id < 256),
@@ -199,7 +247,7 @@ object TrainingData {
       (s, dir) => Dedup.simhashBandedDups(
         Dedup.simhash(t(s, dir, "documents").where(col("doc_id") < 256),
           "doc_id", "text", 32),
-        "doc_id", 32, 3).orderBy("id_a", "id_b"),
+        "doc_id", 32, 3, probeParts = 0).orderBy("id_a", "id_b"),
       Some("""WITH tok AS (
              |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
              |  FROM documents WHERE doc_id < 256),
@@ -229,7 +277,7 @@ object TrainingData {
         Dedup.simhashBandedDups(
           Dedup.simhash(t(s, dir, "documents").where(col("doc_id") < 256),
             "doc_id", "text", 16),
-          "doc_id", 16, 3)).orderBy("id"),
+          "doc_id", 16, 3, probeParts = 0)).orderBy("id"),
       Some("""WITH RECURSIVE tok AS (
              |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
              |  FROM documents WHERE doc_id < 256),
@@ -313,7 +361,8 @@ object TrainingData {
         val planted = e.select((col("id") + 10000).as("id"),
           transform(col("vec"),
             (x, i) => when(i === 0, lit(0f)).otherwise(x)).as("vec"))
-        Similarity.lshNearDupPairs(e.unionByName(planted), 0.8, 16, 2)
+        Similarity.lshNearDupPairs(e.unionByName(planted), 0.8, 16, 2,
+          probeParts = 0)
           .orderBy("id_a", "id_b")
       },
       Some("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v

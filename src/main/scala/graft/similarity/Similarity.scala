@@ -95,7 +95,15 @@ object Similarity {
     * aggregate loses whole-stage codegen (struct buffers force
     * SortAggregate) while the window path stays codegen'd. See
     * SCALING.md "Top-k-per-key: window vs aggregate (measured)". */
-  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignN(vecs, centroids, 1).select(col("id"), col("cid"))
+
+  /** Top-`nprobe` centroid assignments per vector: (id, cid, probe) with
+    * probe = 1..nprobe in decreasing-similarity order. The rn <= nprobe
+    * filter still triggers InferWindowGroupLimit, so each map partition
+    * pre-prunes to nprobe rows per id before the shuffle (see [[ivfAssign]]
+    * scaladoc for the window-vs-aggregate measurement). */
+  def ivfAssignN(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val c = broadcast(centroids.select(col("cid"), col("vec").as("cv"),
       norm(col("vec")).as("cn")))
     val v = vecs.select(col("id"), col("vec"), norm(col("vec")).as("vn"))
@@ -104,21 +112,29 @@ object Similarity {
     v.join(c, lit(true))
       .withColumn("csim", dot(col("vec"), col("cv")) / (col("vn") * col("cn")))
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("id"), col("cid"))
+      .where(col("rn") <= nprobe)
+      .select(col("id"), col("cid"), col("rn").as("probe"))
   }
 
-  /** IVF-flat top-k search (nprobe=1): each query scans ONLY the inverted
-    * list of its nearest centroid — expected corpus/K work per query. The
-    * 100 TB layout stores the corpus partitioned (or bucketed) by `cid`, so
-    * a probe is a partition-pruned scan, not a shuffle. */
+  /** IVF-flat top-k search: each query scans the inverted lists of its
+    * `nprobe` nearest centroids — expected nprobe*corpus/K work per query.
+    * The 100 TB layout stores the corpus partitioned (or bucketed) by
+    * `cid`, so a probe is a partition-pruned scan, not a shuffle.
+    *
+    * nprobe is THE recall knob of IVF search: a true neighbor whose home
+    * list differs from the query's nearest centroid (it sits just across a
+    * Voronoi boundary) is invisible at nprobe=1 and reachable the moment
+    * its centroid enters the query's probe set. Corpus vectors stay
+    * assigned to exactly ONE list (rank-1, the IVF index invariant), so
+    * each (query, neighbor) candidate appears at most once — the union of
+    * probed lists needs no dedup before the final rank. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-              k: Int): DataFrame = {
+              k: Int, nprobe: Int = 1): DataFrame = {
     val corpusAssigned = corpus.join(ivfAssign(corpus, centroids), Seq("id"))
       .select(col("id").as("neighbor_id"), col("vec").as("cv2"),
         norm(col("vec")).as("cn2"), col("cid"))
     val queriesAssigned = broadcast(
-      queries.join(ivfAssign(queries, centroids), Seq("id"))
+      queries.join(ivfAssignN(queries, centroids, nprobe), Seq("id"))
         .select(col("id").as("query_id"), col("vec").as("qv"),
           norm(col("vec")).as("qn"), col("cid")))
     val w = Window.partitionBy("query_id")
@@ -250,9 +266,10 @@ object Similarity {
     * vector; vectors move only for the final per-candidate cosine check,
     * twice a |candidates|-bounded hash join. */
   def lshNearDupPairs(vecs: DataFrame, threshold: Double, bits: Int,
-                      maxMismatch: Int): DataFrame = {
+                      maxMismatch: Int, probeParts: Int = -1): DataFrame = {
     val sigs = vecs.select(col("id"), signBucket(col("vec"), bits).as("simhash"))
-    val cand = graft.dedup.Dedup.simhashBandedDups(sigs, "id", bits, maxMismatch)
+    val cand = graft.dedup.Dedup
+      .simhashBandedDups(sigs, "id", bits, maxMismatch, probeParts)
       .select("id_a", "id_b")
     val va = vecs.select(col("id").as("id_a"), col("vec").as("va"),
       norm(col("vec")).as("na"))

@@ -90,6 +90,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(100L) == 100L && got(101L) == 100L)
   }
 
+  test("connectedComponents telemetry reports per-round convergence curve") {
+    import spark.implicits._
+    // same graph as the chain test: diameter-5 chain + a pair. Pointer
+    // jumping resolves it in exactly 3 rounds with a geometric
+    // changed-labels curve (4, 1, 0) — deterministic regardless of
+    // partitioning, so the telemetry is asserted exactly. A skewed graph
+    // would show a long flat tail here instead of the geometric drop.
+    val pairs = Seq((12L, 11L), (11L, 10L), (10L, 9L), (9L, 8L), (8L, 7L),
+      (101L, 100L)).toDF("id_a", "id_b")
+    val rounds = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    val got = graft.dedup.Dedup.connectedComponents(pairs.repartition(3),
+        onRound = Some((r, n) => rounds += ((r, n))))
+      .as[(Long, Long)].collect().toMap
+    assert((7L to 12L).forall(got(_) == 7L))
+    assert(rounds.toSeq === Seq((1, 4L), (2, 1L), (3, 0L)))
+  }
+
   test("connectedComponents reliable-checkpoint mode matches local mode") {
     import spark.implicits._
     val pairs = Seq((12L, 11L), (11L, 10L), (10L, 9L), (9L, 8L), (8L, 7L),

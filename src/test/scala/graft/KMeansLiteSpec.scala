@@ -41,4 +41,23 @@ class KMeansLiteSpec extends SparkSpec {
     assert(perQuery.length === 3)
     assert(perQuery.forall(_._2 === 5))
   }
+
+  test("multi-probe recovers a planted cross-boundary neighbor nprobe=1 misses") {
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // two centroids 72° apart; the corpus vector n at 50° lives in
+    // centroid 1's inverted list, m at 5° in centroid 0's
+    val centroids = Seq((0L, v(0.0)), (1L, v(72.0))).toDF("cid", "vec")
+    val corpus = Seq((1L, v(5.0)), (2L, v(50.0))).toDF("id", "vec")
+    // query at 30°: assigned to centroid 0 (cos 30° > cos 42°), but its
+    // TRUE nearest neighbor is n, 20° away across the Voronoi boundary —
+    // the exact miss multi-probe exists to repair
+    val q = Seq((100L, v(30.0))).toDF("id", "vec")
+    def top1(nprobe: Int) = Similarity.ivfTopK(q, corpus, centroids, 1, nprobe)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(Similarity.bruteForceTopK(q, corpus, 1)
+      .select("neighbor_id").as[Long].head() === 2L) // ground truth: n
+    assert(top1(1) === Seq(1L)) // nprobe=1 scans only list 0: settles for m
+    assert(top1(2) === Seq(2L)) // nprobe=2 probes list 1 too: recovers n
+  }
 }

@@ -11,7 +11,7 @@ Design (documented in SCALING.md "sf1.0 rehearsal"):
     orderkey (orders+lineitem), custkey (customer+orders), suppkey
     (supplier+lineitem), partkey (part+lineitem). region/nation are
     fixed-cardinality dims and are NOT replicated (like TPC-H).
-  - documents.text gets a per-replica Caesar letter rotation: replica 0 is
+  - documents.text gets a per-replica letter+digit rotation: replica 0 is
     the original corpus (so absolute candidate windows like doc_id < 1024
     select exactly the sf0.1 docs), replicas 1..R-1 are shingle-disjoint
     from it. Without this, 10 exact copies of every doc would turn each
@@ -54,22 +54,33 @@ FIXED_DIMS = ["region", "nation"]
 
 
 def caesar(r):
-    """Per-replica letter substitution. Replicas 1..25 are Caesar rotations
-    (keeps the committed sf1.0 numbers reproducible); replicas >= 26 use a
-    seeded random alphabet permutation instead — a plain rotation wraps mod
-    26, which made replicas 26..29 of the first sf3.0 build exact text
-    copies of replicas 0..3 and inflated LSH candidate pairs 11.6x over
-    linear (contamination hits doubled: replica 26 re-matched the eval set).
-    Distinct permutations keep cross-replica shingles disjoint for any R."""
+    """Per-replica letter AND digit substitution. Letters: replicas 1..25
+    are Caesar rotations; replicas >= 26 use a seeded random alphabet
+    permutation instead — a plain rotation wraps mod 26, which made
+    replicas 26..29 of the first sf3.0 build exact text copies of replicas
+    0..3 and inflated LSH candidate pairs 11.6x over linear (contamination
+    hits doubled: replica 26 re-matched the eval set). Digits get the same
+    treatment (rotation below r=10, seeded permutation beyond) — without
+    it, shingles composed entirely of digits/punctuation are byte-identical
+    across replicas, quietly weakening the 'cross-replica shingles
+    disjoint' invariant the linear-pair-growth criterion rests on for
+    numeric-heavy content. Punctuation-only shingles can still collide;
+    the fixture corpus has none. Distinct permutations keep cross-replica
+    shingles disjoint for any R."""
     import random
     lo = string.ascii_lowercase
     up = string.ascii_uppercase
+    dig = string.digits
     if r < 26:
         k = r % 26
         sub = lo[k:] + lo[:k]
     else:
         sub = "".join(random.Random(f"scale-up-replica-{r}").sample(lo, 26))
-    return str.maketrans(lo + up, sub + sub.upper())
+    if r < 10:
+        dsub = dig[r:] + dig[:r]
+    else:
+        dsub = "".join(random.Random(f"scale-up-digits-{r}").sample(dig, 10))
+    return str.maketrans(lo + up + dig, sub + sub.upper() + dsub)
 
 
 def replica(tbl, name, r):
