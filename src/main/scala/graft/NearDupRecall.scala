@@ -94,6 +94,28 @@ object NearDupRecall {
           println(f"| $mm | $truth | $lsh | $recall%.3f | $cand |")
         }
       } finally corpus.unpersist()
+
+      // IVF recall vs nprobe: the other recall knob this file measures.
+      // Ground truth is exact brute-force top-10; candidates are ranked
+      // identically on both paths, so every miss is list-assignment loss —
+      // a true neighbor living across a Voronoi boundary from its query.
+      // nprobe widens the probe set; the curve below is what a user reads
+      // to pick nprobe for THEIR recall target (SCALING.md "IVF recall").
+      println("\nIVF recall@10 vs nprobe (16 learned centroids, 50 queries):")
+      println("| nprobe | hit neighbors | recall@10 |")
+      println("|---|---|---|")
+      val queries = vecs.where(col("id") < 50)
+      val centroids = Similarity.kmeansLite(vecs, k = 16, iters = 2)
+      val truth = Similarity.bruteForceTopK(queries, vecs, 10)
+        .select("query_id", "neighbor_id").cache()
+      val truthN = truth.count()
+      try {
+        for (np <- Seq(1, 2, 4)) {
+          val hits = Similarity.ivfTopK(queries, vecs, centroids, 10, np)
+            .select("query_id", "neighbor_id").intersect(truth).count()
+          println(f"| $np | $hits/$truthN | ${hits.toDouble / truthN}%.3f |")
+        }
+      } finally truth.unpersist()
     } finally vecs.unpersist()
     spark.stop()
   }
