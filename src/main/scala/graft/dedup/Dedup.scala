@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -340,6 +340,33 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Read one observed metric after its query's action has completed.
+    * Observation metrics are delivered by an ASYNC QueryExecutionListener a
+    * moment after the action returns; `Observation.get` blocks for them
+    * with NO timeout, so bound the wait (if a future Spark routed
+    * checkpoint() outside tracked executions, metrics would never arrive)
+    * and fail loudly instead of hanging — same fail-don't-guess stance as
+    * the maxIter cap. A `sum` over zero rows observes null: an empty label
+    * table has zero changed labels, so null maps to 0. */
+  private def observedCount(obs: Observation, key: String): Long = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    val m =
+      try Await.result(
+        Future(obs.get)(scala.concurrent.ExecutionContext.global), 60.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            s"observed metric '$key' not delivered within 60s — " +
+              "checkpoint() no longer runs as a tracked SQL execution on " +
+              "this Spark version")
+      }
+    m(key) match {
+      case null      => 0L
+      case n: Number => n.longValue
+    }
+  }
+
   /** Connected components over candidate pairs: assigns every node the
     * MINIMUM id reachable in its component — the step every dedup pipeline
     * needs between candidate PAIRS (minhashLsh / simhashBandedDups /
@@ -356,8 +383,11 @@ object Dedup {
     * otherwise grows with every round and Catalyst re-plans the whole
     * history — measured on a 256-node graph, rounds slowed 1.3s -> 4s+ by
     * round 4 without truncation, and stayed flat with it. The driver-side
-    * loop reads ONE number per round (did-any-label-change), the
-    * kmeansLite pattern of bounded driver work.
+    * loop reads ONE number per round — the exact changed-labels count,
+    * collected DURING the checkpoint job as a CollectMetrics observation
+    * (`Dataset.observe`), so each round is a single Spark job with no
+    * separate convergence-probe scan — the kmeansLite pattern of bounded
+    * driver work, at one pass over the labels per round.
     *
     * `reliableCheckpoints = true` is the 1000-executor production mode:
     * each round's label table goes through a RELIABLE `checkpoint()` to
@@ -375,9 +405,9 @@ object Dedup {
     * round with (round number starting at 1, labels changed this round).
     * A healthy graph's curve drops geometrically (pointer jumping); a
     * skewed or adversarial graph shows up as a long flat tail — a CURVE
-    * the operator surfaces long before the maxIter timeout would. Costs
-    * one exact count per round instead of the default LIMIT-1 existence
-    * probe, so it is off unless requested (ScaleRehearsal turns it on). */
+    * the operator surfaces long before the maxIter timeout would. Free:
+    * the exact count is observed during the round's checkpoint job either
+    * way (ScaleRehearsal turns the callback on). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           reliableCheckpoints: Boolean = false,
                           onRound: Option[(Int, Long) => Unit] = None): DataFrame = {
@@ -431,7 +461,9 @@ object Dedup {
           .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
           .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
         // carry the pre-round label as `prev` so convergence detection is a
-        // filter over the checkpointed frame, not an extra join per round
+        // per-row comparison inside this round's plan, not a join against
+        // the previous snapshot; the observation below consumes it and the
+        // final projection prunes it before the checkpoint
         val stepped = labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"), col("label").as("prev"),
             least(col("label"), coalesce(col("nlabel"), col("label")))
@@ -440,22 +472,23 @@ object Dedup {
         // label is <= it (labels only shrink toward the component min), so
         // label(label(x)) short-circuits half the remaining chain
         val before = persistedIds
+        // the exact changed-labels count rides the checkpoint job itself as
+        // a CollectMetrics observation (map-side partial sum, no extra pass)
+        // instead of a second job scanning the snapshot — one job per round,
+        // and `prev` gets pruned above the metrics node so the checkpointed
+        // table is (id, label) only, ~1/3 fewer bytes per round at scale
+        val obs = Observation(s"cc_round_${iter + 1}")
         val next = snapshot(stepped
           .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
             stepped("label") === col("jid"), "left")
           .select(stepped("id"), stepped("prev"),
-            coalesce(col("jlabel"), stepped("label")).as("label")))
+            coalesce(col("jlabel"), stepped("label")).as("label"))
+          .observe(obs, sum(when(col("label") < col("prev"), 1L).otherwise(0L))
+            .as("changed"))
+          .select(col("id"), col("label")))
         val nextIds = persistedIds -- before
-        // driver-side read per round: with telemetry an exact changed
-        // count, otherwise a one-row existence probe (any label shrinking?)
-        val changed = onRound match {
-          case Some(report) =>
-            val n = next.where(col("label") < col("prev")).count()
-            report(iter + 1, n)
-            n
-          case None =>
-            next.where(col("label") < col("prev")).limit(1).count()
-        }
+        val changed = observedCount(obs, "changed")
+        onRound.foreach(_(iter + 1, changed))
         freeIds(prevIds) // round r-1's snapshot: no longer referenced
         prevIds = nextIds
         labels = next
