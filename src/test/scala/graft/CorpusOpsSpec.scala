@@ -90,6 +90,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(100L) == 100L && got(101L) == 100L)
   }
 
+  test("connectedComponents on an empty pair set returns an empty frame") {
+    import spark.implicits._
+    // exercises the observed-metric null path: a sum over zero rows
+    // observes null, which must read as 0 changed labels -> immediate
+    // convergence, not an NPE or a maxIter loop over empty frames
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup.connectedComponents(pairs)
+    assert(got.columns.toSeq === Seq("id", "component"))
+    assert(got.count() === 0)
+  }
+
   test("connectedComponents telemetry reports per-round convergence curve") {
     import spark.implicits._
     // same graph as the chain test: diameter-5 chain + a pair. Pointer
