@@ -577,6 +577,44 @@ object TrainingData {
              |  ELSE NULL END AS winnow_fp
              |FROM d ORDER BY doc_id""".stripMargin)),
 
+    // Corpus TF-IDF: top-3 characteristic terms per document. The gated
+    // score is ROUNDED to 6 decimals and the ranking runs on the rounded
+    // value with a term tie-break: ln() differs by ulps between JVM libm
+    // and DuckDB libm, so the raw double can never be hash-gated and a
+    // raw-score ranking could flip near-ties across engines — the
+    // rational parts (tf_count, doc_len, df) gate exactly. Window sums
+    // CAST to BIGINT: DuckDB widens SUM(BIGINT) to HUGEINT, Spark stays
+    // long.
+    Q("q105_tfidf_terms",
+      (s, dir) => graft.text.TfIdf
+        .topTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf_count
+             |  FROM toks GROUP BY doc_id, term),
+             |st AS (
+             |  SELECT doc_id, term, tf_count,
+             |         CAST(SUM(tf_count) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_len,
+             |         CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+             |         (SELECT count(*) FROM documents) AS n_docs
+             |  FROM tf),
+             |sc AS (
+             |  SELECT doc_id, term, tf_count, doc_len, df,
+             |         round((tf_count / CAST(doc_len AS DOUBLE)) *
+             |               (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1), 6) AS tfidf_r6
+             |  FROM st),
+             |rk AS (
+             |  SELECT doc_id, term, tf_count, doc_len, df, tfidf_r6,
+             |         CAST(row_number() OVER (PARTITION BY doc_id
+             |           ORDER BY tfidf_r6 DESC, term) AS INT) AS rank
+             |  FROM sc)
+             |SELECT doc_id, rank, term, tf_count, doc_len, df, tfidf_r6
+             |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // ---- Multimodal columns -------------------------------------------
 
     // Binary media plumbing: opaque blob + typed metadata + deterministic
