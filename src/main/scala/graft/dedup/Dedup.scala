@@ -143,7 +143,7 @@ object Dedup {
     * few hundred ms and wins back minutes; on an exhibit-sized input
     * (hundreds of docs — oracle suites, candidate rechecks) the fan-out
     * fits in one task anyway and the exchanges are pure overhead
-    * (measured: ~0.4 s of q91's 2.58 s r6 anchor). Callers that KNOW the
+    * (measured: ~0.4 s added on top of q91's 2.58 s r6 anchor). Callers that KNOW the
     * input is small pass 0; the default stays scale-safe because only the
     * caller can know — the operator would need an extra counting pass. */
   private def resolvePin(df: DataFrame, probeParts: Int): Option[Int] =

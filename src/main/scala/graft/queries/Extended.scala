@@ -362,7 +362,7 @@ object Extended {
     // its TWO nearest centroids before ranking — the recall knob of
     // production IVF search, recovering true neighbors that live just
     // across a Voronoi boundary from the query (invisible at nprobe=1; see
-    // SimilaritySpec's planted-neighbor proof and SCALING.md's measured
+    // KMeansLiteSpec's planted-neighbor proof and SCALING.md's measured
     // recall-vs-nprobe curve). Corpus vectors keep their single rank-1
     // list assignment (the index invariant), so the probed union is
     // dedup-free. The oracle replays the exact algorithm: query
