@@ -220,6 +220,32 @@ class CorpusOpsSpec extends SparkSpec {
       allPairs.exceptAll(banded).isEmpty)
   }
 
+  test("probeParts pin is result-invariant and lands in the physical plan") {
+    // the r9 corpus-aware pin (resolvePin): 0 = skip, -1 = session
+    // parallelism, n > 0 = exact count. Results must be identical in all
+    // three modes — the pin only redistributes the pair fan-out — and an
+    // explicit count must survive into the executed plan (the whole point:
+    // AQE would otherwise coalesce the kilobyte band exchange to ~1 task)
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .where(col("doc_id") < 128)
+    val sigs = graft.dedup.Dedup.simhash(docs, "doc_id", "text", 16)
+    val modes = Seq(0, -1, 7).map(p =>
+      graft.dedup.Dedup.simhashBandedDups(sigs, "doc_id", 16, 4, probeParts = p))
+    for (m <- modes.tail) {
+      assert(m.exceptAll(modes.head).isEmpty && modes.head.exceptAll(m).isEmpty)
+    }
+    val pinned = modes(2)
+    pinned.collect() // finalize the AQE plan before inspecting it
+    val plan = pinned.queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"explicit-count pin missing from executed plan:\n$plan")
+    val skipped = modes.head
+    skipped.collect()
+    assert(!skipped.queryExecution.executedPlan.toString
+      .contains("REPARTITION_BY_NUM"),
+      "probeParts=0 must not inject a repartition")
+  }
+
   test("lshNearDupPairs recovers planted near-dups exactly (q100 shape)") {
     // plant a near-dup per vector (dimension 0 zeroed — only sign bit 0
     // can differ, so Hamming <= 1 and maxMismatch=2 is recall-complete
