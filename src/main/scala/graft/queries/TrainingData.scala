@@ -615,6 +615,90 @@ object TrainingData {
              |SELECT doc_id, rank, term, tf_count, doc_len, df, tfidf_r6
              |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // BM25 relevance ranking against a fixed query-term set. Gated on
+    // integer micro-unit scores: each (doc, term) contribution is
+    // round(idf * tfn * 1e6) as BIGINT and the per-doc total is an exact
+    // integer sum — a double sum would reintroduce FP-addition-order
+    // divergence between engines even after per-term rounding. Double
+    // literals (1.2, 2.2, 0.75...) are the same decimal text in both
+    // engines, so they parse to identical doubles.
+    Q("q106_bm25_rank",
+      (s, dir) => graft.text.Bm25.rank(t(s, dir, "documents"),
+        "doc_id", "text",
+        Seq("spark", "join", "window", "stream"), 15),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |base AS (
+             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_len, toks FROM d),
+             |stats AS (
+             |  SELECT CAST(SUM(doc_len) AS BIGINT) AS len_sum,
+             |         count(*) AS n_docs FROM base),
+             |tf AS (
+             |  SELECT doc_id, doc_len, term, count(*) AS tf
+             |  FROM (SELECT doc_id, doc_len, unnest(toks) AS term FROM base)
+             |  WHERE term IN ('spark', 'join', 'window', 'stream')
+             |  GROUP BY doc_id, doc_len, term),
+             |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |sc AS (
+             |  SELECT t.doc_id, t.doc_len,
+             |    CAST(round(
+             |      ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+             |      ((t.tf * 2.2) /
+             |       (t.tf + 1.2 * (0.25 + (0.75 * t.doc_len) /
+             |                      (CAST(s.len_sum AS DOUBLE) / s.n_docs))))
+             |      * 1000000.0) AS BIGINT) AS score_micro
+             |  FROM tf t JOIN dft f USING (term) CROSS JOIN stats s),
+             |agg AS (
+             |  SELECT doc_id, doc_len, count(*) AS n_hit_terms,
+             |         CAST(SUM(score_micro) AS BIGINT) AS score_micro
+             |  FROM sc GROUP BY doc_id, doc_len)
+             |SELECT doc_id, doc_len, n_hit_terms, score_micro,
+             |       CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+             |FROM agg ORDER BY score_micro DESC, doc_id LIMIT 15""".stripMargin)),
+
+    // Corpus-trained bigram-LM NLL (perplexity-proxy quality score).
+    // Bigrams are built in the scan projection (zip_with over the token
+    // array — DuckDB twin: list_transform over 1-based range), and the
+    // gate rides the same integer micro-unit scheme as q106.
+    Q("q107_bigram_lm_nll",
+      (s, dir) => graft.text.NgramLm
+        .bigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(range(1, len(toks)),
+             |                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+             |  FROM d WHERE len(toks) >= 2),
+             |docbg AS (
+             |  SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
+             |bgc AS (
+             |  SELECT bigram, CAST(SUM(tf) AS BIGINT) AS c_bg
+             |  FROM docbg GROUP BY bigram),
+             |uni AS (
+             |  SELECT w1, count(*) AS c_w1
+             |  FROM (SELECT unnest(toks) AS w1 FROM d) GROUP BY w1),
+             |v AS (SELECT count(*) AS v_size FROM uni),
+             |tok AS (
+             |  SELECT b.doc_id, b.tf,
+             |    CAST(round(-ln((c.c_bg + 1.0) / (u.c_w1 + v.v_size))
+             |               * 1000000.0) AS BIGINT) * b.tf AS nll_micro
+             |  FROM docbg b JOIN bgc c USING (bigram)
+             |  JOIN uni u ON u.w1 = split_part(b.bigram, ' ', 1)
+             |  CROSS JOIN v),
+             |agg AS (
+             |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+             |         CAST(SUM(nll_micro) AS BIGINT) AS nll_micro_sum
+             |  FROM tok GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, nll_micro_sum,
+             |       (CAST(nll_micro_sum AS DOUBLE) / n_bigrams) / 1000000.0 AS mean_nll
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // ---- Multimodal columns -------------------------------------------
 
     // Binary media plumbing: opaque blob + typed metadata + deterministic

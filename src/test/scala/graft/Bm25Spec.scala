@@ -1,0 +1,56 @@
+package graft
+
+/** BM25 ranking (graft.text.Bm25): hand-computed fixture + ranking
+  * properties. Expected micro-scores replicate the operator's exact
+  * double-op order in plain Scala — same JVM, same IEEE ops, same
+  * Math.log — so equality is exact, not approximate. */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  // N=3, len_sum=10, avgdl=10/3; df(spark)=1, df(join)=2
+  private def fixture = Seq(
+    (1L, "spark join spark"),
+    (2L, "join the table"),
+    (3L, "the the the the")).toDF("doc_id", "text")
+
+  private def micro(tf: Long, df: Long, docLen: Long,
+                    nDocs: Long, lenSum: Long): Long = {
+    val avgdl = lenSum.toDouble / nDocs
+    val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    val tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * docLen) / avgdl))
+    math.round(idf * tfn * 1000000.0)
+  }
+
+  test("termScores matches the hand-computed Lucene-form BM25") {
+    val got = graft.text.Bm25.termScores(fixture, "doc_id", "text",
+        Seq("spark", "join"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))).toMap
+    assert(got.size === 3) // (1,spark),(1,join),(2,join)
+    assert(got((1L, "spark")) === ((2L, 1L, 3L, micro(2, 1, 3, 3, 10))))
+    assert(got((1L, "join")) === ((1L, 2L, 3L, micro(1, 2, 3, 3, 10))))
+    assert(got((2L, "join")) === ((1L, 2L, 3L, micro(1, 2, 3, 3, 10))))
+  }
+
+  test("rank sums per-term micro-scores and orders with doc_id tie-break") {
+    val top = graft.text.Bm25.rank(fixture, "doc_id", "text",
+        Seq("spark", "join"), 10)
+      .select("doc_id", "n_hit_terms", "score_micro")
+      .as[(Long, Long, Long)].collect()
+    // doc 3 matches nothing -> absent; doc 1 (two terms, one rare)
+    // outranks doc 2 (one common term)
+    assert(top.map(_._1).toSeq === Seq(1L, 2L))
+    assert(top(0)._2 === 2L && top(1)._2 === 1L)
+    assert(top(0)._3 === micro(2, 1, 3, 3, 10) + micro(1, 2, 3, 3, 10))
+    assert(top(1)._3 === micro(1, 2, 3, 3, 10))
+  }
+
+  test("longer documents score lower for the same tf (length norm)") {
+    val docs = Seq((1L, "spark x"), (2L, "spark x x x x x x x"))
+      .toDF("doc_id", "text")
+    val byDoc = graft.text.Bm25.rank(docs, "doc_id", "text",
+        Seq("spark"), 10)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) > byDoc(2L))
+  }
+}
