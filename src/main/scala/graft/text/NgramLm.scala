@@ -42,6 +42,18 @@ object NgramLm {
       slice(toks, lit(2), size(toks) - 1),
       (a, b) => concat_ws(" ", a, b))
 
+  /** (doc_id, bigram, tf): per-document distinct-bigram counts — the
+    * table every downstream exchange in [[bigramNll]] is bounded by
+    * (map-side partial agg collapses repeats before the shuffle).
+    * Public for scale telemetry (ScaleRehearsal prints its size and
+    * distinct-bigram count across scale factors). */
+  def docBigramTf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+
   /** Per-document bigram NLL under the corpus-trained add-one model:
     * (doc_id, n_bigrams, nll_micro_sum, mean_nll), one row per document
     * with at least 2 tokens. p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)
@@ -51,9 +63,7 @@ object NgramLm {
   def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
-    val bgs = base.where(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("bigram"))
-    val docBg = bgs.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+    val docBg = docBigramTf(docs, idCol, textCol)
     val bgCount = docBg.groupBy("bigram").agg(sum(col("tf")).as("c_bg"))
     val uni = base.select(explode(col("toks")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c_w1"))
