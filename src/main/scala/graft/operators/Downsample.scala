@@ -108,4 +108,42 @@ object Downsample {
         df(keyCol) <=> keep("cap_key") && col(idCol) <=> keep("cap_id"))
       .drop("cap_key", "cap_id")
   }
+
+  /** DSIR-style deterministic importance resampling: keep each row with
+    * probability proportional to an integer weight (e.g. a BM25 or
+    * TF-IDF micro-unit relevance score) — the "sample the web corpus
+    * toward a target domain" step, where [[mixByWeight]]'s per-stratum
+    * constant rate becomes a per-DOCUMENT continuous rate.
+    *
+    * rate_bp = (weight * maxBps) div max(weight)  — the row with the
+    * maximum weight is kept with probability maxBps/10000 (1.0 at the
+    * default), everything else proportionally below it. Membership is
+    * hash-bucket vs rate, a pure function of the row id, so the sample
+    * is reproducible across runs/engines/partitionings and REFINABLE
+    * (lowering maxBps yields a strict subset: kept buckets are a
+    * prefix). ALL-INTEGER arithmetic (BIGINT multiply + floor division,
+    * exact in any engine; weight * maxBps overflow fails loudly under
+    * this project's ANSI mode rather than wrapping); no floating point
+    * anywhere, so a DuckDB oracle replays it hash-for-hash. Weights must
+    * be nonnegative — a negative weight yields a negative rate and the
+    * row is never kept, same as weight 0.
+    *
+    * The max(weight) rides in as a broadcast single-row aggregate —
+    * one extra pass over the weight column, zero shuffle of the rows
+    * themselves; the filter stays scan-speed. Output: input columns +
+    * rate_bp, kept rows only. */
+  def importanceSample(df: DataFrame, idCol: String, weightCol: String,
+                       maxBps: Int = 10000): DataFrame = {
+    require(maxBps >= 0 && maxBps <= 10000,
+      s"maxBps must be basis points in [0, 10000], got $maxBps")
+    val maxW = df.agg(max(col(weightCol).cast(LongType)).as("__max_w"))
+    val bucket = pmod(
+      TextOps.hash64(concat(lit("imp#"), col(idCol).cast(StringType))),
+      lit(10000))
+    df.crossJoin(broadcast(maxW))
+      .withColumn("rate_bp",
+        expr(s"(CAST(`$weightCol` AS BIGINT) * $maxBps) div __max_w"))
+      .where(bucket < col("rate_bp"))
+      .drop("__max_w")
+  }
 }

@@ -699,6 +699,55 @@ object TrainingData {
              |       (CAST(nll_micro_sum AS DOUBLE) / n_bigrams) / 1000000.0 AS mean_nll
              |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // DSIR-style importance resampling: keep-probability proportional to
+    // the doc's BM25 relevance weight (q106's micro-unit scores feed the
+    // weight column). All-integer rate arithmetic + the md5 hash bucket,
+    // so the oracle replays membership hash-for-hash — no FP anywhere.
+    Q("q108_importance_resample",
+      (s, dir) => {
+        val w = graft.text.Bm25.termScores(t(s, dir, "documents"),
+            "doc_id", "text", Seq("spark", "join", "window", "stream"))
+          .groupBy("doc_id").agg(sum(col("score_micro")).as("w_micro"))
+        graft.operators.Downsample.importanceSample(w, "doc_id", "w_micro")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |base AS (
+             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_len, toks FROM d),
+             |stats AS (
+             |  SELECT CAST(SUM(doc_len) AS BIGINT) AS len_sum,
+             |         count(*) AS n_docs FROM base),
+             |tf AS (
+             |  SELECT doc_id, doc_len, term, count(*) AS tf
+             |  FROM (SELECT doc_id, doc_len, unnest(toks) AS term FROM base)
+             |  WHERE term IN ('spark', 'join', 'window', 'stream')
+             |  GROUP BY doc_id, doc_len, term),
+             |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |sc AS (
+             |  SELECT t.doc_id,
+             |    CAST(round(
+             |      ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+             |      ((t.tf * 2.2) /
+             |       (t.tf + 1.2 * (0.25 + (0.75 * t.doc_len) /
+             |                      (CAST(s.len_sum AS DOUBLE) / s.n_docs))))
+             |      * 1000000.0) AS BIGINT) AS score_micro
+             |  FROM tf t JOIN dft f USING (term) CROSS JOIN stats s),
+             |w AS (
+             |  SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS w_micro
+             |  FROM sc GROUP BY doc_id),
+             |mx AS (SELECT max(w_micro) AS max_w FROM w),
+             |smp AS (
+             |  SELECT w.doc_id, w.w_micro,
+             |         (w.w_micro * 10000) // m.max_w AS rate_bp,
+             |         ('0x'||substr(md5('imp#' || w.doc_id::VARCHAR),1,15))::BIGINT
+             |           % 10000 AS bucket
+             |  FROM w CROSS JOIN mx m)
+             |SELECT doc_id, w_micro, rate_bp
+             |FROM smp WHERE bucket < rate_bp ORDER BY doc_id""".stripMargin)),
+
     // ---- Multimodal columns -------------------------------------------
 
     // Binary media plumbing: opaque blob + typed metadata + deterministic
