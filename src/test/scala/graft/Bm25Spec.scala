@@ -45,6 +45,16 @@ class Bm25Spec extends SparkSpec {
     assert(top(1)._3 === micro(1, 2, 3, 3, 10))
   }
 
+  test("rank plans as TakeOrderedAndProject, not a global sort") {
+    // the top-k must stay a bounded-heap operator: a full Sort before the
+    // limit would shuffle-sort every scored doc at corpus scale
+    val top = graft.text.Bm25.rank(fixture, "doc_id", "text",
+      Seq("spark", "join"), 10)
+    top.collect()
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("longer documents score lower for the same tf (length norm)") {
     val docs = Seq((1L, "spark x"), (2L, "spark x x x x x x x"))
       .toDF("doc_id", "text")

@@ -27,6 +27,15 @@ class NgramLmSpec extends SparkSpec {
     assert(got(1) === ((2L, 1L, d2Sum, (d2Sum.toDouble / 1) / 1000000.0)))
   }
 
+  test("bigrams form in the projection: no window operator in the plan") {
+    // the scaladoc's scale claim — zip_with over the token array, never a
+    // positional lag/window (which would shuffle-sort every raw token)
+    val df = graft.text.NgramLm.bigramNll(fixture, "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
   test("documents of corpus-common bigrams score lower than rare ones") {
     // "p q" appears in 5 docs; doc 99's bigrams are corpus-unique
     val docs = ((1L to 5L).map(i => (i, "p q p q p q")) :+
