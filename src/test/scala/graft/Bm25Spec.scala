@@ -63,4 +63,44 @@ class Bm25Spec extends SparkSpec {
       .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
     assert(byDoc(1L) > byDoc(2L))
   }
+
+  test("differential: random corpora match a plain-Scala reference exactly") {
+    // same JVM, same IEEE op order, same Math.log -> micro-scores must be
+    // EQUAL, not approximately equal
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vocab = Seq("spark", "join", "window", "the", "fast", "row")
+    val qterms = Seq("spark", "join")
+    val docGen = Gen.chooseNum(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    val corpusGen = Gen.chooseNum(2, 7)
+      .flatMap(n => Gen.listOfN(n, docGen))
+      .map(_.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) })
+    val p = Prop.forAll(corpusGen) { corpus =>
+      val want: Map[(Long, String), Long] = {
+        val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+        val lens = toks.map { case (id, ts) => id -> ts.size.toLong }.toMap
+        val n = corpus.size.toLong
+        val avgdl = lens.values.sum.toDouble / n
+        val tf = toks.flatMap { case (id, ts) =>
+          ts.filter(qterms.contains).map(t => (id, t)) }
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val dfm = tf.keys.toSeq.map(_._2).groupBy(identity)
+          .map { case (t, o) => t -> o.size.toLong }
+        tf.map { case ((id, t), f) =>
+          val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          val tfn = (f * 2.2) / (f + 1.2 * (0.25 + (0.75 * lens(id)) / avgdl))
+          (id, t) -> math.round(idf * tfn * 1000000.0)
+        }
+      }
+      val got = graft.text.Bm25
+        .termScores(corpus.toDF("doc_id", "text"), "doc_id", "text", qterms)
+        .select("doc_id", "term", "score_micro")
+        .as[(Long, String, Long)].collect()
+        .map { case (id, t, m) => (id, t) -> m }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(10).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
 }

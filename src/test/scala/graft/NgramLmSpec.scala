@@ -36,6 +36,46 @@ class NgramLmSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("differential: random corpora match a plain-Scala reference exactly") {
+    // per-distinct-bigram micro-NLL x tf (operator) must equal the
+    // per-occurrence sum (reference) — integer micro-units, exact
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vocab = Seq("a", "b", "c", "d", "e")
+    val docGen = Gen.chooseNum(1, 9)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    val corpusGen = Gen.chooseNum(2, 6)
+      .flatMap(n => Gen.listOfN(n, docGen))
+      .map(_.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) })
+    val p = Prop.forAll(corpusGen) { corpus =>
+      val want: Map[Long, (Long, Long)] = {
+        val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+        val uni = toks.flatMap(_._2).groupBy(identity)
+          .map { case (w, o) => w -> o.size.toLong }
+        val v = uni.size.toLong
+        val bgs = toks.collect { case (id, ts) if ts.size >= 2 =>
+          id -> ts.sliding(2).map(_.mkString(" ")).toSeq }
+        val bgc = bgs.flatMap(_._2).groupBy(identity)
+          .map { case (b, o) => b -> o.size.toLong }
+        bgs.map { case (id, bs) =>
+          val s = bs.map { b =>
+            math.round(-math.log((bgc(b) + 1.0) /
+              (uni(b.split(" ")(0)) + v)) * 1000000.0)
+          }.sum
+          id -> (bs.size.toLong, s)
+        }.toMap
+      }
+      val got = graft.text.NgramLm
+        .bigramNll(corpus.toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id", "n_bigrams", "nll_micro_sum")
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, n, s) => id -> ((n, s)) }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(10).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("documents of corpus-common bigrams score lower than rare ones") {
     // "p q" appears in 5 docs; doc 99's bigrams are corpus-unique
     val docs = ((1L to 5L).map(i => (i, "p q p q p q")) :+
