@@ -146,7 +146,7 @@ object Dedup {
     * (measured: ~0.4 s added on top of q91's 2.58 s r6 anchor). Callers that KNOW the
     * input is small pass 0; the default stays scale-safe because only the
     * caller can know — the operator would need an extra counting pass. */
-  private def resolvePin(df: DataFrame, probeParts: Int): Option[Int] =
+  private[graft] def resolvePin(df: DataFrame, probeParts: Int): Option[Int] =
     if (probeParts == 0) None
     else if (probeParts > 0) Some(probeParts)
     else Some(df.sparkSession.sessionState.conf.numShufflePartitions)

@@ -378,6 +378,43 @@ object TrainingData {
              |WHERE list_cosine_similarity(a.v, b.v) > 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // SemDeDup-style clustered semantic near-dup pairs: nearest-of-8-seed
+    // centroid assignment (broadcast, cid tie-break — both engines rank
+    // the bit-identical cosine), then pairs ONLY within a cluster above
+    // cosine 0.3 (probed: ~140-180 pairs at every SF). The third near-dup
+    // family member after all-pairs (q35) and sign-LSH-banded (q100) —
+    // this one finds SEMANTIC redundancy past the Hamming horizon, at
+    // Σ cluster² cost instead of |corpus|². Seed centroids are the first
+    // 8 vectors — deterministic and oracle-replayable, where a k-means
+    // fit would gate on ulp-fragile learned floats.
+    Q("q111_semantic_cluster_dedup",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").where(col("vec_id") < 400)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cents = t(s, dir, "embeddings").where(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("vec"))
+        // probeParts = 0: 400-vec exhibit (resolvePin doc)
+        Similarity.clusteredNearDups(e, cents, 0.3, probeParts = 0)
+          .orderBy("cid", "id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings WHERE vec_id < 400),
+             |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             |      FROM embeddings WHERE vec_id < 8),
+             |scored AS (SELECT e.id, c.cid,
+             |             list_cosine_similarity(e.v, c.cv) AS csim
+             |           FROM e CROSS JOIN c),
+             |assigned AS (SELECT id, cid FROM (
+             |  SELECT id, cid, row_number() OVER (PARTITION BY id
+             |         ORDER BY csim DESC, cid) AS rn
+             |  FROM scored) WHERE rn = 1),
+             |av AS (SELECT a.cid, e.id, e.v FROM assigned a JOIN e USING (id))
+             |SELECT a.cid AS cid, a.id AS id_a, b.id AS id_b,
+             |       list_cosine_similarity(a.v, b.v) AS sim
+             |FROM av a JOIN av b ON a.cid = b.cid AND a.id < b.id
+             |WHERE list_cosine_similarity(a.v, b.v) > 0.3
+             |ORDER BY a.cid, id_a, id_b""".stripMargin)),
+
     // Eval-set contamination sweep (n-gram decontamination): every 10th
     // document plays the benchmark/eval set, the rest are the training
     // corpus; a training doc sharing >= 5 distinct trigrams with an eval
@@ -576,6 +613,69 @@ object TrainingData {
              |      i -> ('0x'||substr(md5(array_to_string(toks[i:i+7], ' ')),1,15))::BIGINT))
              |  ELSE NULL END AS winnow_fp
              |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // Per-document n-gram repetition signals (Gopher top-n-gram coverage +
+    // duplicated-n-gram fraction), computed INSIDE the row over the sorted
+    // bigram array — zero shuffle (RepetitionSpec pins the no-Exchange
+    // plan), unlike the explode+groupBy formulation the oracle uses, which
+    // would shuffle every gram occurrence of the corpus. Fractions are
+    // single int/int double divisions — bit-reproducible cross-engine.
+    Q("q109_repetition_signals",
+      (s, dir) => graft.text.Repetition
+        .ngramStats(t(s, dir, "documents"), "doc_id", "text", 2)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, u.g AS gram
+             |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)),
+             |       i -> array_to_string(d.toks[i:i+1], ' '))) u(g)
+             |  WHERE len(d.toks) >= 2),
+             |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+             |s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS m,
+             |             CAST(count(*) AS BIGINT) AS d_n,
+             |             CAST(max(cnt) AS BIGINT) AS topn,
+             |             CAST(coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0) AS BIGINT) AS dupn
+             |      FROM c GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(m, 0) AS n_ngrams,
+             |       coalesce(d_n, 0) AS distinct_ngrams,
+             |       topn AS top_ngram_n, dupn AS dup_ngram_n,
+             |       topn / m AS top_ngram_frac, dupn / m AS dup_ngram_frac
+             |FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // Corpus boilerplate profile: trigrams occurring in >= 5 distinct
+    // documents are boilerplate; each doc reports its boilerplate-covered
+    // occurrence count and fraction. The cross-document rule (C4's
+    // "remove text seen many times across the corpus", over n-grams since
+    // this corpus has no lines): only gram HASHES + doc ids shuffle, the
+    // text never leaves the scan. minDocs = 5 is absolute, probed
+    // non-trivial at every SF (186/151/25829 hot trigrams at
+    // sf0.001/0.01/0.1).
+    Q("q110_boilerplate_ngrams",
+      (s, dir) => graft.text.Repetition
+        .boilerplateProfile(t(s, dir, "documents"), "doc_id", "text", 3, 5)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, u.g AS gram
+             |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
+             |       i -> array_to_string(d.toks[i:i+2], ' '))) u(g)
+             |  WHERE len(d.toks) >= 3),
+             |hot AS (SELECT gram FROM (
+             |  SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+             |  WHERE nd >= 5),
+             |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+             |        FROM g GROUP BY doc_id),
+             |b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS boiler_n
+             |      FROM g JOIN hot USING (gram) GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(n_ngrams, 0) AS n_ngrams,
+             |       coalesce(b.boiler_n, 0) AS boiler_n,
+             |       coalesce(b.boiler_n, 0) / n_ngrams AS boiler_frac
+             |FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN b USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     // Corpus TF-IDF: top-3 characteristic terms per document. The gated
     // score is ROUNDED to 6 decimals and the ranking runs on the rounded

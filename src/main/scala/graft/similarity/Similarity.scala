@@ -236,6 +236,49 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** SemDeDup-style clustered semantic near-duplicate pairs: assign every
+    * vector to its nearest centroid ([[ivfAssign]] — broadcast centroids,
+    * one map-side pass), generate candidate pairs ONLY within a cluster,
+    * keep pairs with cosine > `threshold`. Output: (cid, id_a, id_b, sim).
+    *
+    * This is the third member of the near-dup family and the one that
+    * scales past [[lshNearDupPairs]]' Hamming horizon: sign-LSH banding
+    * finds pairs that are nearly identical (tiny Hamming distance), while
+    * clustering finds pairs that are merely SEMANTICALLY redundant (same
+    * Voronoi cell, cosine above a looser bar) — the SemDeDup recipe for
+    * pruning paraphrase-level duplication from web-scale corpora. Pair
+    * fan-out is Σ cluster-size², controlled by k (production: k ~
+    * corpus/1000, so clusters stay a few thousand vectors — the paper's
+    * operating point; the within-cluster join is then embarrassingly
+    * parallel across clusters). The approximation boundary is explicit:
+    * a near-dup pair STRADDLING a Voronoi boundary is invisible
+    * (SemDeDupSpec pins one), the price of never comparing across
+    * clusters.
+    *
+    * Scale shape: the cluster join shuffles (cid, id, vec, norm) rows
+    * hash-partitioned by cid — vectors move ONCE; with k ≫ partitions
+    * the per-partition load balances over cluster-size skew. `probeParts`
+    * pins the pair-join parallelism against AQE's input-bytes coalescing
+    * (see [[graft.dedup.Dedup.simhashBandedDups]]'s measured rationale;
+    * 0 = skip, for exhibit-sized calls where the extra exchange is pure
+    * overhead). Both join sides re-derive the assignment (Spark reuses no
+    * self-join subtrees) — two broadcast-assign scans, each map-side. */
+  def clusteredNearDups(vecs: DataFrame, centroids: DataFrame,
+                        threshold: Double, probeParts: Int = -1): DataFrame = {
+    val assigned = vecs.join(ivfAssign(vecs, centroids), Seq("id"))
+      .select(col("cid"), col("id"), col("vec"), norm(col("vec")).as("nv"))
+    val pinned = graft.dedup.Dedup.resolvePin(assigned, probeParts)
+      .map(p => assigned.repartition(p, col("cid"))).getOrElse(assigned)
+    val a = pinned.select(col("cid"), col("id").as("id_a"),
+      col("vec").as("va"), col("nv").as("na"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"),
+      col("vec").as("vb"), col("nv").as("nb"))
+    a.join(b, Seq("cid")).where(col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("sim") > threshold)
+      .select("cid", "id_a", "id_b", "sim")
+  }
+
   /** Bucketed embedding near-duplicate pairs — the 100 TB path for
     * [[cosineNearDups]], structured exactly like
     * [[graft.dedup.Dedup.simhashBandedDups]]: reduce each vector to a
