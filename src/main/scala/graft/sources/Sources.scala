@@ -34,18 +34,25 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The `events` table stores TIMESTAMP(NANOS), which Spark only reads as
-    * LongType via spark.sql.legacy.parquet.nanosAsLong=true (set in
-    * Verify/Bench/tests). Reconstruct a microsecond timestamp with exact
-    * integer division (`div` — a long->double cast would lose precision above
-    * 2^53 ns and drift vs DuckDB's own ns->us truncation). */
+  /** The `events` table's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (readable only as LongType via
+    * spark.sql.legacy.parquet.nanosAsLong=true) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). Normalize both to the
+    * session-tz TimestampType every downstream consumer — unix_micros
+    * arithmetic in the sessionizers/resampler, watermarks in the streaming
+    * twins — was built and oracle-verified against. Nanos path: exact
+    * integer division (`div` — a long->double cast would lose precision
+    * above 2^53 ns and drift vs DuckDB's own ns->us truncation). NTZ path:
+    * cast, which stamps the wall-clock with the session timezone — UTC in
+    * every graft session (Graft.scala) — matching DuckDB's naive reading
+    * of the same file. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    // runtime-settable SQL conf: makes events readable even from a session
-    // built without this flag (e.g. the driver's own smoke harness).
-    // Unconditional on purpose: conf.getOption returns the REGISTERED
-    // DEFAULT (Some("false")) for an unset key, so "set only if absent"
-    // can never fire — this table is unreadable without the flag, so
-    // setting it is strictly enabling.
+    // runtime-settable SQL conf: makes a nanos-generation events file
+    // readable even from a session built without this flag (e.g. the
+    // driver's own smoke harness). Unconditional on purpose:
+    // conf.getOption returns the REGISTERED DEFAULT (Some("false")) for an
+    // unset key, so "set only if absent" can never fire — a nanos file is
+    // unreadable without the flag, so setting it is strictly enabling.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
@@ -53,6 +60,9 @@ object Sources {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
