@@ -512,6 +512,41 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Canonical-survivor selection — the step that turns duplicate GROUPS
+    * into a keep/drop DECISION per document, i.e. the actual output a
+    * dedup sweep ships. Given the corpus and the near-dup pair edges,
+    * returns every input row plus `component` (the duplicate-group label;
+    * a document's own id when it has no duplicates) and `keep` (true for
+    * exactly one representative per group, chosen by the caller's
+    * `prefer` ordering with ascending id as the deterministic tiebreak).
+    *
+    * SCALE SHAPE. The expensive part — the per-group sort behind
+    * row_number — runs ONLY over documents that are in a duplicate group
+    * (an inner join with the component labels, whose row count is the
+    * number of near-dup documents, typically a few percent of the
+    * corpus). The untouched majority takes the anti-join branch against
+    * the same two-longs-per-near-dup-doc label table, then passes through
+    * at scan speed with keep=true. Nothing ever sorts or shuffles the
+    * full corpus on `component`. No broadcast hint on purpose: AQE
+    * broadcasts the label table when it fits and falls back to a shuffled
+    * join when the dup set itself is at cluster scale — forcing the hint
+    * would OOM exactly there. */
+  def survivors(docs: DataFrame, pairs: DataFrame, idCol: String,
+                prefer: Seq[Column] = Nil, maxIter: Int = 25): DataFrame = {
+    val labels = connectedComponents(pairs, maxIter)
+      .withColumnRenamed("id", idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(prefer :+ col(idCol).asc: _*)
+    val grouped = docs.join(labels, Seq(idCol))
+      .withColumn("keep", row_number().over(w) === lit(1))
+    val singletons = docs
+      .join(labels.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("component", col(idCol))
+      .withColumn("keep", lit(true))
+    grouped.unionByName(singletons)
+  }
+
   /** Eval-set contamination detection (n-gram decontamination): flag
     * training documents sharing at least `minOverlap` distinct word
     * n-gram shingles with any eval/benchmark document — the standard

@@ -301,6 +301,54 @@ object TrainingData {
              |SELECT id, min(label) AS component
              |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // Duplicate groups -> the decision a dedup sweep actually SHIPS: one
+    // keeper per group (longest doc wins, ascending id breaks ties), every
+    // ungrouped doc passing through keep=true without ever sorting on
+    // component. Same candidate graph as q91; the oracle replays it and
+    // adds the left-join + per-component window.
+    Q("q112_dedup_survivors",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("doc_id") < 256)
+        Dedup.survivors(
+          docs.select("doc_id", "n_chars"),
+          Dedup.simhashBandedDups(
+            Dedup.simhash(docs, "doc_id", "text", 16),
+            "doc_id", 16, 3, probeParts = 0),
+          "doc_id", Seq(col("n_chars").desc))
+          .select("doc_id", "component", "keep")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE tok AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents WHERE doc_id < 256),
+             |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM tok),
+             |votes AS (
+             |  SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS votes
+             |  FROM h CROSS JOIN range(0,16) r(b)
+             |  GROUP BY doc_id, b),
+             |sig AS (
+             |  SELECT doc_id,
+             |         CAST(SUM(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+             |  FROM votes GROUP BY doc_id),
+             |edges AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
+             |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+             |reach(id, label) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+             |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+             |lab AS (
+             |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+             |         d.n_chars
+             |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+             |  WHERE d.doc_id < 256)
+             |SELECT doc_id, component,
+             |       row_number() OVER (PARTITION BY component
+             |                          ORDER BY n_chars DESC, doc_id) = 1 AS keep
+             |FROM lab ORDER BY doc_id""".stripMargin)),
+
     // Pairwise n-gram Jaccard on distinct 3-gram shingle sets.
     // Bound 1024 for the same reason as q32: nonzero pairs at every SF.
     Q("q34_ngram_jaccard",

@@ -101,6 +101,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.count() === 0)
   }
 
+  test("survivors keeps one per group by preference, singletons pass through") {
+    import spark.implicits._
+    // group {1,2,3} via transitive pairs; 4 is a singleton. Quality prefers
+    // the longest doc (id 2); ids 1 and 3 tie on quality -> lower id wins
+    // the (hypothetical) tiebreak but loses to 2 outright.
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 10L), (4L, 5L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup.survivors(docs, pairs, "doc_id",
+      Seq(col("n_chars").desc))
+      .select("doc_id", "component", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got === Array((1L, 1L, false), (2L, 1L, true),
+      (3L, 1L, false), (4L, 4L, true)))
+  }
+
+  test("survivors tiebreak is ascending id; empty pair set keeps everything") {
+    import spark.implicits._
+    val docs = Seq((7L, 10L), (8L, 10L)).toDF("doc_id", "n_chars")
+    val tied = graft.dedup.Dedup.survivors(docs,
+      Seq((7L, 8L)).toDF("id_a", "id_b"), "doc_id",
+      Seq(col("n_chars").desc))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(tied === Map(7L -> true, 8L -> false))
+    val noPairs = graft.dedup.Dedup.survivors(docs,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "doc_id")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(noPairs === Map(7L -> true, 8L -> true))
+  }
+
   test("connectedComponents telemetry reports per-round convergence curve") {
     import spark.implicits._
     // same graph as the chain test: diameter-5 chain + a pair. Pointer
