@@ -131,6 +131,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(noPairs === Map(7L -> true, 8L -> true))
   }
 
+  test("survivors plan: one Window over the grouped branch, anti-join bypass") {
+    import spark.implicits._
+    // the scale contract: the per-group sort (Window) exists exactly once
+    // and only on the labeled branch; the corpus majority must take a
+    // LeftAnti join, never a window or a sort on component
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 10L), (4L, 5L))
+      .toDF("doc_id", "n_chars")
+    val dec = graft.dedup.Dedup.survivors(docs,
+      Seq((1L, 2L)).toDF("id_a", "id_b"), "doc_id",
+      Seq(col("n_chars").desc))
+    val plan = dec.queryExecution.executedPlan.toString
+    // "Window [" is the physical Window node's render (WindowGroupLimit
+    // prints as one word, so it can't false-match)
+    assert("(?<![A-Za-z])Window \\[".r.findAllIn(plan).size == 1,
+      plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+  }
+
   test("connectedComponents telemetry reports per-round convergence curve") {
     import spark.implicits._
     // same graph as the chain test: diameter-5 chain + a pair. Pointer
