@@ -60,10 +60,13 @@ object Sources {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
+      case org.apache.spark.sql.types.TimestampType => raw
+      // NTZ today; any future generation (date, string, millis-as-int)
+      // takes the same session-tz cast rather than silently leaking a
+      // type the downstream unix_micros arithmetic rejects
+      case _ =>
         raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
     }
   }
 

@@ -158,4 +158,40 @@ class PropertySpec extends SparkSpec {
       check(p, n = 10)
     } finally vecs.unpersist()
   }
+
+  test("survivors == brute-force union-find keeper choice (random graphs)") {
+    import spark.implicits._
+    val n = 12
+    val edgeGen = for {
+      a <- Gen.choose(0L, n - 1L)
+      b <- Gen.choose(0L, n - 1L) if a != b
+    } yield (a, b)
+    // quality range deliberately tiny so ties are common and the ascending-
+    // id tiebreak is exercised, not just the preference column
+    val qualGen = Gen.listOfN(n, Gen.choose(0L, 3L))
+    val p = Prop.forAll(Gen.listOfN(8, edgeGen), qualGen) { (edges, quals) =>
+      val docs = quals.zipWithIndex
+        .map { case (q, i) => (i.toLong, q) }.toDF("doc_id", "n_chars")
+      val got = graft.dedup.Dedup.survivors(docs,
+        edges.toDF("id_a", "id_b"), "doc_id", Seq(col("n_chars").desc))
+        .select("doc_id", "component", "keep")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra) = rb
+      }
+      (0 until n).groupBy(find).values.forall { members =>
+        val ids = members.map(_.toLong).toSet
+        val rows = got.filter(r => ids(r._1))
+        val want = members.minBy(i => (-quals(i), i.toLong)).toLong
+        rows.count(_._3) == 1 &&                       // one keeper
+          rows.find(_._3).get._1 == want &&            // the right keeper
+          rows.map(_._2).distinct.length == 1          // one shared label
+      }
+    }
+    check(p, n = 10)
+  }
 }
