@@ -607,17 +607,16 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
-  /** Exact pairwise n-gram Jaccard over candidate or sampled docs.
-    * inter/union on DISTINCT shingles; `minJaccard` filters output. */
-  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, minJaccard: Double,
-                   persistIntermediate: Boolean = false): DataFrame = {
-    // inherits shingles' one-row-per-id PRECONDITION: a duplicated id
-    // inflates both `inter` and `n_sh`, silently skewing jaccard.
-    // Set graft.dedup.checkIds=true to enforce.
-    // shingles feed the intersect self-join (twice) AND the size table —
-    // persistIntermediate materializes them once on big corpora
-    // (see minhashLsh note for why this is opt-in)
+  /** Shared tail of the exact pairwise shingle-overlap operators:
+    * (id_a, id_b, inter, na, nb) over DISTINCT n-gram shingles.
+    * Inherits shingles' one-row-per-id PRECONDITION: a duplicated id
+    * inflates both `inter` and the sizes, silently skewing every derived
+    * score. Set graft.dedup.checkIds=true to enforce. Shingles feed the
+    * intersect self-join (twice) AND the size table — persistIntermediate
+    * materializes them once on big corpora (see minhashLsh note for why
+    * this is opt-in). */
+  private def shingleOverlap(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, persistIntermediate: Boolean): DataFrame = {
     val sh0 = shingles(docs, idCol, textCol, n)
     val sh = if (persistIntermediate)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -625,15 +624,37 @@ object Dedup {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    a.join(b, Seq("shingle"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("na")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+  }
+
+  /** Exact pairwise n-gram Jaccard over candidate or sampled docs.
+    * inter/union on DISTINCT shingles; `minJaccard` filters output. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, minJaccard: Double,
+                   persistIntermediate: Boolean = false): DataFrame =
+    shingleOverlap(docs, idCol, textCol, n, persistIntermediate)
       .withColumn("jaccard",
         col("inter") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "inter", "jaccard")
-  }
+
+  /** Exact pairwise n-gram CONTAINMENT — inter / |smaller doc's shingles|.
+    * The one-sided score symmetric Jaccard structurally misses: a short
+    * document wholly quoted inside a long one has containment ~1 but
+    * Jaccard ~ |short|/|long| (arbitrarily small), so a Jaccard-gated
+    * dedup keeps the redundant quote. Same candidate-bounded pipeline and
+    * cost shape as [[ngramJaccard]]; run it on LSH/blocked candidates at
+    * corpus scale, never all-pairs. */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minContainment: Double,
+                       persistIntermediate: Boolean = false): DataFrame =
+    shingleOverlap(docs, idCol, textCol, n, persistIntermediate)
+      .withColumn("containment",
+        col("inter") / least(col("na"), col("nb")))
+      .where(col("containment") >= minContainment)
+      .select("id_a", "id_b", "inter", "containment")
 }

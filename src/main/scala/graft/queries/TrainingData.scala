@@ -376,6 +376,36 @@ object TrainingData {
              |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // One-sided containment over the same shingle sets: a short doc fully
+    // quoted inside a long one scores ~1 here but arbitrarily low on
+    // Jaccard — the score a quote/subset-dedup pass needs. Lower threshold
+    // than q34's jaccard (containment >= jaccard always) to keep the
+    // output set distinct from it.
+    Q("q113_ngram_containment",
+      (s, dir) => Dedup.ngramContainment(
+        t(s, dir, "documents").where(col("doc_id") < 1024), "doc_id", "text",
+        3, 0.35).orderBy("id_a", "id_b"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id < 1024),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, u.s AS shingle
+             |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
+             |       i -> array_to_string(d.toks[i:i+2], ' '))) u(s)
+             |  WHERE len(d.toks) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id)
+             |SELECT id_a, id_b, inter,
+             |       inter / least(sa.n_sh, sb.n_sh) AS containment
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = id_a
+             |JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE inter / least(sa.n_sh, sb.n_sh) >= 0.35
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Embedding-cosine near-duplicate pairs (bit-identical cross-engine
     // cosine -> the threshold cut agrees exactly).
     Q("q35_embedding_neardup",

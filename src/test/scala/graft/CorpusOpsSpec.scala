@@ -131,6 +131,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(noPairs === Map(7L -> true, 8L -> true))
   }
 
+  test("ngramContainment flags subset duplication that jaccard misses") {
+    import spark.implicits._
+    // doc 1's entire shingle set ({"a b c","b c d"}) appears inside doc 2
+    // (13 shingles): containment = 1.0 while jaccard = 2/13 — the quote
+    // case a jaccard-gated dedup keeps
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "z z a b c d q r s t u v w x y")).toDF("doc_id", "text")
+    val cont = graft.dedup.Dedup.ngramContainment(docs, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(cont === Array((1L, 2L, 2L, 1.0)))
+    val jac = graft.dedup.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.2)
+    assert(jac.isEmpty)
+  }
+
   test("survivors plan: one Window over the grouped branch, anti-join bypass") {
     import spark.implicits._
     // the scale contract: the per-group sort (Window) exists exactly once
