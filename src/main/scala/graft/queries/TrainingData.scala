@@ -349,6 +349,67 @@ object TrainingData {
              |                          ORDER BY n_chars DESC, doc_id) = 1 AS keep
              |FROM lab ORDER BY doc_id""".stripMargin)),
 
+    // The dedup dashboard number: per-source duplication rate off the
+    // survivor decisions — keep/drop counts and the drop fraction each
+    // source contributes. One groupBy over q112's output joined back to
+    // source metadata (the join is on the doc id, so it rides the same
+    // key as the survivor branches).
+    Q("q114_dedup_rate_by_source",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("doc_id") < 256)
+        Dedup.survivors(
+          docs.select("doc_id", "n_chars"),
+          Dedup.simhashBandedDups(
+            Dedup.simhash(docs, "doc_id", "text", 16),
+            "doc_id", 16, 3, probeParts = 0),
+          "doc_id", Seq(col("n_chars").desc))
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          // integer basis points (floor): exact in both engines, unlike a
+          // double quotient whose half-boundary rounding can diverge
+          .withColumn("drop_rate_bp",
+            expr("(n_docs - n_kept) * 10000 div n_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH RECURSIVE tok AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents WHERE doc_id < 256),
+             |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM tok),
+             |votes AS (
+             |  SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS votes
+             |  FROM h CROSS JOIN range(0,16) r(b)
+             |  GROUP BY doc_id, b),
+             |sig AS (
+             |  SELECT doc_id,
+             |         CAST(SUM(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+             |  FROM votes GROUP BY doc_id),
+             |edges AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
+             |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+             |reach(id, label) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+             |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+             |lab AS (
+             |  SELECT d.doc_id, d.source,
+             |         COALESCE(c.component, d.doc_id) AS component, d.n_chars
+             |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+             |  WHERE d.doc_id < 256),
+             |dec AS (
+             |  SELECT doc_id, source,
+             |         (row_number() OVER (PARTITION BY component
+             |                             ORDER BY n_chars DESC, doc_id) = 1) AS keep
+             |  FROM lab)
+             |SELECT source, count(*) AS n_docs,
+             |       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+             |       (count(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END))
+             |         * 10000 // count(*) AS drop_rate_bp
+             |FROM dec GROUP BY source ORDER BY source""".stripMargin)),
+
     // Pairwise n-gram Jaccard on distinct 3-gram shingle sets.
     // Bound 1024 for the same reason as q32: nonzero pairs at every SF.
     Q("q34_ngram_jaccard",
