@@ -405,9 +405,9 @@ object TrainingData {
              |                             ORDER BY n_chars DESC, doc_id) = 1) AS keep
              |  FROM lab)
              |SELECT source, count(*) AS n_docs,
-             |       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-             |       (count(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END))
-             |         * 10000 // count(*) AS drop_rate_bp
+             |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |       CAST((count(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END))
+             |         * 10000 // count(*) AS BIGINT) AS drop_rate_bp
              |FROM dec GROUP BY source ORDER BY source""".stripMargin)),
 
     // Pairwise n-gram Jaccard on distinct 3-gram shingle sets.

@@ -105,11 +105,25 @@ def spark_rows(path):
 
 def duck_rows(con, sql):
     """(columns, rows-as-string-tuples) from DuckDB via pandas (the float
-    path a pandas-based harness takes — decimals degrade to float64)."""
+    path a pandas-based harness takes — decimals degrade to float64).
+
+    HUGEINT strictness (round-9 lesson, q114): pandas degrades a HUGEINT
+    (int128 — what DuckDB returns for SUM over integers) to float64, and
+    cell() would then canonicalize an integral float to the same string as a
+    Spark BIGINT, hiding a divergence the driver's hash catches. So we ask
+    DuckDB for the DECLARED column types via DESCRIBE and tag HUGEINT /
+    UHUGEINT values so they can never equal an int64 — oracles must
+    CAST(... AS BIGINT) their integer aggregates (q112's pattern)."""
+    declared = {name: typ for name, typ, *_ in
+                con.execute("DESCRIBE " + sql).fetchall()}
     df = con.execute(sql).df()
     cols = sorted(df.columns)
     df = df.reindex(cols, axis=1)
-    rows = [tuple(cell(v) for v in rec) for rec in df.itertuples(index=False)]
+    huge = [declared.get(c, "").upper() in ("HUGEINT", "UHUGEINT")
+            for c in cols]
+    rows = [tuple(cell(v) + "::HUGEINT" if h and cell(v) != NULL else cell(v)
+                  for v, h in zip(rec, huge))
+            for rec in df.itertuples(index=False)]
     return cols, rows
 
 
