@@ -170,13 +170,33 @@ object Dedup {
     * its quadratic fan-out into one task — the exact skew the pin exists
     * to avoid (see simhashBandedDups' measured 2.5x join-key-pin
     * counterfactual). If a corpus pushes the band table past the broadcast
-    * threshold, salt the bucket key (append a few id bits to `sig`) rather
-    * than forcing the broadcast: an over-threshold broadcast OOMs the
-    * executors.
+    * threshold, do NOT force the broadcast (an over-threshold broadcast
+    * OOMs the executors): pass `saltBuckets > 1` to take the salted
+    * shuffle-join shape instead, which is skew-safe WITHOUT relying on the
+    * broadcast plan at all.
+    *
+    * SALTED SHAPE (`saltBuckets = S`): the probe side carries one salt per
+    * doc (`hash(id) mod S`), the build side is replicated across all S
+    * salts, and the join key becomes (band, sig, salt) — a saturated
+    * bucket's quadratic fan-out now lands on S distinct shuffle keys
+    * instead of one. Output is identical (each unordered pair matches
+    * exactly once, at the larger-id side's salt); cost is an S-fold
+    * replication of one side of the kilobytes-per-thousand-docs band
+    * table. The id pin is skipped in this mode — the join-key exchange
+    * itself is the intended distribution once the key is salted.
     *
     * `probeParts`: see [[resolvePin]] — exhibit-size callers pass 0. */
   def lshCandidates(bandsDf: DataFrame, idCol: String,
-                    probeParts: Int = -1): DataFrame = {
+                    probeParts: Int = -1, saltBuckets: Int = 0): DataFrame = {
+    if (saltBuckets > 1) {
+      val b = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_b"),
+        pmod(xxhash64(col(idCol)), lit(saltBuckets.toLong)).cast("int").as("salt"))
+      val a = bandsDf.select(col("band"), col("sig"), col(idCol).as("id_a"),
+        explode(array((0 until saltBuckets).map(lit(_)): _*)).as("salt"))
+      return a.join(b, Seq("band", "sig", "salt"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
     // (id, band) — unique per band row; id alone matches the upstream
     // minhash aggregate's partitioning and the repartition would be
     // elided as redundant (see simhashBandedDups)
@@ -204,13 +224,13 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  persistIntermediate: Boolean = false,
-                 probeParts: Int = -1): DataFrame = {
+                 probeParts: Int = -1, saltBuckets: Int = 0): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleN)
     val bandsDf0 = lshBands(minhashWide(sh, idCol, numHashes), idCol, numHashes, bands)
     val bandsDf = if (persistIntermediate)
       bandsDf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else bandsDf0
-    lshCandidates(bandsDf, idCol, probeParts)
+    lshCandidates(bandsDf, idCol, probeParts, saltBuckets)
   }
 
   /** SimHash signature (default 16 bits for oracle-checkable size; up to 60
@@ -530,9 +550,32 @@ object Dedup {
     * full corpus on `component`. No broadcast hint on purpose: AQE
     * broadcasts the label table when it fits and falls back to a shuffled
     * join when the dup set itself is at cluster scale — forcing the hint
-    * would OOM exactly there. */
+    * would OOM exactly there.
+    *
+    * PRECONDITIONS: (1) `docs` must not already carry a `component` or
+    * `keep` column — the label join would be ambiguous / withColumn would
+    * clobber the caller's data; enforced unconditionally (schema-only
+    * check, free). (2) `idCol` is a key — one row per document; a
+    * duplicated id lands the same doc in its group twice and row_number
+    * elects one keeper per ROW, not per doc. Like [[shingles]], (2) is
+    * enforced only when `graft.dedup.checkIds=true` on the session (an
+    * unconditional uniqueness shuffle per call would tax every pipeline
+    * for a condition the upstream load already guarantees). */
   def survivors(docs: DataFrame, pairs: DataFrame, idCol: String,
                 prefer: Seq[Column] = Nil, maxIter: Int = 25): DataFrame = {
+    for (reserved <- Seq("component", "keep"))
+      require(!docs.columns.contains(reserved),
+        s"Dedup.survivors: docs already has a '$reserved' column — rename " +
+          "it first; survivors appends its own")
+    if (docs.sparkSession.conf.getOption("graft.dedup.checkIds")
+          .exists(_.toBoolean)) {
+      val dup = docs.groupBy(col(idCol)).count()
+        .where(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"Dedup.survivors precondition violated: idCol '$idCol' is not " +
+          s"unique (e.g. ${dup.head.get(0)} appears ${dup.head.getLong(1)} " +
+          "times); keep would elect one keeper per row, not per document")
+    }
     val labels = connectedComponents(pairs, maxIter)
       .withColumnRenamed("id", idCol)
     val w = org.apache.spark.sql.expressions.Window

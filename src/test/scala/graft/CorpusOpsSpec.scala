@@ -309,6 +309,38 @@ class CorpusOpsSpec extends SparkSpec {
       "probeParts=0 must not inject a repartition")
   }
 
+  test("salted lshCandidates is result-invariant and holds past the broadcast threshold") {
+    // the scaladoc'd fallback for a band table too big to broadcast: the
+    // salted shape must (a) produce the identical pair set and (b) stay
+    // skew-safe with broadcast joins OFF — the plan must join on the
+    // salted key through a shuffle join, never a broadcast, so a corpus
+    // crossing the threshold degrades to this shape instead of
+    // serializing a hot bucket's quadratic fan-out into one task
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .where(col("doc_id") < 128)
+    val bands = graft.dedup.Dedup.lshBands(
+      graft.dedup.Dedup.minhashWide(
+        graft.dedup.Dedup.shingles(docs, "doc_id", "text", 3), "doc_id", 16),
+      "doc_id", 16, 4)
+    val base = graft.dedup.Dedup.lshCandidates(bands, "doc_id", probeParts = 0)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val salted = graft.dedup.Dedup.lshCandidates(
+        bands, "doc_id", probeParts = 0, saltBuckets = 4)
+      assert(salted.exceptAll(base).isEmpty && base.exceptAll(salted).isEmpty,
+        "salted pair set must equal the unsalted one")
+      salted.collect() // finalize the AQE plan before inspecting it
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"salted shape must not depend on a broadcast plan:\n$plan")
+      assert(plan.contains("salt"),
+        s"salt column missing from the join key:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
   test("lshNearDupPairs recovers planted near-dups exactly (q100 shape)") {
     // plant a near-dup per vector (dimension 0 zeroed — only sign bit 0
     // can differ, so Hamming <= 1 and maxMismatch=2 is recall-complete
