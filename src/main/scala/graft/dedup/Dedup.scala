@@ -300,9 +300,22 @@ object Dedup {
     * bits=16, maxHamming=4 -> width 4 puts chunk 4 at bits 16..19 — zero
     * for EVERY signature, one universal bucket, all-pairs blow-up).
     *
-    * `probeParts`: see [[resolvePin]] — exhibit-size callers pass 0. */
+    * `probeParts`: see [[resolvePin]] — exhibit-size callers pass 0.
+    *
+    * `saltBuckets`: the same broadcast-threshold fallback as
+    * [[lshCandidates]]. The id pin below assumes the self-join broadcasts
+    * one chunk side; a chunk table too big to broadcast falls back to a
+    * sort-merge join that re-exchanges BOTH sides by (ci, cv) — only
+    * chunks·2^width distinct keys, and the saturated buckets are exactly
+    * the hot ones (the measured 2.5x join-key-pin counterfactual above).
+    * `saltBuckets = S > 1` switches to the salted shuffle-join shape
+    * instead: probe side salted by hash(id) mod S, build side replicated
+    * across all S salts, join key (ci, cv, salt) — identical pairs, hot
+    * buckets split S ways, no broadcast dependency, pin skipped (the
+    * salted join-key exchange IS the intended distribution). */
   def simhashBandedDups(sigs: DataFrame, idCol: String, bits: Int,
-                        maxHamming: Int, probeParts: Int = -1): DataFrame = {
+                        maxHamming: Int, probeParts: Int = -1,
+                        saltBuckets: Int = 0): DataFrame = {
     val chunks = maxHamming + 1
     require(bits > 0 && bits <= 60 && chunks <= bits,
       "need at least one signature bit per chunk")
@@ -339,20 +352,34 @@ object Dedup {
     // recognized as redundant and ELIDED — and the pin silently vanishes
     // (measured: right back to the coalesced 147 s). The composite key is
     // still unique per row, so the distribution stays uniform.
-    val pinnedSigs = resolvePin(sigs, probeParts) match {
-      case Some(n) => sigs.repartition(n, col(idCol), col("simhash"))
-      case None => sigs
-    }
+    val pinnedSigs =
+      if (saltBuckets > 1) sigs // salted join key distributes on its own
+      else resolvePin(sigs, probeParts) match {
+        case Some(n) => sigs.repartition(n, col(idCol), col("simhash"))
+        case None => sigs
+      }
     val chunked = pinnedSigs
       .select(col(idCol), col("simhash"),
         explode(array(chunkCols: _*)).as("c"))
       .select(col(idCol), col("simhash"),
         col("c.ci").as("ci"), col("c.cv").as("cv"))
-    val a = chunked.select(col("ci"), col("cv"), col(idCol).as("id_a"),
-      col("simhash").as("sig_a"))
-    val b = chunked.select(col("ci"), col("cv"), col(idCol).as("id_b"),
-      col("simhash").as("sig_b"))
-    a.join(b, Seq("ci", "cv"))
+    val (a, b, joinKey) =
+      if (saltBuckets > 1) (
+        chunked.select(col("ci"), col("cv"), col(idCol).as("id_a"),
+          col("simhash").as("sig_a"),
+          explode(array((0 until saltBuckets).map(lit(_)): _*)).as("salt")),
+        chunked.select(col("ci"), col("cv"), col(idCol).as("id_b"),
+          col("simhash").as("sig_b"),
+          pmod(xxhash64(col(idCol)), lit(saltBuckets.toLong)).cast("int")
+            .as("salt")),
+        Seq("ci", "cv", "salt"))
+      else (
+        chunked.select(col("ci"), col("cv"), col(idCol).as("id_a"),
+          col("simhash").as("sig_a")),
+        chunked.select(col("ci"), col("cv"), col(idCol).as("id_b"),
+          col("simhash").as("sig_b")),
+        Seq("ci", "cv"))
+    a.join(b, joinKey)
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b").distinct()
       .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")))

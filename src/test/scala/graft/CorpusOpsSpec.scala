@@ -341,6 +341,35 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("salted simhashBandedDups is result-invariant past the broadcast threshold") {
+    // same contract as the lshCandidates test above, for the pigeonhole
+    // chunk join: its (ci, cv) key has only chunks*2^width distinct values
+    // so the SMJ fallback serializes hot chunks — the salted shape must
+    // keep the exact pair set (banded simhash is recall-lossless) while
+    // joining on the salted key through a shuffle join
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .where(col("doc_id") < 128)
+    val sigs = graft.dedup.Dedup.simhash(docs, "doc_id", "text", 16)
+    val base = graft.dedup.Dedup.simhashBandedDups(
+      sigs, "doc_id", 16, 3, probeParts = 0)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val salted = graft.dedup.Dedup.simhashBandedDups(
+        sigs, "doc_id", 16, 3, saltBuckets = 4)
+      assert(salted.exceptAll(base).isEmpty && base.exceptAll(salted).isEmpty,
+        "salted pair set must equal the unsalted one")
+      salted.collect()
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"salted shape must not depend on a broadcast plan:\n$plan")
+      assert(plan.contains("salt"),
+        s"salt column missing from the join key:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
   test("lshNearDupPairs recovers planted near-dups exactly (q100 shape)") {
     // plant a near-dup per vector (dimension 0 zeroed — only sign bit 0
     // can differ, so Hamming <= 1 and maxMismatch=2 is recall-complete
