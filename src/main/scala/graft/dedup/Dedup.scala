@@ -661,16 +661,37 @@ object Dedup {
     * key, pairwise edit distance ONLY inside blocks — the scalable shape
     * for fuzzy joins, where the blocking key (prefix, phonetic code, LSH
     * bucket) bounds the quadratic stage exactly like LSH bounds MinHash
-    * candidate generation. Cost is Σ block², never n². */
+    * candidate generation. Cost is Σ block², never n².
+    *
+    * `saltBuckets`: blocking keys are low-cardinality BY DESIGN (a
+    * first-letter block is 26 values; phonetic codes a few thousand), so
+    * under a shuffle join a hot block hash-lands its whole quadratic
+    * fan-out — plus the levenshtein work, quadratic in string length per
+    * pair — on one task. `saltBuckets = S > 1` joins on (block, salt)
+    * with the probe side salted by hash(id) mod S and the build side
+    * replicated S ways: identical pairs, hot blocks split S ways (same
+    * contract as [[lshCandidates]]). */
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
-                 block: Column, maxDist: Int): DataFrame = {
+                 block: Column, maxDist: Int, saltBuckets: Int = 0): DataFrame = {
     val withBlock = df.select(col(idCol).as("id"), col(nameCol).as("name"),
       block.as("block"))
-    val a = withBlock.select(col("id").as("id_a"), col("name").as("name_a"),
-      col("block"))
-    val b = withBlock.select(col("id").as("id_b"), col("name").as("name_b"),
-      col("block"))
-    a.join(b, Seq("block"))
+    val (a, b, joinKey) =
+      if (saltBuckets > 1) (
+        withBlock.select(col("id").as("id_a"), col("name").as("name_a"),
+          col("block"),
+          explode(array((0 until saltBuckets).map(lit(_)): _*)).as("salt")),
+        withBlock.select(col("id").as("id_b"), col("name").as("name_b"),
+          col("block"),
+          pmod(xxhash64(col("id")), lit(saltBuckets.toLong)).cast("int")
+            .as("salt")),
+        Seq("block", "salt"))
+      else (
+        withBlock.select(col("id").as("id_a"), col("name").as("name_a"),
+          col("block")),
+        withBlock.select(col("id").as("id_b"), col("name").as("name_b"),
+          col("block")),
+        Seq("block"))
+    a.join(b, joinKey)
       .where(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .where(col("dist") <= maxDist)

@@ -341,6 +341,34 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("salted fuzzyPairs is result-invariant past the broadcast threshold") {
+    // blocking keys are low-cardinality by design, so the skew story is
+    // sharper than LSH buckets: one hot block = one task doing quadratic
+    // levenshtein work. Same contract: identical pairs, salted join key,
+    // no broadcast dependency
+    val cust = graft.sources.Sources.table(spark, sf, "customer")
+      .where(col("c_custkey") < 3000)
+    val blockKey = expr("substring(c_name, 1, length(c_name) - 2)")
+    val base = graft.dedup.Dedup.fuzzyPairs(
+      cust, "c_custkey", "c_name", blockKey, maxDist = 1)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val salted = graft.dedup.Dedup.fuzzyPairs(
+        cust, "c_custkey", "c_name", blockKey, maxDist = 1, saltBuckets = 4)
+      assert(salted.exceptAll(base).isEmpty && base.exceptAll(salted).isEmpty,
+        "salted pair set must equal the unsalted one")
+      salted.collect()
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"salted shape must not depend on a broadcast plan:\n$plan")
+      assert(plan.contains("salt"),
+        s"salt column missing from the join key:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
   test("salted simhashBandedDups is result-invariant past the broadcast threshold") {
     // same contract as the lshCandidates test above, for the pigeonhole
     // chunk join: its (ci, cv) key has only chunks*2^width distinct values
