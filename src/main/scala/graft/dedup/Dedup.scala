@@ -733,6 +733,88 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "inter", "jaccard")
 
+  /** Cross-document repeated-SPAN detection — the span-level analogue of
+    * suffix-array substring dedup ("Deduplicating Training Data Makes
+    * Language Models Better" finds verbatim passages repeated across a
+    * corpus; a suffix array is inherently single-machine, so the
+    * distributed form rasterizes the problem into fixed-width token
+    * windows). Emits every MAXIMAL run of consecutive `window`-token
+    * slices whose content appears verbatim in MORE THAN ONE document:
+    * (id, span_start, span_end, n_windows), positions 1-based in tokens.
+    * A repeated passage of L >= window tokens surfaces as a span of
+    * exactly L tokens (L - window + 1 windows); passages shorter than
+    * `window` are invisible by design — `window` IS the minimum match
+    * length, exactly the suffix-array method's min-length knob.
+    *
+    * Doc-level dedup (exact/minhash/simhash) cannot see these: two
+    * documents sharing one boilerplate paragraph are nowhere near any
+    * whole-doc similarity threshold, yet the paragraph is still
+    * memorization fuel. Within-doc self-repetition is deliberately NOT
+    * flagged (that is [[graft.text.Repetition]]'s job): a window counts
+    * as duplicated only when it occurs in >= 2 DISTINCT documents,
+    * decided by min(id) <> max(id) — one aggregate with map-side
+    * partials, no distinct-count and no collect_list (a boilerplate
+    * window shared by millions of docs partial-aggregates to one row per
+    * map task; a per-hash id list would be a driver-killing hot key).
+    *
+    * SCALE SHAPE. Three exchanges, all carrying fixed-width rows:
+    * (1) groupBy the 112-bit window hash (two md5-derived 56-bit longs,
+    * the minhashWide halves — replayable exactly in the oracle) over
+    * ~|corpus tokens| rows of 24 bytes — the same O(tokens) shuffle any
+    * substring-dedup method pays, document text never moves; (2) the
+    * marked-window join back on (ha, hb), skew-safe because the
+    * duplicated-hash side carries ONE row per hash however hot the
+    * window is; (3) the per-doc islands Window (pos - row_number), which
+    * partitions by doc id — corpus-parallel, each partition sorts only
+    * that doc's duplicated positions. Inherits shingles' one-row-per-id
+    * PRECONDITION, and violating it fails SILENTLY in both directions:
+    * two rows under one id can never flag each other (min(id) = max(id)),
+    * and when either row matches a third document the islands stage
+    * interleaves both rows' positions into garbled spans. Enforced under
+    * graft.dedup.checkIds like [[survivors]]. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    if (docs.sparkSession.conf.getOption("graft.dedup.checkIds")
+          .exists(_.toBoolean)) {
+      val dup = docs.groupBy(col(idCol)).count()
+        .where(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"Dedup.duplicateSpans precondition violated: idCol '$idCol' is " +
+          s"not unique (e.g. ${dup.head.get(0)} appears " +
+          s"${dup.head.getLong(1)} times); every window of a duplicated " +
+          "row would count as cross-document")
+    }
+    val toks = col("__span_toks")
+    // One struct per position: (pos, md5-of-window). The token array is
+    // projected once per row before the lambda (the shingles lesson:
+    // composing tokenization into the generator is O(tokens^2) regex).
+    val wins = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__span_toks"))
+      .where(size(toks) >= window) // sequence(1, k<1) counts down — guard
+      .select(col(idCol), explode(transform(
+          sequence(lit(1), size(toks) - (window - 1)),
+          i => struct(i.cast(LongType).as("pos"),
+            md5(concat_ws(" ", slice(toks, i, lit(window)))).as("h"))))
+        .as("w"))
+      .select(col(idCol), col("w.pos").as("pos"),
+        conv(substring(col("w.h"), 1, 14), 16, 10).cast(LongType).as("ha"),
+        conv(substring(col("w.h"), 17, 14), 16, 10).cast(LongType).as("hb"))
+    val dupHashes = wins.groupBy(col("ha"), col("hb"))
+      .agg(min(col(idCol)).as("__min_id"), max(col(idCol)).as("__max_id"))
+      .where(col("__min_id") =!= col("__max_id"))
+      .select("ha", "hb")
+    val islands = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    wins.join(dupHashes, Seq("ha", "hb"))
+      .withColumn("__grp", col("pos") - row_number().over(islands))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(window - 1).cast(LongType)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("__grp")
+  }
+
   /** Exact pairwise n-gram CONTAINMENT — inter / |smaller doc's shingles|.
     * The one-sided score symmetric Jaccard structurally misses: a short
     * document wholly quoted inside a long one has containment ~1 but

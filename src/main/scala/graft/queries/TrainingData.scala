@@ -467,6 +467,43 @@ object TrainingData {
              |WHERE inter / least(sa.n_sh, sb.n_sh) >= 0.35
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Cross-document repeated spans: maximal runs of 8-token windows whose
+    // content occurs verbatim in >= 2 documents — the span-level dedup
+    // doc-level similarity cannot see (shared boilerplate paragraphs).
+    // Unbounded over the corpus: the pipeline is O(tokens), no pair join.
+    // The oracle replays the 112-bit window-hash halves (minhashWide's
+    // md5 split), the min<>max cross-doc test, and the pos - row_number
+    // islands grouping verbatim.
+    Q("q115_dup_spans",
+      (s, dir) => Dedup.duplicateSpans(
+        t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |w0 AS (
+             |  SELECT doc_id, i AS pos,
+             |         md5(array_to_string(d.toks[i:i+7], ' ')) AS h
+             |  FROM d CROSS JOIN unnest(range(1, len(d.toks)-6)) u(i)
+             |  WHERE len(d.toks) >= 8),
+             |w AS (
+             |  SELECT doc_id, pos,
+             |         ('0x'||substr(h,1,14))::BIGINT AS ha,
+             |         ('0x'||substr(h,17,14))::BIGINT AS hb
+             |  FROM w0),
+             |dup AS (SELECT ha, hb FROM w GROUP BY ha, hb
+             |        HAVING min(doc_id) <> max(doc_id)),
+             |m AS (
+             |  SELECT w.doc_id, w.pos,
+             |         row_number() OVER (PARTITION BY w.doc_id
+             |                            ORDER BY w.pos) AS rn
+             |  FROM w JOIN dup USING (ha, hb))
+             |SELECT doc_id, min(pos) AS span_start,
+             |       max(pos) + 7 AS span_end,
+             |       CAST(count(*) AS BIGINT) AS n_windows
+             |FROM m GROUP BY doc_id, pos - rn
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // Embedding-cosine near-duplicate pairs (bit-identical cross-engine
     // cosine -> the threshold cut agrees exactly).
     Q("q35_embedding_neardup",

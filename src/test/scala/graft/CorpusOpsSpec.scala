@@ -146,6 +146,72 @@ class CorpusOpsSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("duplicateSpans finds maximal cross-doc spans, ignores self-repeats") {
+    import spark.implicits._
+    // docs 1/2 share the 5-token passage "p q r s t" (3 overlapping
+    // 3-token windows -> ONE maximal span each, at different positions);
+    // doc 3 is pure WITHIN-doc repetition (every window identical, but
+    // min(id)=max(id) so never flagged); doc 4 shares only the 2-token
+    // "u v" — shorter than the window, invisible by design
+    val docs = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "x x p q r s t y z"),
+      (3L, "m m m m m m"),
+      (4L, "k1 u v k2 k3")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.duplicateSpans(docs, "doc_id", "text", 3)
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Array((1L, 1L, 5L, 3L), (2L, 3L, 7L, 3L)))
+  }
+
+  test("duplicateSpans: non-adjacent shared windows stay separate spans") {
+    import spark.implicits._
+    // shared prefix "a b c" and suffix "d e f" around DIFFERENT middles:
+    // the islands grouping must emit two spans per doc, not bridge the gap
+    val docs = Seq(
+      (1L, "a b c X d e f"),
+      (2L, "a b c Y d e f")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.duplicateSpans(docs, "doc_id", "text", 3)
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Array((1L, 1L, 3L, 1L), (1L, 5L, 7L, 1L),
+      (2L, 1L, 3L, 1L), (2L, 5L, 7L, 1L)))
+  }
+
+  test("duplicateSpans checkIds mode rejects duplicated doc ids loudly") {
+    import spark.implicits._
+    val dup = Seq((1L, "a b c d"), (1L, "a b c d"))
+      .toDF("doc_id", "text")
+    spark.conf.set("graft.dedup.checkIds", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.dedup.Dedup.duplicateSpans(dup, "doc_id", "text", 3).collect()
+      }
+      assert(e.getMessage.contains("not unique"))
+    } finally spark.conf.unset("graft.dedup.checkIds")
+    // and WITHOUT the check the violation is SILENT in the worst way:
+    // two identical rows under one id never flag each other (min=max),
+    // so a fully duplicated corpus reports zero duplicate spans
+    assert(graft.dedup.Dedup.duplicateSpans(dup, "doc_id", "text", 3)
+      .count() === 0)
+  }
+
+  test("duplicateSpans plan: span aggregate reuses the islands partitioning") {
+    import spark.implicits._
+    // the scale contract: exactly TWO shuffles — the window-hash aggregate
+    // and the per-doc islands Window; the final span groupBy(doc_id, grp)
+    // must ride the Window's hash(doc_id) exchange (doc_id is a subset of
+    // the grouping keys), and the marked-window join must not re-shuffle
+    // the aggregate side it just produced (broadcast at this size)
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val plan = graft.dedup.Dedup.duplicateSpans(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      plan.take(3000))
+    assert("(?<![A-Za-z])Window \\[".r.findAllIn(plan).size == 1,
+      plan.take(3000))
+  }
+
   test("survivors plan: one Window over the grouped branch, anti-join bypass") {
     import spark.implicits._
     // the scale contract: the per-group sort (Window) exists exactly once
