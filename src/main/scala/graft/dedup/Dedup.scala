@@ -757,16 +757,26 @@ object Dedup {
     * window shared by millions of docs partial-aggregates to one row per
     * map task; a per-hash id list would be a driver-killing hot key).
     *
-    * SCALE SHAPE. Three exchanges, all carrying fixed-width rows:
-    * (1) groupBy the 112-bit window hash (two md5-derived 56-bit longs,
-    * the minhashWide halves — replayable exactly in the oracle) over
-    * ~|corpus tokens| rows of 24 bytes — the same O(tokens) shuffle any
-    * substring-dedup method pays, document text never moves; (2) the
-    * marked-window join back on (ha, hb), skew-safe because the
-    * duplicated-hash side carries ONE row per hash however hot the
-    * window is; (3) the per-doc islands Window (pos - row_number), which
-    * partitions by doc id — corpus-parallel, each partition sorts only
-    * that doc's duplicated positions. Inherits shingles' one-row-per-id
+    * SCALE SHAPE. ONE pass over the corpus, two exchanges, all rows
+    * fixed-width: (1) the windows table — (id, pos, 112-bit hash as two
+    * md5-derived 56-bit longs, the minhashWide halves, replayable
+    * exactly in the oracle), ~|corpus tokens| rows of 24 bytes, document
+    * text never moves — shuffles ONCE on (ha, hb) and a windowed
+    * min/max-of-id over the hash decides cross-doc in place. The
+    * measured alternative (groupBy the hash, join the duplicated set
+    * back) evaluates the windows subtree TWICE — the corpus is scanned,
+    * tokenized, and hashed once per branch, which at 100 TB doubles the
+    * dominant cost (and was 2.3x slower wall-clock at sf0.1: 2.7 s vs
+    * 1.2 s warm); caching the windows table instead would persist a
+    * tokens-sized intermediate. A boilerplate window shared by millions
+    * of docs makes a hot sort key, but the per-partition external sort
+    * is bounded by the hot KEY's rows (24 bytes each, spillable), never
+    * the corpus; (2) the per-doc islands Window (pos - row_number),
+    * which partitions by doc id over only the FLAGGED windows —
+    * corpus-parallel, each partition sorts only that doc's duplicated
+    * positions — and the final span aggregate reuses its partitioning
+    * (doc id is a prefix of the grouping key; plan-pinned in the spec).
+    * Inherits shingles' one-row-per-id
     * PRECONDITION, and violating it fails SILENTLY in both directions:
     * two rows under one id can never flag each other (min(id) = max(id)),
     * and when either row matches a third document the islands stage
@@ -800,13 +810,14 @@ object Dedup {
       .select(col(idCol), col("w.pos").as("pos"),
         conv(substring(col("w.h"), 1, 14), 16, 10).cast(LongType).as("ha"),
         conv(substring(col("w.h"), 17, 14), 16, 10).cast(LongType).as("hb"))
-    val dupHashes = wins.groupBy(col("ha"), col("hb"))
-      .agg(min(col(idCol)).as("__min_id"), max(col(idCol)).as("__max_id"))
-      .where(col("__min_id") =!= col("__max_id"))
-      .select("ha", "hb")
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ha"), col("hb"))
     val islands = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
-    wins.join(dupHashes, Seq("ha", "hb"))
+    wins
+      .withColumn("__cross",
+        min(col(idCol)).over(byHash) =!= max(col(idCol)).over(byHash))
+      .where(col("__cross")).drop("__cross")
       .withColumn("__grp", col("pos") - row_number().over(islands))
       .groupBy(col(idCol), col("__grp"))
       .agg(min(col("pos")).as("span_start"),

@@ -29,6 +29,42 @@ object Downsample {
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
   }
 
+  /** Leakage-safe train/val/test split: assignment keyed on a duplicate
+    * EQUIVALENCE-CLASS key instead of the document id, so near-identical
+    * documents can never straddle the train/eval boundary — the standard
+    * eval-contamination failure an id-keyed split (q68) cannot prevent
+    * (two near-dup docs hash to independent buckets, and one lands in
+    * train while its twin lands in test).
+    *
+    * `components` is any (id, component) equivalence map: the output of
+    * [[graft.dedup.Dedup.connectedComponents]] over near-dup pairs for
+    * the general case, or a content fingerprint (id, md5(text)) for the
+    * exact-dup-only case at scan speed. Docs absent from the map are
+    * singletons and fall back to their own id as the key, so on a
+    * dup-free corpus this operator reproduces [[splitLabel]]'s
+    * assignment EXACTLY (same "split#" hash arithmetic) — adopting it
+    * re-splits nothing that wasn't in a duplicate group.
+    *
+    * SCALE SHAPE. One left join against a label table sized by the
+    * number of near-dup documents (typically a few percent of the
+    * corpus; the md5-fingerprint form labels everything but carries two
+    * hashes per doc, never text). No broadcast hint on purpose — same
+    * rationale as survivors: AQE broadcasts the label table when it
+    * fits and falls back to a shuffled join when the dup set is itself
+    * at cluster scale. The split expression is map-side on top. */
+  def leakageSafeSplit(docs: DataFrame, components: DataFrame,
+                       idCol: String): DataFrame = {
+    require(!docs.columns.contains("split"),
+      "Downsample.leakageSafeSplit: docs already has a 'split' column — " +
+        "rename it first; leakageSafeSplit appends its own")
+    val labels = components.select(col("id").as(idCol),
+      col("component").cast(StringType).as("__split_key"))
+    docs.join(labels, Seq(idCol), "left")
+      .withColumn("split",
+        splitLabel(coalesce(col("__split_key"), col(idCol).cast(StringType))))
+      .drop("__split_key")
+  }
+
   /** Deterministic per-stratum Bernoulli sampling — corpus MIXING: "keep
     * 80% of web, 30% of forums, 100% of wiki" as one map-side predicate.
     * Membership is a pure function of the row id (hash bucket in [0,10000)

@@ -648,6 +648,34 @@ object TrainingData {
              |  count(*) AS n
              |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
 
+    // Leakage-safe split, content-keyed: the q68 assignment re-keyed on
+    // md5(text) so byte-identical duplicates can never straddle the
+    // train/eval boundary (q68's id-keyed hash puts a doc and its exact
+    // copy in independent buckets). n_contents counts distinct content
+    // classes per split; the oracle replays the fingerprint, the
+    // "split#" hash arithmetic, and the bucket thresholds verbatim.
+    Q("q116_leakage_safe_split",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val comps = docs.select(col("doc_id").as("id"),
+          md5(col("text")).as("component"))
+        graft.operators.Downsample.leakageSafeSplit(docs, comps, "doc_id")
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_contents"))
+          .orderBy("split")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, md5(text) AS fp,
+             |    ('0x'||substr(md5('split#' || md5(text)),1,15))::BIGINT % 100 AS bucket
+             |  FROM documents)
+             |SELECT CASE WHEN bucket < 80 THEN 'train'
+             |            WHEN bucket < 90 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |       count(*) AS n_docs,
+             |       count(DISTINCT fp) AS n_contents
+             |FROM b GROUP BY 1 ORDER BY split""".stripMargin)),
+
     // ---- Similarity search --------------------------------------------
 
     // Exact brute-force cosine top-k: broadcast 5 query vectors against the

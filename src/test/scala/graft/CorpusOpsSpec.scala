@@ -146,6 +146,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("leakageSafeSplit co-splits dup groups; singletons match splitLabel") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val comps = graft.dedup.Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"))
+    val got = Downsample.leakageSafeSplit(docs, comps, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // the whole near-dup group lands in ONE split — the leakage guarantee
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    // the group key is the component min id, so the group's label is
+    // splitLabel(1); the singleton falls back to splitLabel(4) — a
+    // dup-free corpus under this operator reproduces q68's split exactly
+    val lbl = docs.select(col("doc_id"),
+      Downsample.splitLabel(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === lbl(1L))
+    assert(got(4L) === lbl(4L))
+  }
+
+  test("leakageSafeSplit rejects a pre-existing split column loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "x")).toDF("doc_id", "split")
+    val e = intercept[IllegalArgumentException] {
+      Downsample.leakageSafeSplit(docs,
+        Seq.empty[(Long, Long)].toDF("id", "component"), "doc_id")
+    }
+    assert(e.getMessage.contains("split"))
+  }
+
   test("duplicateSpans finds maximal cross-doc spans, ignores self-repeats") {
     import spark.implicits._
     // docs 1/2 share the 5-token passage "p q r s t" (3 overlapping
@@ -196,19 +226,23 @@ class CorpusOpsSpec extends SparkSpec {
       .count() === 0)
   }
 
-  test("duplicateSpans plan: span aggregate reuses the islands partitioning") {
+  test("duplicateSpans plan: one corpus pass, two shuffles, no self-join") {
     import spark.implicits._
-    // the scale contract: exactly TWO shuffles — the window-hash aggregate
-    // and the per-doc islands Window; the final span groupBy(doc_id, grp)
-    // must ride the Window's hash(doc_id) exchange (doc_id is a subset of
-    // the grouping keys), and the marked-window join must not re-shuffle
-    // the aggregate side it just produced (broadcast at this size)
+    // the scale contract: the corpus is scanned/tokenized/hashed ONCE
+    // (no join of two windows branches — exactly one scan of the input),
+    // with exactly TWO shuffles: hash(ha, hb) for the cross-doc min/max
+    // window and hash(doc_id) for the islands window; the final span
+    // groupBy(doc_id, grp) must ride the islands exchange (doc_id is a
+    // subset of the grouping keys), never add a third
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
     val plan = graft.dedup.Dedup.duplicateSpans(docs, "doc_id", "text", 3)
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
       plan.take(3000))
-    assert("(?<![A-Za-z])Window \\[".r.findAllIn(plan).size == 1,
+    assert("(?<![A-Za-z])Window \\[".r.findAllIn(plan).size == 2,
+      plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert("LocalTableScan|Scan ".r.findAllIn(plan).size == 1,
       plan.take(3000))
   }
 
