@@ -233,6 +233,74 @@ object Dedup {
     lshCandidates(bandsDf, idCol, probeParts, saltBuckets)
   }
 
+  /** Incremental (delta) dedup: keep/drop DECISIONS for a new batch of
+    * documents against an already-deduplicated corpus, touching the corpus
+    * only through its persisted LSH band-signature index — never its text.
+    * THE operation a 100 TB pipeline runs daily: re-shingling the whole
+    * corpus to admit a 0.1% delta would cost 1000× the work of the delta;
+    * here the corpus contributes one scan of an (id, band, sig) parquet
+    * index (kilobytes per thousand docs) and zero shuffle.
+    *
+    * `indexBands` is the existing corpus's band table — the [[lshBands]]
+    * output, built with the SAME (shingleN, numHashes, bands) parameters
+    * (production: written once at corpus build, appended as batches are
+    * admitted). `incoming` is the delta (idCol, textCol).
+    *
+    * Decision rule — the streaming first-seen-wins rule restated as a
+    * batch: an incoming doc is dropped iff it shares a band bucket with
+    * (a) any indexed doc, or (b) any SMALLER-id doc of its own batch.
+    * (b) is greedy-by-id rather than full connected components: it is the
+    * decision an accreting signature store makes (every seen signature
+    * enters the index whether or not its text was kept), it needs no
+    * iteration, and transitive chains within one delta still collapse —
+    * if a~b and b~c share buckets, b and c both see a smaller collider.
+    * Batches where full group structure matters run [[connectedComponents]]
+    * + [[survivors]] over the batch instead; this operator is the fast
+    * admission gate.
+    *
+    * Output: one row per incoming doc —
+    * (idCol, `dup_of_index` = min colliding indexed id or null,
+    * `dup_of_batch` = min smaller colliding batch id or null,
+    * `keep` = both null).
+    *
+    * SCALE SHAPE. The delta band table is BROADCAST at the vs-index join
+    * (`broadcastDelta`, default true): the index side — the unbounded,
+    * corpus-sized relation — is consumed at scan speed with no exchange,
+    * and the collision output is bounded by |delta collisions|, never by
+    * index bucket sizes squared (the index side of a bucket meets only
+    * the delta's members of that bucket). A delta too large for the
+    * broadcast frame (rare: deltas are small by definition — a band table
+    * is ~100 bytes/doc, so the default 8 GB frame holds ~10M-doc deltas
+    * after which you'd split the batch) sets `broadcastDelta = false` for
+    * a shuffle join on (band, sig); the within-batch self-join reuses
+    * [[lshCandidates]] with its pin/salt machinery (`probeParts`,
+    * `saltBuckets`). */
+  def incrementalLshDedup(indexBands: DataFrame, incoming: DataFrame,
+                          idCol: String, textCol: String, shingleN: Int = 3,
+                          numHashes: Int = 16, bands: Int = 4,
+                          broadcastDelta: Boolean = true,
+                          probeParts: Int = -1, saltBuckets: Int = 0): DataFrame = {
+    val newBands = lshBands(
+      minhashWide(shingles(incoming, idCol, textCol, shingleN), idCol, numHashes),
+      idCol, numHashes, bands)
+    val delta0 = newBands.select(col("band"), col("sig"), col(idCol).as("__new_id"))
+    val delta = if (broadcastDelta) broadcast(delta0) else delta0
+    val vsIndex = indexBands
+      .select(col("band"), col("sig"), col(idCol).as("__idx_id"))
+      .join(delta, Seq("band", "sig"))
+      .groupBy(col("__new_id")).agg(min(col("__idx_id")).as("dup_of_index"))
+    val within = lshCandidates(newBands, idCol, probeParts, saltBuckets)
+      .groupBy(col("id_b").as("__new_id"))
+      .agg(min(col("id_a")).as("dup_of_batch"))
+    incoming.select(col(idCol))
+      .join(vsIndex, col(idCol) === vsIndex("__new_id"), "left")
+      .drop("__new_id")
+      .join(within, col(idCol) === within("__new_id"), "left")
+      .drop("__new_id")
+      .select(col(idCol), col("dup_of_index"), col("dup_of_batch"),
+        (col("dup_of_index").isNull && col("dup_of_batch").isNull).as("keep"))
+  }
+
   /** SimHash signature (default 16 bits for oracle-checkable size; up to 60
     * supported by the 60-bit token hash). Every token votes +1/-1 per bit;
     * the signature sets bits with positive vote sums.

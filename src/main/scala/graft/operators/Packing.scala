@@ -57,4 +57,35 @@ object Packing {
           - col("seq_idx") + 1))
       .drop("pack_hv", "pack_start", "__pack_n")
   }
+
+  /** Deterministic global shuffle: a reproducible random TOTAL ORDER over
+    * the corpus — `shuffle_rank` (dense, 0-based) and `shard_id`
+    * (`rank % shards`, the round-robin training-shard assignment that
+    * gives every shard an unbiased sample of the corpus). Training-data
+    * layout wants exactly this: dedup/curation leave neighboring docs
+    * correlated (same crawl, same source), and a data-parallel trainer
+    * reading shard files in rank order must see an order that is (a)
+    * uniform-random, (b) identical across reruns, (c) re-derivable from
+    * (seed, id) alone. The sort key is the md5 of `seed:id` — engine-
+    * portable hex, so an external system can re-derive any doc's position.
+    *
+    * SCALE SHAPE: NOT a global `row_number` window (one task sorts the
+    * corpus). A range exchange on the key orders the PARTITIONS, each
+    * partition sorts locally, and the dense rank is partition offset +
+    * local position — [[graft.ops.ColumnOps.factSurrogateKey]]'s two-pass
+    * offset pattern, whose per-partition counts ride a tiny (#partitions-
+    * row) aggregate. Rank depends only on the total (key, id) order, which
+    * is unique per id — range boundary sampling cannot change the result,
+    * only the partition sizes. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+                           shards: Int): DataFrame = {
+    require(shards > 0)
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast(StringType)))
+    val sorted = df.withColumn("__shuf_key", key)
+      .repartitionByRange(col("__shuf_key"), col(idCol))
+      .sortWithinPartitions(col("__shuf_key"), col(idCol))
+    graft.ops.ColumnOps.factSurrogateKey(sorted, "shuffle_rank")
+      .withColumn("shard_id", pmod(col("shuffle_rank"), lit(shards.toLong)))
+      .drop("__shuf_key")
+  }
 }

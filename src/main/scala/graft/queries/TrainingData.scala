@@ -167,6 +167,77 @@ object TrainingData {
              |WHERE a.doc_id < b.doc_id
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Incremental (delta) dedup: admission decisions for a new batch
+    // against the EXISTING corpus's persisted band-signature index — the
+    // corpus contributes one index scan, zero shuffle, never its text
+    // (the daily 100 TB operation; see Dedup.incrementalLshDedup). The
+    // index is docs < 512; the delta is docs 512-767 plus planted copies
+    // of every 16th indexed doc (id + 200000) so index hits are
+    // guaranteed. Greedy first-seen-wins within the batch (min smaller
+    // colliding id), min colliding index id across. Bounds 256/448 keep
+    // both the novel-doc (keep=true) and planted-dup paths populated at
+    // every SF (the corpus has 500 docs at sf0.001/0.01).
+    Q("q117_incremental_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val existing = docs.where(col("doc_id") < 256)
+        val planted = existing.where(col("doc_id") % 16 === 0)
+          .withColumn("doc_id", col("doc_id") + 200000)
+        val incoming = docs.where(col("doc_id") >= 256 && col("doc_id") < 448)
+          .unionByName(planted)
+        val index = Dedup.lshBands(
+          Dedup.minhashWide(Dedup.shingles(existing, "doc_id", "text", 3),
+            "doc_id", 16), "doc_id", 16, 4)
+        // probeParts = 0: a few-hundred-doc exhibit delta (resolvePin doc)
+        Dedup.incrementalLshDedup(index, incoming, "doc_id", "text",
+          3, 16, 4, probeParts = 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 448
+             |  UNION ALL
+             |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+             |  WHERE doc_id < 256 AND doc_id % 16 = 0),
+             |d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM raw),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, u.s AS shingle
+             |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
+             |       i -> array_to_string(d.toks[i:i+2], ' '))) u(s)
+             |  WHERE len(d.toks) >= 3),
+             |h AS (
+             |  SELECT doc_id,
+             |         ('0x'||substr(md5(shingle),1,14))::BIGINT AS ha,
+             |         ('0x'||substr(md5(shingle),17,14))::BIGINT AS hb
+             |  FROM sh),
+             |mh AS (
+             |  SELECT doc_id, CAST(seed AS INT) AS seed,
+             |         min((ha + seed*hb) % (1::BIGINT << 56)) AS minhash
+             |  FROM h CROSS JOIN range(0,16) r(seed)
+             |  GROUP BY doc_id, seed),
+             |bands AS (
+             |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             |         string_agg(minhash::VARCHAR, '|' ORDER BY seed) AS sig
+             |  FROM mh GROUP BY doc_id, CAST(seed // 4 AS INT)),
+             |idx AS (SELECT * FROM bands WHERE doc_id < 256),
+             |newb AS (SELECT * FROM bands WHERE doc_id >= 256),
+             |vsidx AS (
+             |  SELECT n.doc_id, min(i.doc_id) AS dup_of_index
+             |  FROM newb n JOIN idx i ON n.band = i.band AND n.sig = i.sig
+             |  GROUP BY n.doc_id),
+             |within AS (
+             |  SELECT b.doc_id, min(a.doc_id) AS dup_of_batch
+             |  FROM newb a JOIN newb b ON a.band = b.band AND a.sig = b.sig
+             |   AND a.doc_id < b.doc_id
+             |  GROUP BY b.doc_id)
+             |SELECT n.doc_id, v.dup_of_index, w.dup_of_batch,
+             |       (v.dup_of_index IS NULL AND w.dup_of_batch IS NULL) AS keep
+             |FROM (SELECT DISTINCT doc_id FROM raw WHERE doc_id >= 256) n
+             |LEFT JOIN vsidx v USING (doc_id)
+             |LEFT JOIN within w USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // SimHash (16-bit oracle-sized; library supports up to 60).
     Q("q33_simhash",
       (s, dir) => Dedup.simhash(
@@ -881,6 +952,31 @@ object TrainingData {
              |FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN b USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Corpus heavy-hitter trigrams: the 50 most widespread n-grams with
+    // document frequency and total occurrences — the curator-facing
+    // report behind q110's per-doc scoring (WHAT is boilerplate, not just
+    // how much each doc carries). Total tie-break (df desc, total desc,
+    // gram asc) makes the LIMIT cut deterministic cross-engine; the
+    // Spark top-k is a TakeOrderedAndProject (per-partition partial
+    // top-k), never a global sort.
+    Q("q119_top_ngrams",
+      (s, dir) => graft.text.Repetition
+        .topNgrams(t(s, dir, "documents"), "doc_id", "text", 3, 50),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, u.g AS gram
+             |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
+             |       i -> array_to_string(d.toks[i:i+2], ' '))) u(g)
+             |  WHERE len(d.toks) >= 3),
+             |c AS (SELECT doc_id, gram, count(*) AS cnt
+             |      FROM g GROUP BY doc_id, gram)
+             |SELECT gram AS ngram, count(*) AS df,
+             |       CAST(sum(cnt) AS BIGINT) AS total_n
+             |FROM c GROUP BY gram
+             |ORDER BY df DESC, total_n DESC, ngram LIMIT 50""".stripMargin)),
+
     // Corpus TF-IDF: top-3 characteristic terms per document. The gated
     // score is ROUNDED to 6 decimals and the ranking runs on the rounded
     // value with a term tie-break: ln() differs by ulps between JVM libm
@@ -1404,6 +1500,26 @@ object TrainingData {
              |  st // 2048 AS seq_idx,
              |  st % 2048 AS seq_offset,
              |  greatest(1, (st + n_chars - 1) // 2048 - st // 2048 + 1) AS n_spanned
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic global shuffle (operators.Packing): a reproducible
+    // random total order + round-robin shard assignment for training-data
+    // layout. NOT a global row_number window on the Spark side — a range
+    // exchange orders partitions, each sorts locally, and the dense rank
+    // is partition offset + local position (factSurrogateKey's two-pass
+    // offset pattern); the md5 sort key makes any doc's position
+    // re-derivable from (seed, id) by any engine.
+    Q("q118_deterministic_shuffle",
+      (s, dir) => graft.operators.Packing.deterministicShuffle(
+        t(s, dir, "documents").select("doc_id"), "doc_id", "graft-epoch0", 8)
+        .orderBy("doc_id"),
+      Some("""WITH r AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (
+             |      ORDER BY md5('graft-epoch0:' || doc_id::VARCHAR), doc_id)
+             |      - 1 AS shuffle_rank
+             |  FROM documents)
+             |SELECT doc_id, shuffle_rank, shuffle_rank % 8 AS shard_id
              |FROM r ORDER BY doc_id""".stripMargin)),
 
     // PII scrub: count + redact emails/phones/IPv4 to typed placeholders

@@ -140,4 +140,38 @@ object Repetition {
         when(col("__m") > 0,
           coalesce(col("__bn"), lit(0L)) / col("__m")).as("boiler_frac"))
   }
+
+  /** Corpus heavy-hitter n-grams: the `k` n-grams present in the MOST
+    * documents, with their document frequency `df` and total occurrence
+    * count `total_n` — the human-readable face of [[boilerplateProfile]]
+    * (that operator scores documents against the hot set; this one shows a
+    * curator WHAT the hot set is, the report that decides removal rules).
+    *
+    * Ties break deterministically: df desc, total desc, gram asc.
+    *
+    * SCALE SHAPE: the within-row run counting emits one (gram, count) row
+    * per DISTINCT gram per document map-side ([[sortedRuns]] — no
+    * per-occurrence explode ever shuffles); the gram aggregation
+    * partial-aggregates to per-partition distinct grams before its
+    * exchange; the top-k is a `TakeOrderedAndProject` — per-partition
+    * partial top-k, k rows per partition to the driver, never a global
+    * sort. Unlike boilerplateProfile's join key, the shuffled key here is
+    * the gram TEXT (the report needs it) — bounded at n·(longest word)
+    * chars, and the aggregate is distinct-gram-bounded either side of the
+    * exchange. */
+  def topNgrams(docs: DataFrame, idCol: String, textCol: String,
+                n: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val runs = sortedRuns(docs, idCol, textCol, n)
+    val perDoc = runs.select(col(idCol),
+      explode(transform(col("__st"), (s, idx) => struct(
+        get(col("__g"), s).as("__gram"),
+        (coalesce(get(col("__st"), idx + 1), col("__m")) - s).as("__cnt"))))
+        .as("__gc"))
+      .select(col("__gc.__gram").as("ngram"), col("__gc.__cnt").as("__cnt"))
+    perDoc.groupBy("ngram")
+      .agg(count(lit(1)).as("df"), sum(col("__cnt")).cast(LongType).as("total_n"))
+      .orderBy(col("df").desc, col("total_n").desc, col("ngram"))
+      .limit(k)
+  }
 }

@@ -354,6 +354,35 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("deterministicShuffle is a seed-keyed permutation, stable across partitionings") {
+    import spark.implicits._
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .select("doc_id").where(col("doc_id") < 300)
+    val got = graft.operators.Packing
+      .deterministicShuffle(docs.repartition(7), "doc_id", "s1", 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // rank must equal the global row_number over the same md5 key order
+    val want = docs
+      .withColumn("k", md5(concat_ws(":", lit("s1"), col("doc_id").cast("string"))))
+      .withColumn("shuffle_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("k", "doc_id"))
+        .cast("long") - 1)
+      .select(col("doc_id"), col("shuffle_rank"),
+        pmod(col("shuffle_rank"), lit(4L)).as("shard_id"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+    // identical under a different physical partitioning; different seed permutes
+    val again = graft.operators.Packing
+      .deterministicShuffle(docs.repartition(3), "doc_id", "s1", 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again === got)
+    val other = graft.operators.Packing
+      .deterministicShuffle(docs, "doc_id", "s2", 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(other !== got)
+    assert(other.map(_._2).sorted === got.map(_._2).sorted) // same rank set
+  }
+
   test("redactPii replaces emails, phones, IPv4 and counts them") {
     import spark.implicits._
     val df = Seq(

@@ -72,4 +72,25 @@ class RepetitionSpec extends SparkSpec {
     assert(got(1).getLong(1) === 0L && got(1).getLong(2) === 0L)
     assert(got(1).isNullAt(3))
   }
+
+  test("topNgrams ranks by df then total, counts multiplicity, cuts at k") {
+    val df = Seq(
+      (1L, "x y x y x y"), // bigrams: "x y"x3, "y x"x2
+      (2L, "x y a b"),     // "x y", "y a", "a b"
+      (3L, "a b x y"),     // "a b", "b x", "x y"
+      (4L, "a b c")        // "a b", "b c"
+    ).toDF("doc_id", "text")
+    val got = graft.text.Repetition.topNgrams(df, "doc_id", "text", 2, 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // df: "x y" 3 docs (5 occ), "a b" 3 docs (3 occ), then singles —
+    // "y x" has total 2, beating df-1/total-1 grams; k=3 cuts after it
+    assert(got === Seq(("x y", 3L, 5L), ("a b", 3L, 3L), ("y x", 1L, 2L)))
+  }
+
+  test("topNgrams plans a TakeOrderedAndProject, not a global sort") {
+    val df = graft.sources.Sources.table(spark, sf, "documents")
+    val plan = graft.text.Repetition.topNgrams(df, "doc_id", "text", 3, 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
 }

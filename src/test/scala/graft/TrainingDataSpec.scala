@@ -49,6 +49,37 @@ class TrainingDataSpec extends SparkSpec {
     assert(j.where($"jaccard" < 0.2).count() === 0)
   }
 
+  test("incrementalLshDedup: index hits, within-batch first-wins, novel keeps") {
+    val existing = docs.select("doc_id", "text").where($"doc_id" < 100)
+    val index = Dedup.lshBands(Dedup.minhashWide(
+      Dedup.shingles(existing, "doc_id", "text", 3), "doc_id", 16),
+      "doc_id", 16, 4)
+    // batch: an exact copy of index doc 8 (id 1001), two copies of one
+    // NOVEL text (ids 1002 < 1003), and genuinely new docs 100-149
+    val novel = docs.select("doc_id", "text")
+      .where($"doc_id" >= 100 && $"doc_id" < 150)
+    val copyOf8 = existing.where($"doc_id" === 8)
+      .select(lit(1001L).as("doc_id"), $"text")
+    // the twin text is synthetic so its shingles are disjoint from the
+    // corpus — it can only collide with itself (a real doc might share
+    // enough shingles with an indexed doc at the permissive 16/4 setting)
+    val twin = Seq(1002L, 1003L).toDF("doc_id")
+      .withColumn("text", lit("zq wv xk pl mn oq rr st uu vv ww yy"))
+    val batch = novel.unionByName(copyOf8).unionByName(twin)
+    def decisions(bcast: Boolean) = Dedup.incrementalLshDedup(
+      index, batch, "doc_id", "text", 3, 16, 4,
+      broadcastDelta = bcast, probeParts = 0)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val d = decisions(bcast = true)
+    assert(d(1001L)._2 === Some(8L) && !d(1001L)._4) // index hit
+    assert(d(1002L)._2.isEmpty && d(1002L)._4)       // first twin keeps
+    assert(d(1003L)._3 === Some(1002L) && !d(1003L)._4) // second drops
+    assert(d.size === batch.count())
+    // the shuffle-join fallback decides identically
+    assert(decisions(bcast = false) === d)
+  }
+
   test("contamination flags the planted eval leak with full coverage") {
     // eval doc 9999 is doc 8 plus one appended token: every one of its
     // interior trigrams except the last two also occurs in train doc 8,
