@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.text.TextOps
 
@@ -70,22 +70,38 @@ object Packing {
     * portable hex, so an external system can re-derive any doc's position.
     *
     * SCALE SHAPE: NOT a global `row_number` window (one task sorts the
-    * corpus). A range exchange on the key orders the PARTITIONS, each
-    * partition sorts locally, and the dense rank is partition offset +
-    * local position — [[graft.ops.ColumnOps.factSurrogateKey]]'s two-pass
-    * offset pattern, whose per-partition counts ride a tiny (#partitions-
-    * row) aggregate. Rank depends only on the total (key, id) order, which
-    * is unique per id — range boundary sampling cannot change the result,
-    * only the partition sizes. */
+    * corpus), and NOT physical-partition arithmetic (`spark_partition_id`
+    * over a fresh exchange is NOT stable across consumers: AQE may
+    * coalesce one read of the shuffle and not another, so a two-pass
+    * partition-offset join can silently drop or misnumber rows — caught
+    * live by the scale rehearsal, 5000 docs -> 157). Everything here is
+    * derived from the DATA instead: the first 3 hex chars of the key
+    * split the order into 4096 contiguous key-range buckets (md5 is
+    * uniform, so buckets balance at ~n/4096 rows), `row_number` ranks
+    * within each bucket as an ordinary keyed window, and each bucket's
+    * global offset is a running sum over the 4096-row bucket-count
+    * aggregate (tiny, single-task by design). rank = bucket offset +
+    * within-bucket position: fully deterministic for any physical
+    * partitioning, any AQE decision, any engine re-run. */
   def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
                            shards: Int): DataFrame = {
     require(shards > 0)
-    val key = md5(concat_ws(":", lit(seed), col(idCol).cast(StringType)))
-    val sorted = df.withColumn("__shuf_key", key)
-      .repartitionByRange(col("__shuf_key"), col(idCol))
-      .sortWithinPartitions(col("__shuf_key"), col(idCol))
-    graft.ops.ColumnOps.factSurrogateKey(sorted, "shuffle_rank")
+    val keyed = df
+      .withColumn("__shuf_key",
+        md5(concat_ws(":", lit(seed), col(idCol).cast(StringType))))
+      .withColumn("__shuf_bucket",
+        conv(substring(col("__shuf_key"), 1, 3), 16, 10).cast("long"))
+    val withinW = Window.partitionBy("__shuf_bucket")
+      .orderBy(col("__shuf_key"), col(idCol))
+    val offsets = keyed.groupBy("__shuf_bucket").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(
+        sum(col("__cnt")).over(Window.orderBy("__shuf_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__shuf_bucket", "__offset")
+    keyed.withColumn("__within", row_number().over(withinW).cast(LongType))
+      .join(broadcast(offsets), Seq("__shuf_bucket"))
+      .withColumn("shuffle_rank", col("__offset") + col("__within") - 1L)
       .withColumn("shard_id", pmod(col("shuffle_rank"), lit(shards.toLong)))
-      .drop("__shuf_key")
+      .drop("__shuf_key", "__shuf_bucket", "__within", "__offset")
   }
 }

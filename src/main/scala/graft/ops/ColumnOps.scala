@@ -146,7 +146,18 @@ object ColumnOps {
     *  - a broadcast join on the partition id adds the offset back.
     * Like zipWithIndex, this runs two passes over the input and the ids
     * depend on the physical partitioning — pin the input (cache or stable
-    * scan) if the exact ids must be reproducible across runs. */
+    * scan) if the exact ids must be reproducible across runs.
+    *
+    * WARNING — the input's partitioning must be STABLE ACROSS CONSUMERS,
+    * i.e. a file scan or a cached/checkpointed frame, never directly atop
+    * a fresh Exchange: AQE may coalesce the offsets pass's read of that
+    * shuffle and not the main pass's (AQEShuffleRead is per consuming
+    * stage), `spark_partition_id()` then disagrees between the passes,
+    * and the inner offsets join silently DROPS the partitions one side
+    * no longer sees. Caught live by the scale rehearsal (5000 rows ->
+    * 157) when an early deterministicShuffle draft fed it a
+    * repartitionByRange output; that operator now derives ranks from the
+    * data instead ([[graft.operators.Packing.deterministicShuffle]]). */
   def factSurrogateKey(df: DataFrame, keyName: String): DataFrame = {
     val local = df
       .withColumn("__pid", spark_partition_id())
