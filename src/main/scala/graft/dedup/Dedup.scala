@@ -274,7 +274,13 @@ object Dedup {
     * after which you'd split the batch) sets `broadcastDelta = false` for
     * a shuffle join on (band, sig); the within-batch self-join reuses
     * [[lshCandidates]] with its pin/salt machinery (`probeParts`,
-    * `saltBuckets`). */
+    * `saltBuckets`).
+    *
+    * PRECONDITIONS (both inherited from [[shingles]], enforced there under
+    * `graft.dedup.checkIds`): `incoming`'s idCol is unique — the output is
+    * one DECISION per incoming doc — and incoming ids are DISJOINT from
+    * the index's (delta ids are new by construction in any accreting
+    * store; a reused id would make its dup_of_index self-referential). */
   def incrementalLshDedup(indexBands: DataFrame, incoming: DataFrame,
                           idCol: String, textCol: String, shingleN: Int = 3,
                           numHashes: Int = 16, bands: Int = 4,

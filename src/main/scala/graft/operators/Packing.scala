@@ -75,22 +75,33 @@ object Packing {
     * coalesce one read of the shuffle and not another, so a two-pass
     * partition-offset join can silently drop or misnumber rows — caught
     * live by the scale rehearsal, 5000 docs -> 157). Everything here is
-    * derived from the DATA instead: the first 3 hex chars of the key
-    * split the order into 4096 contiguous key-range buckets (md5 is
-    * uniform, so buckets balance at ~n/4096 rows), `row_number` ranks
-    * within each bucket as an ordinary keyed window, and each bucket's
-    * global offset is a running sum over the 4096-row bucket-count
-    * aggregate (tiny, single-task by design). rank = bucket offset +
-    * within-bucket position: fully deterministic for any physical
-    * partitioning, any AQE decision, any engine re-run. */
+    * derived from the DATA instead: the first `bucketHexChars` hex chars
+    * of the key split the order into 16^c contiguous key-range buckets
+    * (md5 is uniform, so buckets balance at ~n/16^c rows), `row_number`
+    * ranks within each bucket as an ordinary keyed window, and each
+    * bucket's global offset is a running sum over the 16^c-row
+    * bucket-count aggregate (tiny, single-task by design). rank = bucket
+    * offset + within-bucket position: fully deterministic for any
+    * physical partitioning, any AQE decision, any engine re-run.
+    *
+    * Bucket ordering is consistent with key-string ordering because hex
+    * digits sort identically by ASCII and by value ('0'-'9' < 'a'-'f'),
+    * so (bucket asc, key asc within bucket) == ORDER BY key asc
+    * globally. `bucketHexChars` sizes the split: each bucket must fit a
+    * task's sort while the offset table stays broadcast-sized — the
+    * default 4096 buckets hold to ~10^10 rows; a 100 TB corpus passes
+    * 4-5. Ranks do NOT depend on the choice. */
   def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
-                           shards: Int): DataFrame = {
+                           shards: Int, bucketHexChars: Int = 3): DataFrame = {
     require(shards > 0)
+    require(bucketHexChars >= 1 && bucketHexChars <= 8,
+      s"bucketHexChars must be in [1, 8], got $bucketHexChars")
     val keyed = df
       .withColumn("__shuf_key",
         md5(concat_ws(":", lit(seed), col(idCol).cast(StringType))))
       .withColumn("__shuf_bucket",
-        conv(substring(col("__shuf_key"), 1, 3), 16, 10).cast("long"))
+        conv(substring(col("__shuf_key"), 1, bucketHexChars), 16, 10)
+          .cast("long"))
     val withinW = Window.partitionBy("__shuf_bucket")
       .orderBy(col("__shuf_key"), col(idCol))
     val offsets = keyed.groupBy("__shuf_bucket").agg(count(lit(1)).as("__cnt"))

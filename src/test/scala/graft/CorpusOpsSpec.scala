@@ -381,6 +381,11 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(other !== got)
     assert(other.map(_._2).sorted === got.map(_._2).sorted) // same rank set
+    // ranks are bucket-granularity-invariant (16 vs 4096 buckets)
+    val coarse = graft.operators.Packing
+      .deterministicShuffle(docs, "doc_id", "s1", 4, bucketHexChars = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(coarse === got)
   }
 
   test("redactPii replaces emails, phones, IPv4 and counts them") {
