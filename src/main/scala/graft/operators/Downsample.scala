@@ -145,6 +145,85 @@ object Downsample {
       .drop("cap_key", "cap_id")
   }
 
+  /** Budget-constrained corpus selection: keep the BEST documents until a
+    * global cost budget is exhausted — "curate the top-quality N tokens
+    * for pretraining" as one deterministic operator. Rows are totally
+    * ordered by (`scoreCol` desc, `idCol` asc); the output is the maximal
+    * prefix of that order whose running `costCol` sum stays <= `budget`,
+    * with two appended columns: `sel_rank` (1-based global rank) and
+    * `cum_cost` (running cost INCLUDING the row). Rows with a NULL score
+    * or cost are unrankable/uncostable and excluded (same rationale as
+    * the quality filters: engines disagree on NULL placement under DESC,
+    * so NULL must never reach the ORDER BY). Costs are expected
+    * nonnegative (token counts); a negative cost makes "cum <= budget" no
+    * longer a prefix, though cum_cost itself stays exact.
+    *
+    * SCALE SHAPE — an exact global running sum with NO single-partition
+    * window and NO physical-partition arithmetic (both documented traps:
+    * one task sorts the corpus / AQE desyncs `spark_partition_id` between
+    * consumers, see [[graft.operators.Packing.deterministicShuffle]]).
+    * Same data-derived two-level pattern, generalized from md5-prefix
+    * ranges to SCORE ranges: approxQuantile cut points split the score
+    * domain into `buckets` contiguous ranges; a keyed window computes
+    * rank + running cost within each bucket; the per-bucket (count, cost)
+    * totals — at most `buckets` rows — take a single-task running sum
+    * into global offsets and broadcast back. CORRECTNESS DOES NOT DEPEND
+    * ON CUT PLACEMENT: any score→bucket map that is monotone in the sort
+    * key yields the same global order (strictly-higher scores can never
+    * land in a later bucket, and equal scores share a bucket), so the
+    * approximate quantiles — and their run-to-run merge nondeterminism —
+    * affect only load balance. The adversarial case is a corpus where one
+    * score value dominates: its ties form one bucket and one task sorts
+    * them (by id) — real quality scores are near-continuous, and such a
+    * corpus has bigger problems than this operator. Cost: one extra
+    * scan for the quantile sketch + one for the offsets aggregate, both
+    * pruned to (id, score, cost) — scan-speed passes at 100 TB; the main
+    * pass is one exchange on the bucket key. */
+  def selectWithinBudget(df: DataFrame, idCol: String, scoreCol: String,
+                         costCol: String, budget: Long,
+                         buckets: Int = 64): DataFrame = {
+    require(budget >= 0, s"budget must be nonnegative, got $budget")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536], got $buckets")
+    Seq("sel_rank", "cum_cost").foreach(c => require(!df.columns.contains(c),
+      s"Downsample.selectWithinBudget: df already has a '$c' column — " +
+        "rename it first; selectWithinBudget appends its own"))
+    val scored = df.where(col(scoreCol).isNotNull && col(costCol).isNotNull)
+    val cuts: Array[Double] =
+      if (buckets == 1) Array.empty
+      else scored.stat.approxQuantile(scoreCol,
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+        .filter(!_.isNaN).distinct.sorted
+    // bucket = #cuts strictly above the score: monotone non-increasing in
+    // score, so bucket-ascending order puts strictly-higher scores first
+    // and equal scores together — exactly what the offset join needs
+    val bucketed = scored.withColumn("__bsel_bucket",
+      size(filter(typedlit(cuts), c => c > col(scoreCol).cast("double"))))
+    val withinW = Window.partitionBy("__bsel_bucket")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val offW = Window.orderBy("__bsel_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__bsel_bucket")
+      .agg(count(lit(1)).as("__bsel_cnt"),
+        sum(col(costCol).cast(LongType)).as("__bsel_tot"))
+      .withColumn("__bsel_rank_off", coalesce(sum("__bsel_cnt").over(offW), lit(0L)))
+      .withColumn("__bsel_cost_off", coalesce(sum("__bsel_tot").over(offW), lit(0L)))
+      .select("__bsel_bucket", "__bsel_rank_off", "__bsel_cost_off")
+    bucketed
+      .withColumn("__bsel_rank", row_number().over(withinW).cast(LongType))
+      // explicit ROWS frame: ids make the order total, but the default
+      // RANGE frame would sum peer rows if a caller ever passed a
+      // non-unique id — fail toward the window semantics we mean
+      .withColumn("__bsel_cum", sum(col(costCol).cast(LongType)).over(
+        withinW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), Seq("__bsel_bucket"))
+      .withColumn("sel_rank", col("__bsel_rank_off") + col("__bsel_rank"))
+      .withColumn("cum_cost", col("__bsel_cost_off") + col("__bsel_cum"))
+      .where(col("cum_cost") <= budget)
+      .drop("__bsel_bucket", "__bsel_rank", "__bsel_cum",
+        "__bsel_rank_off", "__bsel_cost_off")
+  }
+
   /** DSIR-style deterministic importance resampling: keep each row with
     * probability proportional to an integer weight (e.g. a BM25 or
     * TF-IDF micro-unit relevance score) — the "sample the web corpus

@@ -977,6 +977,52 @@ object TrainingData {
              |FROM c GROUP BY gram
              |ORDER BY df DESC, total_n DESC, ngram LIMIT 50""".stripMargin)),
 
+    // Budget-constrained selection: keep the highest-quality docs until
+    // half the corpus's tokens are spent — the "curate N tokens for
+    // pretraining" op. Exact global running sum via score-range buckets +
+    // broadcast offsets (Downsample.selectWithinBudget), never a global
+    // window; the oracle replays it as the single ORDER BY window it
+    // semantically is. quality_score doubles are bit-identical across
+    // engines (q38); costs/cum/budget are all-integer, so the <= budget
+    // cutoff is exact. Window SUM and the budget's SUM are CAST to
+    // BIGINT (DuckDB widens to HUGEINT, the q114 lesson). The budget is
+    // a one-row aggregate collected driver-side — the absolute-budget
+    // API ("2e12 tokens") is the operator's; only this query derives it
+    // from the corpus.
+    Q("q120_budget_selection",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          TextOps.qualityScore(col("text"), enStop).as("quality_score"),
+          TextOps.tokenCountWs(col("text")).cast(LongType).as("n_tokens"))
+          .where(col("quality_score").isNotNull)
+        val budget = d.agg(sum("n_tokens")).head().getLong(0) / 2
+        graft.operators.Downsample.selectWithinBudget(
+            d, "doc_id", "quality_score", "n_tokens", budget)
+          .select("doc_id", "quality_score", "n_tokens", "sel_rank", "cum_cost")
+          .orderBy("sel_rank")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lower(text) AS lt,
+             |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents WHERE length(text) > 0),
+             |scored AS (
+             |  SELECT doc_id,
+             |    0.4::DOUBLE * (len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x))) / len(toks))
+             |      + 0.3::DOUBLE * least(1.0::DOUBLE, len(toks) / 100.0::DOUBLE)
+             |      + 0.3::DOUBLE * (1.0::DOUBLE - length(regexp_replace(lt, '[a-z0-9\s]', '', 'g')) / length(lt)) AS quality_score,
+             |    CAST(len(toks) AS BIGINT) AS n_tokens
+             |  FROM d),
+             |ranked AS (
+             |  SELECT doc_id, quality_score, n_tokens,
+             |    CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS sel_rank,
+             |    CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
+             |  FROM scored),
+             |b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM scored)
+             |SELECT doc_id, quality_score, n_tokens, sel_rank, cum_cost
+             |FROM ranked, b WHERE cum_cost <= budget
+             |ORDER BY sel_rank""".stripMargin)),
+
     // Corpus TF-IDF: top-3 characteristic terms per document. The gated
     // score is ROUNDED to 6 decimals and the ranking runs on the rounded
     // value with a term tie-break: ln() differs by ulps between JVM libm

@@ -388,6 +388,62 @@ class CorpusOpsSpec extends SparkSpec {
     assert(coarse === got)
   }
 
+  test("selectWithinBudget equals the global-window prefix, any bucketing") {
+    import spark.implicits._
+    val d = graft.sources.Sources.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        TextOps.qualityScore(col("text"), TextOps.langStopwords.head._2)
+          .as("score"),
+        TextOps.tokenCountWs(col("text")).cast("long").as("cost"))
+      .where(col("score").isNotNull)
+    val budget = d.agg(sum("cost")).head.getLong(0) / 3
+    // reference: the single ORDER BY window the operator refuses to plan
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val want = d
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cost", sum("cost").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .where(col("cum_cost") <= budget)
+      .select("doc_id", "sel_rank", "cum_cost")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    for (buckets <- Seq(1, 64, 256)) {
+      val got = Downsample.selectWithinBudget(
+          d.repartition(7), "doc_id", "score", "cost", budget, buckets)
+        .select("doc_id", "sel_rank", "cum_cost")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === want, s"buckets=$buckets")
+    }
+    assert(want.nonEmpty && want.map(_._3).max <= budget)
+  }
+
+  test("selectWithinBudget: prefix boundary, ties by id, null exclusion, guards") {
+    import spark.implicits._
+    // constant score: everything ties -> one bucket -> order falls to id
+    val flat = Seq((3L, 4L), (1L, 4L), (2L, 4L), (4L, 4L))
+      .toDF("id", "cost").withColumn("score", lit(0.5))
+    val got = Downsample.selectWithinBudget(flat, "id", "score", "cost", 9L)
+      .select("id", "sel_rank", "cum_cost")
+      .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got === Seq((1L, 1L, 4L), (2L, 2L, 8L))) // 3rd doc would hit 12 > 9
+    // budget 0 selects nothing; budget >= total selects everything
+    assert(Downsample.selectWithinBudget(flat, "id", "score", "cost", 0L).isEmpty)
+    assert(Downsample.selectWithinBudget(flat, "id", "score", "cost", 16L)
+      .count() === 4L)
+    // NULL score rows are excluded, never ranked
+    val withNull = flat.withColumn("score",
+      when(col("id") === 2L, lit(null).cast("double")).otherwise(col("score")))
+    val ids = Downsample.selectWithinBudget(withNull, "id", "score", "cost", 100L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 3L, 4L))
+    // appending onto an existing sel_rank/cum_cost column is refused
+    intercept[IllegalArgumentException] {
+      Downsample.selectWithinBudget(
+        flat.withColumn("sel_rank", lit(1)), "id", "score", "cost", 9L)
+    }
+  }
+
   test("redactPii replaces emails, phones, IPv4 and counts them") {
     import spark.implicits._
     val df = Seq(
