@@ -869,21 +869,7 @@ object Dedup {
           s"${dup.head.getLong(1)} times); every window of a duplicated " +
           "row would count as cross-document")
     }
-    val toks = col("__span_toks")
-    // One struct per position: (pos, md5-of-window). The token array is
-    // projected once per row before the lambda (the shingles lesson:
-    // composing tokenization into the generator is O(tokens^2) regex).
-    val wins = docs
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("__span_toks"))
-      .where(size(toks) >= window) // sequence(1, k<1) counts down — guard
-      .select(col(idCol), explode(transform(
-          sequence(lit(1), size(toks) - (window - 1)),
-          i => struct(i.cast(LongType).as("pos"),
-            md5(concat_ws(" ", slice(toks, i, lit(window)))).as("h"))))
-        .as("w"))
-      .select(col(idCol), col("w.pos").as("pos"),
-        conv(substring(col("w.h"), 1, 14), 16, 10).cast(LongType).as("ha"),
-        conv(substring(col("w.h"), 17, 14), 16, 10).cast(LongType).as("hb"))
+    val wins = spanWindows(docs, idCol, textCol, window)
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ha"), col("hb"))
     val islands = org.apache.spark.sql.expressions.Window
@@ -898,6 +884,107 @@ object Dedup {
         (max(col("pos")) + lit(window - 1).cast(LongType)).as("span_end"),
         count(lit(1)).as("n_windows"))
       .drop("__grp")
+  }
+
+  /** Shared head of [[duplicateSpans]] / [[removeDuplicateSpans]]: one row
+    * per `window`-token slice — (id, pos, ha, hb), pos 1-based, the md5 of
+    * the space-joined slice split into two 56-bit longs (exactly
+    * replayable in the oracle). One struct per position; the token array
+    * is projected once per row before the lambda (the shingles lesson:
+    * composing tokenization into the generator is O(tokens^2) regex). */
+  private def spanWindows(docs: DataFrame, idCol: String, textCol: String,
+                          window: Int): DataFrame = {
+    val toks = col("__span_toks")
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__span_toks"))
+      .where(size(toks) >= window) // sequence(1, k<1) counts down — guard
+      .select(col(idCol), explode(transform(
+          sequence(lit(1), size(toks) - (window - 1)),
+          i => struct(i.cast(LongType).as("pos"),
+            md5(concat_ws(" ", slice(toks, i, lit(window)))).as("h"))))
+        .as("w"))
+      .select(col(idCol), col("w.pos").as("pos"),
+        conv(substring(col("w.h"), 1, 14), 16, 10).cast(LongType).as("ha"),
+        conv(substring(col("w.h"), 17, 14), 16, 10).cast(LongType).as("hb"))
+  }
+
+  /** Duplicate-span REMOVAL — the rewrite step detection
+    * ([[duplicateSpans]]) exists to feed: emit the corpus with every
+    * non-canonical duplicated run excised. A token is removed iff it is
+    * covered by some `window`-token slice whose content occurs in >= 2
+    * distinct documents AND this document is not the slice's canonical
+    * occurrence (min id over the hash — first-seen-wins, deterministic);
+    * the canonical document keeps all its occurrences, so exactly one
+    * copy of every duplicated passage survives corpus-wide ("Deduplicating
+    * Training Data Makes Language Models Better" removal semantics, on the
+    * same rasterized fixed-width windows as duplicateSpans). Output:
+    * (id, text_clean, n_tokens, n_removed) — text_clean is the kept token
+    * stream re-joined on single spaces, i.e. WHITESPACE-NORMALIZED AND
+    * LOWERCASED (the [[graft.text.TextOps.tokens]] form the whole dedup
+    * family operates on), and documents with no removals pass through in
+    * that same normalized form so the output column is uniform. Docs
+    * shorter than `window` tokens can contain no removable slice and pass
+    * through whole.
+    *
+    * SCALE SHAPE. The detection head is duplicateSpans' O(tokens)
+    * hash-exchange pipeline (text bytes never enter it). The removal tail
+    * adds: the per-doc islands merge (flagged rows only), a per-doc
+    * collect_list of DISJOINT-region spans (bounded by the doc's
+    * duplicated-region count, never its tokens — a fully-duplicated doc
+    * collapses to ONE span), and one left join of the corpus against that
+    * span table — AQE broadcasts it while |duplicated docs| is small, and
+    * the SMJ fallback is the corpus's single text exchange, the floor
+    * cost of an operator that rewrites every row anyway. Reassembly is
+    * map-side array HOFs (positions tagged by transform, coverage test by
+    * exists over the span array — O(tokens x regions) per row), codegen'd,
+    * no UDFs. Inherits shingles' one-row-per-id PRECONDITION (enforced
+    * under graft.dedup.checkIds): a duplicated id would both self-flag
+    * and garble the islands merge. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    if (docs.sparkSession.conf.getOption("graft.dedup.checkIds")
+          .exists(_.toBoolean)) {
+      val dup = docs.groupBy(col(idCol)).count()
+        .where(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"Dedup.removeDuplicateSpans precondition violated: idCol '$idCol'" +
+          s" is not unique (e.g. ${dup.head.get(0)} appears " +
+          s"${dup.head.getLong(1)} times)")
+    }
+    val wins = spanWindows(docs, idCol, textCol, window)
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ha"), col("hb"))
+    val islands = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val rmSpans = wins
+      .withColumn("__canon", min(col(idCol)).over(byHash))
+      .withColumn("__maxid", max(col(idCol)).over(byHash))
+      .where(col("__canon") =!= col("__maxid") &&
+        col(idCol) =!= col("__canon"))
+      .withColumn("__grp", col("pos") - row_number().over(islands))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(window - 1).cast(LongType)).as("e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__rm_spans"))
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .join(rmSpans, Seq(idCol), "left_outer")
+      .withColumn("__rm", coalesce(col("__rm_spans"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("__kept", filter(
+        transform(col("__toks"), (t, i) =>
+          struct((i + 1).cast(LongType).as("p"), t.as("tk"))),
+        x => !exists(col("__rm"), sp =>
+          x.getField("p") >= sp.getField("s") &&
+            x.getField("p") <= sp.getField("e"))))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("__kept"), _.getField("tk")))
+          .as("text_clean"),
+        size(col("__toks")).cast(LongType).as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast(LongType)
+          .as("n_removed"))
   }
 
   /** Exact pairwise n-gram CONTAINMENT — inter / |smaller doc's shingles|.

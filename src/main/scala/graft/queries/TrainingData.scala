@@ -575,6 +575,61 @@ object TrainingData {
              |FROM m GROUP BY doc_id, pos - rn
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // Duplicate-span REMOVAL — q115's rewrite step: excise every
+    // non-canonical duplicated run (canonical = min doc_id over the window
+    // hash, so exactly one copy of each passage survives corpus-wide) and
+    // reassemble the kept token stream. Unbounded over the corpus. The
+    // oracle replays the q115 window-hash head, adds the canon test, and
+    // rebuilds the text with 1-based index lambdas (DuckDB list lambdas
+    // index from 1; Spark's transform from 0 — the +1 lives on the Spark
+    // side). text_clean is whitespace-normalized lowercase by contract, so
+    // string equality across engines is exact.
+    Q("q121_remove_dup_spans",
+      (s, dir) => Dedup.removeDuplicateSpans(
+        t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |w0 AS (
+             |  SELECT doc_id, i AS pos,
+             |         md5(array_to_string(d.toks[i:i+7], ' ')) AS h
+             |  FROM d CROSS JOIN unnest(range(1, len(d.toks)-6)) u(i)
+             |  WHERE len(d.toks) >= 8),
+             |w AS (
+             |  SELECT doc_id, pos,
+             |         ('0x'||substr(h,1,14))::BIGINT AS ha,
+             |         ('0x'||substr(h,17,14))::BIGINT AS hb
+             |  FROM w0),
+             |dup AS (SELECT ha, hb, min(doc_id) AS canon FROM w
+             |        GROUP BY ha, hb HAVING min(doc_id) <> max(doc_id)),
+             |m AS (
+             |  SELECT w.doc_id, w.pos,
+             |         row_number() OVER (PARTITION BY w.doc_id
+             |                            ORDER BY w.pos) AS rn
+             |  FROM w JOIN dup USING (ha, hb)
+             |  WHERE w.doc_id <> dup.canon),
+             |spans AS (
+             |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+             |  FROM m GROUP BY doc_id, pos - rn),
+             |spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS rm
+             |        FROM spans GROUP BY doc_id),
+             |kept AS (
+             |  SELECT d.doc_id, len(d.toks) AS n0,
+             |    list_transform(
+             |      list_filter(
+             |        list_transform(d.toks, (t, i) -> {'p': i, 'tk': t}),
+             |        x -> len(list_filter(
+             |               coalesce(spl.rm, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+             |               sp -> x.p >= sp.s AND x.p <= sp.e)) = 0),
+             |      x -> x.tk) AS ktoks
+             |  FROM d LEFT JOIN spl USING (doc_id))
+             |SELECT doc_id,
+             |       coalesce(array_to_string(ktoks, ' '), '') AS text_clean,
+             |       CAST(n0 AS BIGINT) AS n_tokens,
+             |       CAST(n0 - len(ktoks) AS BIGINT) AS n_removed
+             |FROM kept ORDER BY doc_id""".stripMargin)),
+
     // Embedding-cosine near-duplicate pairs (bit-identical cross-engine
     // cosine -> the threshold cut agrees exactly).
     Q("q35_embedding_neardup",

@@ -226,6 +226,58 @@ class CorpusOpsSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("removeDuplicateSpans: canonical keeps, non-canonical excised") {
+    import spark.implicits._
+    // same corpus as the detection test: docs 1/2 share "p q r s t";
+    // canonical (min id) doc 1 keeps the passage, doc 2 loses exactly
+    // positions 3..7; self-repeats (doc 3) and sub-window overlaps
+    // (doc 4) are untouched. Output is the normalized token stream.
+    val docs = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "x x p q r s t y z"),
+      (3L, "m m m m m m"),
+      (4L, "k1 u v k2 k3")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup
+      .removeDuplicateSpans(docs, "doc_id", "text", 3)
+      .select("doc_id", "text_clean", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, "p q r s t u v w", 8L, 0L),
+      (2L, "x x y z", 9L, 5L),
+      (3L, "m m m m m m", 6L, 0L),
+      (4L, "k1 u v k2 k3", 5L, 0L)))
+  }
+
+  test("removeDuplicateSpans: per-passage canonicality, full removal, norm") {
+    import spark.implicits._
+    // doc 2 is non-canonical for "a b c" (doc 1 owns it) but CANONICAL
+    // for "d e f" (doc 3 copies it): removal decisions are per-window,
+    // not per-doc. Doc 3 is covered entirely -> empty string, never null.
+    // Doc 5 is shorter than the window and mixed-case/padded: passes
+    // through in normalized (lower, single-space) form.
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b c d e f"),
+      (3L, "d e f"),
+      (5L, "  A  b ")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup
+      .removeDuplicateSpans(docs, "doc_id", "text", 3)
+      .select("doc_id", "text_clean", "n_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, "a b c", 0L),
+      (2L, "d e f", 3L),
+      (3L, "", 3L),
+      (5L, "a b", 0L)))
+    // corpus-wide contract: exactly one copy of every duplicated passage
+    // survives — rerunning detection on the cleaned corpus finds nothing
+    val clean = graft.dedup.Dedup
+      .removeDuplicateSpans(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    assert(graft.dedup.Dedup.duplicateSpans(clean, "doc_id", "text", 3)
+      .count() === 0L)
+  }
+
   test("duplicateSpans plan: one corpus pass, two shuffles, no self-join") {
     import spark.implicits._
     // the scale contract: the corpus is scanned/tokenized/hashed ONCE
