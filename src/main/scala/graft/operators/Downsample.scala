@@ -224,6 +224,79 @@ object Downsample {
         "__bsel_rank_off", "__bsel_cost_off")
   }
 
+  /** Per-key PROPORTIONAL quality gate: keep the top `fracBp`/10000 of
+    * each key's rows, best-first by (`scoreCol` desc, `idCol` asc) — the
+    * "keep the best 30% of every source/domain" curation rule, the
+    * fraction-shaped complement of [[capPerKey]]'s absolute cap. The
+    * per-key quota is ceil(n_key * fracBp / 10000) in EXACT integer
+    * arithmetic (fracBp is basis points like [[mixByWeight]]: a double
+    * fraction times a trillion-row group is not exactly replayable across
+    * engines; n*bp stays inside Long), so every non-empty key keeps at
+    * least one row whenever fracBp > 0. NULL scores are excluded before
+    * ranking (the usual cross-engine NULL-under-DESC rationale); a NULL
+    * key is a normal group. Appends `quality_rank` (1-based within key).
+    *
+    * SCALE SHAPE — [[capPerKey]]'s window can't be reused here: its
+    * static `rank <= k` filter is what lets WindowGroupLimit pre-prune
+    * map-side, but a fraction quota is data-dependent, so a plain
+    * per-key window would sort each key's ENTIRE group in one task —
+    * the hot-key trap for few-key corpora (10 sources at 100 TB = 10
+    * tasks). Instead this reuses [[selectWithinBudget]]'s two-level
+    * machinery with the key prepended: global approxQuantile score cuts
+    * (monotone per key, so cut placement affects only balance, never
+    * order), a window keyed by (key, bucket) — parallelism keys x
+    * buckets — and a (key, bucket) count table turned into per-key rank
+    * offsets + quotas by a window over ~buckets rows per key. The
+    * offsets join is left UNHINTED (the capPerKeyAgg rationale): AQE
+    * broadcasts it while keys x buckets is small; at 10M keys a forced
+    * broadcast would OOM the driver, and the SMJ fallback reuses the
+    * (key, bucket) partitioning the main branch already has. */
+  def topFractionPerKey(df: DataFrame, keyCol: String, idCol: String,
+                        scoreCol: String, fracBp: Int,
+                        buckets: Int = 64): DataFrame = {
+    require(fracBp >= 0 && fracBp <= 10000,
+      s"fracBp must be basis points in [0, 10000], got $fracBp")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536], got $buckets")
+    require(!df.columns.contains("quality_rank"),
+      "Downsample.topFractionPerKey: df already has a 'quality_rank' " +
+        "column — rename it first; topFractionPerKey appends its own")
+    val scored = df.where(col(scoreCol).isNotNull)
+    val cuts: Array[Double] =
+      if (buckets == 1) Array.empty
+      else scored.stat.approxQuantile(scoreCol,
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+        .filter(!_.isNaN).distinct.sorted
+    val bucketed = scored.withColumn("__tf_bucket",
+      size(filter(typedlit(cuts), c => c > col(scoreCol).cast("double"))))
+    val withinW = Window.partitionBy(col(keyCol), col("__tf_bucket"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val offW = Window.partitionBy(col(keyCol)).orderBy("__tf_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col(keyCol), col("__tf_bucket"))
+      .agg(count(lit(1)).as("__tf_cnt"))
+      .withColumn("__tf_off", coalesce(sum("__tf_cnt").over(offW), lit(0L)))
+      .withColumn("__tf_n",
+        sum("__tf_cnt").over(Window.partitionBy(col(keyCol))))
+      // exact ceil-div on longs: `div` is integer division in Spark SQL
+      // (a bare `/` would detour through double and lose exactness past
+      // 2^53 — reachable at n_key ~ 1e12 rows x 10000 bp)
+      .withColumn("__tf_quota",
+        expr(s"(__tf_n * $fracBp + 9999) div 10000"))
+      .select(col(keyCol).as("__tf_key"), col("__tf_bucket").as("__tf_b"),
+        col("__tf_off"), col("__tf_quota"))
+    bucketed
+      .withColumn("__tf_rank", row_number().over(withinW).cast(LongType))
+      // null-safe join keys: a NULL key is a legitimate window partition
+      // above, so the offsets lookup must not drop its rows
+      .join(offsets, col(keyCol) <=> col("__tf_key") &&
+        col("__tf_bucket") <=> col("__tf_b"))
+      .withColumn("quality_rank", col("__tf_off") + col("__tf_rank"))
+      .where(col("quality_rank") <= col("__tf_quota"))
+      .drop("__tf_bucket", "__tf_rank", "__tf_key", "__tf_b",
+        "__tf_off", "__tf_quota")
+  }
+
   /** DSIR-style deterministic importance resampling: keep each row with
     * probability proportional to an integer weight (e.g. a BM25 or
     * TF-IDF micro-unit relevance score) — the "sample the web corpus

@@ -1078,6 +1078,43 @@ object TrainingData {
              |FROM ranked, b WHERE cum_cost <= budget
              |ORDER BY sel_rank""".stripMargin)),
 
+    // Per-source proportional quality gate: keep the top 30% of every
+    // source, best-first — capPerKey's fraction-shaped complement
+    // (Downsample.topFractionPerKey). The quota is exact integer
+    // basis-point arithmetic, ceil(n * 3000 / 10000), so both engines cut
+    // at the identical rank; the operator ranks via (key, score-bucket)
+    // windows + per-key offsets, the oracle as the single per-key window
+    // it semantically is. quality_score doubles are bit-identical (q38).
+    Q("q122_top_fraction_per_source",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text"), enStop).as("quality_score"))
+          .where(col("quality_score").isNotNull)
+        graft.operators.Downsample.topFractionPerKey(
+            d, "source", "doc_id", "quality_score", 3000)
+          .select("source", "doc_id", "quality_score", "quality_rank")
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, lower(text) AS lt,
+             |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents WHERE length(text) > 0),
+             |scored AS (
+             |  SELECT doc_id, source,
+             |    0.4::DOUBLE * (len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x))) / len(toks))
+             |      + 0.3::DOUBLE * least(1.0::DOUBLE, len(toks) / 100.0::DOUBLE)
+             |      + 0.3::DOUBLE * (1.0::DOUBLE - length(regexp_replace(lt, '[a-z0-9\s]', '', 'g')) / length(lt)) AS quality_score
+             |  FROM d),
+             |ranked AS (
+             |  SELECT source, doc_id, quality_score,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS quality_rank,
+             |    count(*) OVER (PARTITION BY source) AS n
+             |  FROM scored)
+             |SELECT source, doc_id, quality_score, quality_rank
+             |FROM ranked WHERE quality_rank <= (n * 3000 + 9999) // 10000
+             |ORDER BY source, doc_id""".stripMargin)),
+
     // Corpus TF-IDF: top-3 characteristic terms per document. The gated
     // score is ROUNDED to 6 decimals and the ranking runs on the rounded
     // value with a term tie-break: ln() differs by ulps between JVM libm

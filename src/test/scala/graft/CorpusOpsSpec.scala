@@ -496,6 +496,61 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("topFractionPerKey equals the per-key window gate, any bucketing") {
+    import spark.implicits._
+    val d = graft.sources.Sources.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text"), TextOps.langStopwords.head._2)
+          .as("score"))
+      .where(col("score").isNotNull)
+    // reference: the single per-key window the operator refuses to plan
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").desc, col("doc_id").asc)
+    val want = d
+      .withColumn("quality_rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .where(col("quality_rank") <= (col("n") * 3000 + 9999) / 10000)
+      .select("doc_id", "quality_rank")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    for (buckets <- Seq(1, 64, 256)) {
+      val got = Downsample.topFractionPerKey(
+          d.repartition(7), "source", "doc_id", "score", 3000, buckets)
+        .select("doc_id", "quality_rank")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === want, s"buckets=$buckets")
+    }
+    assert(want.nonEmpty)
+  }
+
+  test("topFractionPerKey: ceil quota, ties, null key/score, bounds, guard") {
+    import spark.implicits._
+    // key a: 3 rows, 30% -> ceil(0.9) = 1 kept (never zero for a
+    // non-empty key); key b: constant scores, order falls to id; NULL
+    // key is a normal group; NULL score is excluded before ranking
+    val df = Seq(
+      (1L, Some("a"), Some(0.9)), (2L, Some("a"), Some(0.5)),
+      (3L, Some("a"), Some(0.1)),
+      (4L, Some("b"), Some(0.7)), (5L, Some("b"), Some(0.7)),
+      (6L, Some("b"), Some(0.7)),
+      (7L, None, Some(0.3)), (8L, None, Some(0.2)),
+      (9L, Some("a"), None)).toDF("id", "key", "score")
+    val got = Downsample.topFractionPerKey(df, "key", "id", "score", 3000)
+      .select("id", "quality_rank").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // a: keeps id 1 (rank 1); b: ceil(0.9)=1, tie broken by id -> id 4;
+    // null key: 2 rows, ceil(0.6)=1 -> id 7 (higher score)
+    assert(got === Seq((1L, 1L), (4L, 1L), (7L, 1L)))
+    // fracBp bounds: 0 keeps nothing, 10000 keeps every scored row
+    assert(Downsample.topFractionPerKey(df, "key", "id", "score", 0).isEmpty)
+    assert(Downsample.topFractionPerKey(df, "key", "id", "score", 10000)
+      .count() === 8L)
+    intercept[IllegalArgumentException] {
+      Downsample.topFractionPerKey(
+        df.withColumn("quality_rank", lit(1)), "key", "id", "score", 3000)
+    }
+  }
+
   test("redactPii replaces emails, phones, IPv4 and counts them") {
     import spark.implicits._
     val df = Seq(
