@@ -178,7 +178,14 @@ object Downsample {
     * corpus has bigger problems than this operator. Cost: one extra
     * scan for the quantile sketch + one for the offsets aggregate, both
     * pruned to (id, score, cost) — scan-speed passes at 100 TB; the main
-    * pass is one exchange on the bucket key. */
+    * pass is one exchange on the bucket key.
+    *
+    * The bucket key is SINGLE-REFERENCE arithmetic (grid lookup, see
+    * [[scoreBucket]]), never a cuts-array lambda: a lambda that captures
+    * the score column re-evaluates the caller's full score EXPRESSION
+    * once per cut element after CollapseProject inlines it on the
+    * column-pruned offsets branch — measured 14 s vs 0.5 s at sf0.1 for
+    * a regex-heavy quality score (64 cuts = 64 regex passes per row). */
   def selectWithinBudget(df: DataFrame, idCol: String, scoreCol: String,
                          costCol: String, budget: Long,
                          buckets: Int = 64): DataFrame = {
@@ -188,17 +195,10 @@ object Downsample {
     Seq("sel_rank", "cum_cost").foreach(c => require(!df.columns.contains(c),
       s"Downsample.selectWithinBudget: df already has a '$c' column — " +
         "rename it first; selectWithinBudget appends its own"))
-    val scored = df.where(col(scoreCol).isNotNull && col(costCol).isNotNull)
-    val cuts: Array[Double] =
-      if (buckets == 1) Array.empty
-      else scored.stat.approxQuantile(scoreCol,
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
-        .filter(!_.isNaN).distinct.sorted
-    // bucket = #cuts strictly above the score: monotone non-increasing in
-    // score, so bucket-ascending order puts strictly-higher scores first
-    // and equal scores together — exactly what the offset join needs
+    val scored = df.where(col(scoreCol).isNotNull && col(costCol).isNotNull &&
+      !isnan(col(scoreCol).cast("double")))
     val bucketed = scored.withColumn("__bsel_bucket",
-      size(filter(typedlit(cuts), c => c > col(scoreCol).cast("double"))))
+      scoreBucket(scored, scoreCol, buckets))
     val withinW = Window.partitionBy("__bsel_bucket")
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     val offW = Window.orderBy("__bsel_bucket")
@@ -222,6 +222,52 @@ object Downsample {
       .where(col("cum_cost") <= budget)
       .drop("__bsel_bucket", "__bsel_rank", "__bsel_cum",
         "__bsel_rank_off", "__bsel_cost_off")
+  }
+
+  /** Monotone score→bucket key for the two-level exact-rank operators
+    * ([[selectWithinBudget]], [[topFractionPerKey]]): HIGHER scores map to
+    * LOWER-or-equal buckets, equal scores share a bucket — the only two
+    * properties global-order correctness needs; everything else is load
+    * balance. Runs one approxQuantile sketch (probabilities 0 and 1 ride
+    * along for the exact min/max the sketch keeps anyway), then snaps the
+    * quantile cuts to a 4096-cell uniform value grid: bucket =
+    * lookup[cell(score)] where lookup[c] = #cuts above the cell's lower
+    * edge (non-increasing in c) and cell = clamped
+    * floor((score-min)/width) (non-decreasing in score).
+    *
+    * WHY a grid lookup and not `filter(cuts, c -> c > score)`: the score
+    * column is usually a computed EXPRESSION (regex-heavy quality
+    * scores), and on any branch that prunes the score passthrough —
+    * the offsets aggregate — CollapseProject inlines the expression into
+    * its single syntactic reference; inside a lambda that reference is
+    * evaluated once PER ARRAY ELEMENT, turning 64 cuts into 64 full
+    * score evaluations per row (measured 14 s vs 0.5 s at sf0.1). Here
+    * `score` appears exactly once, in plain codegen'd arithmetic, so
+    * inlining is harmless by construction. The snap costs balance only:
+    * two scores in one 1/4096 value cell land in one bucket even when a
+    * cut falls between them — for the snap to degrade balance at all,
+    * an entire bucket's worth of mass must sit inside one cell, i.e.
+    * the distribution is already so concentrated that quantile cuts
+    * couldn't have split it either (ties). NaN scores must be filtered
+    * by the caller alongside NULLs: NaN's sort position is
+    * engine-specific, so it must never reach the ORDER BY. */
+  private def scoreBucket(scored: DataFrame, scoreCol: String,
+                          buckets: Int): Column = {
+    if (buckets == 1) return lit(0)
+    val qs = scored.stat.approxQuantile(scoreCol,
+      0.0 +: (1 until buckets).map(_.toDouble / buckets).toArray :+ 1.0, 0.01)
+    if (qs.isEmpty) return lit(0) // empty input: any constant is monotone
+    val mn = qs.head
+    val mx = qs.last
+    val cuts = qs.slice(1, buckets).filter(!_.isNaN).distinct.sorted
+    if (cuts.isEmpty || !(mx > mn)) return lit(0) // constant-score corpus
+    val cells = 4096
+    val w = (mx - mn) / cells
+    val lookup: Array[Int] =
+      Array.tabulate(cells)(c => cuts.count(_ > mn + c * w))
+    element_at(typedlit(lookup),
+      least(greatest(floor((col(scoreCol).cast("double") - mn) / w),
+        lit(0.0)), lit((cells - 1).toDouble)).cast("int") + 1)
   }
 
   /** Per-key PROPORTIONAL quality gate: keep the top `fracBp`/10000 of
@@ -261,14 +307,10 @@ object Downsample {
     require(!df.columns.contains("quality_rank"),
       "Downsample.topFractionPerKey: df already has a 'quality_rank' " +
         "column — rename it first; topFractionPerKey appends its own")
-    val scored = df.where(col(scoreCol).isNotNull)
-    val cuts: Array[Double] =
-      if (buckets == 1) Array.empty
-      else scored.stat.approxQuantile(scoreCol,
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
-        .filter(!_.isNaN).distinct.sorted
+    val scored = df.where(col(scoreCol).isNotNull &&
+      !isnan(col(scoreCol).cast("double")))
     val bucketed = scored.withColumn("__tf_bucket",
-      size(filter(typedlit(cuts), c => c > col(scoreCol).cast("double"))))
+      scoreBucket(scored, scoreCol, buckets))
     val withinW = Window.partitionBy(col(keyCol), col("__tf_bucket"))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     val offW = Window.partitionBy(col(keyCol)).orderBy("__tf_bucket")
