@@ -1115,6 +1115,39 @@ object TrainingData {
              |FROM ranked WHERE quality_rank <= (n * 3000 + 9999) // 10000
              |ORDER BY source, doc_id""".stripMargin)),
 
+    // Corpus snapshot diff — dataset versioning's `git status` between two
+    // corpus snapshots (Incremental.snapshotDiff): added/removed/changed/
+    // unchanged by md5 content hash, full outer join on id, text never on
+    // the wire. Old = corpus minus doc_id%11==3 (those become `added`);
+    // new drops doc_id%17==2 (`removed`) and rewrites text for
+    // doc_id%13==1 (`changed`). md5 agrees byte-for-byte across engines.
+    Q("q123_snapshot_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val oldSnap = docs.where(col("doc_id") % 11 =!= 3)
+        val newSnap = docs.where(col("doc_id") % 17 =!= 2)
+          .withColumn("text", when(col("doc_id") % 13 === 1,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        graft.delta.Incremental.snapshotDiff(
+            oldSnap, newSnap, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents
+             |  WHERE doc_id % 11 <> 3),
+             |n AS (
+             |  SELECT doc_id,
+             |         md5(CASE WHEN doc_id % 13 = 1 THEN text || ' v2'
+             |                  ELSE text END) AS h
+             |  FROM documents WHERE doc_id % 17 <> 2)
+             |SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+             |       CASE WHEN o.doc_id IS NULL THEN 'added'
+             |            WHEN n.doc_id IS NULL THEN 'removed'
+             |            WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
+             |            ELSE 'changed' END AS status
+             |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // Corpus TF-IDF: top-3 characteristic terms per document. The gated
     // score is ROUNDED to 6 decimals and the ranking runs on the rounded
     // value with a term tie-break: ln() differs by ulps between JVM libm

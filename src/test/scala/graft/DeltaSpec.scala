@@ -74,4 +74,37 @@ class DeltaSpec extends SparkSpec {
       .as[(Option[Long], String)].collect().toSet
     assert(merged === Set((Some(1L), "a-new"), (None, "null-new")))
   }
+
+  test("snapshotDiff: all four statuses; NULL content compares null-safe") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, Some("same")), (2L, Some("was")), (3L, Some("gone")),
+      (5L, None: Option[String]), (6L, None: Option[String])
+    ).toDF("id", "text")
+    val newSnap = Seq(
+      (1L, Some("same")), (2L, Some("now")), (4L, Some("fresh")),
+      (5L, None: Option[String]), (6L, Some("filled"))
+    ).toDF("id", "text")
+    val got = Incremental.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "unchanged"), (2L, "changed"), (3L, "removed"), (4L, "added"),
+      (5L, "unchanged"),  // null -> null: not a change
+      (6L, "changed")))   // null -> text: a visible change, never skipped
+  }
+
+  test("snapshotDiff checkIds mode rejects duplicated ids loudly") {
+    import spark.implicits._
+    val ok = Seq((1L, "a")).toDF("id", "text")
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "text")
+    spark.conf.set("graft.dedup.checkIds", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Incremental.snapshotDiff(ok, dup, "id", "text").collect()
+      }
+      assert(e.getMessage.contains("new side"))
+    } finally spark.conf.unset("graft.dedup.checkIds")
+    // without the check: the duplicated id double-counts — 2 rows out
+    assert(Incremental.snapshotDiff(ok, dup, "id", "text").count() === 2L)
+  }
 }
