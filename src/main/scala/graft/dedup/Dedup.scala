@@ -731,6 +731,27 @@ object Dedup {
         (col("n_overlap") / col("eval_shingles")).as("eval_coverage"))
   }
 
+  /** Decontaminated training set — the removal step [[contamination]]
+    * detection exists for: drop every training document that shares at
+    * least `minOverlap` distinct n-gram shingles with ANY eval/benchmark
+    * document, return the survivors with all their columns. Train docs
+    * too short to shingle (< n tokens) cannot be contaminated and pass
+    * through.
+    *
+    * SCALE SHAPE: contamination's broadcast-eval pipeline (train shingles
+    * never shuffle; the hit table is bounded by matches) plus one LEFT
+    * ANTI join of the training corpus against the DISTINCT contaminated
+    * ids — a frame bounded by |contaminated docs|, which AQE broadcasts
+    * in the realistic case (decontamination removes a sliver, not the
+    * corpus); the SMJ fallback costs the corpus one exchange on id. */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3,
+                    minOverlap: Int = 1): DataFrame = {
+    val hits = contamination(train, evalDocs, idCol, textCol, n, minOverlap)
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Blocked fuzzy matching (entity resolution): equi-join on a blocking
     * key, pairwise edit distance ONLY inside blocks — the scalable shape
     * for fuzzy joins, where the blocking key (prefix, phonetic code, LSH

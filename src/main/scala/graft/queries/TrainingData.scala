@@ -751,6 +751,37 @@ object TrainingData {
              |WHERE n_overlap >= 5
              |ORDER BY train_id, eval_id""".stripMargin)),
 
+    // Decontaminated training set — q101's removal step: the same
+    // detection pipeline, then a left anti join keeps only training docs
+    // with NO >= 5-trigram overlap against any eval doc. Oracle = q101's
+    // hit SQL turned into NOT EXISTS over the training side.
+    Q("q124_decontaminated_train",
+      (s, dir) => Dedup.decontaminate(
+        t(s, dir, "documents").where(col("doc_id") % 10 =!= 0),
+        t(s, dir, "documents").where(col("doc_id") % 10 === 0),
+        "doc_id", "text", 3, 5)
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, u.s AS shingle
+             |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
+             |       i -> array_to_string(d.toks[i:i+2], ' '))) u(s)
+             |  WHERE len(d.toks) >= 3),
+             |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+             |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0),
+             |bad AS (
+             |  SELECT DISTINCT train_id
+             |  FROM (SELECT train_id, eval_id, count(*) AS n_overlap
+             |        FROM tr JOIN ev USING (shingle) GROUP BY 1, 2)
+             |  WHERE n_overlap >= 5)
+             |SELECT doc_id, source FROM documents
+             |WHERE doc_id % 10 <> 0
+             |  AND doc_id NOT IN (SELECT train_id FROM bad)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Deterministic stratified train/val/test split: content-hash bucket
     // (never Math.random — reproducible across runs/clusters/engines) with
     // per-language stratification counts. The same predicate is a 10%

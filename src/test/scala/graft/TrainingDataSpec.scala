@@ -95,6 +95,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(Dedup.contamination(train, clean, "doc_id", "text", 3, 1).isEmpty)
   }
 
+  test("decontaminate drops exactly the contaminated train docs, keeps columns") {
+    // doc 8 is the planted leak (see the contamination test); every other
+    // train doc — including ones too short to shingle — must survive with
+    // its full row intact
+    val train = docs.select("doc_id", "text", "source").where($"doc_id" < 100)
+      .unionByName(Seq((98765L, "ab", "tiny")).toDF("doc_id", "text", "source"))
+    val evalSet = withPlantedNearDup.where($"doc_id" === 9999)
+      .select("doc_id", "text").withColumn("source", lit("eval"))
+    val kept = Dedup.decontaminate(train, evalSet, "doc_id", "text", 3, 5)
+    assert(kept.columns.toSeq === Seq("doc_id", "text", "source"))
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(!keptIds.contains(8L))
+    assert(keptIds.contains(98765L)) // sub-shingle doc passes through
+    // removal == detection, exactly: the dropped set is the distinct
+    // train side of the contamination hits (doc 8 plus its planted
+    // near-dup copies in the fixture, which share its trigrams)
+    val flagged = Dedup.contamination(train, evalSet, "doc_id", "text", 3, 5)
+      .select("train_id").as[Long].collect().toSet
+    assert(flagged.contains(8L) && flagged.size > 1)
+    val allIds = train.select("doc_id").as[Long].collect().toSet
+    assert(keptIds === allIds -- flagged)
+  }
+
   test("simhash of near-identical docs has small hamming distance") {
     val sh = Dedup.simhash(
       withPlantedNearDup.where($"doc_id".isin(8, 9999, 50)), "doc_id", "text", 16)
