@@ -194,4 +194,69 @@ class PropertySpec extends SparkSpec {
     }
     check(p, n = 10)
   }
+
+  test("selectWithinBudget == global-window prefix (random ties/clusters)") {
+    import spark.implicits._
+    // scores drawn from a TINY value set so ties are everywhere — the
+    // grid-snap's one subtle invariant is that equal scores share a
+    // bucket and the id tiebreak stays total across bucket boundaries;
+    // costs include zero, buckets deliberately exceed distinct scores
+    val rowG = for {
+      s <- Gen.oneOf(-1.0, 0.0, 0.25, 0.2500001, 7.5)
+      c <- Gen.choose(0L, 5L)
+    } yield (s, c)
+    val p = Prop.forAll(Gen.listOfN(25, rowG), Gen.choose(0L, 40L),
+      Gen.oneOf(1, 7, 64)) { (rows, budget, buckets) =>
+      val d = rows.zipWithIndex
+        .map { case ((s, c), i) => (i.toLong, s, c) }
+        .toDF("id", "score", "cost").repartition(3)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("id").asc)
+      val want = d
+        .withColumn("sel_rank", row_number().over(w).cast("long"))
+        .withColumn("cum_cost", sum("cost").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .where(col("cum_cost") <= budget)
+        .select("id", "sel_rank", "cum_cost")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val got = graft.operators.Downsample
+        .selectWithinBudget(d, "id", "score", "cost", budget, buckets)
+        .select("id", "sel_rank", "cum_cost")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      got == want
+    }
+    check(p, n = 12)
+  }
+
+  test("topFractionPerKey == per-key window gate (random keys/ties/fracs)") {
+    import spark.implicits._
+    val rowG = for {
+      k <- Gen.option(Gen.oneOf("a", "b", "c"))
+      s <- Gen.oneOf(0.0, 0.5, 0.5000001, 3.0)
+    } yield (k, s)
+    val p = Prop.forAll(Gen.listOfN(22, rowG),
+      Gen.oneOf(0, 1, 2999, 5000, 9999, 10000), Gen.oneOf(1, 5, 64)) {
+      (rows, bp, buckets) =>
+        val d = rows.zipWithIndex
+          .map { case ((k, s), i) => (i.toLong, k, s) }
+          .toDF("id", "key", "score").repartition(3)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("score").desc, col("id").asc)
+        val want = d
+          .withColumn("quality_rank", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
+          .where(col("quality_rank") <=
+            expr(s"(n * $bp + 9999) div 10000"))
+          .select("id", "quality_rank")
+          .as[(Long, Long)].collect().sortBy(_._1).toSeq
+        val got = graft.operators.Downsample
+          .topFractionPerKey(d, "key", "id", "score", bp, buckets)
+          .select("id", "quality_rank")
+          .as[(Long, Long)].collect().sortBy(_._1).toSeq
+        got == want
+    }
+    check(p, n = 12)
+  }
 }
