@@ -934,11 +934,24 @@ object Dedup {
     * non-canonical duplicated run excised. A token is removed iff it is
     * covered by some `window`-token slice whose content occurs in >= 2
     * distinct documents AND this document is not the slice's canonical
-    * occurrence (min id over the hash — first-seen-wins, deterministic);
-    * the canonical document keeps all its occurrences, so exactly one
-    * copy of every duplicated passage survives corpus-wide ("Deduplicating
+    * occurrence (min id over the hash — first-seen-wins, deterministic)
+    * AND no slice covering it has THIS document as its canonical
+    * (CANONICAL-WINS on overlap): when a removal window overlaps a window
+    * the doc is canonical for — e.g. window=3, doc1="p q r",
+    * doc2="p q r s", doc3="q r s": doc2 is non-canonical for "p q r" but
+    * canonical for "q r s", and the two windows share positions 2..3 —
+    * the overlapped tokens are KEPT, so the canonical occurrence of every
+    * duplicated passage survives intact. Without the keep-side test the
+    * overlap would excise doc2's "q r" while doc3's copy is also removed,
+    * deleting ALL corpus-wide copies of "q r s" — silent training-data
+    * loss. Guarantee: AT LEAST one copy of every duplicated passage
+    * survives corpus-wide, and for non-overlapping windows exactly one;
+    * overlapping windows with distinct canonicals may leave a second
+    * PARTIAL copy standing (the conservative direction for training data
+    * — cf. the splice-residual convergence probe in SCALING.md, the same
+    * "one pass may leave detectable residue" caveat class). "Deduplicating
     * Training Data Makes Language Models Better" removal semantics, on the
-    * same rasterized fixed-width windows as duplicateSpans). Output:
+    * same rasterized fixed-width windows as duplicateSpans. Output:
     * (id, text_clean, n_tokens, n_removed) — text_clean is the kept token
     * stream re-joined on single spaces, i.e. WHITESPACE-NORMALIZED AND
     * LOWERCASED (the [[graft.text.TextOps.tokens]] form the whole dedup
@@ -976,30 +989,43 @@ object Dedup {
     val wins = spanWindows(docs, idCol, textCol, window)
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ha"), col("hb"))
+    // islands per (doc, side): removal windows and canonical-keep windows
+    // island independently, so one duplicated window set yields BOTH span
+    // tables from a single corpus pass (collect_list drops the nulls the
+    // `when` leaves on the other side — no second windows branch, no join
+    // of the corpus against itself).
     val islands = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    val rmSpans = wins
+      .partitionBy(col(idCol), col("__iscanon")).orderBy(col("pos"))
+    val emptySpans = array().cast("array<struct<s:bigint,e:bigint>>")
+    val spanTbl = wins
       .withColumn("__canon", min(col(idCol)).over(byHash))
       .withColumn("__maxid", max(col(idCol)).over(byHash))
-      .where(col("__canon") =!= col("__maxid") &&
-        col(idCol) =!= col("__canon"))
+      .where(col("__canon") =!= col("__maxid"))
+      .withColumn("__iscanon", col(idCol) === col("__canon"))
       .withColumn("__grp", col("pos") - row_number().over(islands))
-      .groupBy(col(idCol), col("__grp"))
+      .groupBy(col(idCol), col("__iscanon"), col("__grp"))
       .agg(min(col("pos")).as("s"),
         (max(col("pos")) + lit(window - 1).cast(LongType)).as("e"))
       .groupBy(col(idCol))
-      .agg(collect_list(struct(col("s"), col("e"))).as("__rm_spans"))
+      .agg(
+        collect_list(when(!col("__iscanon"), struct(col("s"), col("e"))))
+          .as("__rm_spans"),
+        collect_list(when(col("__iscanon"), struct(col("s"), col("e"))))
+          .as("__keep_spans"))
     docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .join(rmSpans, Seq(idCol), "left_outer")
-      .withColumn("__rm", coalesce(col("__rm_spans"),
-        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .join(spanTbl, Seq(idCol), "left_outer")
+      .withColumn("__rm", coalesce(col("__rm_spans"), emptySpans))
+      .withColumn("__keep", coalesce(col("__keep_spans"), emptySpans))
       .withColumn("__kept", filter(
         transform(col("__toks"), (t, i) =>
           struct((i + 1).cast(LongType).as("p"), t.as("tk"))),
         x => !exists(col("__rm"), sp =>
           x.getField("p") >= sp.getField("s") &&
-            x.getField("p") <= sp.getField("e"))))
+            x.getField("p") <= sp.getField("e")) ||
+          exists(col("__keep"), sp =>
+            x.getField("p") >= sp.getField("s") &&
+              x.getField("p") <= sp.getField("e"))))
       .select(col(idCol),
         concat_ws(" ", transform(col("__kept"), _.getField("tk")))
           .as("text_clean"),

@@ -124,7 +124,11 @@ object Incremental {
     * bytes never shuffle, the same wire discipline as the dedup family.
     * NULL content hashes to NULL; NULL-vs-NULL compares as unchanged and
     * NULL-vs-text as changed (null-safe `<=>`), so a nulled-out field is
-    * a visible change, not a silent skip. One-row-per-id PRECONDITION on
+    * a visible change, not a silent skip. A NULL id is likewise a legal
+    * key value: the join is null-safe and presence is tracked by literal
+    * flags, so a NULL-id row diffs like any other id (and a duplicated
+    * NULL id trips the same checkIds guard — groupBy groups NULLs
+    * together). One-row-per-id PRECONDITION on
     * both sides (a duplicated id turns the join into a small cartesian
     * and double-counts every status); enforced under graft.dedup.checkIds
     * like the dedup operators. At 100 TB both sides scan at
@@ -144,15 +148,23 @@ object Incremental {
             s"${dup.head.get(0)} appears ${dup.head.getLong(1)} times)")
       }
     }
+    // Presence is tracked by literal flags, NOT id-nullability: a NULL id
+    // is a legal key value here (matched null-safely, the same `<=>`
+    // discipline as the whole-row anti-join), so `__old_id IS NULL` can't
+    // distinguish "absent from old" from "present with NULL id" — the
+    // flag can. Without this, an old-side NULL-id row never equi-matched
+    // and surfaced as `added` instead of `removed`.
     val o = oldDf.select(col(idCol).as("__old_id"),
-      md5(col(contentCol).cast("string")).as("__old_h"))
+      md5(col(contentCol).cast("string")).as("__old_h"),
+      lit(true).as("__old_p"))
     val n = newDf.select(col(idCol).as("__new_id"),
-      md5(col(contentCol).cast("string")).as("__new_h"))
-    o.join(n, col("__old_id") === col("__new_id"), "full_outer")
+      md5(col(contentCol).cast("string")).as("__new_h"),
+      lit(true).as("__new_p"))
+    o.join(n, col("__old_id") <=> col("__new_id"), "full_outer")
       .select(
         coalesce(col("__new_id"), col("__old_id")).as(idCol),
-        when(col("__old_id").isNull, "added")
-          .when(col("__new_id").isNull, "removed")
+        when(col("__old_p").isNull, "added")
+          .when(col("__new_p").isNull, "removed")
           .when(col("__old_h") <=> col("__new_h"), "unchanged")
           .otherwise("changed").as("status"))
   }

@@ -90,7 +90,12 @@ object Packing {
     * globally. `bucketHexChars` sizes the split: each bucket must fit a
     * task's sort while the offset table stays broadcast-sized — the
     * default 4096 buckets hold to ~10^10 rows; a 100 TB corpus passes
-    * 4-5. Ranks do NOT depend on the choice. */
+    * 4-5. Ranks do NOT depend on the choice. The offsets join carries an
+    * explicit broadcast hint only up to 16^5 ≈ 1M potential offset rows
+    * (~16 MB); above that (c = 6-8, up to 4.3B rows) the hint is dropped
+    * and AQE decides from the MEASURED size — forcing the hint there
+    * could OOM the driver on exactly the corpora that need wide splits
+    * (the topFractionPerKey unhinted-join rationale). */
   def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
                            shards: Int, bucketHexChars: Int = 3): DataFrame = {
     require(shards > 0)
@@ -109,8 +114,12 @@ object Packing {
         sum(col("__cnt")).over(Window.orderBy("__shuf_bucket")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__shuf_bucket", "__offset")
+    // the require bounds only the EXPONENT; the hint must respect the
+    // implied row count — min(n, 16^c) can reach 4.3B at c=8
+    val offsetsSide =
+      if (bucketHexChars <= 5) broadcast(offsets) else offsets
     keyed.withColumn("__within", row_number().over(withinW).cast(LongType))
-      .join(broadcast(offsets), Seq("__shuf_bucket"))
+      .join(offsetsSide, Seq("__shuf_bucket"))
       .withColumn("shuffle_rank", col("__offset") + col("__within") - 1L)
       .withColumn("shard_id", pmod(col("shuffle_rank"), lit(shards.toLong)))
       .drop("__shuf_key", "__shuf_bucket", "__within", "__offset")

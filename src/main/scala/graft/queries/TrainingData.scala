@@ -577,9 +577,13 @@ object TrainingData {
 
     // Duplicate-span REMOVAL — q115's rewrite step: excise every
     // non-canonical duplicated run (canonical = min doc_id over the window
-    // hash, so exactly one copy of each passage survives corpus-wide) and
+    // hash; CANONICAL-WINS on overlap — a token also covered by a window
+    // this doc is canonical for is kept, so at least one copy of each
+    // passage survives corpus-wide, exactly one when windows don't
+    // overlap) and
     // reassemble the kept token stream. Unbounded over the corpus. The
-    // oracle replays the q115 window-hash head, adds the canon test, and
+    // oracle replays the q115 window-hash head, adds the canon test
+    // on both sides (rm + keep span lists, FILTER-split), and
     // rebuilds the text with 1-based index lambdas (DuckDB list lambdas
     // index from 1; Spark's transform from 0 — the +1 lives on the Spark
     // side). text_clean is whitespace-normalized lowercase by contract, so
@@ -610,15 +614,17 @@ object TrainingData {
              |dup AS (SELECT ha, hb, min(doc_id) AS canon FROM w
              |        GROUP BY ha, hb HAVING min(doc_id) <> max(doc_id)),
              |m AS (
-             |  SELECT w.doc_id, w.pos,
-             |         row_number() OVER (PARTITION BY w.doc_id
-             |                            ORDER BY w.pos) AS rn
-             |  FROM w JOIN dup USING (ha, hb)
-             |  WHERE w.doc_id <> dup.canon),
+             |  SELECT w.doc_id, w.pos, (w.doc_id = dup.canon) AS iscanon,
+             |         row_number() OVER (
+             |           PARTITION BY w.doc_id, (w.doc_id = dup.canon)
+             |           ORDER BY w.pos) AS rn
+             |  FROM w JOIN dup USING (ha, hb)),
              |spans AS (
-             |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
-             |  FROM m GROUP BY doc_id, pos - rn),
-             |spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS rm
+             |  SELECT doc_id, iscanon, min(pos) AS s, max(pos) + 7 AS e
+             |  FROM m GROUP BY doc_id, iscanon, pos - rn),
+             |spl AS (SELECT doc_id,
+             |          list({'s': s, 'e': e}) FILTER (WHERE NOT iscanon) AS rm,
+             |          list({'s': s, 'e': e}) FILTER (WHERE iscanon) AS keep
              |        FROM spans GROUP BY doc_id),
              |kept AS (
              |  SELECT d.doc_id, len(d.toks) AS n0,
@@ -627,7 +633,10 @@ object TrainingData {
              |        list_transform(d.toks, (t, i) -> {'p': i, 'tk': t}),
              |        x -> len(list_filter(
              |               coalesce(spl.rm, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
-             |               sp -> x.p >= sp.s AND x.p <= sp.e)) = 0),
+             |               sp -> x.p >= sp.s AND x.p <= sp.e)) = 0
+             |          OR len(list_filter(
+             |               coalesce(spl.keep, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+             |               sp -> x.p >= sp.s AND x.p <= sp.e)) > 0),
              |      x -> x.tk) AS ktoks
              |  FROM d LEFT JOIN spl USING (doc_id))
              |SELECT doc_id,

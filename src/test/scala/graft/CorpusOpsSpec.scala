@@ -269,13 +269,40 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, "d e f", 3L),
       (3L, "", 3L),
       (5L, "a b", 0L)))
-    // corpus-wide contract: exactly one copy of every duplicated passage
-    // survives — rerunning detection on the cleaned corpus finds nothing
+    // corpus-wide contract: at least one copy of every duplicated passage
+    // survives (exactly one here — no overlapping canonicals in this
+    // corpus) — rerunning detection on the cleaned corpus finds nothing
     val clean = graft.dedup.Dedup
       .removeDuplicateSpans(docs, "doc_id", "text", 3)
       .select(col("doc_id"), col("text_clean").as("text"))
     assert(graft.dedup.Dedup.duplicateSpans(clean, "doc_id", "text", 3)
       .count() === 0L)
+  }
+
+  test("removeDuplicateSpans: canonical-wins when windows overlap") {
+    import spark.implicits._
+    // The silent-loss shape: window=3, doc1="p q r", doc2="p q r s",
+    // doc3="q r s". Doc 2 is non-canonical for "p q r" (rm span 1..3)
+    // but CANONICAL for "q r s" (positions 2..4). Without canonical-wins
+    // the rm span excises doc2's q,r while doc3's copy of "q r s" is
+    // also removed — ALL corpus copies of "q r s" would vanish. With it,
+    // doc2 keeps the overlapped tokens: only the un-overlapped 'p' goes.
+    val docs = Seq(
+      (1L, "p q r"),
+      (2L, "p q r s"),
+      (3L, "q r s")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup
+      .removeDuplicateSpans(docs, "doc_id", "text", 3)
+      .select("doc_id", "text_clean", "n_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, "p q r", 0L),
+      (2L, "q r s", 1L),
+      (3L, "", 3L)))
+    // every duplicated passage survives somewhere: "p q r" in doc1,
+    // "q r s" in doc2 (its canonical home)
+    val surviving = got.map(_._2).toSet
+    assert(surviving.contains("p q r") && surviving.contains("q r s"))
   }
 
   test("duplicateSpans plan: one corpus pass, two shuffles, no self-join") {

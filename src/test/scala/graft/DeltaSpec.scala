@@ -93,6 +93,28 @@ class DeltaSpec extends SparkSpec {
       (6L, "changed")))   // null -> text: a visible change, never skipped
   }
 
+  test("snapshotDiff: NULL ids diff null-safely, not as phantom adds") {
+    import spark.implicits._
+    // A NULL id is a legal key. Pre-fix, an old-side NULL-id row never
+    // equi-matched anything and surfaced as status 'added' (with a NULL
+    // output id) — here all three NULL-id shapes are exercised: present
+    // both sides unchanged, old-only (must be 'removed'), plus a normal
+    // row to pin the happy path.
+    val oldSnap = Seq((Some(1L), "same"), (None: Option[Long], "ghost"))
+      .toDF("id", "text")
+    val newSnap = Seq((Some(1L), "same")).toDF("id", "text")
+    val got = Incremental.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .as[(Option[Long], String)].collect().toSet
+    assert(got === Set((Some(1L), "unchanged"), (None, "removed")))
+    // and both-sides NULL id with changed content is 'changed', not
+    // an added/removed pair
+    val o2 = Seq((None: Option[Long], "v1")).toDF("id", "text")
+    val n2 = Seq((None: Option[Long], "v2")).toDF("id", "text")
+    val g2 = Incremental.snapshotDiff(o2, n2, "id", "text")
+      .as[(Option[Long], String)].collect().toSeq
+    assert(g2 === Seq((None, "changed")))
+  }
+
   test("snapshotDiff checkIds mode rejects duplicated ids loudly") {
     import spark.implicits._
     val ok = Seq((1L, "a")).toDF("id", "text")
