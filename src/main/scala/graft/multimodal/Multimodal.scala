@@ -46,6 +46,127 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col("content")).cast(LongType))
       .withColumn("content_md5", md5(col("content")))
 
+  /** REAL image-header parsing — width/height straight from the container
+    * bytes with built-in expressions only (no decoder, no UDF, no
+    * mapPartitions): the one piece of image metadata a 100 TB curation
+    * pass needs (resolution filters, aspect-ratio buckets) that the
+    * opaque-blob metadata above can't give. Operates on the HEX form of
+    * the binary (Spark and DuckDB hex() agree byte-for-byte, so the
+    * oracle replays it exactly); everything is codegen'd scan-side
+    * arithmetic — blobs are read once and never shuffle.
+    *
+    * PNG: IHDR is mandatory-first (RFC 2083 §3.1 layout is fixed), so
+    * width/height are big-endian u32 at byte offsets 16/20 — hex chars
+    * 33-40/41-48 — guarded by the 8-byte signature.
+    *
+    * JPEG: dimensions live in the first SOF marker (FFC0-FFC3 for
+    * baseline/progressive), whose position is VARIABLE — JFIF/EXIF/COM
+    * segments of arbitrary length precede it — so a fixed offset is
+    * wrong for real files. This walks the segment chain: a bounded
+    * `aggregate` fold (`maxSegments` hops, default 16 — headers hold a
+    * handful of APPn/COM/DQT/DHT segments; raise it for EXIF-heavy
+    * corpora) reads each marker, hops 2 + seglen bytes (the length field
+    * counts itself), and stops at SOF (capturing height then width:
+    * SOF payload is [len:2][precision:1][h:2][w:2]) or at EOI / a
+    * non-FF byte (malformed -> NULL dims, never a throw). The fold is a
+    * single whole-stage-codegen expression; entropy-coded data is never
+    * scanned because SOF precedes it in every legal stream.
+    *
+    * Output: input columns + format ('png'/'jpeg'/NULL), width, height
+    * (NULL when unparseable). Unknown containers pass through with NULL
+    * format — filter, don't fail, at corpus scale. */
+  def imageDims(media: DataFrame, contentCol: String = "content",
+                maxSegments: Int = 16): DataFrame = {
+    require(maxSegments >= 1 && maxSegments <= 256,
+      s"maxSegments must be in [1, 256], got $maxSegments")
+    val withHex = media.withColumn("__img_hx", hex(col(contentCol)))
+    val jpegFold = expr(s"""
+      aggregate(
+        sequence(1, $maxSegments),
+        named_struct('pos', CAST(5 AS BIGINT),
+                     'h', CAST(NULL AS BIGINT),
+                     'w', CAST(NULL AS BIGINT),
+                     'done', false),
+        (st, i) -> CASE
+          WHEN st.done THEN st
+          WHEN substring(__img_hx, CAST(st.pos AS INT), 4)
+               IN ('FFC0', 'FFC1', 'FFC2', 'FFC3')
+            THEN named_struct('pos', st.pos,
+              'h', CAST(conv(substring(__img_hx, CAST(st.pos AS INT) + 10, 4),
+                             16, 10) AS BIGINT),
+              'w', CAST(conv(substring(__img_hx, CAST(st.pos AS INT) + 14, 4),
+                             16, 10) AS BIGINT),
+              'done', true)
+          WHEN substring(__img_hx, CAST(st.pos AS INT), 2) <> 'FF'
+               OR substring(__img_hx, CAST(st.pos AS INT), 4) = 'FFD9'
+            THEN named_struct('pos', st.pos, 'h', CAST(NULL AS BIGINT),
+                              'w', CAST(NULL AS BIGINT), 'done', true)
+          ELSE named_struct(
+            'pos', st.pos + 4 + 2 * CAST(conv(
+              substring(__img_hx, CAST(st.pos AS INT) + 4, 4), 16, 10)
+              AS BIGINT),
+            'h', CAST(NULL AS BIGINT), 'w', CAST(NULL AS BIGINT),
+            'done', false)
+        END,
+        st -> st)""")
+    withHex
+      .withColumn("format",
+        when(col("__img_hx").startsWith("89504E470D0A1A0A"), "png")
+          .when(col("__img_hx").startsWith("FFD8"), "jpeg"))
+      .withColumn("__img_sof", when(col("format") === "jpeg", jpegFold))
+      .withColumn("width",
+        when(col("format") === "png",
+          conv(substring(col("__img_hx"), 33, 8), 16, 10).cast(LongType))
+          .when(col("format") === "jpeg", col("__img_sof.w")))
+      .withColumn("height",
+        when(col("format") === "png",
+          conv(substring(col("__img_hx"), 41, 8), 16, 10).cast(LongType))
+          .when(col("format") === "jpeg", col("__img_sof.h")))
+      .drop("__img_hx", "__img_sof")
+  }
+
+  /** Deterministic VALID image-container exhibit bytes from an id column —
+    * the test/demo source for [[imageDims]] (this container ships no image
+    * files, and checked-in binaries couldn't scale with sf). Even ids
+    * become PNGs (signature + correct IHDR), odd ids become JPEGs with a
+    * JFIF APP0 segment AND a variable-length COM segment (id-derived, 3-34
+    * bytes) BEFORE the SOF0 — so a fixed-offset "parser" reads garbage and
+    * only a real segment walk finds the dimensions. Dimensions are
+    * id-derived (w = 16 + id % 1024, h = 16 + (7 id) % 768), payloads are
+    * md5-derived filler. Pure hex-string concatenation + unhex, replayable
+    * verbatim in the oracle. */
+  def synthImageBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val w4 = lpad(hex(lit(16) + id % 1024), 8, "0") // PNG u32 width
+    val h4 = lpad(hex(lit(16) + (id * 7) % 768), 8, "0")
+    val w2 = lpad(hex(lit(16) + id % 1024), 4, "0") // JPEG u16 width
+    val h2 = lpad(hex(lit(16) + (id * 7) % 768), 4, "0")
+    // 64 hex chars of filler: the COM payload runs to 32 BYTES, so a
+    // single 32-char md5 would under-fill the declared segment length and
+    // desync the walk
+    val fill = repeat(upper(md5(id.cast(StringType))), 2)
+    // COM payload: 1-32 filler bytes -> segment length 3-34 incl the field
+    val comBytes = (id % 32 + 1).cast(IntegerType)
+    val comLen = lpad(hex(comBytes + 2), 4, "0")
+    val png = concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D49484452"), // IHDR length 13 + type
+      w4, h4,
+      lit("0806000000"), // bit depth 8, RGBA, default methods
+      substring(fill, 1, 8)) // stand-in CRC: parser never checks it
+    val jpeg = concat(
+      lit("FFD8"), // SOI
+      lit("FFE000104A46494600010100000100010000"), // APP0/JFIF, len 16
+      lit("FFFE"), comLen, fill.substr(lit(1), comBytes * 2), // COM
+      lit("FFC00011"), // SOF0, len 17
+      lit("08"), h2, w2, // precision 8, height, width (h first!)
+      lit("03012200021101031101"), // 3 components
+      lit("FFD9")) // EOI
+    docs.select(
+      id.as("media_id"),
+      unhex(when(id % 2 === 0, png).otherwise(jpeg)).as("content"))
+  }
+
   /** STUB decoder: a real implementation would parse the codec and emit
     * pixel/sample features. This fake derives a deterministic 4-dim
     * "embedding" from the content hash so downstream plumbing (schema,

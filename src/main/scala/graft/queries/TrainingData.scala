@@ -1089,13 +1089,20 @@ object TrainingData {
     // BIGINT (DuckDB widens to HUGEINT, the q114 lesson). The budget is
     // a one-row aggregate collected driver-side — the absolute-budget
     // API ("2e12 tokens") is the operator's; only this query derives it
-    // from the corpus.
+    // from the corpus. The scored (id, score, cost) projection is
+    // PERSISTED at query level so the budget aggregate, the operator's
+    // quantile sketch, its offsets aggregate and its main pass all read
+    // one materialization instead of four regex-scoring corpus scans
+    // (operator persistIntermediate stays false — its filtered frame is
+    // a subtree of this cache, and a second persist would double-store);
+    // CacheManager matches the cached subtree across all four plans.
     Q("q120_budget_selection",
       (s, dir) => {
         val d = t(s, dir, "documents").select(col("doc_id"),
           TextOps.qualityScore(col("text"), enStop).as("quality_score"),
           TextOps.tokenCountWs(col("text")).cast(LongType).as("n_tokens"))
           .where(col("quality_score").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val budget = d.agg(sum("n_tokens")).head().getLong(0) / 2
         graft.operators.Downsample.selectWithinBudget(
             d, "doc_id", "quality_score", "n_tokens", budget)
@@ -1131,13 +1138,17 @@ object TrainingData {
     // at the identical rank; the operator ranks via (key, score-bucket)
     // windows + per-key offsets, the oracle as the single per-key window
     // it semantically is. quality_score doubles are bit-identical (q38).
+    // persistIntermediate: the operator's three passes (sketch, offsets,
+    // main) share one materialization of the regex-scored projection
+    // instead of re-scoring the corpus per branch.
     Q("q122_top_fraction_per_source",
       (s, dir) => {
         val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
           TextOps.qualityScore(col("text"), enStop).as("quality_score"))
           .where(col("quality_score").isNotNull)
         graft.operators.Downsample.topFractionPerKey(
-            d, "source", "doc_id", "quality_score", 3000)
+            d, "source", "doc_id", "quality_score", 3000,
+            persistIntermediate = true)
           .select("source", "doc_id", "quality_score", "quality_rank")
           .orderBy("source", "doc_id")
       },
@@ -1390,6 +1401,74 @@ object TrainingData {
            |  ${feat(0)}, ${feat(1)}, ${feat(2)}, ${feat(3)}
            |FROM documents ORDER BY media_id""".stripMargin
       }),
+
+    // REAL image-header parsing (Multimodal.imageDims): width/height from
+    // PNG IHDR fixed offsets and a bounded JPEG segment WALK (JFIF APP0 +
+    // a variable-length id-derived COM segment precede the SOF0, so a
+    // fixed-offset read sees garbage — the walk is load-bearing, not
+    // decoration). Blobs are synthesized valid containers
+    // (Multimodal.synthImageBytes — this container ships no image files);
+    // the oracle replays BOTH sides in DuckDB: the same hex-concat
+    // construction, PNG substr/conv arithmetic, and the segment walk as a
+    // recursive CTE — so conv/substring/hex semantics are pinned
+    // cross-engine, not just the end result. Expression-only: no UDF, no
+    // mapPartitions, blobs never shuffle.
+    Q("q125_image_header_dims",
+      (s, dir) => Multimodal.imageDims(
+          Multimodal.synthImageBytes(t(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          octet_length(col("content")).cast(LongType).as("n_bytes"))
+        .orderBy("media_id"),
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id AS media_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN
+             |      '89504E470D0A1A0A' || '0000000D49484452' ||
+             |      lpad(hex(16 + doc_id % 1024), 8, '0') ||
+             |      lpad(hex(16 + (doc_id * 7) % 768), 8, '0') ||
+             |      '0806000000' ||
+             |      substr(repeat(upper(md5(doc_id::VARCHAR)), 2), 1, 8)
+             |    ELSE
+             |      'FFD8' || 'FFE000104A46494600010100000100010000' ||
+             |      'FFFE' || lpad(hex(doc_id % 32 + 3), 4, '0') ||
+             |      substr(repeat(upper(md5(doc_id::VARCHAR)), 2), 1,
+             |             CAST((doc_id % 32 + 1) * 2 AS INT)) ||
+             |      'FFC00011' || '08' ||
+             |      lpad(hex(16 + (doc_id * 7) % 768), 4, '0') ||
+             |      lpad(hex(16 + doc_id % 1024), 4, '0') ||
+             |      '03012200021101031101' || 'FFD9'
+             |    END AS hx
+             |  FROM documents),
+             |walk AS (
+             |  SELECT media_id, hx, CAST(5 AS BIGINT) AS pos, 0 AS iter
+             |  FROM d WHERE hx LIKE 'FFD8%'
+             |  UNION ALL
+             |  SELECT media_id, hx,
+             |    pos + 4 + 2 * CAST(('0x' ||
+             |      substr(hx, CAST(pos AS INT) + 4, 4)) AS BIGINT), iter + 1
+             |  FROM walk
+             |  WHERE iter < 16
+             |    AND substr(hx, CAST(pos AS INT), 4)
+             |        NOT IN ('FFC0', 'FFC1', 'FFC2', 'FFC3', 'FFD9')
+             |    AND substr(hx, CAST(pos AS INT), 2) = 'FF'),
+             |sof AS (
+             |  SELECT media_id,
+             |    CAST(('0x'||substr(hx, CAST(pos AS INT) + 10, 4)) AS BIGINT) AS h,
+             |    CAST(('0x'||substr(hx, CAST(pos AS INT) + 14, 4)) AS BIGINT) AS w
+             |  FROM walk
+             |  WHERE substr(hx, CAST(pos AS INT), 4)
+             |        IN ('FFC0', 'FFC1', 'FFC2', 'FFC3'))
+             |SELECT d.media_id,
+             |  CASE WHEN hx LIKE '89504E470D0A1A0A%' THEN 'png'
+             |       WHEN hx LIKE 'FFD8%' THEN 'jpeg' END AS format,
+             |  CASE WHEN hx LIKE '89504E470D0A1A0A%'
+             |       THEN CAST(('0x'||substr(hx, 33, 8)) AS BIGINT)
+             |       ELSE sof.w END AS width,
+             |  CASE WHEN hx LIKE '89504E470D0A1A0A%'
+             |       THEN CAST(('0x'||substr(hx, 41, 8)) AS BIGINT)
+             |       ELSE sof.h END AS height,
+             |  CAST(length(hx) // 2 AS BIGINT) AS n_bytes
+             |FROM d LEFT JOIN sof USING (media_id)
+             |ORDER BY media_id""".stripMargin)),
 
     // ---- Events: streaming-shaped batch ops ---------------------------
 

@@ -578,6 +578,42 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("exact-rank operators: persistIntermediate is result-identical " +
+      "and the passes read the cache") {
+    import spark.implicits._
+    val d = graft.sources.Sources.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text"), TextOps.langStopwords.head._2)
+          .as("score"),
+        TextOps.tokenCountWs(col("text")).cast("long").as("cost"))
+      .where(col("score").isNotNull)
+    try {
+      val budget = d.agg(sum("cost")).head.getLong(0) / 3
+      val want = Downsample
+        .selectWithinBudget(d, "doc_id", "score", "cost", budget)
+        .select("doc_id", "sel_rank", "cum_cost")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val cachedSel = Downsample.selectWithinBudget(
+        d, "doc_id", "score", "cost", budget, persistIntermediate = true)
+      assert(cachedSel.select("doc_id", "sel_rank", "cum_cost")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq === want)
+      // the main pass must actually READ the materialized intermediate —
+      // otherwise the flag silently degrades to the 3-scan shape
+      assert(cachedSel.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"))
+      val wantTf = Downsample
+        .topFractionPerKey(d, "source", "doc_id", "score", 3000)
+        .select("doc_id", "quality_rank")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val cachedTf = Downsample.topFractionPerKey(d, "source", "doc_id",
+        "score", 3000, persistIntermediate = true)
+      assert(cachedTf.select("doc_id", "quality_rank")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq === wantTf)
+      assert(cachedTf.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"))
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("redactPii replaces emails, phones, IPv4 and counts them") {
     import spark.implicits._
     val df = Seq(

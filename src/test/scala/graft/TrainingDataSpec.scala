@@ -199,6 +199,48 @@ class TrainingDataSpec extends SparkSpec {
     assert(f0expr.exceptAll(f0dec).isEmpty)
   }
 
+  test("imageDims: golden PNG/JPEG headers, segment walk, malformed -> NULL") {
+    // GOLDEN bytes assembled against the container specs (not the synth
+    // generator, so a construct/parse-symmetric bug can't cancel out):
+    // PNG IHDR carries width then height as big-endian u32 at bytes
+    // 16/20; JPEG SOF payload carries [len][precision][HEIGHT][WIDTH].
+    val png = "89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000001" + "00000002" + "0806000000" + "1F15C489" // w=1 h=2
+    val jpeg = "FFD8" +
+      "FFE000104A46494600010100000100010000" + // APP0/JFIF, len 16
+      "FFDB0043" + "0001020304" + "00" * 60 +  // DQT, len 0x43 = 67
+      "FFC2001108" + "0140" + "00F0" +         // SOF2 h=320 w=240
+      "03012200021101031101" + "FFD9"
+    val truncated = "FFD8FFE0"    // walk runs off the end -> NULL dims
+    val garbage = "DEADBEEF"      // unknown container -> NULL format
+    val media = Seq((1L, png), (2L, jpeg), (3L, truncated), (4L, garbage))
+      .toDF("media_id", "hx")
+      .select($"media_id", unhex($"hx").as("content"))
+    val got = Multimodal.imageDims(media)
+      .select($"media_id", $"format", $"width", $"height")
+      .as[(Long, Option[String], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("png"), Some(1L), Some(2L)),
+      (2L, Some("jpeg"), Some(240L), Some(320L)),
+      (3L, Some("jpeg"), None, None),
+      (4L, None, None, None)))
+  }
+
+  test("imageDims round-trips synthImageBytes across the corpus") {
+    // every synthesized container parses back to the id-derived
+    // dimensions — including the JPEGs whose variable-length COM segment
+    // shifts the SOF0, where a fixed-offset read would produce garbage
+    val parsed = Multimodal.imageDims(
+      Multimodal.synthImageBytes(docs, "doc_id"))
+    val bad = parsed.where(
+      $"width" =!= (lit(16) + $"media_id" % 1024) ||
+      $"height" =!= (lit(16) + ($"media_id" * 7) % 768) ||
+      $"format" =!= when($"media_id" % 2 === 0, "png").otherwise("jpeg") ||
+      $"width".isNull || $"height".isNull)
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
+  }
+
   test("resize stub shrinks payloads toward the target; metadata intact") {
     val media = Multimodal.asBinaryMedia(docs.limit(20), "doc_id", "text")
     val resized = Multimodal.resizeStub(spark, media, 16)
