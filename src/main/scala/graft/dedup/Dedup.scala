@@ -289,6 +289,25 @@ object Dedup {
     val newBands = lshBands(
       minhashWide(shingles(incoming, idCol, textCol, shingleN), idCol, numHashes),
       idCol, numHashes, bands)
+    incrementalLshDedupFromBands(indexBands, newBands,
+      incoming.select(col(idCol)), idCol, broadcastDelta, probeParts,
+      saltBuckets)
+  }
+
+  /** [[incrementalLshDedup]] with the delta's band table precomputed —
+    * the form callers that ALSO need the band table use (the streaming
+    * admission sink appends it to the index after deciding, so computing
+    * it twice would double the delta's shingle+minhash cost; see
+    * [[graft.streaming.EventStreams.processDedupAdmissionBatch]]).
+    * `incomingIds` must be exactly `newBands`' distinct id set projected
+    * from the incoming batch (one row per incoming doc — the output is
+    * one decision per row of it). Same decision rule, preconditions and
+    * scale shape as [[incrementalLshDedup]]. */
+  def incrementalLshDedupFromBands(indexBands: DataFrame, newBands: DataFrame,
+                                   incomingIds: DataFrame, idCol: String,
+                                   broadcastDelta: Boolean = true,
+                                   probeParts: Int = -1,
+                                   saltBuckets: Int = 0): DataFrame = {
     val delta0 = newBands.select(col("band"), col("sig"), col(idCol).as("__new_id"))
     val delta = if (broadcastDelta) broadcast(delta0) else delta0
     val vsIndex = indexBands
@@ -298,7 +317,7 @@ object Dedup {
     val within = lshCandidates(newBands, idCol, probeParts, saltBuckets)
       .groupBy(col("id_b").as("__new_id"))
       .agg(min(col("id_a")).as("dup_of_batch"))
-    incoming.select(col(idCol))
+    incomingIds
       .join(vsIndex, col(idCol) === vsIndex("__new_id"), "left")
       .drop("__new_id")
       .join(within, col(idCol) === within("__new_id"), "left")

@@ -187,4 +187,93 @@ object EventStreams {
         delta.write.mode("append").parquet(sinkPath)
       }
       .start()
+
+  /** One micro-batch of streaming dedup ADMISSION CONTROL — the
+    * foreachBatch twin of [[graft.dedup.Dedup.incrementalLshDedup]],
+    * factored out of [[dedupAdmissionSink]] so a test (or a manual
+    * replayer) can drive the exact code the stream runs, including
+    * redelivery.
+    *
+    * Per batch: (1) read the accreting band-signature index at
+    * `indexPath`, pruned to `batch_id < batchId`; (2) compute the delta's
+    * band table ONCE (persisted — it feeds both the decisions and the
+    * index append); (3) decide keep/drop via the batch operator's exact
+    * decision rule ([[graft.dedup.Dedup.incrementalLshDedupFromBands]] —
+    * one code path, so batch and streaming can never diverge); (4) write
+    * decisions and bands partitioned by `batch_id` with DYNAMIC partition
+    * overwrite.
+    *
+    * AT-LEAST-ONCE -> EXACTLY-ONCE: foreachBatch may REDELIVER a batch
+    * after a failure. Two mechanisms make redelivery a no-op: the
+    * `batch_id < batchId` index filter means a replayed batch N sees
+    * exactly the index state of batches 0..N-1 — its own half-written
+    * bands from the failed attempt are invisible, so it cannot collide
+    * with itself (which would both violate the disjoint-ids precondition
+    * and flip its own decisions to drop) — and dynamic partition
+    * overwrite replaces the `batch_id=N` output partitions instead of
+    * appending duplicates. Decisions are therefore a pure function of
+    * the delta sequence, bit-identical to running the batch operator
+    * over the same sequence (StreamingSpec asserts this, redelivery
+    * included).
+    *
+    * SCALE SHAPE: inherits the batch operator's — index side scan-speed
+    * with zero shuffle (partition-pruned to prior batches), delta side
+    * broadcast with the `broadcastDelta = false` fallback for oversized
+    * batches. The index grows by ~bands rows per admitted doc per batch;
+    * compact old partitions offline when file counts matter. */
+  def processDedupAdmissionBatch(batch: DataFrame, batchId: Long,
+                                 indexPath: String, decisionsPath: String,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text",
+                                 shingleN: Int = 3, numHashes: Int = 16,
+                                 bands: Int = 4,
+                                 broadcastDelta: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    import graft.dedup.Dedup
+    val idx = graft.pipeline.Pipeline.readAccumulated(spark, indexPath)
+      .map(_.where(col("batch_id") < batchId)
+        .select(col(idCol), col("band"), col("sig")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(Long, Int, String)].toDF(idCol, "band", "sig")
+      }
+    val newBands = Dedup.lshBands(
+      Dedup.minhashWide(
+        Dedup.shingles(batch, idCol, textCol, shingleN), idCol, numHashes),
+      idCol, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val decisions = Dedup.incrementalLshDedupFromBands(
+        idx, newBands, batch.select(col(idCol)), idCol, broadcastDelta)
+      decisions.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(decisionsPath)
+      // every seen signature enters the index, kept or not (the accreting
+      // store the batch operator's decision rule is defined against)
+      newBands.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(indexPath)
+    } finally newBands.unpersist()
+  }
+
+  /** Streaming dedup admission gate over a document stream: each
+    * micro-batch is decided against everything admitted before it and the
+    * signature index accretes — [[processDedupAdmissionBatch]] wired into
+    * `foreachBatch` with `Trigger.AvailableNow`. Decisions land at
+    * `decisionsPath` (idCol, dup_of_index, dup_of_batch, keep, batch_id);
+    * downstream consumers filter `keep`. */
+  def dedupAdmissionSink(docs: DataFrame, indexPath: String,
+                         decisionsPath: String, idCol: String = "doc_id",
+                         textCol: String = "text", shingleN: Int = 3,
+                         numHashes: Int = 16, bands: Int = 4): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processDedupAdmissionBatch(batch, batchId, indexPath, decisionsPath,
+          idCol, textCol, shingleN, numHashes, bands)
+      }
+      .start()
 }

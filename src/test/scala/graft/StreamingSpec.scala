@@ -166,4 +166,75 @@ class StreamingSpec extends SparkSpec {
     assert(n1 === Sources.events(spark, sf).count())
     assert(n2 === n1, s"replay appended ${n2 - n1} duplicate rows")
   }
+
+  test("streaming dedup admission == batch operator over the same delta " +
+      "sequence, at-least-once redelivery included") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // corpus with cross-batch planted dups: a copy of every doc_id < 40
+    // at id+100000 (identical text -> identical minhash -> collides)
+    val base = Sources.table(spark, sf, "documents")
+      .select("doc_id", "text").where(col("doc_id") < 300)
+    val planted = base.unionByName(base.where(col("doc_id") < 40)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    // three deltas; originals and copies straddle batches (id%3 spreads)
+    val deltas = (0 to 2).map(i => planted.where(col("doc_id") % 3 === i))
+    val root = Files.createTempDirectory("graft_admission").toString
+    val idxPath = root + "/index"
+    val decPath = root + "/decisions"
+    EventStreams.processDedupAdmissionBatch(deltas(0), 0, idxPath, decPath)
+    EventStreams.processDedupAdmissionBatch(deltas(1), 1, idxPath, decPath)
+    // at-least-once: batch 1 is REDELIVERED after already succeeding —
+    // the batch_id index filter + dynamic partition overwrite must make
+    // this a no-op, not a self-collision that flips its keeps to drops
+    EventStreams.processDedupAdmissionBatch(deltas(1), 1, idxPath, decPath)
+    EventStreams.processDedupAdmissionBatch(deltas(2), 2, idxPath, decPath)
+    val streamed = spark.read.parquet(decPath)
+      .select($"doc_id", $"dup_of_index", $"dup_of_batch", $"keep",
+        $"batch_id".cast("int"))
+      .as[(Long, Option[Long], Option[Long], Boolean, Int)]
+      .collect().toSet
+    // batch reference: the SAME delta sequence through the batch operator,
+    // index accreting between steps
+    var idx = Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "sig")
+    val expected = deltas.zipWithIndex.map { case (d, i) =>
+      val dec = Dedup.incrementalLshDedup(idx, d, "doc_id", "text")
+        .withColumn("batch_id", lit(i))
+      idx = idx.unionByName(Dedup.lshBands(
+        Dedup.minhashWide(Dedup.shingles(d, "doc_id", "text", 3), "doc_id", 16),
+        "doc_id", 16, 4))
+      dec
+    }.reduce(_ unionByName _)
+      .select($"doc_id", $"dup_of_index", $"dup_of_batch", $"keep",
+        $"batch_id".cast("int"))
+      .as[(Long, Option[Long], Option[Long], Boolean, Int)]
+      .collect().toSet
+    assert(streamed === expected)
+    // the planted copies were caught (keep=false), one decision per doc
+    assert(streamed.count(!_._4) >= 40)
+    assert(streamed.size === planted.count())
+  }
+
+  test("dedupAdmissionSink wires the admission batch through foreachBatch") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val docs = Sources.table(spark, sf, "documents")
+      .select("doc_id", "text").where(col("doc_id") < 200)
+    val srcDir = Files.createTempDirectory("graft_docs_stream").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val root = Files.createTempDirectory("graft_admission_sink").toString
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(srcDir)
+    val q = EventStreams.dedupAdmissionSink(
+      stream, root + "/index", root + "/decisions")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(root + "/decisions")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toSet
+    val empty = Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "sig")
+    val want = Dedup.incrementalLshDedup(empty, docs, "doc_id", "text")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toSet
+    assert(streamed === want)
+    // the index accreted every seen signature (4 bands x docs)
+    assert(spark.read.parquet(root + "/index").count() === docs.count() * 4)
+  }
 }
