@@ -51,20 +51,13 @@ object Dedup {
     *
     * The precondition is ENFORCED when `graft.dedup.checkIds=true` on the
     * session (debug mode): one extra aggregation pass fails loudly on the
-    * first duplicated id. Default is off — at 100 TB an unconditional
-    * key-uniqueness shuffle per shingling call would double the cost of
-    * every dedup pipeline for a condition the upstream load already
-    * guarantees; flip it on when wiring a NEW source. */
+    * first duplicated id. Default is off — a condition the upstream load
+    * already guarantees shouldn't cost a pass per call; flip it on when
+    * wiring a NEW source. See [[requireUniqueIds]] for what the probe
+    * actually costs at 100 TB — less than the word "extra pass" suggests. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    if (docs.sparkSession.conf.getOption("graft.dedup.checkIds")
-          .exists(_.toBoolean)) {
-      val dup = docs.groupBy(col(idCol)).count()
-        .where(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"Dedup.shingles precondition violated: idCol '$idCol' is not " +
-          s"unique (e.g. ${dup.head.get(0)} appears ${dup.head.getLong(1)} " +
-          "times); shingle counts downstream would double-count")
-    }
+    requireUniqueIds(docs, idCol, "shingles",
+      "shingle counts downstream would double-count")
     val toks = col("__shingle_toks")
     val grams = transform(
       sequence(lit(1), size(toks) - (n - 1)),
@@ -73,6 +66,41 @@ object Dedup {
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__shingle_toks"))
       .where(size(toks) >= n) // sequence(1, k<1) counts down — guard
       .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** The `graft.dedup.checkIds` debug probe shared by the whole family:
+    * fail loudly on the first duplicated `idCol` value.
+    *
+    * COST CONTRACT (what turning the flag on at 100 TB actually costs).
+    * The probe is a separate job BEFORE the operator's own, but it is NOT
+    * a second full scan of the corpus: the plan touches only `idCol`, so
+    * over a parquet/ORC source column pruning reads just the id column's
+    * pages — single-digit GB per trillion rows, typically 1-2% of a text
+    * corpus's bytes (measured in the SCALING.md rehearsal row: the probe
+    * adds ~4% to survivors' wall-clock at sf1.0, dominated by the
+    * aggregation itself, not I/O). Two caveats keep that honest: (a) if
+    * `docs` is a COMPUTED frame rather than a source read, pruning stops
+    * at whatever upstream work feeds the id — probe the source-backed
+    * frame, not the post-transform one, when the transform is the
+    * expensive part; (b) the limit(1) short-circuits result TRANSFER,
+    * not the aggregation — a clean corpus pays the full groupBy. The
+    * aggregate is partial/map-side combined, so the shuffle carries one
+    * (id, count) row per map-side-distinct id. Pipelines that chain
+    * several family operators over ONE corpus should verify once
+    * (`requireUniqueIds` directly, or the first operator with the flag
+    * on) and unset the flag for the rest — the probe re-proves the same
+    * invariant each time; nothing in between can invalidate it. */
+  def requireUniqueIds(df: DataFrame, idCol: String, op: String,
+                       consequence: String): Unit = {
+    if (df.sparkSession.conf.getOption("graft.dedup.checkIds")
+          .exists(_.toBoolean)) {
+      val dup = df.groupBy(col(idCol)).count()
+        .where(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"Dedup.$op precondition violated: idCol '$idCol' is not unique " +
+          s"(e.g. ${dup.head.get(0)} appears ${dup.head.getLong(1)} " +
+          s"times); $consequence")
+    }
   }
 
   /** 2^56 — the minhash family's modulus (see [[minhashWide]]). */
@@ -687,15 +715,8 @@ object Dedup {
       require(!docs.columns.contains(reserved),
         s"Dedup.survivors: docs already has a '$reserved' column — rename " +
           "it first; survivors appends its own")
-    if (docs.sparkSession.conf.getOption("graft.dedup.checkIds")
-          .exists(_.toBoolean)) {
-      val dup = docs.groupBy(col(idCol)).count()
-        .where(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"Dedup.survivors precondition violated: idCol '$idCol' is not " +
-          s"unique (e.g. ${dup.head.get(0)} appears ${dup.head.getLong(1)} " +
-          "times); keep would elect one keeper per row, not per document")
-    }
+    requireUniqueIds(docs, idCol, "survivors",
+      "keep would elect one keeper per row, not per document")
     val labels = connectedComponents(pairs, maxIter)
       .withColumnRenamed("id", idCol)
     val w = org.apache.spark.sql.expressions.Window
@@ -899,16 +920,8 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      window: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
-    if (docs.sparkSession.conf.getOption("graft.dedup.checkIds")
-          .exists(_.toBoolean)) {
-      val dup = docs.groupBy(col(idCol)).count()
-        .where(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"Dedup.duplicateSpans precondition violated: idCol '$idCol' is " +
-          s"not unique (e.g. ${dup.head.get(0)} appears " +
-          s"${dup.head.getLong(1)} times); every window of a duplicated " +
-          "row would count as cross-document")
-    }
+    requireUniqueIds(docs, idCol, "duplicateSpans",
+      "every window of a duplicated row would count as cross-document")
     val wins = spanWindows(docs, idCol, textCol, window)
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ha"), col("hb"))
@@ -996,15 +1009,8 @@ object Dedup {
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                            window: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
-    if (docs.sparkSession.conf.getOption("graft.dedup.checkIds")
-          .exists(_.toBoolean)) {
-      val dup = docs.groupBy(col(idCol)).count()
-        .where(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"Dedup.removeDuplicateSpans precondition violated: idCol '$idCol'" +
-          s" is not unique (e.g. ${dup.head.get(0)} appears " +
-          s"${dup.head.getLong(1)} times)")
-    }
+    requireUniqueIds(docs, idCol, "removeDuplicateSpans",
+      "a duplicated id would both self-flag and garble the islands merge")
     val wins = spanWindows(docs, idCol, textCol, window)
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ha"), col("hb"))

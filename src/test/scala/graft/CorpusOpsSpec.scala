@@ -305,6 +305,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(surviving.contains("p q r") && surviving.contains("q r s"))
   }
 
+  test("q121's bench count() cannot eliminate the removal join") {
+    import spark.implicits._
+    // The r10 bench lesson (commit dd865fc, BASELINE.md): an earlier
+    // row-per-doc q121 let Catalyst ELIMINATE the unique-keyed left join
+    // under the bench's count() — 0.14 s of measuring nothing. The shipped
+    // form filters on n_removed > 0, which derives from the join output,
+    // so elimination is impossible. Pin that: the plan of count() over
+    // the query's frame must still carry the span join. A refactor that
+    // reintroduces a count-invariant output shape fails here instead of
+    // silently hollowing out the benchmark.
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e f"), (3L, "d e f"))
+      .toDF("doc_id", "text")
+    val frame = graft.dedup.Dedup
+      .removeDuplicateSpans(docs, "doc_id", "text", 3)
+      .where(col("n_removed") > 0) // the q121 shape
+    val counted = frame.groupBy().count()
+    val plan = counted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join"), s"span join was eliminated under count():\n$plan")
+    assert(counted.as[Long].head() === 2L) // docs 2 and 3 are rewritten
+  }
+
   test("duplicateSpans plan: one corpus pass, two shuffles, no self-join") {
     import spark.implicits._
     // the scale contract: the corpus is scanned/tokenized/hashed ONCE
