@@ -76,9 +76,10 @@ object Dedup {
     * a second full scan of the corpus: the plan touches only `idCol`, so
     * over a parquet/ORC source column pruning reads just the id column's
     * pages — single-digit GB per trillion rows, typically 1-2% of a text
-    * corpus's bytes (measured in the SCALING.md rehearsal row: the probe
-    * adds ~4% to survivors' wall-clock at sf1.0, dominated by the
-    * aggregation itself, not I/O). Two caveats keep that honest: (a) if
+    * corpus's bytes (measured in the SCALING.md rehearsal row: 0.27 s
+    * against survivors' 3.6 s at sf1.0 — ~7% of ONE family operator, and
+    * the ReadSchema pins `struct<doc_id:bigint>`, no text column). Two
+    * caveats keep that honest: (a) if
     * `docs` is a COMPUTED frame rather than a source read, pruning stops
     * at whatever upstream work feeds the id — probe the source-backed
     * frame, not the post-transform one, when the transform is the
