@@ -74,12 +74,25 @@ object Multimodal {
     *
     * Output: input columns + format ('png'/'jpeg'/NULL), width, height
     * (NULL when unparseable). Unknown containers pass through with NULL
-    * format — filter, don't fail, at corpus scale. */
+    * format — filter, don't fail, at corpus scale.
+    *
+    * `headerBytes` bounds how much of the blob is hexed: a header parse
+    * must never materialize 2x a multi-MB image per row, so only the
+    * first `headerBytes` (default 256 KiB — a JPEG segment length is at
+    * most 64 KiB-1, so this survives several EXIF-sized segments before
+    * SOF; PNG needs 24 bytes) enter the hex string. A walk that runs off
+    * the prefix fails the marker test and yields NULL dims — the same
+    * fail-safe as malformed input; raise the bound for thumbnail-stuffed
+    * corpora rather than trusting unbounded headers. */
   def imageDims(media: DataFrame, contentCol: String = "content",
-                maxSegments: Int = 16): DataFrame = {
+                maxSegments: Int = 16,
+                headerBytes: Int = 256 * 1024): DataFrame = {
     require(maxSegments >= 1 && maxSegments <= 256,
       s"maxSegments must be in [1, 256], got $maxSegments")
-    val withHex = media.withColumn("__img_hx", hex(col(contentCol)))
+    require(headerBytes >= 32,
+      s"headerBytes must cover at least the PNG IHDR (32), got $headerBytes")
+    val withHex = media.withColumn("__img_hx",
+      hex(substring(col(contentCol), 1, headerBytes)))
     val jpegFold = expr(s"""
       aggregate(
         sequence(1, $maxSegments),

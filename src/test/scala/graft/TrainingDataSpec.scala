@@ -227,6 +227,23 @@ class TrainingDataSpec extends SparkSpec {
       (4L, None, None, None)))
   }
 
+  test("imageDims: bounded header prefix, no shuffle in the plan") {
+    val media = Multimodal.synthImageBytes(docs, "doc_id")
+    // a prefix too short to reach the JPEG SOF fails safe to NULL dims
+    // (PNG's 24-byte IHDR still parses at the 32-byte minimum bound)
+    val truncated = Multimodal.imageDims(media, headerBytes = 32)
+      .select($"media_id", $"format", $"width")
+      .as[(Long, String, Option[Long])].collect()
+    assert(truncated.forall { case (id, fmt, w) =>
+      if (fmt == "png") w.isDefined else w.isEmpty })
+    assert(truncated.exists(_._2 == "jpeg")) // the fail-safe side exercised
+    // expression-only contract: the whole parse is scan-side — no
+    // Exchange anywhere in the plan (blobs must never shuffle)
+    val plan = Multimodal.imageDims(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("imageDims round-trips synthImageBytes across the corpus") {
     // every synthesized container parses back to the id-derived
     // dimensions — including the JPEGs whose variable-length COM segment
