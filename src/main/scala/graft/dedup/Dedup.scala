@@ -1075,4 +1075,75 @@ object Dedup {
         col("inter") / least(col("na"), col("nb")))
       .where(col("containment") >= minContainment)
       .select("id_a", "id_b", "inter", "containment")
+
+  /** Cross-SOURCE overlap matrix: for every pair of strata (sources,
+    * crawls, dumps), the count of shared distinct word n-gram shingles
+    * plus Jaccard and containment over the strata's shingle VOCABULARIES
+    * — the "is crawl B a mirror/subset of crawl A" report a curator runs
+    * before mixing sources ([[mixByWeight]]-style weights are wrong when
+    * two sources are 90% the same bytes; doc-level dedup sees the
+    * duplicate documents but not the aggregate answer). Containment near
+    * 1.0 with Jaccard well below it flags a strict-subset source.
+    *
+    * Output: (stratum_a, stratum_b, inter, jaccard, containment), one
+    * row per unordered stratum pair with inter >= 1, `stratum_a <
+    * stratum_b`. NULL strata are dropped (no deterministic pair order);
+    * duplicate doc rows are harmless — vocabulary is a DISTINCT set per
+    * stratum, so this operator has NO one-row-per-id precondition, the
+    * only member of the family without it.
+    *
+    * SCALE SHAPE. Shingles are hashed to 60 bits map-side
+    * (`hashShingles`, default true) BEFORE the distinct, so the one real
+    * exchange carries (stratum, 8-byte key) rows — never shingle
+    * strings; the follow-on self-join fans out at most |strata| rows per
+    * key, so its output is bounded by distinct-shingles x strata², with
+    * strata counted in the tens, not the billions. Hashing trades exact
+    * counts for a ~n²/2^61 birthday error — immaterial for a mixing
+    * decision and exactly replayable cross-engine (the [[TextOps.hash64]]
+    * md5 arithmetic); pass `hashShingles = false` for exact
+    * string-keyed counts when the vocabulary fits the wire (tests pin
+    * both paths equal on collision-free corpora). `persistIntermediate`
+    * materializes the (stratum, key) vocabulary once for the self-join's
+    * two branches + the size aggregate (the [[minhashLsh]] contract and
+    * caveat); default false — below ~100k docs recompute beats cache. */
+  def sourceOverlapMatrix(docs: DataFrame, textCol: String,
+                          strataCol: String, n: Int,
+                          hashShingles: Boolean = true,
+                          persistIntermediate: Boolean = false): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = col("__ov_toks")
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    val keyed = docs
+      .where(col(strataCol).isNotNull)
+      .select(col(strataCol).as("__ov_stratum"),
+        TextOps.tokens(col(textCol)).as("__ov_toks"))
+      .where(size(toks) >= n)
+      .select(col("__ov_stratum"), explode(array_distinct(grams)).as("__ov_sh"))
+      .select(col("__ov_stratum"),
+        (if (hashShingles) TextOps.hash64(col("__ov_sh"))
+         else col("__ov_sh")).as("__ov_k"))
+      .distinct()
+    val vocab = if (persistIntermediate)
+      keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else keyed
+    val sizes = vocab.groupBy(col("__ov_stratum")).agg(count(lit(1)).as("n_sh"))
+    val inter = vocab.select(col("__ov_stratum").as("stratum_a"), col("__ov_k"))
+      .join(vocab.select(col("__ov_stratum").as("stratum_b"), col("__ov_k")),
+        Seq("__ov_k"))
+      .where(col("stratum_a") < col("stratum_b"))
+      .groupBy(col("stratum_a"), col("stratum_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__ov_stratum").as("stratum_a"),
+        col("n_sh").as("__ov_na")), Seq("stratum_a"))
+      .join(sizes.select(col("__ov_stratum").as("stratum_b"),
+        col("n_sh").as("__ov_nb")), Seq("stratum_b"))
+      .select(col("stratum_a"), col("stratum_b"), col("inter"),
+        (col("inter") / (col("__ov_na") + col("__ov_nb") - col("inter")))
+          .as("jaccard"),
+        (col("inter") / least(col("__ov_na"), col("__ov_nb")))
+          .as("containment"))
+  }
 }

@@ -645,6 +645,41 @@ object TrainingData {
              |       CAST(n0 - len(ktoks) AS BIGINT) AS n_removed
              |FROM kept WHERE n0 - len(ktoks) > 0 ORDER BY doc_id""".stripMargin)),
 
+    // Cross-source overlap matrix (Dedup.sourceOverlapMatrix): shared
+    // distinct-shingle counts + vocabulary Jaccard/containment per source
+    // pair — the mirror/subset-crawl report run before corpus mixing.
+    // Shingles hash to 60 bits map-side so the exchange carries
+    // (source, 8-byte key), never strings; the self-join fans out at
+    // most |sources| rows per key. The oracle replays the hash64
+    // arithmetic; long/long division is IEEE double in both engines so
+    // jaccard/containment hash-gate exactly.
+    Q("q126_source_overlap_matrix",
+      (s, dir) => Dedup.sourceOverlapMatrix(
+          t(s, dir, "documents"), "text", "source", 3)
+        .orderBy("stratum_a", "stratum_b"),
+      Some("""WITH d AS (
+             |  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT source,
+             |         ('0x'||substr(md5(u.s),1,15))::BIGINT AS k
+             |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
+             |       i -> array_to_string(d.toks[i:i+2], ' '))) u(s)
+             |  WHERE len(d.toks) >= 3),
+             |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+             |inter AS (
+             |  SELECT a.source AS stratum_a, b.source AS stratum_b,
+             |         count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.k = b.k AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT stratum_a, stratum_b, inter,
+             |       inter / (sa.n_sh + sb.n_sh - inter) AS jaccard,
+             |       inter / least(sa.n_sh, sb.n_sh) AS containment
+             |FROM inter
+             |JOIN sizes sa ON sa.source = stratum_a
+             |JOIN sizes sb ON sb.source = stratum_b
+             |ORDER BY stratum_a, stratum_b""".stripMargin)),
+
     // Embedding-cosine near-duplicate pairs (bit-identical cross-engine
     // cosine -> the threshold cut agrees exactly).
     Q("q35_embedding_neardup",

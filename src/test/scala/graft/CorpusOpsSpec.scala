@@ -635,6 +635,42 @@ class CorpusOpsSpec extends SparkSpec {
     } finally spark.sharedState.cacheManager.clearCache()
   }
 
+  test("sourceOverlapMatrix: mirror and subset sources, hash==string path") {
+    import spark.implicits._
+    // srcA: two docs with vocab {a b c, b c d, p q r}; srcB mirrors srcA
+    // exactly (different doc ids/splits — vocabulary identical); srcC is
+    // a strict subset (only 'a b c'); srcD is disjoint. NULL stratum and
+    // a duplicate row (id 9 repeats id 1's text under srcA) must not
+    // change vocabularies — no one-row-per-id precondition here.
+    val docs = Seq(
+      (1L, Some("A"), "a b c d"),
+      (2L, Some("A"), "p q r"),
+      (3L, Some("B"), "a b c d"),
+      (4L, Some("B"), "p q r"),
+      (5L, Some("C"), "a b c"),
+      (6L, Some("D"), "x y z"),
+      (7L, None: Option[String], "a b c"),
+      (9L, Some("A"), "a b c d")).toDF("doc_id", "source", "text")
+    val got = graft.dedup.Dedup
+      .sourceOverlapMatrix(docs, "text", "source", 3)
+      .select($"stratum_a", $"stratum_b", $"inter", $"jaccard", $"containment")
+      .as[(String, String, Long, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // vocab(A) = {a b c, b c d, p q r} = vocab(B); vocab(C) = {a b c}
+    assert(got === Seq(
+      ("A", "B", 3L, 1.0, 1.0),          // mirror: jaccard == containment == 1
+      ("A", "C", 1L, 1.0 / 3, 1.0),      // strict subset: containment 1, jaccard 1/3
+      ("B", "C", 1L, 1.0 / 3, 1.0)))     // disjoint D and NULL produce no rows
+    // hashed keys (the narrow-wire scale path) equal exact string keys on
+    // a collision-free corpus
+    val exact = graft.dedup.Dedup
+      .sourceOverlapMatrix(docs, "text", "source", 3, hashShingles = false)
+      .select($"stratum_a", $"stratum_b", $"inter", $"jaccard", $"containment")
+      .as[(String, String, Long, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(exact === got)
+  }
+
   test("redactPii replaces emails, phones, IPv4 and counts them") {
     import spark.implicits._
     val df = Seq(
