@@ -257,6 +257,37 @@ class OracleFuzzSpec extends SparkSpec {
            |ORDER BY doc_id""".stripMargin)
     }
 
+    // --- q126 shape: sourceOverlapMatrix at random shingle widths
+    for (v <- 0 until 2) {
+      val n = 2 + rnd.nextInt(3)
+      info(s"v$v overlap: n=$n")
+      dump(s"fz_overlap_$v",
+        Dedup.sourceOverlapMatrix(docs, "text", "source", n)
+          .orderBy("stratum_a", "stratum_b"),
+        s"""WITH d AS (
+           |  SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           |  FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT source,
+           |         ('0x'||substr(md5(u.s),1,15))::BIGINT AS k
+           |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-${n - 2}),
+           |       i -> array_to_string(d.toks[i:i+${n - 1}], ' '))) u(s)
+           |  WHERE len(d.toks) >= $n),
+           |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+           |inter AS (
+           |  SELECT a.source AS stratum_a, b.source AS stratum_b,
+           |         count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.k = b.k AND a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT stratum_a, stratum_b, inter,
+           |       inter / (sa.n_sh + sb.n_sh - inter) AS jaccard,
+           |       inter / least(sa.n_sh, sb.n_sh) AS containment
+           |FROM inter
+           |JOIN sizes sa ON sa.source = stratum_a
+           |JOIN sizes sb ON sb.source = stratum_b
+           |ORDER BY stratum_a, stratum_b""".stripMargin)
+    }
+
     Files.writeString(Paths.get(s"$out/oracle_sql.json"),
       oracles.map { case (k, s) => s"${jq(k)}: ${jq(s)}" }
         .mkString("{", ",", "}"))
