@@ -1105,7 +1105,12 @@ object Dedup {
     * both paths equal on collision-free corpora). `persistIntermediate`
     * materializes the (stratum, key) vocabulary once for the self-join's
     * two branches + the size aggregate (the [[minhashLsh]] contract and
-    * caveat); default false — below ~100k docs recompute beats cache. */
+    * caveat). Unlike the pair-join family, caching wins here even on
+    * SMALL corpora — the recomputed subtree is the full tokenize+explode
+    * +distinct, 3x per call (measured at 5k docs/sf0.1: 2.66 s
+    * recomputed vs 2.10 s cached steady-state, 8.1 vs 3.7 cold) — so
+    * set it whenever the session owns its cache; the default stays
+    * false only for the session-owned-cache caveat. */
   def sourceOverlapMatrix(docs: DataFrame, textCol: String,
                           strataCol: String, n: Int,
                           hashShingles: Boolean = true,

@@ -653,9 +653,13 @@ object TrainingData {
     // most |sources| rows per key. The oracle replays the hash64
     // arithmetic; long/long division is IEEE double in both engines so
     // jaccard/containment hash-gate exactly.
+    // persistIntermediate: the vocabulary subtree (tokenize + explode +
+    // distinct) feeds both self-join branches and the size aggregate —
+    // measured 2.66 -> 2.10 s at sf0.1 when materialized once.
     Q("q126_source_overlap_matrix",
       (s, dir) => Dedup.sourceOverlapMatrix(
-          t(s, dir, "documents"), "text", "source", 3)
+          t(s, dir, "documents"), "text", "source", 3,
+          persistIntermediate = true)
         .orderBy("stratum_a", "stratum_b"),
       Some("""WITH d AS (
              |  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
