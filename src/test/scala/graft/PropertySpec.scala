@@ -259,4 +259,46 @@ class PropertySpec extends SparkSpec {
     }
     check(p, n = 12)
   }
+
+  test("sourceOverlapMatrix == brute-force set algebra (random corpora)") {
+    import spark.implicits._
+    // docs: random small-vocab texts over random strata (incl. None and
+    // duplicated texts within/across strata). The reference computes the
+    // per-stratum distinct shingle sets in plain Scala and derives
+    // inter/jaccard/containment by set algebra — independent of every
+    // Spark choice the operator makes (hashing, distinct, join shape).
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = for {
+      src <- Gen.option(Gen.oneOf("s1", "s2", "s3"))
+      len <- Gen.choose(0, 6)
+      ws <- Gen.listOfN(len, word)
+    } yield (src, ws.mkString(" "))
+    val p = Prop.forAll(Gen.listOfN(14, docGen)) { rows =>
+      val docs = rows.zipWithIndex
+        .map { case ((src, txt), i) => (i.toLong, src, txt) }
+        .toDF("doc_id", "source", "text")
+      val n = 2
+      val got = graft.dedup.Dedup
+        .sourceOverlapMatrix(docs, "text", "source", n)
+        .select($"stratum_a", $"stratum_b", $"inter", $"jaccard", $"containment")
+        .as[(String, String, Long, Double, Double)].collect().toSet
+      val vocab: Map[String, Set[String]] = rows
+        .collect { case (Some(src), txt) => (src, txt) }
+        .groupBy(_._1)
+        .map { case (src, ds) =>
+          src -> ds.flatMap { case (_, txt) =>
+            val t = txt.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+            t.sliding(n).filter(_.length == n).map(_.mkString(" "))
+          }.toSet
+        }
+      val want = (for {
+        a <- vocab.keys; b <- vocab.keys if a < b
+        inter = (vocab(a) & vocab(b)).size.toLong if inter >= 1
+      } yield (a, b, inter,
+        inter.toDouble / (vocab(a).size + vocab(b).size - inter),
+        inter.toDouble / math.min(vocab(a).size, vocab(b).size))).toSet
+      got == want
+    }
+    check(p, n = 12)
+  }
 }
