@@ -1,0 +1,143 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.dedup.Dedup
+import graft.operators.{Downsample, Packing}
+import graft.text.TextOps
+
+/** End-to-end CURATION pipeline throughput: the production flow the
+  * training-data operators exist to compose — one linear plan from raw
+  * documents to training shards, with the cache discipline the operator
+  * scaladocs prescribe actually exercised (not the bench's self-contained
+  * per-query exhibits, which deliberately re-scan):
+  *
+  *   1. score: quality + token count + language id (one map-side pass)
+  *   2. exact dedup: content-hash keepers (the cheap 100%-dup cut)
+  *   3. near dedup: production-width MinHash-LSH (64/16) -> connected
+  *      components -> survivors, keep one doc per duplicate group
+  *   4. decontaminate: drop docs sharing >= 5 trigrams with the eval set
+  *   5. budget: keep the best docs until half the surviving tokens
+  *   6. shard: deterministic shuffle into 64 reproducible training shards
+  *
+  * Cache discipline exercised on purpose: the scored frame persists ONCE
+  * and feeds the quality filter, both dedup stages, and the budget
+  * operator's 3 internal passes (its flag stays false — the frame is
+  * already a cached subtree, the q120 pattern); `graft.dedup.checkIds` is
+  * flipped on for the FIRST family operator and unset after (the
+  * requireUniqueIds contract: one probe proves the invariant for the whole
+  * chain). Prints one JSON line:
+  *   {"metric":"curation_e2e","docs_in":N,...,"value":sec,"docs_per_sec":R}
+  * plus a per-stage funnel to stderr-free stdout above it.
+  *
+  * Usage: runMain graft.tools.CurationBench [sfDir] [cpus]
+  */
+object CurationBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = if (args.length > 1) args(1) else
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = graft.Graft.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+
+    var tStage = System.nanoTime()
+    def lap(label: String): Unit = {
+      val now = System.nanoTime()
+      println(f"[curation] stage $label: ${(now - tStage) / 1e9}%.2f s")
+      tStage = now
+    }
+
+    val docs = graft.sources.Sources.table(spark, sfDir, "documents")
+    val docsIn = docs.count()
+    lap("read")
+
+    // 1. score once; the cached projection feeds every downstream stage
+    val scored = docs.select(col("doc_id"), col("source"), col("text"),
+      TextOps.qualityScore(col("text"), TextOps.langStopwords.head._2)
+        .as("q"),
+      TextOps.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+      TextOps.langId(col("text")).as("lang"))
+      .where(col("q").isNotNull && col("q") >= 0.15)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nScored = scored.count() // materialize the cache once
+    lap("score")
+
+    // one uniqueness probe covers the whole family chain (the
+    // requireUniqueIds contract) — then the flag goes off
+    spark.conf.set("graft.dedup.checkIds", "true")
+    try Dedup.requireUniqueIds(scored, "doc_id", "curation",
+      "every downstream dedup decision would double-count")
+    finally spark.conf.unset("graft.dedup.checkIds")
+
+    // 2. exact dedup: keep each content's min id
+    val exactKeep = Dedup.exactGroups(scored, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val afterExact = scored.join(exactKeep, Seq("doc_id"))
+    val nExact = afterExact.count()
+    lap("exact_dedup")
+
+    // 3. near dedup at production width; survivors prefer longer docs
+    val pairs = Dedup.minhashLsh(afterExact, "doc_id", "text",
+      numHashes = 64, bands = 16, persistIntermediate = true)
+    val dec = Dedup.survivors(afterExact.select("doc_id", "n_tokens"),
+      pairs, "doc_id", Seq(col("n_tokens").desc))
+    // persist at the funnel boundary: everything downstream (the
+    // decontaminate sweep, the budget operator's passes, the shard plan)
+    // would otherwise re-execute the iterative CC subtree per action
+    val afterNear = afterExact.join(
+      dec.where(col("keep")).select("doc_id"), Seq("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNear = afterNear.count()
+    lap("near_dedup")
+
+    // 4. decontaminate vs a held-out eval slice (exhibit: doc_id%101==0)
+    val evalDocs = docs.where(col("doc_id") % 101 === 0)
+    val train = afterNear.where(col("doc_id") % 101 =!= 0)
+    // the curated set is the second boundary: it feeds the budget
+    // aggregate, the budget operator's sketch/offsets/main passes and
+    // the shard plan (the q120 query-level-persist pattern)
+    val clean = Dedup.decontaminate(train, evalDocs, "doc_id", "text",
+      n = 3, minOverlap = 5)
+      .select("doc_id", "source", "q", "n_tokens")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nClean = clean.count()
+    lap("decontaminate")
+
+    // 5. budget: best docs until half the surviving tokens are spent —
+    // clean derives from the cached `scored`, so the operator's sketch/
+    // offsets/main passes all read the cache (flag false, q120 pattern)
+    val budget = clean.agg(sum("n_tokens")).head().getLong(0) / 2
+    val selected = Downsample.selectWithinBudget(
+      clean, "doc_id", "q", "n_tokens", budget)
+
+    // 6. reproducible shards; count per shard forces the full plan
+    val sharded = Packing.deterministicShuffle(
+      selected, "doc_id", "curation-v1", shards = 64)
+    val shardStats = sharded.groupBy("shard_id")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docsOut = shardStats.agg(sum("n")).head().getLong(0)
+    val toksOut = shardStats.agg(sum("toks")).head().getLong(0)
+    lap("budget+shard")
+    val shardSkew = {
+      val r = shardStats.agg(max("n"), min("n")).head()
+      r.getLong(0).toDouble / math.max(1L, r.getLong(1))
+    }
+
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"[curation] in=$docsIn scored=$nScored exact=$nExact " +
+      s"near=$nNear clean=$nClean out=$docsOut tokens_out=$toksOut " +
+      f"shard_skew=$shardSkew%.2f")
+    val d3 = (v: Double) =>
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"metric":"curation_e2e","docs_in":$docsIn,""" +
+      s""""docs_out":$docsOut,"tokens_out":$toksOut,""" +
+      s""""value":${d3(sec)},"unit":"sec",""" +
+      s""""docs_per_sec":${d3(docsIn / sec)},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
