@@ -671,6 +671,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(exact === got)
   }
 
+  test("sourceOverlapMatrix plan: hashed keys on the wire, unhinted joins") {
+    import spark.implicits._
+    val docs = Seq((1L, "A", "a b c d"), (2L, "B", "a b c"))
+      .toDF("doc_id", "source", "text")
+    val plan = graft.dedup.Dedup
+      .sourceOverlapMatrix(docs, "text", "source", 3)
+      .queryExecution.optimizedPlan.toString
+    // the self-join key must be the 60-bit hash (conv/md5 arithmetic),
+    // never the shingle string — strings on the wire is the scale bug
+    assert(plan.contains("conv(substring(md5("), plan.take(2000))
+    // no broadcast HINT anywhere: AQE must stay free to pick SMJ when
+    // the vocabulary outgrows the broadcast frame (the capPerKeyAgg
+    // rationale) — ResolvedHint in the optimized plan would pin it
+    assert(!plan.contains("ResolvedHint"), plan.take(2000))
+    // and no cartesian product: every join is keyed
+    assert(!plan.contains("Cross"), plan.take(2000))
+  }
+
   test("redactPii replaces emails, phones, IPv4 and counts them") {
     import spark.implicits._
     val df = Seq(
