@@ -257,6 +257,68 @@ class OracleFuzzSpec extends SparkSpec {
            |ORDER BY doc_id""".stripMargin)
     }
 
+    // --- sampling family: cap / mix / importance under random params
+    for (v <- 0 until 2) {
+      // q76 shape: capPerKey at a random k (the window group-limit path)
+      val k = 1 + rnd.nextInt(30)
+      info(s"v$v cap: k=$k")
+      dump(s"fz_cap_$v",
+        graft.operators.Downsample.capPerKey(
+          docs.select("doc_id", "source"), "source", "doc_id", k)
+          .orderBy("source", "sample_rank"),
+        s"""WITH h AS (
+           |  SELECT doc_id, source,
+           |    ('0x'||substr(md5('cap#' || doc_id::VARCHAR),1,15))::BIGINT AS hv
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, source,
+           |    CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+           |         AS INT) AS sample_rank
+           |  FROM h)
+           |SELECT doc_id, source, sample_rank FROM r
+           |WHERE sample_rank <= $k ORDER BY source, sample_rank""".stripMargin)
+
+      // q99 shape: mixByWeight at random basis-point rates
+      val rates = (0 to 4).map(i => s"src$i" -> rnd.nextInt(10001)).toMap
+      info(s"v$v mix: rates=$rates")
+      dump(s"fz_mix_$v",
+        graft.operators.Downsample.mixByWeight(
+          docs.select("doc_id", "source"), "source", "doc_id", rates)
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+          .orderBy("source"),
+        s"""WITH b AS (
+           |  SELECT doc_id, source,
+           |    ('0x'||substr(md5('mix#' || doc_id::VARCHAR),1,15))::BIGINT % 10000 AS bucket
+           |  FROM documents),
+           |rates(source, bp) AS (VALUES
+           |  ${rates.toSeq.sorted.map { case (s0, r) => s"('$s0', $r)" }
+                .mkString(", ")})
+           |SELECT b.source, count(*) AS n_kept
+           |FROM b JOIN rates r ON b.source = r.source
+           |WHERE b.bucket < r.bp
+           |GROUP BY b.source ORDER BY b.source""".stripMargin)
+
+      // q108 shape: importanceSample at a random maxBps over a simple
+      // deterministic integer weight (doc_id-derived, engine-portable)
+      val maxBps = 500 + rnd.nextInt(9501)
+      info(s"v$v importance: maxBps=$maxBps")
+      val weighted = docs.select(col("doc_id"),
+        (col("doc_id") % 997 + 1).cast("long").as("w"))
+      dump(s"fz_imp_$v",
+        graft.operators.Downsample.importanceSample(
+          weighted, "doc_id", "w", maxBps).orderBy("doc_id"),
+        s"""WITH w AS (SELECT doc_id, doc_id % 997 + 1 AS w FROM documents),
+           |mx AS (SELECT max(w) AS max_w FROM w),
+           |smp AS (
+           |  SELECT w.doc_id, w.w,
+           |         (w.w * $maxBps) // m.max_w AS rate_bp,
+           |         ('0x'||substr(md5('imp#' || w.doc_id::VARCHAR),1,15))::BIGINT
+           |           % 10000 AS bucket
+           |  FROM w CROSS JOIN mx m)
+           |SELECT doc_id, w, rate_bp
+           |FROM smp WHERE bucket < rate_bp ORDER BY doc_id""".stripMargin)
+    }
+
     // --- q126 shape: sourceOverlapMatrix at random shingle widths
     for (v <- 0 until 2) {
       val n = 2 + rnd.nextInt(3)
