@@ -215,6 +215,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === planted.count())
   }
 
+  test("streaming admission: shuffle-join fallback (broadcastDelta=false) " +
+      "decides identically") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // oversized-delta path: same decisions as the broadcast default — the
+    // fallback changes the join's physical shape, never its semantics
+    val base = Sources.table(spark, sf, "documents")
+      .select("doc_id", "text").where(col("doc_id") < 200)
+    val deltas = (0 to 1).map(i => base.where(col("doc_id") % 2 === i))
+    def runSeq(broadcast: Boolean): Set[(Long, Boolean)] = {
+      val root = Files.createTempDirectory("graft_adm_fb").toString
+      deltas.zipWithIndex.foreach { case (d, i) =>
+        EventStreams.processDedupAdmissionBatch(d, i,
+          root + "/index", root + "/decisions",
+          broadcastDelta = broadcast)
+      }
+      spark.read.parquet(root + "/decisions")
+        .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toSet
+    }
+    assert(runSeq(broadcast = false) === runSeq(broadcast = true))
+  }
+
   test("dedupAdmissionSink wires the admission batch through foreachBatch") {
     import spark.implicits._
     import graft.dedup.Dedup
