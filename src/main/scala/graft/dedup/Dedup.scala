@@ -56,7 +56,7 @@ object Dedup {
     * wiring a NEW source. See [[requireUniqueIds]] for what the probe
     * actually costs at 100 TB — less than the word "extra pass" suggests. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    requireUniqueIds(docs, idCol, "shingles",
+    requireUniqueIds(docs, idCol, "Dedup.shingles",
       "shingle counts downstream would double-count")
     val toks = col("__shingle_toks")
     val grams = transform(
@@ -68,8 +68,10 @@ object Dedup {
       .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
   }
 
-  /** The `graft.dedup.checkIds` debug probe shared by the whole family:
-    * fail loudly on the first duplicated `idCol` value.
+  /** The `graft.dedup.checkIds` debug probe shared by the whole family
+    * (and by [[graft.delta.Incremental.snapshotDiff]] and the rehearsal/
+    * pipeline tools — `op` is the caller's fully-qualified name for the
+    * error message): fail loudly on the first duplicated `idCol` value.
     *
     * COST CONTRACT (what turning the flag on at 100 TB actually costs).
     * The probe is a separate job BEFORE the operator's own, but it is NOT
@@ -98,7 +100,7 @@ object Dedup {
       val dup = df.groupBy(col(idCol)).count()
         .where(col("count") > 1).limit(1).collect()
       require(dup.isEmpty,
-        s"Dedup.$op precondition violated: idCol '$idCol' is not unique " +
+        s"$op precondition violated: idCol '$idCol' is not unique " +
           s"(e.g. ${dup.head.get(0)} appears ${dup.head.getLong(1)} " +
           s"times); $consequence")
     }
@@ -328,10 +330,14 @@ object Dedup {
     * admission sink appends it to the index after deciding, so computing
     * it twice would double the delta's shingle+minhash cost; see
     * [[graft.streaming.EventStreams.processDedupAdmissionBatch]]).
-    * `incomingIds` must be exactly `newBands`' distinct id set projected
-    * from the incoming batch (one row per incoming doc — the output is
-    * one decision per row of it). Same decision rule, preconditions and
-    * scale shape as [[incrementalLshDedup]]. */
+    * `incomingIds` must be the FULL incoming batch's id set, one row per
+    * incoming doc — NOT `newBands`' distinct ids: a doc shorter than
+    * shingleN tokens produces no bands yet still needs its decision row
+    * (it collides with nothing, so it comes out keep=true via the left
+    * joins; deriving incomingIds from the band table would silently drop
+    * such docs from the output, violating one-decision-per-doc). Same
+    * decision rule, preconditions and scale shape as
+    * [[incrementalLshDedup]]. */
   def incrementalLshDedupFromBands(indexBands: DataFrame, newBands: DataFrame,
                                    incomingIds: DataFrame, idCol: String,
                                    broadcastDelta: Boolean = true,
@@ -716,7 +722,7 @@ object Dedup {
       require(!docs.columns.contains(reserved),
         s"Dedup.survivors: docs already has a '$reserved' column — rename " +
           "it first; survivors appends its own")
-    requireUniqueIds(docs, idCol, "survivors",
+    requireUniqueIds(docs, idCol, "Dedup.survivors",
       "keep would elect one keeper per row, not per document")
     val labels = connectedComponents(pairs, maxIter)
       .withColumnRenamed("id", idCol)
@@ -921,7 +927,7 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      window: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
-    requireUniqueIds(docs, idCol, "duplicateSpans",
+    requireUniqueIds(docs, idCol, "Dedup.duplicateSpans",
       "every window of a duplicated row would count as cross-document")
     val wins = spanWindows(docs, idCol, textCol, window)
     val byHash = org.apache.spark.sql.expressions.Window
@@ -1010,7 +1016,7 @@ object Dedup {
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                            window: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
-    requireUniqueIds(docs, idCol, "removeDuplicateSpans",
+    requireUniqueIds(docs, idCol, "Dedup.removeDuplicateSpans",
       "a duplicated id would both self-flag and garble the islands merge")
     val wins = spanWindows(docs, idCol, textCol, window)
     val byHash = org.apache.spark.sql.expressions.Window

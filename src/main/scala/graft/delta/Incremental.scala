@@ -137,16 +137,11 @@ object Incremental {
     * are bucketed by id on disk. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    contentCol: String): DataFrame = {
-    if (oldDf.sparkSession.conf.getOption("graft.dedup.checkIds")
-          .exists(_.toBoolean)) {
-      Seq(("old", oldDf), ("new", newDf)).foreach { case (side, df) =>
-        val dup = df.groupBy(col(idCol)).count()
-          .where(col("count") > 1).limit(1).collect()
-        require(dup.isEmpty,
-          s"Incremental.snapshotDiff precondition violated: idCol " +
-            s"'$idCol' is not unique on the $side side (e.g. " +
-            s"${dup.head.get(0)} appears ${dup.head.getLong(1)} times)")
-      }
+    Seq(("old", oldDf), ("new", newDf)).foreach { case (side, df) =>
+      graft.dedup.Dedup.requireUniqueIds(df, idCol,
+        s"Incremental.snapshotDiff ($side side)",
+        "a duplicated id turns the full outer join into a small " +
+          "cartesian and double-counts every status")
     }
     // Presence is tracked by literal flags, NOT id-nullability: a NULL id
     // is a legal key value here (matched null-safely, the same `<=>`

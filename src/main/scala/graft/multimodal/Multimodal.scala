@@ -59,18 +59,23 @@ object Multimodal {
     * width/height are big-endian u32 at byte offsets 16/20 — hex chars
     * 33-40/41-48 — guarded by the 8-byte signature.
     *
-    * JPEG: dimensions live in the first SOF marker (FFC0-FFC3 for
-    * baseline/progressive), whose position is VARIABLE — JFIF/EXIF/COM
-    * segments of arbitrary length precede it — so a fixed offset is
+    * JPEG: dimensions live in the first SOF marker — ANY of the frame
+    * types FFC0-FFCF except C4 (DHT), C8 (JPG reserved) and CC (DAC),
+    * covering baseline, progressive, lossless and the arithmetic-coded
+    * variants — whose position is VARIABLE: JFIF/EXIF/COM
+    * segments of arbitrary length precede it, so a fixed offset is
     * wrong for real files. This walks the segment chain: a bounded
     * `aggregate` fold (`maxSegments` hops, default 16 — headers hold a
     * handful of APPn/COM/DQT/DHT segments; raise it for EXIF-heavy
-    * corpora) reads each marker, hops 2 + seglen bytes (the length field
+    * corpora; spec-legal FF fill bytes before a marker each consume one
+    * hop too) reads each marker, hops 2 + seglen bytes (the length field
     * counts itself), and stops at SOF (capturing height then width:
     * SOF payload is [len:2][precision:1][h:2][w:2]) or at EOI / a
     * non-FF byte (malformed -> NULL dims, never a throw). The fold is a
     * single whole-stage-codegen expression; entropy-coded data is never
-    * scanned because SOF precedes it in every legal stream.
+    * scanned because SOF precedes it in every legal stream. Standalone
+    * markers that carry no length field (TEM, RSTn) are not expected in
+    * the pre-SOF header region and read as malformed.
     *
     * Output: input columns + format ('png'/'jpeg'/NULL), width, height
     * (NULL when unparseable). Unknown containers pass through with NULL
@@ -91,6 +96,13 @@ object Multimodal {
       s"maxSegments must be in [1, 256], got $maxSegments")
     require(headerBytes >= 32,
       s"headerBytes must cover at least the PNG IHDR (32), got $headerBytes")
+    // the family's reserved-output guard (survivors/selectWithinBudget/...):
+    // a media table that already carries catalog width/height must not have
+    // it silently replaced by parsed (possibly NULL) values
+    Seq("format", "width", "height").foreach(c =>
+      require(!media.columns.contains(c),
+        s"Multimodal.imageDims: media already has a '$c' column — rename " +
+          "it first; imageDims appends its own"))
     val withHex = media.withColumn("__img_hx",
       hex(substring(col(contentCol), 1, headerBytes)))
     val jpegFold = expr(s"""
@@ -103,13 +115,17 @@ object Multimodal {
         (st, i) -> CASE
           WHEN st.done THEN st
           WHEN substring(__img_hx, CAST(st.pos AS INT), 4)
-               IN ('FFC0', 'FFC1', 'FFC2', 'FFC3')
+               IN ('FFC0', 'FFC1', 'FFC2', 'FFC3', 'FFC5', 'FFC6', 'FFC7',
+                   'FFC9', 'FFCA', 'FFCB', 'FFCD', 'FFCE', 'FFCF')
             THEN named_struct('pos', st.pos,
               'h', CAST(conv(substring(__img_hx, CAST(st.pos AS INT) + 10, 4),
                              16, 10) AS BIGINT),
               'w', CAST(conv(substring(__img_hx, CAST(st.pos AS INT) + 14, 4),
                              16, 10) AS BIGINT),
               'done', true)
+          WHEN substring(__img_hx, CAST(st.pos AS INT), 4) = 'FFFF'
+            THEN named_struct('pos', st.pos + 2, 'h', CAST(NULL AS BIGINT),
+                              'w', CAST(NULL AS BIGINT), 'done', false)
           WHEN substring(__img_hx, CAST(st.pos AS INT), 2) <> 'FF'
                OR substring(__img_hx, CAST(st.pos AS INT), 4) = 'FFD9'
             THEN named_struct('pos', st.pos, 'h', CAST(NULL AS BIGINT),

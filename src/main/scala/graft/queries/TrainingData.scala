@@ -1450,8 +1450,12 @@ object TrainingData {
     // the oracle replays BOTH sides in DuckDB: the same hex-concat
     // construction, PNG substr/conv arithmetic, and the segment walk as a
     // recursive CTE — so conv/substring/hex semantics are pinned
-    // cross-engine, not just the end result. Expression-only: no UDF, no
-    // mapPartitions, blobs never shuffle.
+    // cross-engine, not just the end result. The CTE's `iter < 15`
+    // (anchor row included -> 16 walk rows) matches the fold's
+    // sequence(1, 16) exactly: both engines examine the same 16 marker
+    // positions, so a 17th-marker SOF NULLs on both sides instead of
+    // diverging. Expression-only: no UDF, no mapPartitions, blobs never
+    // shuffle.
     Q("q125_image_header_dims",
       (s, dir) => Multimodal.imageDims(
           Multimodal.synthImageBytes(t(s, dir, "documents"), "doc_id"))
@@ -1482,12 +1486,17 @@ object TrainingData {
              |  FROM d WHERE hx LIKE 'FFD8%'
              |  UNION ALL
              |  SELECT media_id, hx,
-             |    pos + 4 + 2 * CAST(('0x' ||
-             |      substr(hx, CAST(pos AS INT) + 4, 4)) AS BIGINT), iter + 1
+             |    CASE WHEN substr(hx, CAST(pos AS INT), 4) = 'FFFF'
+             |         THEN pos + 2
+             |         ELSE pos + 4 + 2 * CAST(('0x' ||
+             |           substr(hx, CAST(pos AS INT) + 4, 4)) AS BIGINT)
+             |    END, iter + 1
              |  FROM walk
-             |  WHERE iter < 16
+             |  WHERE iter < 15
              |    AND substr(hx, CAST(pos AS INT), 4)
-             |        NOT IN ('FFC0', 'FFC1', 'FFC2', 'FFC3', 'FFD9')
+             |        NOT IN ('FFC0', 'FFC1', 'FFC2', 'FFC3', 'FFC5', 'FFC6',
+             |                'FFC7', 'FFC9', 'FFCA', 'FFCB', 'FFCD', 'FFCE',
+             |                'FFCF', 'FFD9')
              |    AND substr(hx, CAST(pos AS INT), 2) = 'FF'),
              |sof AS (
              |  SELECT media_id,
@@ -1495,7 +1504,9 @@ object TrainingData {
              |    CAST(('0x'||substr(hx, CAST(pos AS INT) + 14, 4)) AS BIGINT) AS w
              |  FROM walk
              |  WHERE substr(hx, CAST(pos AS INT), 4)
-             |        IN ('FFC0', 'FFC1', 'FFC2', 'FFC3'))
+             |        IN ('FFC0', 'FFC1', 'FFC2', 'FFC3', 'FFC5', 'FFC6',
+             |            'FFC7', 'FFC9', 'FFCA', 'FFCB', 'FFCD', 'FFCE',
+             |            'FFCF'))
              |SELECT d.media_id,
              |  CASE WHEN hx LIKE '89504E470D0A1A0A%' THEN 'png'
              |       WHEN hx LIKE 'FFD8%' THEN 'jpeg' END AS format,

@@ -230,12 +230,20 @@ object EventStreams {
                                  broadcastDelta: Boolean = true): Unit = {
     val spark = batch.sparkSession
     import graft.dedup.Dedup
+    // the empty first-batch index derives its id type from the BATCH, not
+    // a hardcoded Long: a string-id corpus would otherwise write batch 0's
+    // decisions with a bigint dup_of_index and every later batch with a
+    // string one — the decisions store becomes unreadable as a whole
     val idx = graft.pipeline.Pipeline.readAccumulated(spark, indexPath)
       .map(_.where(col("batch_id") < batchId)
         .select(col(idCol), col("band"), col("sig")))
       .getOrElse {
-        import spark.implicits._
-        Seq.empty[(Long, Int, String)].toDF(idCol, "band", "sig")
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField(idCol, batch.schema(idCol).dataType),
+            StructField("band", IntegerType),
+            StructField("sig", StringType))))
       }
     val newBands = Dedup.lshBands(
       Dedup.minhashWide(

@@ -69,7 +69,7 @@ object CurationBench {
     // one uniqueness probe covers the whole family chain (the
     // requireUniqueIds contract) — then the flag goes off
     spark.conf.set("graft.dedup.checkIds", "true")
-    try Dedup.requireUniqueIds(scored, "doc_id", "curation",
+    try Dedup.requireUniqueIds(scored, "doc_id", "CurationBench",
       "every downstream dedup decision would double-count")
     finally spark.conf.unset("graft.dedup.checkIds")
 

@@ -213,7 +213,14 @@ class TrainingDataSpec extends SparkSpec {
       "03012200021101031101" + "FFD9"
     val truncated = "FFD8FFE0"    // walk runs off the end -> NULL dims
     val garbage = "DEADBEEF"      // unknown container -> NULL format
-    val media = Seq((1L, png), (2L, jpeg), (3L, truncated), (4L, garbage))
+    // spec-legal FF fill bytes before a marker (B.1.1.2: "any marker may
+    // optionally be preceded by any number of fill bytes"), and a
+    // non-baseline SOF9 (arithmetic-coded extended sequential) — both
+    // shapes a naive FFC0-only fixed walk mis-parses
+    val padded = "FFD8" + "FFFF" + "FFE000104A46494600010100000100010000" +
+      "FF" + "FFC9001108" + "0007" + "0005" + "03012200021101031101" + "FFD9"
+    val media = Seq((1L, png), (2L, jpeg), (3L, truncated), (4L, garbage),
+        (5L, padded))
       .toDF("media_id", "hx")
       .select($"media_id", unhex($"hx").as("content"))
     val got = Multimodal.imageDims(media)
@@ -224,7 +231,13 @@ class TrainingDataSpec extends SparkSpec {
       (1L, Some("png"), Some(1L), Some(2L)),
       (2L, Some("jpeg"), Some(240L), Some(320L)),
       (3L, Some("jpeg"), None, None),
-      (4L, None, None, None)))
+      (4L, None, None, None),
+      (5L, Some("jpeg"), Some(5L), Some(7L)))) // fill bytes hopped, SOF9 read
+    // appending onto existing width/height metadata is refused, never
+    // silently overwritten (the family's reserved-column guard)
+    intercept[IllegalArgumentException] {
+      Multimodal.imageDims(media.withColumn("width", lit(1)))
+    }
   }
 
   test("imageDims: bounded header prefix, no shuffle in the plan") {
