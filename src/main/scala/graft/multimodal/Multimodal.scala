@@ -98,8 +98,10 @@ object Multimodal {
       s"headerBytes must cover at least the PNG IHDR (32), got $headerBytes")
     // the family's reserved-output guard (survivors/selectWithinBudget/...):
     // a media table that already carries catalog width/height must not have
-    // it silently replaced by parsed (possibly NULL) values
-    Seq("format", "width", "height").foreach(c =>
+    // it silently replaced by parsed (possibly NULL) values. The temp
+    // columns are guarded too — an input already carrying __img_hx would be
+    // silently overwritten and then dropped.
+    Seq("format", "width", "height", "__img_hx", "__img_sof").foreach(c =>
       require(!media.columns.contains(c),
         s"Multimodal.imageDims: media already has a '$c' column — rename " +
           "it first; imageDims appends its own"))
@@ -161,21 +163,25 @@ object Multimodal {
     * JFIF APP0 segment AND a variable-length COM segment (id-derived, 3-34
     * bytes) BEFORE the SOF0 — so a fixed-offset "parser" reads garbage and
     * only a real segment walk finds the dimensions. Dimensions are
-    * id-derived (w = 16 + id % 1024, h = 16 + (7 id) % 768), payloads are
-    * md5-derived filler. Pure hex-string concatenation + unhex, replayable
-    * verbatim in the oracle. */
+    * id-derived (w = 16 + pmod(id, 1024), h = 16 + pmod(7 id, 768) — pmod,
+    * not %, so a negative id cannot produce a negative residue whose
+    * hex() is 16 chars wide and gets TRUNCATED by the lpad, nor a
+    * Spark-vs-DuckDB '%' sign divergence), payloads are md5-derived
+    * filler. Pure hex-string concatenation + unhex, replayable verbatim
+    * in the oracle (which uses the ((x % m) + m) % m idiom for the same
+    * pmod). */
   def synthImageBytes(docs: DataFrame, idCol: String): DataFrame = {
     val id = col(idCol)
-    val w4 = lpad(hex(lit(16) + id % 1024), 8, "0") // PNG u32 width
-    val h4 = lpad(hex(lit(16) + (id * 7) % 768), 8, "0")
-    val w2 = lpad(hex(lit(16) + id % 1024), 4, "0") // JPEG u16 width
-    val h2 = lpad(hex(lit(16) + (id * 7) % 768), 4, "0")
+    val w4 = lpad(hex(lit(16) + pmod(id, lit(1024))), 8, "0") // PNG u32 width
+    val h4 = lpad(hex(lit(16) + pmod(id * 7, lit(768))), 8, "0")
+    val w2 = lpad(hex(lit(16) + pmod(id, lit(1024))), 4, "0") // JPEG u16 width
+    val h2 = lpad(hex(lit(16) + pmod(id * 7, lit(768))), 4, "0")
     // 64 hex chars of filler: the COM payload runs to 32 BYTES, so a
     // single 32-char md5 would under-fill the declared segment length and
     // desync the walk
     val fill = repeat(upper(md5(id.cast(StringType))), 2)
     // COM payload: 1-32 filler bytes -> segment length 3-34 incl the field
-    val comBytes = (id % 32 + 1).cast(IntegerType)
+    val comBytes = (pmod(id, lit(32)) + 1).cast(IntegerType)
     val comLen = lpad(hex(comBytes + 2), 4, "0")
     val png = concat(
       lit("89504E470D0A1A0A"), // signature
@@ -193,7 +199,7 @@ object Multimodal {
       lit("FFD9")) // EOI
     docs.select(
       id.as("media_id"),
-      unhex(when(id % 2 === 0, png).otherwise(jpeg)).as("content"))
+      unhex(when(pmod(id, lit(2)) === 0, png).otherwise(jpeg)).as("content"))
   }
 
   /** STUB decoder: a real implementation would parse the codec and emit

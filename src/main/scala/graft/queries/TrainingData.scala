@@ -1462,22 +1462,26 @@ object TrainingData {
         .select(col("media_id"), col("format"), col("width"), col("height"),
           octet_length(col("content")).cast(LongType).as("n_bytes"))
         .orderBy("media_id"),
+      // pmod via ((x % m) + m) % m — matches synthImageBytes' pmod so a
+      // negative-id corpus builds the same bytes on both sides; TRY_CAST
+      // in the walk/sof hex hops so a walk that runs off the string NULLs
+      // (matching Spark's conv('') -> NULL) instead of erroring the oracle
       Some("""WITH RECURSIVE d AS (
              |  SELECT doc_id AS media_id,
-             |    CASE WHEN doc_id % 2 = 0 THEN
+             |    CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN
              |      '89504E470D0A1A0A' || '0000000D49484452' ||
-             |      lpad(hex(16 + doc_id % 1024), 8, '0') ||
-             |      lpad(hex(16 + (doc_id * 7) % 768), 8, '0') ||
+             |      lpad(hex(16 + ((doc_id % 1024) + 1024) % 1024), 8, '0') ||
+             |      lpad(hex(16 + (((doc_id * 7) % 768) + 768) % 768), 8, '0') ||
              |      '0806000000' ||
              |      substr(repeat(upper(md5(doc_id::VARCHAR)), 2), 1, 8)
              |    ELSE
              |      'FFD8' || 'FFE000104A46494600010100000100010000' ||
-             |      'FFFE' || lpad(hex(doc_id % 32 + 3), 4, '0') ||
+             |      'FFFE' || lpad(hex(((doc_id % 32) + 32) % 32 + 3), 4, '0') ||
              |      substr(repeat(upper(md5(doc_id::VARCHAR)), 2), 1,
-             |             CAST((doc_id % 32 + 1) * 2 AS INT)) ||
+             |             CAST((((doc_id % 32) + 32) % 32 + 1) * 2 AS INT)) ||
              |      'FFC00011' || '08' ||
-             |      lpad(hex(16 + (doc_id * 7) % 768), 4, '0') ||
-             |      lpad(hex(16 + doc_id % 1024), 4, '0') ||
+             |      lpad(hex(16 + (((doc_id * 7) % 768) + 768) % 768), 4, '0') ||
+             |      lpad(hex(16 + ((doc_id % 1024) + 1024) % 1024), 4, '0') ||
              |      '03012200021101031101' || 'FFD9'
              |    END AS hx
              |  FROM documents),
@@ -1488,7 +1492,7 @@ object TrainingData {
              |  SELECT media_id, hx,
              |    CASE WHEN substr(hx, CAST(pos AS INT), 4) = 'FFFF'
              |         THEN pos + 2
-             |         ELSE pos + 4 + 2 * CAST(('0x' ||
+             |         ELSE pos + 4 + 2 * TRY_CAST(('0x' ||
              |           substr(hx, CAST(pos AS INT) + 4, 4)) AS BIGINT)
              |    END, iter + 1
              |  FROM walk
@@ -1500,8 +1504,8 @@ object TrainingData {
              |    AND substr(hx, CAST(pos AS INT), 2) = 'FF'),
              |sof AS (
              |  SELECT media_id,
-             |    CAST(('0x'||substr(hx, CAST(pos AS INT) + 10, 4)) AS BIGINT) AS h,
-             |    CAST(('0x'||substr(hx, CAST(pos AS INT) + 14, 4)) AS BIGINT) AS w
+             |    TRY_CAST(('0x'||substr(hx, CAST(pos AS INT) + 10, 4)) AS BIGINT) AS h,
+             |    TRY_CAST(('0x'||substr(hx, CAST(pos AS INT) + 14, 4)) AS BIGINT) AS w
              |  FROM walk
              |  WHERE substr(hx, CAST(pos AS INT), 4)
              |        IN ('FFC0', 'FFC1', 'FFC2', 'FFC3', 'FFC5', 'FFC6',

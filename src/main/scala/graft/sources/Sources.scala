@@ -164,7 +164,12 @@ object Sources {
     *    pruning);
     *  - tmp path derives from the normalized Path, never string concat
     *    (a trailing slash would nest tmp INSIDE the source and the swap
-    *    would delete both copies);
+    *    would delete both copies); its name starts with `_`, which Spark's
+    *    file readers skip — so when the compacted target is one PARTITION
+    *    of a larger table (e.g. the admission index's `batch_id=N` dirs,
+    *    whose sibling tmp lands inside the table root), a crash-stranded
+    *    tmp is invisible to partition discovery instead of poisoning the
+    *    partition column's inferred type;
     *  - already-compact directories return without rewriting.
     * The delete+rename swap is crash-windowed, not atomic: a crash
     * between the two strands the (complete) data under `__compacting`,
@@ -179,7 +184,7 @@ object Sources {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
     val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
-      dir.getName + "__compacting")
+      "_" + dir.getName + "__compacting")
     if (fs.exists(tmp)) {
       if (!fs.exists(dir)) { // crashed between delete and rename: complete it
         require(fs.rename(tmp, dir), s"recovery rename $tmp -> $dir failed")

@@ -220,14 +220,20 @@ object EventStreams {
     * with zero shuffle (partition-pruned to prior batches), delta side
     * broadcast with the `broadcastDelta = false` fallback for oversized
     * batches. The index grows by ~bands rows per admitted doc per batch;
-    * compact old partitions offline when file counts matter. */
+    * [[compactAdmissionIndex]] is the matching maintenance op when file
+    * counts matter. `probeParts`/`saltBuckets` forward to the within-batch
+    * [[graft.dedup.Dedup.lshCandidates]] self-join (same hot-bucket
+    * salting fallback the batch family has; defaults leave AQE in
+    * charge). */
   def processDedupAdmissionBatch(batch: DataFrame, batchId: Long,
                                  indexPath: String, decisionsPath: String,
                                  idCol: String = "doc_id",
                                  textCol: String = "text",
                                  shingleN: Int = 3, numHashes: Int = 16,
                                  bands: Int = 4,
-                                 broadcastDelta: Boolean = true): Unit = {
+                                 broadcastDelta: Boolean = true,
+                                 probeParts: Int = -1,
+                                 saltBuckets: Int = 0): Unit = {
     val spark = batch.sparkSession
     import graft.dedup.Dedup
     // the empty first-batch index derives its id type from the BATCH, not
@@ -252,7 +258,8 @@ object EventStreams {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val decisions = Dedup.incrementalLshDedupFromBands(
-        idx, newBands, batch.select(col(idCol)), idCol, broadcastDelta)
+        idx, newBands, batch.select(col(idCol)), idCol, broadcastDelta,
+        probeParts, saltBuckets)
       decisions.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -275,13 +282,45 @@ object EventStreams {
   def dedupAdmissionSink(docs: DataFrame, indexPath: String,
                          decisionsPath: String, idCol: String = "doc_id",
                          textCol: String = "text", shingleN: Int = 3,
-                         numHashes: Int = 16, bands: Int = 4): StreamingQuery =
+                         numHashes: Int = 16, bands: Int = 4,
+                         broadcastDelta: Boolean = true,
+                         probeParts: Int = -1,
+                         saltBuckets: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDedupAdmissionBatch(batch, batchId, indexPath, decisionsPath,
-          idCol, textCol, shingleN, numHashes, bands)
+          idCol, textCol, shingleN, numHashes, bands, broadcastDelta,
+          probeParts, saltBuckets)
       }
       .start()
+
+  /** Admission-index maintenance: compact every `batch_id=N` partition of
+    * the accreting band-signature index into ~`targetFileBytes` files.
+    * Each admission batch appends one small file set under its partition;
+    * over thousands of batches that is a listing/planning tax on every
+    * subsequent batch's pruned index scan, so compaction is the standing
+    * maintenance op ([[graft.sources.Sources.compactParquet]] per
+    * partition directory — the index is partitioned, so the root-level
+    * compactor correctly refuses it). Decisions are UNCHANGED by
+    * compaction: the gate reads (id, band, sig) filtered on `batch_id`,
+    * and a per-partition rewrite preserves exactly that set (StreamingSpec
+    * proves bit-equality of post-compaction decisions). Run it between
+    * batches — compactParquet is not safe against a concurrent writer to
+    * the SAME partition, and old partitions are never written again.
+    * Returns (partitions compacted, total resulting files). */
+  def compactAdmissionIndex(spark: SparkSession, indexPath: String,
+                            targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(indexPath))
+    if (!fs.exists(root)) return (0, 0) // no index yet: nothing to compact
+    val parts = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    val counts = parts.map(p =>
+      graft.sources.Sources.compactParquet(spark, p.getPath.toString,
+        targetFileBytes))
+    (parts.length, counts.sum)
+  }
 }
