@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -77,9 +77,24 @@ object Multimodal {
     * markers that carry no length field (TEM, RSTn) are not expected in
     * the pre-SOF header region and read as malformed.
     *
-    * Output: input columns + format ('png'/'jpeg'/NULL), width, height
-    * (NULL when unparseable). Unknown containers pass through with NULL
-    * format — filter, don't fail, at corpus scale.
+    * GIF: both signatures (GIF87a/GIF89a); logical-screen width/height
+    * are LITTLE-endian u16 at bytes 6/8 — the one format here whose
+    * dimension bytes are LE, so the byte-swap is load-bearing, not a
+    * convention choice (a BE read of a 1024x17 GIF yields 4+4352).
+    *
+    * WebP: RIFF('RIFF' + size + 'WEBP') then one chunk hop on the first
+    * chunk fourcc: 'VP8 ' (lossy — dims as 14-bit LE u16 pair after the
+    * 9D012A start code, which is verified: no start code, no dims),
+    * 'VP8L' (lossless — 0x2F signature byte then 14+14 bits packed
+    * LSB-first in a LE u32, both stored minus-one), 'VP8X' (extended —
+    * canvas w-1/h-1 as LE u24 pairs). All three live at fixed offsets
+    * once the fourcc is known, so this is a 1-hop parse, not a fold.
+    *
+    * Output: input columns + format ('png'/'jpeg'/'gif'/'webp'/NULL),
+    * width, height (NULL when unparseable). Unknown containers pass
+    * through with NULL format — filter, don't fail, at corpus scale.
+    * Truncated-header reads are length-guarded: a prefix shorter than a
+    * format's dimension field yields NULL, never a partial-bytes value.
     *
     * `headerBytes` bounds how much of the blob is hexed: a header parse
     * must never materialize 2x a multi-MB image per row, so only the
@@ -140,19 +155,55 @@ object Multimodal {
             'done', false)
         END,
         st -> st)""")
+    val hx = col("__img_hx")
+    // little-endian read: nBytes byte pairs starting at 1-based hex char
+    // `at`, reassembled most-significant-first before the base-16 parse.
+    // Callers length-guard: a short hex string would CONCAT PARTIAL byte
+    // pairs into a smaller-but-plausible value, not NULL.
+    def le(at: Int, nBytes: Int): Column =
+      conv(concat((nBytes - 1 to 0 by -1).map(i =>
+        substring(hx, at + 2 * i, 2)): _*), 16, 10).cast(LongType)
+    def hexLen(chars: Int): Column = length(hx) >= chars
+    val fourcc = substring(hx, 25, 8) // first RIFF chunk type after 'WEBP'
+    def webpDim(first: Boolean): Column = {
+      // VP8 bitstream (4.1): 3-byte frame tag, then start code 9D 01 2A,
+      // then 16-bit LE width/height whose top 2 bits are rescale hints
+      val vp8 = when(hexLen(60) && substring(hx, 47, 6) === "9D012A",
+        pmod(le(if (first) 53 else 57, 2), lit(16384)))
+      // VP8L (lossless spec 3): 0x2F signature, then u32 LE packing
+      // width-1 (bits 0-13) and height-1 (bits 14-27)
+      val b = le(43, 4)
+      val vp8l = when(hexLen(50) && substring(hx, 41, 2) === "2F",
+        (if (first) pmod(b, lit(16384))
+         else pmod(shiftright(b, 14), lit(16384))) + 1)
+      // VP8X (extended): flags byte + 3 reserved, then canvas w-1 / h-1
+      // as back-to-back LE u24
+      val vp8x = when(hexLen(60), le(if (first) 49 else 55, 3) + 1)
+      when(fourcc === "56503820", vp8)
+        .when(fourcc === "5650384C", vp8l)
+        .when(fourcc === "56503858", vp8x)
+    }
     withHex
       .withColumn("format",
-        when(col("__img_hx").startsWith("89504E470D0A1A0A"), "png")
-          .when(col("__img_hx").startsWith("FFD8"), "jpeg"))
+        when(hx.startsWith("89504E470D0A1A0A"), "png")
+          .when(hx.startsWith("FFD8"), "jpeg")
+          .when(hx.startsWith("474946383761") ||
+            hx.startsWith("474946383961"), "gif")
+          .when(hx.startsWith("52494646") &&
+            substring(hx, 17, 8) === "57454250", "webp"))
       .withColumn("__img_sof", when(col("format") === "jpeg", jpegFold))
       .withColumn("width",
         when(col("format") === "png",
-          conv(substring(col("__img_hx"), 33, 8), 16, 10).cast(LongType))
-          .when(col("format") === "jpeg", col("__img_sof.w")))
+          conv(substring(hx, 33, 8), 16, 10).cast(LongType))
+          .when(col("format") === "jpeg", col("__img_sof.w"))
+          .when(col("format") === "gif" && hexLen(20), le(13, 2))
+          .when(col("format") === "webp", webpDim(first = true)))
       .withColumn("height",
         when(col("format") === "png",
-          conv(substring(col("__img_hx"), 41, 8), 16, 10).cast(LongType))
-          .when(col("format") === "jpeg", col("__img_sof.h")))
+          conv(substring(hx, 41, 8), 16, 10).cast(LongType))
+          .when(col("format") === "jpeg", col("__img_sof.h"))
+          .when(col("format") === "gif" && hexLen(20), le(17, 2))
+          .when(col("format") === "webp", webpDim(first = false)))
       .drop("__img_hx", "__img_sof")
   }
 
@@ -200,6 +251,62 @@ object Multimodal {
     docs.select(
       id.as("media_id"),
       unhex(when(pmod(id, lit(2)) === 0, png).otherwise(jpeg)).as("content"))
+  }
+
+  /** Deterministic VALID GIF/WebP container exhibit bytes — the test/demo
+    * source for [[imageDims]]'s web-format branches (pmod(id, 5) picks
+    * GIF87a / VP8 / GIF89a / VP8L / VP8X). Same id-derived dimensions as
+    * [[synthImageBytes]] (w = 16 + pmod(id, 1024), h = 16 + pmod(7 id,
+    * 768)); every multi-byte field is LITTLE-endian per the specs (the
+    * trap this family exists to pin: GIF u16, VP8 u16, VP8L packed u32,
+    * VP8X u24 — a generator+parser pair that both read big-endian would
+    * round-trip while being wrong on every real file, which is why the
+    * unit spec checks hand-assembled golden headers too). Pure hex
+    * concat + unhex, replayable verbatim in the q127 oracle. */
+  def synthWebImageBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val w = lit(16) + pmod(id, lit(1024))
+    val h = lit(16) + pmod(id * 7, lit(768))
+    def le2(v: Column): Column = { // u16 LE hex
+      val be = lpad(hex(v), 4, "0")
+      concat(substring(be, 3, 2), substring(be, 1, 2))
+    }
+    def le3(v: Column): Column = { // u24 LE hex
+      val be = lpad(hex(v), 6, "0")
+      concat(substring(be, 5, 2), substring(be, 3, 2), substring(be, 1, 2))
+    }
+    def le4(v: Column): Column = { // u32 LE hex
+      val be = lpad(hex(v), 8, "0")
+      concat(substring(be, 7, 2), substring(be, 5, 2), substring(be, 3, 2),
+        substring(be, 1, 2))
+    }
+    val fill = upper(md5(id.cast(StringType))) // 16 bytes of payload filler
+    def gif(sig: String) = concat(
+      lit(sig), le2(w), le2(h),
+      lit("910000"), // packed fields, bg index, aspect
+      substring(fill, 1, 16), lit("3B")) // filler + trailer
+    val riff = lit("52494646")
+    val webpTag = lit("57454250")
+    // VP8 chunk payload: frame tag (3) + start code (3) + dims (4) +
+    // filler (8) = 18 bytes; RIFF size = 4 ('WEBP') + 8 (chunk hdr) + 18
+    val vp8 = concat(riff, lit("1E000000"), webpTag,
+      lit("56503820"), lit("12000000"),
+      lit("D00100"), lit("9D012A"), le2(w), le2(h), substring(fill, 1, 16))
+    // VP8L payload: 0x2F sig (1) + packed u32 (4) + filler (8) = 13
+    val vp8l = concat(riff, lit("19000000"), webpTag,
+      lit("5650384C"), lit("0D000000"),
+      lit("2F"), le4((w - 1) + (h - 1) * 16384), substring(fill, 1, 16))
+    // VP8X payload: flags (1) + reserved (3) + w-1 u24 + h-1 u24 = 10
+    val vp8x = concat(riff, lit("16000000"), webpTag,
+      lit("56503858"), lit("0A000000"),
+      lit("00"), lit("000000"), le3(w - 1), le3(h - 1))
+    docs.select(
+      id.as("media_id"),
+      unhex(when(pmod(id, lit(5)) === 0, gif("474946383761"))
+        .when(pmod(id, lit(5)) === 1, vp8)
+        .when(pmod(id, lit(5)) === 2, gif("474946383961"))
+        .when(pmod(id, lit(5)) === 3, vp8l)
+        .otherwise(vp8x)).as("content"))
   }
 
   /** STUB decoder: a real implementation would parse the codec and emit

@@ -1524,6 +1524,103 @@ object TrainingData {
              |FROM d LEFT JOIN sof USING (media_id)
              |ORDER BY media_id""".stripMargin)),
 
+    // Web-format image headers (Multimodal.imageDims GIF/WebP branches):
+    // GIF87a/GIF89a logical-screen dims (LITTLE-endian u16 — the format
+    // whose endianness a PNG-shaped parser gets wrong), and all three
+    // WebP first-chunk layouts — VP8 (gated on the 9D012A start code),
+    // VP8L (14+14 bits packed LSB-first in a LE u32, stored minus-one),
+    // VP8X (LE u24 canvas minus-one pair). Bytes are synthesized valid
+    // containers (Multimodal.synthWebImageBytes, pmod(id,5) variant mix);
+    // the oracle replays BOTH the construction (same hex concat, LE
+    // byte-swaps spelled out) and the positional parse arithmetic in
+    // DuckDB, so the byte-swap/packing semantics are pinned cross-engine.
+    // Hand-assembled golden headers (independent of the generator) live
+    // in TrainingDataSpec — a construct/parse-symmetric endianness bug
+    // cannot cancel out there. Expression-only; blobs never shuffle.
+    Q("q127_web_image_dims",
+      (s, dir) => Multimodal.imageDims(
+          Multimodal.synthWebImageBytes(t(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          octet_length(col("content")).cast(LongType).as("n_bytes"))
+        .orderBy("media_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id AS media_id,
+             |    16 + ((doc_id % 1024) + 1024) % 1024 AS w,
+             |    16 + (((doc_id * 7) % 768) + 768) % 768 AS h,
+             |    ((doc_id % 5) + 5) % 5 AS v,
+             |    upper(md5(doc_id::VARCHAR)) AS fill
+             |  FROM documents),
+             |le AS (
+             |  SELECT media_id, v, fill,
+             |    substr(lpad(hex(w),4,'0'),3,2) || substr(lpad(hex(w),4,'0'),1,2) AS wle2,
+             |    substr(lpad(hex(h),4,'0'),3,2) || substr(lpad(hex(h),4,'0'),1,2) AS hle2,
+             |    substr(lpad(hex(w-1),6,'0'),5,2) || substr(lpad(hex(w-1),6,'0'),3,2)
+             |      || substr(lpad(hex(w-1),6,'0'),1,2) AS wm1le3,
+             |    substr(lpad(hex(h-1),6,'0'),5,2) || substr(lpad(hex(h-1),6,'0'),3,2)
+             |      || substr(lpad(hex(h-1),6,'0'),1,2) AS hm1le3,
+             |    substr(lpad(hex((w-1)+(h-1)*16384),8,'0'),7,2)
+             |      || substr(lpad(hex((w-1)+(h-1)*16384),8,'0'),5,2)
+             |      || substr(lpad(hex((w-1)+(h-1)*16384),8,'0'),3,2)
+             |      || substr(lpad(hex((w-1)+(h-1)*16384),8,'0'),1,2) AS ble4
+             |  FROM d),
+             |enc AS (
+             |  SELECT media_id,
+             |    CASE v
+             |      WHEN 0 THEN '474946383761' || wle2 || hle2 || '910000'
+             |                  || substr(fill,1,16) || '3B'
+             |      WHEN 2 THEN '474946383961' || wle2 || hle2 || '910000'
+             |                  || substr(fill,1,16) || '3B'
+             |      WHEN 1 THEN '52494646' || '1E000000' || '57454250'
+             |                  || '56503820' || '12000000' || 'D00100'
+             |                  || '9D012A' || wle2 || hle2 || substr(fill,1,16)
+             |      WHEN 3 THEN '52494646' || '19000000' || '57454250'
+             |                  || '5650384C' || '0D000000' || '2F' || ble4
+             |                  || substr(fill,1,16)
+             |      ELSE '52494646' || '16000000' || '57454250'
+             |           || '56503858' || '0A000000' || '00' || '000000'
+             |           || wm1le3 || hm1le3
+             |    END AS hx
+             |  FROM le),
+             |p AS (
+             |  SELECT media_id, hx,
+             |    CASE WHEN hx LIKE '474946383761%' OR hx LIKE '474946383961%'
+             |           THEN 'gif'
+             |         WHEN hx LIKE '52494646%' AND substr(hx,17,8) = '57454250'
+             |           THEN 'webp' END AS format,
+             |    substr(hx,25,8) AS fourcc,
+             |    TRY_CAST('0x'||substr(hx,49,2)||substr(hx,47,2)
+             |             ||substr(hx,45,2)||substr(hx,43,2) AS BIGINT) AS b
+             |  FROM enc)
+             |SELECT media_id, format,
+             |  CAST(CASE
+             |    WHEN format = 'gif' AND length(hx) >= 20
+             |      THEN TRY_CAST('0x'||substr(hx,15,2)||substr(hx,13,2) AS BIGINT)
+             |    WHEN format = 'webp' AND fourcc = '56503820'
+             |         AND length(hx) >= 60 AND substr(hx,47,6) = '9D012A'
+             |      THEN TRY_CAST('0x'||substr(hx,55,2)||substr(hx,53,2) AS BIGINT) % 16384
+             |    WHEN format = 'webp' AND fourcc = '5650384C'
+             |         AND length(hx) >= 50 AND substr(hx,41,2) = '2F'
+             |      THEN b % 16384 + 1
+             |    WHEN format = 'webp' AND fourcc = '56503858' AND length(hx) >= 60
+             |      THEN TRY_CAST('0x'||substr(hx,53,2)||substr(hx,51,2)
+             |                    ||substr(hx,49,2) AS BIGINT) + 1
+             |  END AS BIGINT) AS width,
+             |  CAST(CASE
+             |    WHEN format = 'gif' AND length(hx) >= 20
+             |      THEN TRY_CAST('0x'||substr(hx,19,2)||substr(hx,17,2) AS BIGINT)
+             |    WHEN format = 'webp' AND fourcc = '56503820'
+             |         AND length(hx) >= 60 AND substr(hx,47,6) = '9D012A'
+             |      THEN TRY_CAST('0x'||substr(hx,59,2)||substr(hx,57,2) AS BIGINT) % 16384
+             |    WHEN format = 'webp' AND fourcc = '5650384C'
+             |         AND length(hx) >= 50 AND substr(hx,41,2) = '2F'
+             |      THEN (b // 16384) % 16384 + 1
+             |    WHEN format = 'webp' AND fourcc = '56503858' AND length(hx) >= 60
+             |      THEN TRY_CAST('0x'||substr(hx,59,2)||substr(hx,57,2)
+             |                    ||substr(hx,55,2) AS BIGINT) + 1
+             |  END AS BIGINT) AS height,
+             |  CAST(length(hx) // 2 AS BIGINT) AS n_bytes
+             |FROM p ORDER BY media_id""".stripMargin)),
+
     // ---- Events: streaming-shaped batch ops ---------------------------
 
     // Hourly windowed aggregation (batch form of the streaming window agg;

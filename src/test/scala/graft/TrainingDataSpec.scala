@@ -240,6 +240,63 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("imageDims: golden GIF/WebP headers, LE byte order, malformed -> NULL") {
+    // GOLDEN bytes hand-assembled against the container specs — NOT the
+    // synth generator, so a generator+parser pair that both get the
+    // little-endian byte swaps wrong cannot round-trip its way past this.
+    // 300x200 GIF: 300 = 0x012C stored LE '2C01', 200 = 0xC8 -> 'C800'
+    val gif = "474946383961" + "2C01" + "C800" + "F70000" + "3B"
+    // 176x144 VP8: width LE 'B000'; HEIGHT field carries a scale hint in
+    // its top 2 bits (144 | 1<<14 = 0x4090, LE '9040') which the parser
+    // must mask off — a raw u16 read returns 16528
+    val vp8 = "52494646" + "16000000" + "57454250" + "56503820" +
+      "0A000000" + "9C0100" + "9D012A" + "B000" + "9040"
+    // 2x3 VP8L: packed u32 = (2-1) | ((3-1)<<14) = 0x8001, LE '01800000'
+    val vp8l = "52494646" + "11000000" + "57454250" + "5650384C" +
+      "05000000" + "2F" + "01800000"
+    // 16384x1 VP8X (a canvas WIDER than VP8's 14-bit limit — the case the
+    // extended container exists for): w-1 = 16383 = 0x003FFF LE 'FF3F00'
+    val vp8x = "52494646" + "16000000" + "57454250" + "56503858" +
+      "0A000000" + "00" + "000000" + "FF3F00" + "000000"
+    // malformed: VP8 chunk without the 9D012A start code; GIF truncated
+    // before its height field (partial-byte reads must NULL, not invent)
+    val noStart = "52494646" + "16000000" + "57454250" + "56503820" +
+      "0A000000" + "9C0100" + "AAAAAA" + "B000" + "9000"
+    val shortGif = "474946383961" + "2C01" + "C8"
+    val media = Seq((1L, gif), (2L, vp8), (3L, vp8l), (4L, vp8x),
+        (5L, noStart), (6L, shortGif))
+      .toDF("media_id", "hx")
+      .select($"media_id", unhex($"hx").as("content"))
+    val got = Multimodal.imageDims(media)
+      .select($"media_id", $"format", $"width", $"height")
+      .as[(Long, Option[String], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("gif"), Some(300L), Some(200L)),
+      (2L, Some("webp"), Some(176L), Some(144L)),
+      (3L, Some("webp"), Some(2L), Some(3L)),
+      (4L, Some("webp"), Some(16384L), Some(1L)),
+      (5L, Some("webp"), None, None),
+      (6L, Some("gif"), None, None)))
+  }
+
+  test("imageDims round-trips synthWebImageBytes across the corpus") {
+    // every synthesized GIF/WebP parses back to the id-derived dims, over
+    // all five container variants (pmod(id, 5) mix)
+    val parsed = Multimodal.imageDims(
+      Multimodal.synthWebImageBytes(docs, "doc_id"))
+    val bad = parsed.where(
+      $"width" =!= (lit(16) + $"media_id" % 1024) ||
+      $"height" =!= (lit(16) + ($"media_id" * 7) % 768) ||
+      !$"format".isin("gif", "webp") ||
+      $"width".isNull || $"height".isNull)
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
+    // both formats and all three webp chunk layouts present
+    val fmts = parsed.groupBy("format").count().as[(String, Long)]
+      .collect().toMap
+    assert(fmts.keySet === Set("gif", "webp") && fmts.values.forall(_ > 0))
+  }
+
   test("imageDims: bounded header prefix, no shuffle in the plan") {
     val media = Multimodal.synthImageBytes(docs, "doc_id")
     // a prefix too short to reach the JPEG SOF fails safe to NULL dims
