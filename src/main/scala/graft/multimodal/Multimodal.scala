@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batch decode/feature-extract scaffolding.
   *
-  * The decode step itself is a STUB (no image/audio libraries exist in this
-  * container): [[FakeDecoder.decode]] produces a deterministic fake
-  * "feature" from the bytes. Everything around it — the schema, the
-  * per-partition batch shape, the partitioning strategy, the expression-only
-  * metadata path — is real and tested, so a real decoder drops in by
-  * replacing one function.
+  * METADATA is fully real: container-header parsing for images
+  * ([[imageDims]] — PNG/JPEG/GIF/WebP) and audio/video ([[avMetadata]] —
+  * WAV/MP4) reads dimensions, sample rate, channels and duration straight
+  * from the bytes with built-in expressions. Only the DECODE step is a
+  * STUB (no image/audio codec libraries exist in this container):
+  * [[FakeDecoder.decode]] produces a deterministic fake "feature" from
+  * the bytes. Everything around it — the schema, the per-partition batch
+  * shape, the partitioning strategy — is real and tested, so a real
+  * decoder drops in by replacing one function.
   *
   * SCALE DESIGN: media blobs dominate bytes, so (1) metadata extraction is
   * pure column expressions evaluated at scan (never materializes the blob
@@ -263,23 +266,20 @@ object Multimodal {
     * round-trip while being wrong on every real file, which is why the
     * unit spec checks hand-assembled golden headers too). Pure hex
     * concat + unhex, replayable verbatim in the q127 oracle. */
+  /** Little-endian hex encoders for the synth generators: value -> the
+    * byte-swapped hex string a LE container field stores. */
+  private def leHex(v: Column, nBytes: Int): Column = {
+    val be = lpad(hex(v), 2 * nBytes, "0")
+    concat((nBytes - 1 to 0 by -1).map(i => substring(be, 2 * i + 1, 2)): _*)
+  }
+  private def le2(v: Column): Column = leHex(v, 2) // u16 LE hex
+  private def le3(v: Column): Column = leHex(v, 3) // u24 LE hex
+  private def le4(v: Column): Column = leHex(v, 4) // u32 LE hex
+
   def synthWebImageBytes(docs: DataFrame, idCol: String): DataFrame = {
     val id = col(idCol)
     val w = lit(16) + pmod(id, lit(1024))
     val h = lit(16) + pmod(id * 7, lit(768))
-    def le2(v: Column): Column = { // u16 LE hex
-      val be = lpad(hex(v), 4, "0")
-      concat(substring(be, 3, 2), substring(be, 1, 2))
-    }
-    def le3(v: Column): Column = { // u24 LE hex
-      val be = lpad(hex(v), 6, "0")
-      concat(substring(be, 5, 2), substring(be, 3, 2), substring(be, 1, 2))
-    }
-    def le4(v: Column): Column = { // u32 LE hex
-      val be = lpad(hex(v), 8, "0")
-      concat(substring(be, 7, 2), substring(be, 5, 2), substring(be, 3, 2),
-        substring(be, 1, 2))
-    }
     val fill = upper(md5(id.cast(StringType))) // 16 bytes of payload filler
     def gif(sig: String) = concat(
       lit(sig), le2(w), le2(h),
@@ -307,6 +307,203 @@ object Multimodal {
         .when(pmod(id, lit(5)) === 2, gif("474946383961"))
         .when(pmod(id, lit(5)) === 3, vp8l)
         .otherwise(vp8x)).as("content"))
+  }
+
+  /** REAL audio/video container-header parsing — sample rate, channel
+    * count, bit depth and duration straight from WAV/RIFF and MP4 (ISO
+    * BMFF) bytes, built-in expressions only (no codec, no UDF, no
+    * mapPartitions): the metadata a 100 TB A/V curation pass filters on
+    * (duration caps, sample-rate buckets) without ever decoding a sample.
+    * Same machinery as [[imageDims]]: the blob's first `headerBytes` are
+    * hexed once and walked with a bounded `aggregate` fold; malformed or
+    * truncated input yields NULL, never a throw; blobs never shuffle.
+    *
+    * WAV: 'RIFF' + size + 'WAVE', then a CHUNK WALK — LIST/INFO (and any
+    * other) chunks may precede `fmt `, so fixed offsets are wrong for
+    * real files. Each hop reads fourcc + LE u32 size and skips
+    * 8 + size + (size odd ? 1 : 0) bytes — RIFF chunks are WORD-aligned,
+    * and a walk that forgets the pad byte desyncs after the first
+    * odd-sized chunk. `fmt ` yields channels (u16 LE), sample_rate
+    * (u32 LE), byte_rate (u32 LE), bits_per_sample (u16 LE); `data`
+    * yields its declared size; duration_ms = data_bytes * 1000 /
+    * byte_rate (the declared size is used on purpose — a header parser
+    * must price a streamed/truncated file from its header, not its tail).
+    *
+    * MP4: a BOX WALK from byte 0 — u32 BE size + fourcc per box; `free`/
+    * `skip`/`wide` boxes commonly precede `moov`. `moov` is a pure
+    * container, so the walk DESCENDS into it (pos += 8) and keeps
+    * walking — its children are boxes too. `mvhd` carries the movie
+    * timescale and duration: version 0 lays them at payload bytes 12/16
+    * as u32 BE; version 1 widens creation/modification to u64, moving
+    * timescale/duration to 20/24 (u32/u64 BE) — both versions read.
+    * Boxes with size < 8 (0 = to-EOF, 1 = 64-bit largesize) stop the
+    * walk as malformed: this is a bounded header parser, not a demuxer.
+    *
+    * Output: input columns + av_format ('wav'/'mp4'/NULL), channels,
+    * sample_rate, bits_per_sample (WAV; NULL for MP4 — the movie header
+    * doesn't carry them, per-track boxes do), duration_ms (both). All
+    * reads are length-guarded so a truncated header NULLs rather than
+    * assembling a partial-bytes value. */
+  def avMetadata(media: DataFrame, contentCol: String = "content",
+                 maxChunks: Int = 16,
+                 headerBytes: Int = 64 * 1024): DataFrame = {
+    require(maxChunks >= 1 && maxChunks <= 256,
+      s"maxChunks must be in [1, 256], got $maxChunks")
+    require(headerBytes >= 64,
+      s"headerBytes must cover the smallest fmt/mvhd layout (64), got $headerBytes")
+    Seq("av_format", "channels", "sample_rate", "bits_per_sample",
+      "duration_ms", "__av_hx", "__av_wav", "__av_mp4").foreach(c =>
+      require(!media.columns.contains(c),
+        s"Multimodal.avMetadata: media already has a '$c' column — rename " +
+          "it first; avMetadata appends its own"))
+    // SQL-fragment readers over the hexed prefix (1-based char positions;
+    // byte n lives at chars 2n+1..2n+2)
+    def le16(at: String) =
+      s"""CAST(conv(concat(substring(__av_hx, CAST(($at) AS INT) + 2, 2),
+         |substring(__av_hx, CAST(($at) AS INT), 2)), 16, 10) AS BIGINT)""".stripMargin
+    def le32(at: String) =
+      s"""CAST(conv(concat(substring(__av_hx, CAST(($at) AS INT) + 6, 2),
+         |substring(__av_hx, CAST(($at) AS INT) + 4, 2),
+         |substring(__av_hx, CAST(($at) AS INT) + 2, 2),
+         |substring(__av_hx, CAST(($at) AS INT), 2)), 16, 10) AS BIGINT)""".stripMargin
+    def be(at: String, nBytes: Int) =
+      s"""CAST(conv(substring(__av_hx, CAST(($at) AS INT), ${2 * nBytes}),
+         |16, 10) AS BIGINT)""".stripMargin
+    val wavSize = le32("st.pos + 8")
+    val wavHop = s"st.pos + 16 + 2 * ($wavSize) + (($wavSize) % 2) * 2"
+    def wavSt(pos: String, ch: String, sr: String, br: String, bits: String,
+              db: String, done: String) =
+      s"""named_struct('pos', $pos, 'ch', $ch, 'sr', $sr, 'br', $br,
+         |'bits', $bits, 'db', $db, 'done', $done)""".stripMargin
+    val wavFold = expr(s"""
+      aggregate(
+        sequence(1, $maxChunks),
+        ${wavSt(s"CAST(25 AS BIGINT)", "CAST(NULL AS BIGINT)",
+          "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)",
+          "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)", "false")},
+        (st, i) -> CASE
+          WHEN st.done THEN st
+          WHEN st.pos IS NULL OR length(__av_hx) < CAST(st.pos AS INT) + 15
+            THEN ${wavSt("st.pos", "st.ch", "st.sr", "st.br", "st.bits",
+              "st.db", "true")}
+          WHEN substring(__av_hx, CAST(st.pos AS INT), 8) = '666D7420'
+               AND length(__av_hx) >= CAST(st.pos AS INT) + 45
+            THEN ${wavSt(wavHop, le16("st.pos + 20"), le32("st.pos + 24"),
+              le32("st.pos + 32"), le16("st.pos + 44"), "st.db",
+              "st.db IS NOT NULL")}
+          WHEN substring(__av_hx, CAST(st.pos AS INT), 8) = '64617461'
+            THEN ${wavSt(wavHop, "st.ch", "st.sr", "st.br", "st.bits",
+              le32("st.pos + 8"), "st.ch IS NOT NULL")}
+          ELSE ${wavSt(wavHop, "st.ch", "st.sr", "st.br", "st.bits",
+            "st.db", "false")}
+        END,
+        st -> st)""")
+    def mp4St(pos: String, ts: String, dur: String, done: String) =
+      s"named_struct('pos', $pos, 'ts', $ts, 'dur', $dur, 'done', $done)"
+    val mp4Size = be("st.pos", 4)
+    val mp4Fold = expr(s"""
+      aggregate(
+        sequence(1, $maxChunks),
+        ${mp4St("CAST(1 AS BIGINT)", "CAST(NULL AS BIGINT)",
+          "CAST(NULL AS BIGINT)", "false")},
+        (st, i) -> CASE
+          WHEN st.done THEN st
+          WHEN st.pos IS NULL OR length(__av_hx) < CAST(st.pos AS INT) + 15
+            THEN ${mp4St("st.pos", "st.ts", "st.dur", "true")}
+          WHEN substring(__av_hx, CAST(st.pos AS INT) + 8, 8) = '6D766864'
+            THEN CASE
+              WHEN substring(__av_hx, CAST(st.pos AS INT) + 16, 2) = '00'
+                   AND length(__av_hx) >= CAST(st.pos AS INT) + 55
+                THEN ${mp4St("st.pos", be("st.pos + 40", 4),
+                  be("st.pos + 48", 4), "true")}
+              WHEN substring(__av_hx, CAST(st.pos AS INT) + 16, 2) = '01'
+                   AND length(__av_hx) >= CAST(st.pos AS INT) + 79
+                THEN ${mp4St("st.pos", be("st.pos + 56", 4),
+                  be("st.pos + 64", 8), "true")}
+              ELSE ${mp4St("st.pos", "CAST(NULL AS BIGINT)",
+                "CAST(NULL AS BIGINT)", "true")}
+            END
+          WHEN substring(__av_hx, CAST(st.pos AS INT) + 8, 8) = '6D6F6F76'
+            THEN ${mp4St("st.pos + 16", "st.ts", "st.dur", "false")}
+          WHEN ($mp4Size) IS NULL OR ($mp4Size) < 8
+            THEN ${mp4St("st.pos", "st.ts", "st.dur", "true")}
+          ELSE ${mp4St(s"st.pos + 2 * ($mp4Size)", "st.ts", "st.dur", "false")}
+        END,
+        st -> st)""")
+    val hx = col("__av_hx")
+    media
+      .withColumn("__av_hx", hex(substring(col(contentCol), 1, headerBytes)))
+      .withColumn("av_format",
+        when(hx.startsWith("52494646") &&
+          substring(hx, 17, 8) === "57415645", "wav")
+          .when(substring(hx, 9, 8) === "66747970", "mp4"))
+      .withColumn("__av_wav", when(col("av_format") === "wav", wavFold))
+      .withColumn("__av_mp4", when(col("av_format") === "mp4", mp4Fold))
+      .withColumn("channels", col("__av_wav.ch"))
+      .withColumn("sample_rate", col("__av_wav.sr"))
+      .withColumn("bits_per_sample", col("__av_wav.bits"))
+      .withColumn("duration_ms",
+        when(col("av_format") === "wav" && col("__av_wav.br") > 0,
+          expr("(__av_wav.db * 1000) div __av_wav.br"))
+          .when(col("av_format") === "mp4" && col("__av_mp4.ts") > 0,
+            expr("(__av_mp4.dur * 1000) div __av_mp4.ts")))
+      .drop("__av_hx", "__av_wav", "__av_mp4")
+  }
+
+  /** Deterministic VALID WAV/MP4 container exhibit bytes — the test/demo
+    * source for [[avMetadata]] (pmod(id, 2): even ids PCM WAV, odd MP4;
+    * odd ids split pmod(id, 4) = 1 -> mvhd version 0, 3 -> version 1).
+    * Both carry an id-derived variable-length filler chunk (WAV: LIST;
+    * MP4: free) BEFORE the metadata chunk, so fixed-offset "parsers"
+    * read garbage and only the walk finds the fields. All parameters are
+    * id-derived integer arithmetic the q128 oracle recomputes as ground
+    * truth: channels = 1 + pmod(id,4)/2, sample_rate = 8000 +
+    * pmod(id,8)*1000, data_bytes = 1000 + pmod(13 id, 9000), timescale =
+    * 600 + pmod(id,10)*100, duration units = 3000 + pmod(11 id, 60000).
+    * The WAV's data payload is truncated to 8 filler bytes on purpose
+    * (its SIZE field stays honest-to-declared — the streamed-file shape
+    * a header parser must price without reading the tail); RIFF/box
+    * sizes elsewhere match actual content. */
+  def synthAvBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val fill = upper(md5(id.cast(StringType))) // up to 16 bytes of filler
+    // WAV parameters
+    val ch = when(pmod(id, lit(4)) === 0, 1L).otherwise(2L)
+    val sr = lit(8000) + pmod(id, lit(8)) * 1000
+    val ba = ch * 2 // block align: 16-bit PCM
+    val br = sr * ba
+    val db = lit(1000) + pmod(id * 13, lit(9000))
+    val listN = (pmod(id, lit(8)) + 1) * 2 // even 2..16 filler bytes
+    val wav = concat(
+      lit("52494646"), le4(lit(52) + listN), lit("57415645"),
+      lit("4C495354"), le4(listN), fill.substr(lit(1), (listN * 2).cast(IntegerType)),
+      lit("666D7420"), lit("10000000"), // fmt, size 16 (PCM)
+      lit("0100"), le2(ch), le4(sr), le4(br), le2(ba), lit("1000"),
+      lit("64617461"), le4(db), substring(fill, 1, 16))
+    // MP4 parameters
+    val ts = lit(600) + pmod(id, lit(10)) * 100
+    val dur = lit(3000) + pmod(id * 11, lit(60000))
+    val freeN = pmod(id, lit(16)) + 1 // 1..16 filler bytes
+    def be4(v: Column) = lpad(hex(v), 8, "0")
+    def be8(v: Column) = lpad(hex(v), 16, "0")
+    val ftyp = concat(lit("00000010"), lit("66747970"),
+      lit("69736F6D"), lit("00000200"))
+    val free = concat(be4(freeN + 8), lit("66726565"),
+      fill.substr(lit(1), (freeN * 2).cast(IntegerType)))
+    val mvhd0 = concat(lit("0000006C"), lit("6D766864"), // size 108, v0
+      lit("00"), lit("000000"), lit("00000000"), lit("00000000"),
+      be4(ts), be4(dur), repeat(lit("00"), 80))
+    val mvhd1 = concat(lit("00000078"), lit("6D766864"), // size 120, v1
+      lit("01"), lit("000000"),
+      repeat(lit("00"), 16), // u64 creation + modification
+      be4(ts), be8(dur), repeat(lit("00"), 80))
+    val moov0 = concat(lit("00000074"), lit("6D6F6F76"), mvhd0) // 8 + 108
+    val moov1 = concat(lit("00000080"), lit("6D6F6F76"), mvhd1) // 8 + 120
+    val mp4 = concat(ftyp, free,
+      when(pmod(id, lit(4)) === 1, moov0).otherwise(moov1))
+    docs.select(
+      id.as("media_id"),
+      unhex(when(pmod(id, lit(2)) === 0, wav).otherwise(mp4)).as("content"))
   }
 
   /** STUB decoder: a real implementation would parse the codec and emit

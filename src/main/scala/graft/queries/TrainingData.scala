@@ -1621,6 +1621,54 @@ object TrainingData {
              |  CAST(length(hx) // 2 AS BIGINT) AS n_bytes
              |FROM p ORDER BY media_id""".stripMargin)),
 
+    // Audio/video container metadata (Multimodal.avMetadata): WAV chunk
+    // walk (LIST before fmt, word-aligned hops) and MP4 box walk (free
+    // before moov, descend into moov, mvhd v0+v1 layouts) — the metadata
+    // side of the A/V family done with real byte parsing instead of the
+    // labeled stub (decode stays stubbed: no codecs in this container).
+    // Bytes are synthesized valid containers (Multimodal.synthAvBytes);
+    // the oracle recomputes every field as GROUND-TRUTH id arithmetic —
+    // deliberately NOT a parse replay, so it checks parse(synth(id)) ==
+    // spec(id) end-to-end; the byte-layout independence (a symmetric
+    // generator+parser endianness bug) is pinned by hand-assembled golden
+    // headers in TrainingDataSpec, and cross-engine hex/conv semantics
+    // are already pinned by q125/q127. Expression-only; blobs never
+    // shuffle.
+    Q("q128_av_header_meta",
+      (s, dir) => Multimodal.avMetadata(
+          Multimodal.synthAvBytes(t(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("av_format"), col("channels"),
+          col("sample_rate"), col("bits_per_sample"), col("duration_ms"),
+          octet_length(col("content")).cast(LongType).as("n_bytes"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2) + 2) % 2 AS pm2,
+             |    ((doc_id % 4) + 4) % 4 AS pm4,
+             |    ((doc_id % 8) + 8) % 8 AS pm8,
+             |    ((doc_id % 10) + 10) % 10 AS pm10,
+             |    ((doc_id % 16) + 16) % 16 AS pm16,
+             |    (((doc_id * 13) % 9000) + 9000) % 9000 AS pm13k,
+             |    (((doc_id * 11) % 60000) + 60000) % 60000 AS pm11k
+             |  FROM documents)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN pm2 = 0 THEN 'wav' ELSE 'mp4' END AS av_format,
+             |  CAST(CASE WHEN pm2 = 0 THEN
+             |    CASE WHEN pm4 = 0 THEN 1 ELSE 2 END END AS BIGINT) AS channels,
+             |  CAST(CASE WHEN pm2 = 0
+             |    THEN 8000 + pm8 * 1000 END AS BIGINT) AS sample_rate,
+             |  CAST(CASE WHEN pm2 = 0 THEN 16 END AS BIGINT) AS bits_per_sample,
+             |  CAST(CASE WHEN pm2 = 0
+             |    THEN (1000 + pm13k) * 1000 //
+             |         ((8000 + pm8 * 1000) *
+             |          (CASE WHEN pm4 = 0 THEN 1 ELSE 2 END) * 2)
+             |    ELSE (3000 + pm11k) * 1000 // (600 + pm10 * 100)
+             |  END AS BIGINT) AS duration_ms,
+             |  CAST(CASE WHEN pm2 = 0 THEN 60 + (pm8 + 1) * 2
+             |       WHEN pm4 = 1 THEN 140 + pm16 + 1
+             |       ELSE 152 + pm16 + 1 END AS BIGINT) AS n_bytes
+             |FROM m ORDER BY media_id""".stripMargin)),
+
     // ---- Events: streaming-shaped batch ops ---------------------------
 
     // Hourly windowed aggregation (batch form of the streaming window agg;

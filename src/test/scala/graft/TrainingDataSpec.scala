@@ -297,6 +297,95 @@ class TrainingDataSpec extends SparkSpec {
     assert(fmts.keySet === Set("gif", "webp") && fmts.values.forall(_ > 0))
   }
 
+  test("avMetadata: golden WAV/MP4 headers, chunk padding, malformed -> NULL") {
+    // GOLDEN bytes hand-assembled against RIFF/ISO-BMFF specs (not the
+    // synth generator — a symmetric construct/parse bug can't cancel).
+    // Canonical 44.1kHz stereo 16-bit PCM: 44100 = 0xAC44 LE '44AC0000',
+    // byte rate 176400 = 0x02B110 LE '10B10200', data 88200 -> 500 ms
+    val wav1 = "52494646" + "24000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" + "10B10200" +
+      "0400" + "1000" + "64617461" + "88580100"
+    // odd-sized LIST chunk (3 bytes + pad) BEFORE fmt: a walk that forgets
+    // RIFF word alignment desyncs here and never finds fmt
+    val wav2 = "52494646" + "30000000" + "57415645" +
+      "4C495354" + "03000000" + "AABBCC" + "00" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+      "0200" + "1000" + "64617461" + "803E0000"
+    // fmt but no data chunk: channels parse, duration must NULL
+    val wav3 = "52494646" + "1C000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+      "0200" + "1000"
+    // mvhd v0: timescale 1000 = 0x3E8, duration 7500 = 0x1D4C -> 7500 ms
+    val mp4v0 = "00000010" + "66747970" + "69736F6D" + "00000200" +
+      "00000074" + "6D6F6F76" +
+      "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+      "000003E8" + "00001D4C" + ("00" * 80)
+    // skip box before moov + mvhd v1 (u64 creation/modification widen the
+    // layout): timescale 90000, duration u64 450000 -> 5000 ms
+    val mp4v1 = "00000010" + "66747970" + "69736F6D" + "00000200" +
+      "00000009" + "736B6970" + "AA" +
+      "00000080" + "6D6F6F76" +
+      "00000078" + "6D766864" + "01000000" + ("00" * 16) +
+      "00015F90" + "000000000006DDD0" + ("00" * 80)
+    // ftyp alone: format detected, walk runs off -> NULL duration
+    val mp4Short = "00000010" + "66747970" + "69736F6D" + "00000200"
+    // a zero-size box (size-to-EOF) stops the walk as malformed
+    val mp4Zero = "00000010" + "66747970" + "69736F6D" + "00000200" +
+      "00000000" + "66726565"
+    val media = Seq((1L, wav1), (2L, wav2), (3L, wav3), (4L, mp4v0),
+        (5L, mp4v1), (6L, mp4Short), (7L, mp4Zero))
+      .toDF("media_id", "hx")
+      .select($"media_id", unhex($"hx").as("content"))
+    val got = Multimodal.avMetadata(media)
+      .select($"media_id", $"av_format", $"channels", $"sample_rate",
+        $"bits_per_sample", $"duration_ms")
+      .as[(Long, Option[String], Option[Long], Option[Long], Option[Long],
+        Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("wav"), Some(2L), Some(44100L), Some(16L), Some(500L)),
+      (2L, Some("wav"), Some(1L), Some(8000L), Some(16L), Some(1000L)),
+      (3L, Some("wav"), Some(1L), Some(8000L), Some(16L), None),
+      (4L, Some("mp4"), None, None, None, Some(7500L)),
+      (5L, Some("mp4"), None, None, None, Some(5000L)),
+      (6L, Some("mp4"), None, None, None, None),
+      (7L, Some("mp4"), None, None, None, None)))
+    // reserved-column guard, same family contract as imageDims
+    intercept[IllegalArgumentException] {
+      Multimodal.avMetadata(media.withColumn("duration_ms", lit(1)))
+    }
+    // expression-only contract: no Exchange — blobs never shuffle
+    val plan = Multimodal.avMetadata(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("avMetadata round-trips synthAvBytes across the corpus") {
+    val parsed = Multimodal.avMetadata(
+      Multimodal.synthAvBytes(docs, "doc_id"))
+    val id = $"media_id"
+    val isWav = pmod(id, lit(2)) === 0
+    val ch = when(pmod(id, lit(4)) === 0, 1L).otherwise(2L)
+    val sr = lit(8000) + pmod(id, lit(8)) * 1000
+    val db = lit(1000) + pmod(id * 13, lit(9000))
+    val ts = lit(600) + pmod(id, lit(10)) * 100
+    val dur = lit(3000) + pmod(id * 11, lit(60000))
+    // duration: exact integer floor-div twin of the parser's `div`
+    val durBad = parsed
+      .withColumn("want",
+        when(isWav, floor((db * 1000) / (sr * ch * 2)))
+          .otherwise(floor((dur * 1000) / ts)))
+      .where($"duration_ms" =!= $"want" || $"duration_ms".isNull)
+    assert(durBad.isEmpty, durBad.limit(5).collect().mkString("; "))
+    val fieldBad = parsed.where(
+      ($"av_format" =!= when(isWav, "wav").otherwise("mp4")) ||
+      (isWav && ($"channels" =!= ch || $"sample_rate" =!= sr ||
+        $"bits_per_sample" =!= 16L)) ||
+      (!isWav && ($"channels".isNotNull || $"sample_rate".isNotNull ||
+        $"bits_per_sample".isNotNull)))
+    assert(fieldBad.isEmpty, fieldBad.limit(5).collect().mkString("; "))
+  }
+
   test("imageDims: bounded header prefix, no shuffle in the plan") {
     val media = Multimodal.synthImageBytes(docs, "doc_id")
     // a prefix too short to reach the JPEG SOF fails safe to NULL dims
