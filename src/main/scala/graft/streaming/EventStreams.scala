@@ -296,6 +296,83 @@ object EventStreams {
       }
       .start()
 
+  /** One micro-batch of the full streaming CURATION FUNNEL — the composed
+    * per-batch form of the batch pipeline (admission dedup -> quality
+    * gate -> leakage-safe split), all three stages one code path with
+    * their batch operators so stream and batch can never diverge:
+    *
+    *  1. [[processDedupAdmissionBatch]] decides keep/drop for the delta
+    *     against everything admitted before it (exactly-once under
+    *     redelivery via the batch_id index prune + dynamic overwrite);
+    *  2. admitted docs pass the quality gate
+    *     ([[graft.text.TextOps.qualityScore]] > `minQuality` — the q85
+    *     funnel's predicate);
+    *  3. survivors get their train/val/test split via the fingerprint
+    *     form of [[graft.operators.Downsample.leakageSafeSplit]] keyed on
+    *     the CONTENT fingerprint (md5 of text), not the doc id: the split of
+    *     a document is a pure function of its bytes, so a redelivered or
+    *     exact-duplicate doc can never straddle the train/eval boundary
+    *     even across batches. (Near-duplicates are already prevented from
+    *     reaching the split at all — the admission gate dropped them.)
+    *
+    * Kept rows land at `keptPath` as (idCol, split, batch_id), partitioned
+    * by batch_id with dynamic overwrite — the same redelivery-safe sink
+    * shape as the decisions store. The final kept set is a pure function
+    * of the delta sequence, bit-equal to folding the batch operators over
+    * the same sequence (StreamingSpec asserts this, redelivery included).
+    *
+    * SCALE SHAPE: stages 2-3 are map-side on the admitted delta (the
+    * quality score is scan-side regex arithmetic, the split a hash of the
+    * already-computed fingerprint); the only join beyond the admission
+    * gate's is delta-sized (decisions back to the batch). */
+  def processCurationBatch(batch: DataFrame, batchId: Long,
+                           indexPath: String, decisionsPath: String,
+                           keptPath: String, idCol: String = "doc_id",
+                           textCol: String = "text",
+                           minQuality: Double = 0.5,
+                           shingleN: Int = 3, numHashes: Int = 16,
+                           bands: Int = 4,
+                           broadcastDelta: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    processDedupAdmissionBatch(batch, batchId, indexPath, decisionsPath,
+      idCol, textCol, shingleN, numHashes, bands, broadcastDelta)
+    val admitted = spark.read.parquet(decisionsPath)
+      .where(col("batch_id") === batchId && col("keep"))
+      .select(col(idCol))
+      .join(batch, Seq(idCol))
+    val stop = graft.text.TextOps.langStopwords.head._2
+    val quality = admitted
+      .where(graft.text.TextOps.qualityScore(col(textCol), stop) > minQuality)
+    // leakageSafeSplit's fingerprint form, inlined map-side: with an
+    // (id, md5(text)) component map every doc HAS a component, so the
+    // operator's coalesce(component, id) is just the fingerprint and the
+    // join drops out — splitLabel(md5(text)) is bit-identical arithmetic
+    // at scan speed (DownsampleSpec-pinned equivalence in StreamingSpec)
+    quality
+      .withColumn("split",
+        graft.operators.Downsample.splitLabel(md5(col(textCol))))
+      .select(col(idCol), col("split"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(keptPath)
+  }
+
+  /** [[processCurationBatch]] wired into foreachBatch + AvailableNow —
+    * the streaming twin of the batch curation funnel. */
+  def curationSink(docs: DataFrame, indexPath: String, decisionsPath: String,
+                   keptPath: String, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   minQuality: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCurationBatch(batch, batchId, indexPath, decisionsPath,
+          keptPath, idCol, textCol, minQuality)
+      }
+      .start()
+
   /** Admission-index maintenance: compact every `batch_id=N` partition of
     * the accreting band-signature index into ~`targetFileBytes` files.
     * Each admission batch appends one small file set under its partition;

@@ -237,6 +237,123 @@ class StreamingSpec extends SparkSpec {
     assert(runSeq(broadcast = false) === runSeq(broadcast = true))
   }
 
+  test("admission decisions are bit-equal across index compaction") {
+    import spark.implicits._
+    // same 4-delta sequence through two gates; one compacts its index
+    // mid-sequence — later decisions (and the index CONTENT) must be
+    // identical, only the file count may change
+    val base = Sources.table(spark, sf, "documents")
+      .select("doc_id", "text").where(col("doc_id") < 240)
+    val planted = base.unionByName(base.where(col("doc_id") < 30)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val deltas = (0 to 3).map(i => planted.where(col("doc_id") % 4 === i))
+    def decisions(path: String) = spark.read.parquet(path + "/decisions")
+      .select($"doc_id", $"dup_of_index", $"dup_of_batch", $"keep",
+        $"batch_id".cast("int"))
+      .as[(Long, Option[Long], Option[Long], Boolean, Int)].collect().toSet
+    def indexRows(path: String) = spark.read.parquet(path + "/index")
+      .select($"doc_id", $"band", $"sig", $"batch_id".cast("int"))
+      .as[(Long, Int, String, Int)].collect().toSet
+    def files(path: String): Int = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(p: org.apache.hadoop.fs.Path): Int =
+        fs.listStatus(p).map(s =>
+          if (s.isDirectory) walk(s.getPath)
+          else if (s.getPath.getName.endsWith(".parquet")) 1 else 0).sum
+      walk(new org.apache.hadoop.fs.Path(path))
+    }
+    val plain = Files.createTempDirectory("graft_adm_plain").toString
+    val compacted = Files.createTempDirectory("graft_adm_comp").toString
+    deltas.take(2).zipWithIndex.foreach { case (d, i) =>
+      EventStreams.processDedupAdmissionBatch(d, i,
+        plain + "/index", plain + "/decisions")
+      EventStreams.processDedupAdmissionBatch(d, i,
+        compacted + "/index", compacted + "/decisions")
+    }
+    val preFiles = files(compacted + "/index")
+    val preRows = indexRows(compacted)
+    val (nParts, postFiles) =
+      EventStreams.compactAdmissionIndex(spark, compacted + "/index")
+    assert(nParts === 2)
+    assert(postFiles < preFiles,
+      s"compaction did not reduce files: $preFiles -> $postFiles")
+    info(s"index files: $preFiles -> $postFiles across $nParts partitions")
+    assert(indexRows(compacted) === preRows, "compaction changed index rows")
+    deltas.drop(2).zipWithIndex.foreach { case (d, i) =>
+      EventStreams.processDedupAdmissionBatch(d, i + 2,
+        plain + "/index", plain + "/decisions")
+      EventStreams.processDedupAdmissionBatch(d, i + 2,
+        compacted + "/index", compacted + "/decisions")
+    }
+    assert(decisions(compacted) === decisions(plain))
+    assert(decisions(plain).count(!_._4) >= 30) // planted dups caught
+  }
+
+  test("streaming curation funnel (admission -> quality -> split) equals " +
+      "the batch fold, redelivery included") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    import graft.operators.Downsample
+    import graft.text.TextOps
+    val base = Sources.table(spark, sf, "documents")
+      .select("doc_id", "text").where(col("doc_id") < 300)
+    val planted = base.unionByName(base.where(col("doc_id") < 40)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val deltas = (0 to 2).map(i => planted.where(col("doc_id") % 3 === i))
+    val root = Files.createTempDirectory("graft_curation").toString
+    EventStreams.processCurationBatch(deltas(0), 0, root + "/index",
+      root + "/decisions", root + "/kept")
+    EventStreams.processCurationBatch(deltas(1), 1, root + "/index",
+      root + "/decisions", root + "/kept")
+    // at-least-once: batch 1 replayed — kept set must be unchanged
+    EventStreams.processCurationBatch(deltas(1), 1, root + "/index",
+      root + "/decisions", root + "/kept")
+    EventStreams.processCurationBatch(deltas(2), 2, root + "/index",
+      root + "/decisions", root + "/kept")
+    val streamed = spark.read.parquet(root + "/kept")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toSet
+    // batch reference: fold the batch operators over the same sequence
+    val stop = TextOps.langStopwords.head._2
+    var idx = Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "sig")
+    val expected = deltas.map { d =>
+      val dec = Dedup.incrementalLshDedup(idx, d, "doc_id", "text")
+      idx = idx.unionByName(Dedup.lshBands(
+        Dedup.minhashWide(Dedup.shingles(d, "doc_id", "text", 3), "doc_id", 16),
+        "doc_id", 16, 4))
+      d.join(dec.where($"keep").select("doc_id"), Seq("doc_id"))
+    }.reduce(_ unionByName _)
+      .where(TextOps.qualityScore($"text", stop) > 0.5)
+      .select($"doc_id",
+        Downsample.splitLabel(md5($"text")).as("split"))
+      .as[(Long, String)].collect().toSet
+    assert(streamed === expected)
+    assert(streamed.nonEmpty)
+    // admission semantics: first-seen wins — a planted copy that arrived
+    // in an EARLIER batch than its original (+100000 shifts id%3 by one)
+    // is the legitimate keeper; what can never happen is both twins kept
+    val keptIds = streamed.map(_._1)
+    assert((0L until 40L).forall(d =>
+      !(keptIds.contains(d) && keptIds.contains(d + 100000L))),
+      "both twins of a planted duplicate were admitted")
+    // leakage-safety, the differential form: the split is a pure function
+    // of CONTENT, so each twin pair computes ONE split; the id-keyed
+    // alternative (q68's splitLabel over doc_id) scatters at least one of
+    // the 40 pairs across different buckets — the contamination this
+    // funnel exists to prevent
+    val bySplit = planted.where($"doc_id" < 40 || $"doc_id" >= 100000)
+      .select($"doc_id" % 100000L,
+        Downsample.splitLabel(md5($"text")).as("content_split"),
+        Downsample.splitLabel($"doc_id").as("id_split"))
+      .as[(Long, String, String)].collect().groupBy(_._1)
+    assert(bySplit.values.forall(_.map(_._2).toSet.size == 1),
+      "content-keyed split scattered an exact-dup pair")
+    assert(bySplit.values.exists(_.map(_._3).toSet.size > 1),
+      "exhibit too weak: id-keyed split happened to agree on every pair")
+    // all three splits materialize on a corpus-sized kept set
+    assert(streamed.map(_._2) === Set("train", "val", "test"))
+  }
+
   test("dedupAdmissionSink wires the admission batch through foreachBatch") {
     import spark.implicits._
     import graft.dedup.Dedup
