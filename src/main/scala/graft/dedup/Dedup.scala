@@ -712,7 +712,11 @@ object Dedup {
     * clobber the caller's data; enforced unconditionally (schema-only
     * check, free). (2) `idCol` is a key — one row per document; a
     * duplicated id lands the same doc in its group twice and row_number
-    * elects one keeper per ROW, not per doc. Like [[shingles]], (2) is
+    * elects one keeper per ROW, not per doc. (3) `prefer` must be a
+    * DETERMINISTIC ordering — enforced unconditionally via an
+    * analysis-only probe (free): a rand()-shaped preference re-elects
+    * keepers on task retry, silently violating exactly-one-keeper on
+    * exactly the clusters this targets. Like [[shingles]], (2) is
     * enforced only when `graft.dedup.checkIds=true` on the session (an
     * unconditional uniqueness shuffle per call would tax every pipeline
     * for a condition the upstream load already guarantees). */
@@ -722,6 +726,34 @@ object Dedup {
       require(!docs.columns.contains(reserved),
         s"Dedup.survivors: docs already has a '$reserved' column — rename " +
           "it first; survivors appends its own")
+    // `prefer` must be DETERMINISTIC: row_number over a nondeterministic
+    // ordering (rand(), monotonically_increasing_id, ...) elects a
+    // DIFFERENT keeper on task retry / stage replay — the exactly-one-
+    // keeper contract silently breaks under exactly the cluster
+    // conditions this operator targets, and the drift is invisible
+    // (schema and counts look right). Resolved through an analyzed probe
+    // plan because Spark 4's public Column no longer exposes its
+    // expression; the probe sorts an EMPTY relation with docs' schema
+    // (plus the appended `component`), so any nondeterministic expression
+    // anywhere in the analyzed plan can only come from `prefer` — this
+    // also survives the analyzer's PullOutNondeterministic rewrite, which
+    // hides rand() from the Sort node itself by materializing it below.
+    // Analysis-only; nothing executes.
+    if (prefer.nonEmpty) {
+      val spark = docs.sparkSession
+      val dummy = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(docs.schema.fields :+
+          org.apache.spark.sql.types.StructField("component",
+            org.apache.spark.sql.types.LongType)))
+      val probe = dummy.sort(prefer: _*).queryExecution.analyzed
+      val nondet = probe.collect { case node => node.expressions }
+        .flatten.exists(!_.deterministic)
+      require(!nondet,
+        "Dedup.survivors: nondeterministic `prefer` ordering — keeper " +
+          "election must be stable across task retries; derive preference " +
+          "from row content (length, hash) instead of rand()")
+    }
     requireUniqueIds(docs, idCol, "Dedup.survivors",
       "keep would elect one keeper per row, not per document")
     val labels = connectedComponents(pairs, maxIter)

@@ -131,6 +131,54 @@ class CorpusOpsSpec extends SparkSpec {
     assert(noPairs === Map(7L -> true, 8L -> true))
   }
 
+  test("survivors refuses a nondeterministic prefer ordering") {
+    import spark.implicits._
+    // rand()-shaped preference re-elects keepers on task retry — the
+    // exactly-one-keeper contract must fail LOUDLY at analysis, not
+    // drift silently on a cluster
+    val docs = Seq((1L, 10L), (2L, 30L)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.survivors(docs, pairs, "doc_id", Seq(rand().desc))
+    }
+    assert(e.getMessage.contains("nondeterministic"))
+    // deterministic expressions over row content stay accepted — including
+    // ones that REFERENCE the appended component column
+    val ok = graft.dedup.Dedup.survivors(docs, pairs, "doc_id",
+      Seq(md5(col("n_chars").cast("string")).asc, col("component").asc))
+    assert(ok.where(col("keep")).count() === 1)
+  }
+
+  test("sourceOverlapMatrix: hashed and exact shingle keys agree on an " +
+      "adversarial near-collision corpus (fuzzed)") {
+    import spark.implicits._
+    // the 60-bit shingle hash admits a 2^-60 per-pair collision that would
+    // INFLATE `inter` invisibly; parity vs the exact-string path on
+    // corpora dense in near-identical shingles (one-char edits, swapped
+    // tokens, unicode confusables — the adversarial neighborhood where a
+    // weak hash family would fold distinct shingles together) pins that
+    // the production default matches ground truth bit-for-bit
+    val masterSeed = System.nanoTime()
+    val rnd = new scala.util.Random(masterSeed)
+    info(s"overlap-parity fuzz seed: $masterSeed")
+    for (round <- 0 until 3) {
+      val n = 1 + rnd.nextInt(3)
+      val words = Vector("alpha", "alphá", "a1pha", "alpha ", "beta",
+        "bëta", "gamma", "gamm4", "delta", "de1ta")
+      val docs = (0 until 120).map { i =>
+        val toks = Seq.fill(6 + rnd.nextInt(10))(words(rnd.nextInt(words.size)))
+        (i.toLong, toks.mkString(" "), s"src${i % 4}")
+      }.toDF("doc_id", "text", "source")
+      def matrix(hashed: Boolean) =
+        graft.dedup.Dedup.sourceOverlapMatrix(docs, "text", "source", n,
+            hashShingles = hashed)
+          .select("stratum_a", "stratum_b", "inter", "jaccard", "containment")
+          .as[(String, String, Long, Double, Double)].collect().toSet
+      assert(matrix(hashed = true) === matrix(hashed = false),
+        s"round $round n=$n: hashed path diverged from exact strings")
+    }
+  }
+
   test("ngramContainment flags subset duplication that jaccard misses") {
     import spark.implicits._
     // doc 1's entire shingle set ({"a b c","b c d"}) appears inside doc 2

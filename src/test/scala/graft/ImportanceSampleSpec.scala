@@ -39,6 +39,23 @@ class ImportanceSampleSpec extends SparkSpec {
     assert(at4000.size < at10000.size) // strictly fewer at 0.4x the rate
   }
 
+  test("weight * maxBps overflow fails loudly under ANSI, never wraps") {
+    // the Scaladoc's loud-failure claim, executed: a weight near
+    // Long.MaxValue overflows the BIGINT multiply; ANSI mode must throw,
+    // because a silent wrap yields a NEGATIVE rate_bp and the row set
+    // quietly collapses instead of erroring
+    val big = Seq((1L, Long.MaxValue / 2), (2L, 10L)).toDF("id", "w")
+    val e = intercept[ArithmeticException] { // SparkArithmeticException
+      graft.operators.Downsample.importanceSample(big, "id", "w").count()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.toLowerCase.contains("overflow"), msg.take(500))
+    // the boundary itself is safe: max legal weight with maxBps=10000
+    // stays inside BIGINT
+    val boundary = Seq((1L, Long.MaxValue / 10000), (2L, 10L)).toDF("id", "w")
+    graft.operators.Downsample.importanceSample(boundary, "id", "w").count()
+  }
+
   test("keep rate tracks the weight: top-decile docs kept more often than bottom") {
     val kept = graft.operators.Downsample
       .importanceSample(weighted, "id", "w").select("id")
