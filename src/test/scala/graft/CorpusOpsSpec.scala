@@ -101,6 +101,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.count() === 0)
   }
 
+  test("connectedComponents reliableCheckpoints mode labels identically") {
+    import spark.implicits._
+    // the 1000-executor production mode (reliable checkpoint files instead
+    // of executor-local blocks) was require-guarded but never EXECUTED —
+    // run one real rehearsal: same chain+star graph through both modes,
+    // label tables must be identical and the guard must fire without a dir
+    val pairs = ((1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq ++
+      (50L to 60L).map(i => (100L, i))).toDF("id_a", "id_b")
+    val noDir = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.connectedComponents(pairs, reliableCheckpoints = true)
+    }
+    assert(noDir.getMessage.contains("setCheckpointDir"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    try {
+      val reliable = graft.dedup.Dedup
+        .connectedComponents(pairs, reliableCheckpoints = true)
+        .as[(Long, Long)].collect().toSet
+      val local = graft.dedup.Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toSet
+      assert(reliable === local)
+      assert(reliable.nonEmpty)
+      // checkpoint FILES actually materialized under the reliable dir
+      val fs = new org.apache.hadoop.fs.Path(ckpt.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(ckpt.toString))
+        .nonEmpty, "no reliable checkpoint files were written")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("survivors keeps one per group by preference, singletons pass through") {
     import spark.implicits._
     // group {1,2,3} via transitive pairs; 4 is a singleton. Quality prefers
