@@ -387,7 +387,7 @@ object Multimodal {
             THEN ${wavSt("st.pos", "st.ch", "st.sr", "st.br", "st.bits",
               "st.db", "true")}
           WHEN substring(__av_hx, CAST(st.pos AS INT), 8) = '666D7420'
-               AND length(__av_hx) >= CAST(st.pos AS INT) + 45
+               AND length(__av_hx) >= CAST(st.pos AS INT) + 47
             THEN ${wavSt(wavHop, le16("st.pos + 20"), le32("st.pos + 24"),
               le32("st.pos + 32"), le16("st.pos + 44"), "st.db",
               "st.db IS NOT NULL")}

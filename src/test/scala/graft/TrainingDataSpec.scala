@@ -332,8 +332,13 @@ class TrainingDataSpec extends SparkSpec {
     // a zero-size box (size-to-EOF) stops the walk as malformed
     val mp4Zero = "00000010" + "66747970" + "69736F6D" + "00000200" +
       "00000000" + "66726565"
+    // fmt chunk TRUNCATED mid-payload (8 of 16 bytes): the length guard
+    // must NULL every field — a partial-bytes read would invent a
+    // plausible sample rate from half a field
+    val wavCut = "52494646" + "12000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000"
     val media = Seq((1L, wav1), (2L, wav2), (3L, wav3), (4L, mp4v0),
-        (5L, mp4v1), (6L, mp4Short), (7L, mp4Zero))
+        (5L, mp4v1), (6L, mp4Short), (7L, mp4Zero), (8L, wavCut))
       .toDF("media_id", "hx")
       .select($"media_id", unhex($"hx").as("content"))
     val got = Multimodal.avMetadata(media)
@@ -349,7 +354,8 @@ class TrainingDataSpec extends SparkSpec {
       (4L, Some("mp4"), None, None, None, Some(7500L)),
       (5L, Some("mp4"), None, None, None, Some(5000L)),
       (6L, Some("mp4"), None, None, None, None),
-      (7L, Some("mp4"), None, None, None, None)))
+      (7L, Some("mp4"), None, None, None, None),
+      (8L, Some("wav"), None, None, None, None)))
     // reserved-column guard, same family contract as imageDims
     intercept[IllegalArgumentException] {
       Multimodal.avMetadata(media.withColumn("duration_ms", lit(1)))
