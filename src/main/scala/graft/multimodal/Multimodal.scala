@@ -330,20 +330,26 @@ object Multimodal {
     * must price a streamed/truncated file from its header, not its tail).
     *
     * MP4: a BOX WALK from byte 0 — u32 BE size + fourcc per box; `free`/
-    * `skip`/`wide` boxes commonly precede `moov`. `moov` is a pure
-    * container, so the walk DESCENDS into it (pos += 8) and keeps
-    * walking — its children are boxes too. `mvhd` carries the movie
+    * `skip`/`wide` boxes commonly precede `moov`. `moov` and `trak` are
+    * pure containers, so the walk DESCENDS into them (pos += 8) and keeps
+    * walking — their children are boxes too. `mvhd` carries the movie
     * timescale and duration: version 0 lays them at payload bytes 12/16
     * as u32 BE; version 1 widens creation/modification to u64, moving
     * timescale/duration to 20/24 (u32/u64 BE) — both versions read.
-    * Boxes with size < 8 (0 = to-EOF, 1 = 64-bit largesize) stop the
-    * walk as malformed: this is a bounded header parser, not a demuxer.
+    * The FIRST `tkhd` carries the track's presentation width/height as
+    * 16.16 fixed point at payload bytes 76/80 (v0) or 88/92 (v1); the
+    * integer part (the leading u16 of each field) is the resolution a
+    * curation filter wants. An audio-only track stores 0x0 — emitted as
+    * stored (0), distinct from NULL = no tkhd found. Boxes with
+    * size < 8 (0 = to-EOF, 1 = 64-bit largesize) stop the walk as
+    * malformed: this is a bounded header parser, not a demuxer.
     *
     * Output: input columns + av_format ('wav'/'mp4'/NULL), channels,
     * sample_rate, bits_per_sample (WAV; NULL for MP4 — the movie header
-    * doesn't carry them, per-track boxes do), duration_ms (both). All
-    * reads are length-guarded so a truncated header NULLs rather than
-    * assembling a partial-bytes value. */
+    * doesn't carry them, codec sample boxes do), width, height (MP4
+    * video; NULL for WAV), duration_ms (both). All reads are
+    * length-guarded so a truncated header NULLs rather than assembling a
+    * partial-bytes value. */
   def avMetadata(media: DataFrame, contentCol: String = "content",
                  maxChunks: Int = 16,
                  headerBytes: Int = 64 * 1024): DataFrame = {
@@ -352,7 +358,8 @@ object Multimodal {
     require(headerBytes >= 64,
       s"headerBytes must cover the smallest fmt/mvhd layout (64), got $headerBytes")
     Seq("av_format", "channels", "sample_rate", "bits_per_sample",
-      "duration_ms", "__av_hx", "__av_wav", "__av_mp4").foreach(c =>
+      "width", "height", "duration_ms",
+      "__av_hx", "__av_wav", "__av_mp4").foreach(c =>
       require(!media.columns.contains(c),
         s"Multimodal.avMetadata: media already has a '$c' column — rename " +
           "it first; avMetadata appends its own"))
@@ -398,36 +405,59 @@ object Multimodal {
             "st.db", "false")}
         END,
         st -> st)""")
-    def mp4St(pos: String, ts: String, dur: String, done: String) =
-      s"named_struct('pos', $pos, 'ts', $ts, 'dur', $dur, 'done', $done)"
+    def mp4St(pos: String, ts: String, dur: String, w: String, h: String,
+              done: String) =
+      s"""named_struct('pos', $pos, 'ts', $ts, 'dur', $dur,
+         |'w', $w, 'h', $h, 'done', $done)""".stripMargin
     val mp4Size = be("st.pos", 4)
+    val mp4Hop = s"st.pos + 2 * ($mp4Size)"
     val mp4Fold = expr(s"""
       aggregate(
         sequence(1, $maxChunks),
         ${mp4St("CAST(1 AS BIGINT)", "CAST(NULL AS BIGINT)",
+          "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)",
           "CAST(NULL AS BIGINT)", "false")},
         (st, i) -> CASE
           WHEN st.done THEN st
           WHEN st.pos IS NULL OR length(__av_hx) < CAST(st.pos AS INT) + 15
-            THEN ${mp4St("st.pos", "st.ts", "st.dur", "true")}
+            THEN ${mp4St("st.pos", "st.ts", "st.dur", "st.w", "st.h", "true")}
           WHEN substring(__av_hx, CAST(st.pos AS INT) + 8, 8) = '6D766864'
             THEN CASE
               WHEN substring(__av_hx, CAST(st.pos AS INT) + 16, 2) = '00'
                    AND length(__av_hx) >= CAST(st.pos AS INT) + 55
-                THEN ${mp4St("st.pos", be("st.pos + 40", 4),
-                  be("st.pos + 48", 4), "true")}
+                THEN ${mp4St(mp4Hop, be("st.pos + 40", 4),
+                  be("st.pos + 48", 4), "st.w", "st.h",
+                  "st.w IS NOT NULL")}
               WHEN substring(__av_hx, CAST(st.pos AS INT) + 16, 2) = '01'
                    AND length(__av_hx) >= CAST(st.pos AS INT) + 79
-                THEN ${mp4St("st.pos", be("st.pos + 56", 4),
-                  be("st.pos + 64", 8), "true")}
+                THEN ${mp4St(mp4Hop, be("st.pos + 56", 4),
+                  be("st.pos + 64", 8), "st.w", "st.h",
+                  "st.w IS NOT NULL")}
               ELSE ${mp4St("st.pos", "CAST(NULL AS BIGINT)",
-                "CAST(NULL AS BIGINT)", "true")}
+                "CAST(NULL AS BIGINT)", "st.w", "st.h", "true")}
+            END
+          WHEN substring(__av_hx, CAST(st.pos AS INT) + 8, 8) = '746B6864'
+            THEN CASE
+              WHEN substring(__av_hx, CAST(st.pos AS INT) + 16, 2) = '00'
+                   AND length(__av_hx) >= CAST(st.pos AS INT) + 179
+                THEN ${mp4St(mp4Hop, "st.ts", "st.dur",
+                  be("st.pos + 168", 2), be("st.pos + 176", 2),
+                  "st.ts IS NOT NULL")}
+              WHEN substring(__av_hx, CAST(st.pos AS INT) + 16, 2) = '01'
+                   AND length(__av_hx) >= CAST(st.pos AS INT) + 203
+                THEN ${mp4St(mp4Hop, "st.ts", "st.dur",
+                  be("st.pos + 192", 2), be("st.pos + 200", 2),
+                  "st.ts IS NOT NULL")}
+              ELSE ${mp4St("st.pos", "st.ts", "st.dur",
+                "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)", "true")}
             END
           WHEN substring(__av_hx, CAST(st.pos AS INT) + 8, 8) = '6D6F6F76'
-            THEN ${mp4St("st.pos + 16", "st.ts", "st.dur", "false")}
+               OR substring(__av_hx, CAST(st.pos AS INT) + 8, 8) = '7472616B'
+            THEN ${mp4St("st.pos + 16", "st.ts", "st.dur", "st.w", "st.h",
+              "false")}
           WHEN ($mp4Size) IS NULL OR ($mp4Size) < 8
-            THEN ${mp4St("st.pos", "st.ts", "st.dur", "true")}
-          ELSE ${mp4St(s"st.pos + 2 * ($mp4Size)", "st.ts", "st.dur", "false")}
+            THEN ${mp4St("st.pos", "st.ts", "st.dur", "st.w", "st.h", "true")}
+          ELSE ${mp4St(mp4Hop, "st.ts", "st.dur", "st.w", "st.h", "false")}
         END,
         st -> st)""")
     val hx = col("__av_hx")
@@ -442,6 +472,8 @@ object Multimodal {
       .withColumn("channels", col("__av_wav.ch"))
       .withColumn("sample_rate", col("__av_wav.sr"))
       .withColumn("bits_per_sample", col("__av_wav.bits"))
+      .withColumn("width", col("__av_mp4.w"))
+      .withColumn("height", col("__av_mp4.h"))
       .withColumn("duration_ms",
         when(col("av_format") === "wav" && col("__av_wav.br") > 0,
           expr("(__av_wav.db * 1000) div __av_wav.br"))
@@ -459,7 +491,9 @@ object Multimodal {
     * id-derived integer arithmetic the q128 oracle recomputes as ground
     * truth: channels = 1 + pmod(id,4)/2, sample_rate = 8000 +
     * pmod(id,8)*1000, data_bytes = 1000 + pmod(13 id, 9000), timescale =
-    * 600 + pmod(id,10)*100, duration units = 3000 + pmod(11 id, 60000).
+    * 600 + pmod(id,10)*100, duration units = 3000 + pmod(11 id, 60000),
+    * video track dims = the images family's 16 + pmod(id,1024) by
+    * 16 + pmod(7 id, 768), stored 16.16 in a `trak`/`tkhd` after mvhd.
     * The WAV's data payload is truncated to 8 filler bytes on purpose
     * (its SIZE field stays honest-to-declared — the streamed-file shape
     * a header parser must price without reading the tail); RIFF/box
@@ -497,8 +531,33 @@ object Multimodal {
       lit("01"), lit("000000"),
       repeat(lit("00"), 16), // u64 creation + modification
       be4(ts), be8(dur), repeat(lit("00"), 80))
-    val moov0 = concat(lit("00000074"), lit("6D6F6F76"), mvhd0) // 8 + 108
-    val moov1 = concat(lit("00000080"), lit("6D6F6F76"), mvhd1) // 8 + 120
+    // tkhd: the video track header — presentation dims as 16.16 fixed
+    // point (integer part = the id-derived w/h the images family uses;
+    // fraction 0). Unity matrix per spec; layer/volume/reserved zero.
+    val vw = lit(16) + pmod(id, lit(1024))
+    val vh = lit(16) + pmod(id * 7, lit(768))
+    val unityMatrix = lit("00010000" + "00000000" + "00000000" +
+      "00000000" + "00010000" + "00000000" +
+      "00000000" + "00000000" + "40000000")
+    val tkhd0 = concat(lit("0000005C"), lit("746B6864"), // size 92, v0
+      lit("00000007"), // version 0, flags: enabled | in-movie | in-preview
+      lit("00000000"), lit("00000000"), // creation, modification
+      lit("00000001"), lit("00000000"), be4(dur), // track id, rsvd, dur
+      repeat(lit("00"), 8), // reserved u32[2]
+      repeat(lit("00"), 8), // layer, alternate group, volume, reserved
+      unityMatrix, be4(vw * 65536), be4(vh * 65536))
+    val tkhd1 = concat(lit("00000068"), lit("746B6864"), // size 104, v1
+      lit("01000007"),
+      repeat(lit("00"), 16), // u64 creation + modification
+      lit("00000001"), lit("00000000"), be8(dur),
+      repeat(lit("00"), 8), repeat(lit("00"), 8),
+      unityMatrix, be4(vw * 65536), be4(vh * 65536))
+    val trak0 = concat(lit("00000064"), lit("7472616B"), tkhd0) // 8 + 92
+    val trak1 = concat(lit("00000070"), lit("7472616B"), tkhd1) // 8 + 104
+    val moov0 = concat(lit("000000D8"), lit("6D6F6F76"), // 8 + 108 + 100
+      mvhd0, trak0)
+    val moov1 = concat(lit("000000F0"), lit("6D6F6F76"), // 8 + 120 + 112
+      mvhd1, trak1)
     val mp4 = concat(ftyp, free,
       when(pmod(id, lit(4)) === 1, moov0).otherwise(moov1))
     docs.select(

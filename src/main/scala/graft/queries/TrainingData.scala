@@ -1623,7 +1623,8 @@ object TrainingData {
 
     // Audio/video container metadata (Multimodal.avMetadata): WAV chunk
     // walk (LIST before fmt, word-aligned hops) and MP4 box walk (free
-    // before moov, descend into moov, mvhd v0+v1 layouts) — the metadata
+    // before moov, descend into moov AND trak, mvhd + tkhd v0+v1 layouts
+    // incl. 16.16 fixed-point video dims) — the metadata
     // side of the A/V family done with real byte parsing instead of the
     // labeled stub (decode stays stubbed: no codecs in this container).
     // Bytes are synthesized valid containers (Multimodal.synthAvBytes);
@@ -1638,7 +1639,8 @@ object TrainingData {
       (s, dir) => Multimodal.avMetadata(
           Multimodal.synthAvBytes(t(s, dir, "documents"), "doc_id"))
         .select(col("media_id"), col("av_format"), col("channels"),
-          col("sample_rate"), col("bits_per_sample"), col("duration_ms"),
+          col("sample_rate"), col("bits_per_sample"),
+          col("width"), col("height"), col("duration_ms"),
           octet_length(col("content")).cast(LongType).as("n_bytes"))
         .orderBy("media_id"),
       Some("""WITH m AS (
@@ -1649,7 +1651,9 @@ object TrainingData {
              |    ((doc_id % 10) + 10) % 10 AS pm10,
              |    ((doc_id % 16) + 16) % 16 AS pm16,
              |    (((doc_id * 13) % 9000) + 9000) % 9000 AS pm13k,
-             |    (((doc_id * 11) % 60000) + 60000) % 60000 AS pm11k
+             |    (((doc_id * 11) % 60000) + 60000) % 60000 AS pm11k,
+             |    16 + ((doc_id % 1024) + 1024) % 1024 AS vw,
+             |    16 + (((doc_id * 7) % 768) + 768) % 768 AS vh
              |  FROM documents)
              |SELECT doc_id AS media_id,
              |  CASE WHEN pm2 = 0 THEN 'wav' ELSE 'mp4' END AS av_format,
@@ -1658,6 +1662,8 @@ object TrainingData {
              |  CAST(CASE WHEN pm2 = 0
              |    THEN 8000 + pm8 * 1000 END AS BIGINT) AS sample_rate,
              |  CAST(CASE WHEN pm2 = 0 THEN 16 END AS BIGINT) AS bits_per_sample,
+             |  CAST(CASE WHEN pm2 = 1 THEN vw END AS BIGINT) AS width,
+             |  CAST(CASE WHEN pm2 = 1 THEN vh END AS BIGINT) AS height,
              |  CAST(CASE WHEN pm2 = 0
              |    THEN (1000 + pm13k) * 1000 //
              |         ((8000 + pm8 * 1000) *
@@ -1665,8 +1671,8 @@ object TrainingData {
              |    ELSE (3000 + pm11k) * 1000 // (600 + pm10 * 100)
              |  END AS BIGINT) AS duration_ms,
              |  CAST(CASE WHEN pm2 = 0 THEN 60 + (pm8 + 1) * 2
-             |       WHEN pm4 = 1 THEN 140 + pm16 + 1
-             |       ELSE 152 + pm16 + 1 END AS BIGINT) AS n_bytes
+             |       WHEN pm4 = 1 THEN 240 + pm16 + 1
+             |       ELSE 264 + pm16 + 1 END AS BIGINT) AS n_bytes
              |FROM m ORDER BY media_id""".stripMargin)),
 
     // ---- Events: streaming-shaped batch ops ---------------------------

@@ -316,6 +316,7 @@ class TrainingDataSpec extends SparkSpec {
       "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
       "0200" + "1000"
     // mvhd v0: timescale 1000 = 0x3E8, duration 7500 = 0x1D4C -> 7500 ms
+    // (no trak: duration parses, video dims stay NULL)
     val mp4v0 = "00000010" + "66747970" + "69736F6D" + "00000200" +
       "00000074" + "6D6F6F76" +
       "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
@@ -327,6 +328,30 @@ class TrainingDataSpec extends SparkSpec {
       "00000080" + "6D6F6F76" +
       "00000078" + "6D766864" + "01000000" + ("00" * 16) +
       "00015F90" + "000000000006DDD0" + ("00" * 80)
+    // unity transform matrix shared by the tkhd exhibits
+    val matrix = "00010000" + "00000000" + "00000000" +
+      "00000000" + "00010000" + "00000000" +
+      "00000000" + "00000000" + "40000000"
+    // moov{mvhd v0 + trak{tkhd v0}}: 640x360 as 16.16 fixed point
+    // (0x02800000 / 0x01680000) at tkhd payload bytes 76/80
+    val mp4v0t = "00000010" + "66747970" + "69736F6D" + "00000200" +
+      "000000D8" + "6D6F6F76" +
+      "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+      "000003E8" + "00001D4C" + ("00" * 80) +
+      "00000064" + "7472616B" +
+      "0000005C" + "746B6864" + "00000007" + "00000000" + "00000000" +
+      "00000001" + "00000000" + "00001D4C" + ("00" * 8) + ("00" * 8) +
+      matrix + "02800000" + "01680000"
+    // moov{mvhd v1 + trak{tkhd v1}}: 1920x1080; the v1 widening moves the
+    // dims to payload bytes 88/92 — a v0-offset read lands in the matrix
+    val mp4v1t = "00000010" + "66747970" + "69736F6D" + "00000200" +
+      "000000F0" + "6D6F6F76" +
+      "00000078" + "6D766864" + "01000000" + ("00" * 16) +
+      "00015F90" + "000000000006DDD0" + ("00" * 80) +
+      "00000070" + "7472616B" +
+      "00000068" + "746B6864" + "01000007" + ("00" * 16) +
+      "00000001" + "00000000" + "000000000006DDD0" + ("00" * 8) +
+      ("00" * 8) + matrix + "07800000" + "04380000"
     // ftyp alone: format detected, walk runs off -> NULL duration
     val mp4Short = "00000010" + "66747970" + "69736F6D" + "00000200"
     // a zero-size box (size-to-EOF) stops the walk as malformed
@@ -338,24 +363,27 @@ class TrainingDataSpec extends SparkSpec {
     val wavCut = "52494646" + "12000000" + "57415645" +
       "666D7420" + "10000000" + "0100" + "0100" + "401F0000"
     val media = Seq((1L, wav1), (2L, wav2), (3L, wav3), (4L, mp4v0),
-        (5L, mp4v1), (6L, mp4Short), (7L, mp4Zero), (8L, wavCut))
+        (5L, mp4v1), (6L, mp4Short), (7L, mp4Zero), (8L, wavCut),
+        (9L, mp4v0t), (10L, mp4v1t))
       .toDF("media_id", "hx")
       .select($"media_id", unhex($"hx").as("content"))
     val got = Multimodal.avMetadata(media)
       .select($"media_id", $"av_format", $"channels", $"sample_rate",
-        $"bits_per_sample", $"duration_ms")
+        $"bits_per_sample", $"width", $"height", $"duration_ms")
       .as[(Long, Option[String], Option[Long], Option[Long], Option[Long],
-        Option[Long])]
+        Option[Long], Option[Long], Option[Long])]
       .collect().sortBy(_._1).toSeq
     assert(got === Seq(
-      (1L, Some("wav"), Some(2L), Some(44100L), Some(16L), Some(500L)),
-      (2L, Some("wav"), Some(1L), Some(8000L), Some(16L), Some(1000L)),
-      (3L, Some("wav"), Some(1L), Some(8000L), Some(16L), None),
-      (4L, Some("mp4"), None, None, None, Some(7500L)),
-      (5L, Some("mp4"), None, None, None, Some(5000L)),
-      (6L, Some("mp4"), None, None, None, None),
-      (7L, Some("mp4"), None, None, None, None),
-      (8L, Some("wav"), None, None, None, None)))
+      (1L, Some("wav"), Some(2L), Some(44100L), Some(16L), None, None, Some(500L)),
+      (2L, Some("wav"), Some(1L), Some(8000L), Some(16L), None, None, Some(1000L)),
+      (3L, Some("wav"), Some(1L), Some(8000L), Some(16L), None, None, None),
+      (4L, Some("mp4"), None, None, None, None, None, Some(7500L)),
+      (5L, Some("mp4"), None, None, None, None, None, Some(5000L)),
+      (6L, Some("mp4"), None, None, None, None, None, None),
+      (7L, Some("mp4"), None, None, None, None, None, None),
+      (8L, Some("wav"), None, None, None, None, None, None),
+      (9L, Some("mp4"), None, None, None, Some(640L), Some(360L), Some(7500L)),
+      (10L, Some("mp4"), None, None, None, Some(1920L), Some(1080L), Some(5000L))))
     // reserved-column guard, same family contract as imageDims
     intercept[IllegalArgumentException] {
       Multimodal.avMetadata(media.withColumn("duration_ms", lit(1)))
@@ -386,9 +414,12 @@ class TrainingDataSpec extends SparkSpec {
     val fieldBad = parsed.where(
       ($"av_format" =!= when(isWav, "wav").otherwise("mp4")) ||
       (isWav && ($"channels" =!= ch || $"sample_rate" =!= sr ||
-        $"bits_per_sample" =!= 16L)) ||
+        $"bits_per_sample" =!= 16L ||
+        $"width".isNotNull || $"height".isNotNull)) ||
       (!isWav && ($"channels".isNotNull || $"sample_rate".isNotNull ||
-        $"bits_per_sample".isNotNull)))
+        $"bits_per_sample".isNotNull ||
+        $"width" =!= (lit(16) + pmod(id, lit(1024))) ||
+        $"height" =!= (lit(16) + pmod(id * 7, lit(768))))))
     assert(fieldBad.isEmpty, fieldBad.limit(5).collect().mkString("; "))
   }
 
