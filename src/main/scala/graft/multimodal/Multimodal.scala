@@ -344,12 +344,32 @@ object Multimodal {
     * size < 8 (0 = to-EOF, 1 = 64-bit largesize) stop the walk as
     * malformed: this is a bounded header parser, not a demuxer.
     *
-    * Output: input columns + av_format ('wav'/'mp4'/NULL), channels,
-    * sample_rate, bits_per_sample (WAV; NULL for MP4 — the movie header
-    * doesn't carry them, codec sample boxes do), width, height (MP4
-    * video; NULL for WAV), duration_ms (both). All reads are
-    * length-guarded so a truncated header NULLs rather than assembling a
-    * partial-bytes value. */
+    * MP3 (MPEG audio, Layer III): an optional ID3v2 tag is hopped via its
+    * SYNCSAFE 28-bit size (four 7-bit bytes — a byte with the high bit
+    * set is malformed; the size includes any extended header, so one hop
+    * lands on the first frame; ID3v2 FOOTERS are not handled — rare, and
+    * they fail safe to NULL fields via the sync check). The frame header
+    * yields MPEG version (1/2/2.5), bitrate index and sample-rate index
+    * — mapped through the spec's Layer III tables — and the channel
+    * mode. duration_ms is the CBR estimate (audio bytes x 8 / bitrate)
+    * over the WHOLE blob (octet_length, not the hexed prefix); VBR files
+    * without a Xing header misestimate, as every header-only MP3 parser
+    * does. Non-Layer-III frames and reserved version/index values yield
+    * NULL fields ('mp3' format retained).
+    *
+    * FLAC: 'fLaC' then STREAMINFO, which the spec REQUIRES to be the
+    * first metadata block — a fixed-offset read of its bit-packed core:
+    * sample rate (20 bits), channels-1 (3), bits-per-sample-1 (5), total
+    * samples (36) packed MSB-first in 8 bytes; parsed as two u32 reads so
+    * no value ever touches the sign bit. duration_ms = total samples x
+    * 1000 / sample rate — exact, not estimated.
+    *
+    * Output: input columns + av_format ('wav'/'mp4'/'mp3'/'flac'/NULL),
+    * channels (WAV/MP3/FLAC), sample_rate (WAV/MP3/FLAC),
+    * bits_per_sample (WAV/FLAC; MP3 and MP4 don't carry one), width,
+    * height (MP4 video; NULL elsewhere), duration_ms (all). All reads
+    * are length-guarded so a truncated header NULLs rather than
+    * assembling a partial-bytes value. */
   def avMetadata(media: DataFrame, contentCol: String = "content",
                  maxChunks: Int = 16,
                  headerBytes: Int = 64 * 1024): DataFrame = {
@@ -359,7 +379,8 @@ object Multimodal {
       s"headerBytes must cover the smallest fmt/mvhd layout (64), got $headerBytes")
     Seq("av_format", "channels", "sample_rate", "bits_per_sample",
       "width", "height", "duration_ms",
-      "__av_hx", "__av_wav", "__av_mp4").foreach(c =>
+      "__av_hx", "__av_wav", "__av_mp4", "__av_p", "__av_mp3",
+      "__av_flac").foreach(c =>
       require(!media.columns.contains(c),
         s"Multimodal.avMetadata: media already has a '$c' column — rename " +
           "it first; avMetadata appends its own"))
@@ -460,26 +481,107 @@ object Multimodal {
           ELSE ${mp4St(mp4Hop, "st.ts", "st.dur", "st.w", "st.h", "false")}
         END,
         st -> st)""")
+    // unsigned single-byte reader
+    def b(at: String) =
+      s"""CAST(conv(substring(__av_hx, CAST(($at) AS INT), 2), 16, 10)
+         |AS BIGINT)""".stripMargin
+    // MP3: first-frame char position — one hop over an ID3v2 tag via its
+    // syncsafe 28-bit size (bytes 6-9, each 7-bit; a high bit set is
+    // malformed -> NULL), else byte 0
+    val mp3P = expr(s"""
+      CASE WHEN substring(__av_hx, 1, 6) = '494433' THEN
+        CASE WHEN length(__av_hx) >= 20
+                  AND ${b("13")} < 128 AND ${b("15")} < 128
+                  AND ${b("17")} < 128 AND ${b("19")} < 128
+          THEN CAST(21 + 2 * (${b("13")} * 2097152 + ${b("15")} * 16384 +
+                              ${b("17")} * 128 + ${b("19")}) AS BIGINT)
+          ELSE CAST(NULL AS BIGINT) END
+      ELSE CAST(1 AS BIGINT) END""")
+    // MP3 frame header fields: Layer III only; reserved version/index
+    // values NULL the whole struct (the validity gate precedes every
+    // element_at, so ANSI can never see an out-of-range index)
+    val hdr2 = b("__av_p + 2") // version/layer byte
+    val hdr3 = b("__av_p + 4") // bitrate/samplerate byte
+    val mp3Fields = expr(s"""
+      CASE WHEN __av_p IS NOT NULL
+                AND length(__av_hx) >= CAST(__av_p AS INT) + 7
+                AND substring(__av_hx, CAST(__av_p AS INT), 2) = 'FF'
+                AND $hdr2 >= 224
+                AND ($hdr2 div 2) % 4 = 1
+                AND ($hdr2 div 8) % 4 <> 1
+                AND $hdr3 div 16 BETWEEN 1 AND 14
+                AND ($hdr3 div 4) % 4 <> 3
+        THEN named_struct(
+          'kbps', CAST(CASE WHEN ($hdr2 div 8) % 4 = 3
+            THEN element_at(
+              array(32,40,48,56,64,80,96,112,128,160,192,224,256,320),
+              CAST($hdr3 div 16 AS INT))
+            ELSE element_at(
+              array(8,16,24,32,40,48,56,64,80,96,112,128,144,160),
+              CAST($hdr3 div 16 AS INT)) END AS BIGINT),
+          'sr', CAST(element_at(
+              CASE ($hdr2 div 8) % 4
+                WHEN 3 THEN array(44100, 48000, 32000)
+                WHEN 2 THEN array(22050, 24000, 16000)
+                ELSE array(11025, 12000, 8000) END,
+              CAST(($hdr3 div 4) % 4 + 1 AS INT)) AS BIGINT),
+          'ch', CAST(CASE WHEN ${b("__av_p + 6")} div 64 = 3
+            THEN 1 ELSE 2 END AS BIGINT))
+        ELSE CAST(NULL AS STRUCT<kbps: BIGINT, sr: BIGINT, ch: BIGINT>)
+      END""")
+    // FLAC STREAMINFO bit-packed core, read as two u32s (sign-bit safe):
+    // u32a = <sr:20><ch-1:3><bps-1:5><total_hi:4>, u32b = total_lo
+    val u32a = "CAST(conv(substring(__av_hx, 37, 8), 16, 10) AS BIGINT)"
+    val u32b = "CAST(conv(substring(__av_hx, 45, 8), 16, 10) AS BIGINT)"
+    val flacFields = expr(s"""
+      CASE WHEN length(__av_hx) >= 52 AND ${b("9")} % 128 = 0
+        THEN named_struct(
+          'sr', CAST($u32a div 4096 AS BIGINT),
+          'ch', CAST(($u32a div 512) % 8 + 1 AS BIGINT),
+          'bps', CAST(($u32a div 16) % 32 + 1 AS BIGINT),
+          'total', CAST(($u32a % 16) * 4294967296 + $u32b AS BIGINT))
+        ELSE CAST(NULL AS
+          STRUCT<sr: BIGINT, ch: BIGINT, bps: BIGINT, total: BIGINT>)
+      END""")
     val hx = col("__av_hx")
     media
       .withColumn("__av_hx", hex(substring(col(contentCol), 1, headerBytes)))
       .withColumn("av_format",
         when(hx.startsWith("52494646") &&
           substring(hx, 17, 8) === "57415645", "wav")
-          .when(substring(hx, 9, 8) === "66747970", "mp4"))
+          .when(substring(hx, 9, 8) === "66747970", "mp4")
+          .when(hx.startsWith("494433") ||
+            (substring(hx, 1, 2) === "FF" &&
+              conv(substring(hx, 3, 2), 16, 10).cast(LongType) >= 224),
+            "mp3")
+          .when(hx.startsWith("664C6143"), "flac"))
       .withColumn("__av_wav", when(col("av_format") === "wav", wavFold))
       .withColumn("__av_mp4", when(col("av_format") === "mp4", mp4Fold))
-      .withColumn("channels", col("__av_wav.ch"))
-      .withColumn("sample_rate", col("__av_wav.sr"))
-      .withColumn("bits_per_sample", col("__av_wav.bits"))
+      .withColumn("__av_p", when(col("av_format") === "mp3", mp3P))
+      .withColumn("__av_mp3", when(col("av_format") === "mp3", mp3Fields))
+      .withColumn("__av_flac", when(col("av_format") === "flac", flacFields))
+      .withColumn("channels", coalesce(col("__av_wav.ch"),
+        col("__av_mp3.ch"), col("__av_flac.ch")))
+      .withColumn("sample_rate", coalesce(col("__av_wav.sr"),
+        col("__av_mp3.sr"), col("__av_flac.sr")))
+      .withColumn("bits_per_sample",
+        coalesce(col("__av_wav.bits"), col("__av_flac.bps")))
       .withColumn("width", col("__av_mp4.w"))
       .withColumn("height", col("__av_mp4.h"))
       .withColumn("duration_ms",
         when(col("av_format") === "wav" && col("__av_wav.br") > 0,
           expr("(__av_wav.db * 1000) div __av_wav.br"))
           .when(col("av_format") === "mp4" && col("__av_mp4.ts") > 0,
-            expr("(__av_mp4.dur * 1000) div __av_mp4.ts")))
-      .drop("__av_hx", "__av_wav", "__av_mp4")
+            expr("(__av_mp4.dur * 1000) div __av_mp4.ts"))
+          // CBR estimate: audio bytes (blob minus the ID3 tag) x 8 bits
+          // over kilobits/s lands directly in milliseconds
+          .when(col("av_format") === "mp3" && col("__av_mp3.kbps") > 0,
+            expr(s"""((octet_length(`$contentCol`) - (__av_p - 1) div 2)
+                    | * 8) div __av_mp3.kbps""".stripMargin))
+          .when(col("av_format") === "flac" && col("__av_flac.sr") > 0,
+            expr("(__av_flac.total * 1000) div __av_flac.sr")))
+      .drop("__av_hx", "__av_wav", "__av_mp4", "__av_p", "__av_mp3",
+        "__av_flac")
   }
 
   /** Deterministic VALID WAV/MP4 container exhibit bytes — the test/demo
