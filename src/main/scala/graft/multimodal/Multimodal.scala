@@ -324,7 +324,10 @@ object Multimodal {
     * 8 + size + (size odd ? 1 : 0) bytes — RIFF chunks are WORD-aligned,
     * and a walk that forgets the pad byte desyncs after the first
     * odd-sized chunk. `fmt ` yields channels (u16 LE), sample_rate
-    * (u32 LE), byte_rate (u32 LE), bits_per_sample (u16 LE); `data`
+    * (u32 LE), byte_rate (u32 LE), bits_per_sample (u16 LE) — only when
+    * its DECLARED size is >= 16 (the PCM core): a malformed fmt declaring
+    * fewer bytes would otherwise have fields read past its payload into
+    * the next chunk, producing plausible garbage instead of NULL; `data`
     * yields its declared size; duration_ms = data_bytes * 1000 /
     * byte_rate (the declared size is used on purpose — a header parser
     * must price a streamed/truncated file from its header, not its tail).
@@ -339,10 +342,25 @@ object Multimodal {
     * The FIRST `tkhd` carries the track's presentation width/height as
     * 16.16 fixed point at payload bytes 76/80 (v0) or 88/92 (v1); the
     * integer part (the leading u16 of each field) is the resolution a
-    * curation filter wants. An audio-only track stores 0x0 — emitted as
-    * stored (0), distinct from NULL = no tkhd found. Boxes with
-    * size < 8 (0 = to-EOF, 1 = 64-bit largesize) stop the walk as
-    * malformed: this is a bounded header parser, not a demuxer.
+    * curation filter wants. Phone-shot video stores a ROTATION in the
+    * tkhd transform matrix while width/height keep the coded (landscape)
+    * dims: when the matrix's a and d terms are both zero (the 90deg /
+    * 270deg shapes — b/c carry the +-1.0), the emitted width/height are
+    * SWAPPED so they are the DISPLAY resolution, matching what ffprobe's
+    * rotate-aware consumers filter on. An audio-only track stores 0x0 —
+    * emitted as stored (0), distinct from NULL = no tkhd found. A
+    * size == 1 box carries a u64 BE largesize after its fourcc and is
+    * hopped like any other box when that largesize keeps the walk inside
+    * the hexed prefix (its high u32 must be 0 and the size >= 16);
+    * anything larger extends past the prefix and ends the walk with the
+    * fields found so far — same for size == 0 (to-EOF). This is a bounded
+    * header parser, not a demuxer: a non-faststart file whose moov sits
+    * after a multi-GiB mdat legitimately yields NULL metadata (raising
+    * `headerBytes` cannot reach it); route such files through a demuxer,
+    * don't trust a header. All walk-position bounds compare in BIGINT —
+    * an untrusted u32/u64 size field can push `pos` past Int.MaxValue,
+    * and an INT cast there would throw under ANSI mode instead of
+    * honoring the malformed-yields-NULL contract.
     *
     * MP3 (MPEG audio, Layer III): an optional ID3v2 tag is hopped via its
     * SYNCSAFE 28-bit size (four 7-bit bytes — a byte with the high bit
@@ -411,11 +429,12 @@ object Multimodal {
           "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)", "false")},
         (st, i) -> CASE
           WHEN st.done THEN st
-          WHEN st.pos IS NULL OR length(__av_hx) < CAST(st.pos AS INT) + 15
+          WHEN st.pos IS NULL OR length(__av_hx) < st.pos + 15
             THEN ${wavSt("st.pos", "st.ch", "st.sr", "st.br", "st.bits",
               "st.db", "true")}
           WHEN substring(__av_hx, CAST(st.pos AS INT), 8) = '666D7420'
-               AND length(__av_hx) >= CAST(st.pos AS INT) + 47
+               AND length(__av_hx) >= st.pos + 47
+               AND ($wavSize) >= 16
             THEN ${wavSt(wavHop, le16("st.pos + 20"), le32("st.pos + 24"),
               le32("st.pos + 32"), le16("st.pos + 44"), "st.db",
               "st.db IS NOT NULL")}
@@ -440,17 +459,17 @@ object Multimodal {
           "CAST(NULL AS BIGINT)", "false")},
         (st, i) -> CASE
           WHEN st.done THEN st
-          WHEN st.pos IS NULL OR length(__av_hx) < CAST(st.pos AS INT) + 15
+          WHEN st.pos IS NULL OR length(__av_hx) < st.pos + 15
             THEN ${mp4St("st.pos", "st.ts", "st.dur", "st.w", "st.h", "true")}
           WHEN substring(__av_hx, CAST(st.pos AS INT) + 8, 8) = '6D766864'
             THEN CASE
               WHEN substring(__av_hx, CAST(st.pos AS INT) + 16, 2) = '00'
-                   AND length(__av_hx) >= CAST(st.pos AS INT) + 55
+                   AND length(__av_hx) >= st.pos + 55
                 THEN ${mp4St(mp4Hop, be("st.pos + 40", 4),
                   be("st.pos + 48", 4), "st.w", "st.h",
                   "st.w IS NOT NULL")}
               WHEN substring(__av_hx, CAST(st.pos AS INT) + 16, 2) = '01'
-                   AND length(__av_hx) >= CAST(st.pos AS INT) + 79
+                   AND length(__av_hx) >= st.pos + 79
                 THEN ${mp4St(mp4Hop, be("st.pos + 56", 4),
                   be("st.pos + 64", 8), "st.w", "st.h",
                   "st.w IS NOT NULL")}
@@ -460,15 +479,33 @@ object Multimodal {
           WHEN substring(__av_hx, CAST(st.pos AS INT) + 8, 8) = '746B6864'
             THEN CASE
               WHEN substring(__av_hx, CAST(st.pos AS INT) + 16, 2) = '00'
-                   AND length(__av_hx) >= CAST(st.pos AS INT) + 179
-                THEN ${mp4St(mp4Hop, "st.ts", "st.dur",
-                  be("st.pos + 168", 2), be("st.pos + 176", 2),
-                  "st.ts IS NOT NULL")}
+                   AND length(__av_hx) >= st.pos + 179
+                THEN CASE
+                  WHEN substring(__av_hx, CAST(st.pos AS INT) + 96, 8)
+                         = '00000000'
+                       AND substring(__av_hx, CAST(st.pos AS INT) + 128, 8)
+                         = '00000000'
+                    THEN ${mp4St(mp4Hop, "st.ts", "st.dur",
+                      be("st.pos + 176", 2), be("st.pos + 168", 2),
+                      "st.ts IS NOT NULL")}
+                  ELSE ${mp4St(mp4Hop, "st.ts", "st.dur",
+                    be("st.pos + 168", 2), be("st.pos + 176", 2),
+                    "st.ts IS NOT NULL")}
+                END
               WHEN substring(__av_hx, CAST(st.pos AS INT) + 16, 2) = '01'
-                   AND length(__av_hx) >= CAST(st.pos AS INT) + 203
-                THEN ${mp4St(mp4Hop, "st.ts", "st.dur",
-                  be("st.pos + 192", 2), be("st.pos + 200", 2),
-                  "st.ts IS NOT NULL")}
+                   AND length(__av_hx) >= st.pos + 203
+                THEN CASE
+                  WHEN substring(__av_hx, CAST(st.pos AS INT) + 120, 8)
+                         = '00000000'
+                       AND substring(__av_hx, CAST(st.pos AS INT) + 152, 8)
+                         = '00000000'
+                    THEN ${mp4St(mp4Hop, "st.ts", "st.dur",
+                      be("st.pos + 200", 2), be("st.pos + 192", 2),
+                      "st.ts IS NOT NULL")}
+                  ELSE ${mp4St(mp4Hop, "st.ts", "st.dur",
+                    be("st.pos + 192", 2), be("st.pos + 200", 2),
+                    "st.ts IS NOT NULL")}
+                END
               ELSE ${mp4St("st.pos", "st.ts", "st.dur",
                 "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)", "true")}
             END
@@ -476,6 +513,16 @@ object Multimodal {
                OR substring(__av_hx, CAST(st.pos AS INT) + 8, 8) = '7472616B'
             THEN ${mp4St("st.pos + 16", "st.ts", "st.dur", "st.w", "st.h",
               "false")}
+          WHEN ($mp4Size) = 1
+            THEN CASE
+              WHEN length(__av_hx) >= st.pos + 31
+                   AND ${be("st.pos + 16", 4)} = 0
+                   AND ${be("st.pos + 24", 4)} >= 16
+                THEN ${mp4St(s"st.pos + 2 * (${be("st.pos + 24", 4)})",
+                  "st.ts", "st.dur", "st.w", "st.h", "false")}
+              ELSE ${mp4St("st.pos", "st.ts", "st.dur", "st.w", "st.h",
+                "true")}
+            END
           WHEN ($mp4Size) IS NULL OR ($mp4Size) < 8
             THEN ${mp4St("st.pos", "st.ts", "st.dur", "st.w", "st.h", "true")}
           ELSE ${mp4St(mp4Hop, "st.ts", "st.dur", "st.w", "st.h", "false")}
@@ -504,7 +551,7 @@ object Multimodal {
     val hdr3 = b("__av_p + 4") // bitrate/samplerate byte
     val mp3Fields = expr(s"""
       CASE WHEN __av_p IS NOT NULL
-                AND length(__av_hx) >= CAST(__av_p AS INT) + 7
+                AND length(__av_hx) >= __av_p + 7
                 AND substring(__av_hx, CAST(__av_p AS INT), 2) = 'FF'
                 AND $hdr2 >= 224
                 AND ($hdr2 div 2) % 4 = 1

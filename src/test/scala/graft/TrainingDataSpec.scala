@@ -362,9 +362,56 @@ class TrainingDataSpec extends SparkSpec {
     // plausible sample rate from half a field
     val wavCut = "52494646" + "12000000" + "57415645" +
       "666D7420" + "10000000" + "0100" + "0100" + "401F0000"
+    // untrusted u32 chunk size pushes the walk position past Int.MaxValue:
+    // the bounds guard must compare in BIGINT and NULL out — an INT cast
+    // there throws under ANSI and one such file kills the corpus job
+    val wavHuge = "52494646" + "FFFFFFFF" + "57415645" +
+      "4A554E4B" + "FFFFFFFF" + "AABB"
+    val mp4Huge = "00000010" + "66747970" + "69736F6D" + "00000200" +
+      "7FFFFFFF" + "6D646174" + "AABB"
+    // fmt declaring size 8 (< the 16-byte PCM core): fields at fixed
+    // offsets would read into the NEXT chunk's bytes — must NULL instead
+    val wavSmallFmt = "52494646" + "24000000" + "57415645" +
+      "666D7420" + "08000000" + "0100" + "0100" + "401F0000" +
+      "64617461" + "803E0000"
+    // size==1 box: u64 BE largesize (24 = 8 hdr + 8 largesize + 8 payload)
+    // must be HOPPED, not treated as malformed — moov after it parses
+    val mp4Large = "00000010" + "66747970" + "69736F6D" + "00000200" +
+      "00000001" + "66726565" + "0000000000000018" + ("00" * 8) +
+      "00000074" + "6D6F6F76" +
+      "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+      "000003E8" + "00001D4C" + ("00" * 80)
+    // largesize with a nonzero high u32 (>4 GiB box, the non-faststart
+    // mdat shape): extends past any header prefix -> walk ends, NULL
+    val mp4LargeHi = "00000010" + "66747970" + "69736F6D" + "00000200" +
+      "00000001" + "6D646174" + "0000000100000000" + "AABB"
+    // 90deg rotation matrix (a=0, b=1.0, c=-1.0, d=0): coded 640x360 must
+    // be emitted as DISPLAY 360x640 — phone portrait video stores exactly
+    // this shape and a resolution filter wants the display dims
+    val rotM = "00000000" + "00010000" + "00000000" +
+      "FFFF0000" + "00000000" + "00000000" +
+      "00000000" + "00000000" + "40000000"
+    val mp4v0r = "00000010" + "66747970" + "69736F6D" + "00000200" +
+      "000000D8" + "6D6F6F76" +
+      "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+      "000003E8" + "00001D4C" + ("00" * 80) +
+      "00000064" + "7472616B" +
+      "0000005C" + "746B6864" + "00000007" + "00000000" + "00000000" +
+      "00000001" + "00000000" + "00001D4C" + ("00" * 8) + ("00" * 8) +
+      rotM + "02800000" + "01680000"
+    val mp4v1r = "00000010" + "66747970" + "69736F6D" + "00000200" +
+      "000000F0" + "6D6F6F76" +
+      "00000078" + "6D766864" + "01000000" + ("00" * 16) +
+      "00015F90" + "000000000006DDD0" + ("00" * 80) +
+      "00000070" + "7472616B" +
+      "00000068" + "746B6864" + "01000007" + ("00" * 16) +
+      "00000001" + "00000000" + "000000000006DDD0" + ("00" * 8) +
+      ("00" * 8) + rotM + "07800000" + "04380000"
     val media = Seq((1L, wav1), (2L, wav2), (3L, wav3), (4L, mp4v0),
         (5L, mp4v1), (6L, mp4Short), (7L, mp4Zero), (8L, wavCut),
-        (9L, mp4v0t), (10L, mp4v1t))
+        (9L, mp4v0t), (10L, mp4v1t), (11L, wavHuge), (12L, mp4Huge),
+        (13L, wavSmallFmt), (14L, mp4Large), (15L, mp4LargeHi),
+        (16L, mp4v0r), (17L, mp4v1r))
       .toDF("media_id", "hx")
       .select($"media_id", unhex($"hx").as("content"))
     val got = Multimodal.avMetadata(media)
@@ -383,7 +430,14 @@ class TrainingDataSpec extends SparkSpec {
       (7L, Some("mp4"), None, None, None, None, None, None),
       (8L, Some("wav"), None, None, None, None, None, None),
       (9L, Some("mp4"), None, None, None, Some(640L), Some(360L), Some(7500L)),
-      (10L, Some("mp4"), None, None, None, Some(1920L), Some(1080L), Some(5000L))))
+      (10L, Some("mp4"), None, None, None, Some(1920L), Some(1080L), Some(5000L)),
+      (11L, Some("wav"), None, None, None, None, None, None),
+      (12L, Some("mp4"), None, None, None, None, None, None),
+      (13L, Some("wav"), None, None, None, None, None, None),
+      (14L, Some("mp4"), None, None, None, None, None, Some(7500L)),
+      (15L, Some("mp4"), None, None, None, None, None, None),
+      (16L, Some("mp4"), None, None, None, Some(360L), Some(640L), Some(7500L)),
+      (17L, Some("mp4"), None, None, None, Some(1080L), Some(1920L), Some(5000L))))
     // reserved-column guard, same family contract as imageDims
     intercept[IllegalArgumentException] {
       Multimodal.avMetadata(media.withColumn("duration_ms", lit(1)))
