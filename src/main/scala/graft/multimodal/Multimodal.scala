@@ -714,6 +714,73 @@ object Multimodal {
       unhex(when(pmod(id, lit(2)) === 0, wav).otherwise(mp4)).as("content"))
   }
 
+  /** Deterministic VALID MP3/FLAC exhibit bytes — the test/demo source for
+    * [[avMetadata]]'s audio branches (pmod(id, 2): even ids MP3, odd FLAC).
+    * The MP3 carries an id-derived VARIABLE-length ID3v2 tag whose size is
+    * SYNCSAFE-encoded (four 7-bit bytes — the trap the tag hop exists to
+    * handle: sizes >= 128 split across two bytes, and a plain-u28 encoder
+    * would desync the frame position for every tag over 127 bytes), then
+    * one Layer III frame header mixing all three MPEG versions
+    * (1 / 2 / 2.5 — each with its own sample-rate table and, for v1, its
+    * own bitrate table), all 14 valid bitrate indices, all 3 sample-rate
+    * indices and all 4 channel modes, then id-derived payload filler (the
+    * CBR duration estimate divides the whole-blob audio bytes by the
+    * table kbps, so payload length is load-bearing). The FLAC is fLaC +
+    * a STREAMINFO whose bit-packed core is assembled with the same
+    * integer arithmetic the parser must invert: sr(20) | ch-1(3) |
+    * bps-1(5) | total-samples(36), with the 36-bit total SPLIT as
+    * hi-4-bits (id-derived 0-7, nonzero for most ids — so the u32-pair
+    * read in the parser is exercised by the bulk oracle, not just a
+    * golden) and a u32 low word. All parameters are id-derived integer
+    * arithmetic the q129 oracle recomputes as GROUND TRUTH — the oracle
+    * is spec(id), not a parse replay, so a symmetric generator+parser
+    * bit-packing bug cannot cancel (golden headers in TrainingDataSpec
+    * pin the byte layout itself). */
+  def synthAudioBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val fill = repeat(upper(md5(id.cast(StringType))), 19) // 608 hex chars
+    def b2(v: Column) = lpad(hex(v), 2, "0")
+    // Parameters derive from floor(id/2), NOT id: the format split already
+    // consumed id's parity, so pmod(id, k) over one parity class only
+    // visits half the residues for even k — channel mode 3 (mono) and
+    // half the bitrate indices would never occur in the corpus mix.
+    // floor(id/2) covers every integer on each parity class.
+    val hid = floor(id / lit(2)).cast(LongType)
+    // MP3: tag 1..300 bytes (>= 128 exercises the 2-byte syncsafe split)
+    val tagSize = lit(1) + pmod(hid * 3, lit(300))
+    val v = when(pmod(hid, lit(3)) === 0, 3L) // MPEG1
+      .when(pmod(hid, lit(3)) === 1, 2L)      // MPEG2
+      .otherwise(0L)                          // MPEG2.5
+    val bi = lit(1) + pmod(hid * 5, lit(14))  // bitrate index 1..14
+    val si = pmod(hid * 7, lit(3))            // sample-rate index 0..2
+    val cm = pmod(hid, lit(4))                // channel mode 0..3
+    val audioN = lit(50) + pmod(hid * 13, lit(200)) // payload filler bytes
+    val mp3 = concat(
+      lit("494433"), lit("0400"), lit("00"), // 'ID3', v2.4.0, flags 0
+      lit("0000"), b2(floor(tagSize / 128)), b2(pmod(tagSize, lit(128))),
+      fill.substr(lit(1), (tagSize * 2).cast(IntegerType)), // tag body
+      lit("FF"), b2(lit(227) + v * 8), // sync + ver bits + layer III + prot
+      b2(bi * 16 + si * 4), b2(cm * 64),
+      fill.substr(lit(1), (audioN * 2).cast(IntegerType)))
+    // FLAC: STREAMINFO (34 bytes) with the bit-packed core
+    val fsr = lit(8000) + pmod(hid, lit(8)) * 1000 // fits the 20-bit field
+    val fch = lit(1) + pmod(hid, lit(8))           // 1..8 channels
+    val fbps = lit(8) + pmod(hid, lit(3)) * 8      // 8/16/24 bits
+    val thi = pmod(hid * 17, lit(8))               // total-samples bits 35-32
+    val tlo = lit(100000) + pmod(hid * 13, lit(1000000)) // low u32
+    val u32a = fsr * 4096 + (fch - 1) * 512 + (fbps - 1) * 16 + thi
+    def be4(c: Column) = lpad(hex(c), 8, "0")
+    val flac = concat(
+      lit("664C6143"), lit("80"), lit("000022"), // last-block, type 0, len 34
+      lit("1000"), lit("1000"),          // min/max block size 4096
+      lit("000000"), lit("000000"),      // min/max frame size (unknown)
+      be4(u32a), be4(tlo),
+      substring(fill, 1, 32))            // 16-byte MD5 signature stand-in
+    docs.select(
+      id.as("media_id"),
+      unhex(when(pmod(id, lit(2)) === 0, mp3).otherwise(flac)).as("content"))
+  }
+
   /** STUB decoder: a real implementation would parse the codec and emit
     * pixel/sample features. This fake derives a deterministic 4-dim
     * "embedding" from the content hash so downstream plumbing (schema,

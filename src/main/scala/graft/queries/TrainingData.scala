@@ -1675,6 +1675,67 @@ object TrainingData {
              |       ELSE 264 + pm16 + 1 END AS BIGINT) AS n_bytes
              |FROM m ORDER BY media_id""".stripMargin)),
 
+    // Compressed-audio container metadata (Multimodal.avMetadata MP3/FLAC
+    // branches): the ID3v2 SYNCSAFE tag hop (sizes >= 128 split across
+    // 7-bit bytes — a plain-u28 hop desyncs on most real tags), MPEG
+    // version/bitrate/sample-rate table lookups, the whole-blob CBR
+    // duration estimate, and FLAC's bit-packed STREAMINFO core read as a
+    // u32 pair (the 36-bit total-samples split is exercised: its high
+    // nibble is nonzero for most ids). Bytes are synthesized valid
+    // containers (Multimodal.synthAudioBytes); the oracle recomputes
+    // every field as GROUND-TRUTH id arithmetic — spec(id), not a parse
+    // replay — and hand-assembled golden headers in TrainingDataSpec pin
+    // the byte layout (syncsafe-malformed, reserved-index and truncation
+    // NULL paths included). Expression-only; blobs never shuffle.
+    Q("q129_audio_header_meta",
+      (s, dir) => Multimodal.avMetadata(
+          Multimodal.synthAudioBytes(t(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("av_format"), col("channels"),
+          col("sample_rate"), col("bits_per_sample"), col("duration_ms"),
+          octet_length(col("content")).cast(LongType).as("n_bytes"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2) + 2) % 2 AS pm2,
+             |    (((doc_id // 2) % 3) + 3) % 3 AS pm3,
+             |    (((doc_id // 2) % 4) + 4) % 4 AS pm4,
+             |    (((doc_id // 2) % 8) + 8) % 8 AS pm8,
+             |    1 + (((doc_id // 2 * 3) % 300) + 300) % 300 AS tagsize,
+             |    1 + (((doc_id // 2 * 5) % 14) + 14) % 14 AS bi,
+             |    (((doc_id // 2 * 7) % 3) + 3) % 3 AS si,
+             |    50 + (((doc_id // 2 * 13) % 200) + 200) % 200 AS audion,
+             |    (((doc_id // 2 * 17) % 8) + 8) % 8 AS thi,
+             |    100000 + (((doc_id // 2 * 13) % 1000000) + 1000000) % 1000000
+             |      AS tlo
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, pm2, tagsize, bi, si, audion,
+             |    CASE WHEN pm3 = 0 THEN 3 WHEN pm3 = 1 THEN 2 ELSE 0 END AS v,
+             |    pm4 AS cm,
+             |    8000 + pm8 * 1000 AS fsr, 1 + pm8 AS fch,
+             |    8 + pm3 * 8 AS fbps,
+             |    thi * 4294967296 + tlo AS ftotal
+             |  FROM m)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN pm2 = 0 THEN 'mp3' ELSE 'flac' END AS av_format,
+             |  CAST(CASE WHEN pm2 = 0 THEN CASE WHEN cm = 3 THEN 1 ELSE 2 END
+             |       ELSE fch END AS BIGINT) AS channels,
+             |  CAST(CASE WHEN pm2 = 0 THEN
+             |      CASE WHEN v = 3 THEN ([44100,48000,32000])[CAST(si + 1 AS INT)]
+             |           WHEN v = 2 THEN ([22050,24000,16000])[CAST(si + 1 AS INT)]
+             |           ELSE ([11025,12000,8000])[CAST(si + 1 AS INT)] END
+             |    ELSE fsr END AS BIGINT) AS sample_rate,
+             |  CAST(CASE WHEN pm2 = 1 THEN fbps END AS BIGINT)
+             |    AS bits_per_sample,
+             |  CAST(CASE WHEN pm2 = 0 THEN
+             |      ((4 + audion) * 8) // (CASE WHEN v = 3
+             |        THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(bi AS INT)]
+             |        ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[CAST(bi AS INT)] END)
+             |    ELSE ftotal * 1000 // fsr END AS BIGINT) AS duration_ms,
+             |  CAST(CASE WHEN pm2 = 0 THEN 14 + tagsize + audion
+             |       ELSE 42 END AS BIGINT) AS n_bytes
+             |FROM f ORDER BY media_id""".stripMargin)),
+
     // ---- Events: streaming-shaped batch ops ---------------------------
 
     // Hourly windowed aggregation (batch form of the streaming window agg;

@@ -477,6 +477,116 @@ class TrainingDataSpec extends SparkSpec {
     assert(fieldBad.isEmpty, fieldBad.limit(5).collect().mkString("; "))
   }
 
+  test("avMetadata: golden MP3/FLAC headers, syncsafe/reserved/trunc -> NULL") {
+    // GOLDEN bytes hand-assembled against the MPEG-1/2 audio and FLAC
+    // specs (not the synth generator — a symmetric construct/parse bug
+    // can't cancel).
+    // Bare canonical frame: FF FB 90 00 = MPEG1 Layer III, 128 kbps,
+    // 44.1 kHz, stereo; 156 payload bytes -> 160 audio bytes ->
+    // 160*8/128 = 10 ms
+    val mp3Bare = "FFFB9000" + ("AB" * 156)
+    // ID3v2 tag of 130 body bytes: syncsafe 130 = <0,0,1,2> — a plain-u28
+    // reader would land 126 bytes short of the frame; frame: MPEG2.5
+    // (E3), 160 kbps (index 14, v2/v2.5 table), 8 kHz (index 2), mono
+    // (C0); 96 payload bytes -> 100 audio bytes -> 100*8/160 = 5 ms
+    val mp3Tagged = "494433" + "0300" + "00" + "00000102" + ("00" * 130) +
+      "FFE3E8C0" + ("CD" * 96)
+    // syncsafe size byte with the high bit set: malformed -> NULL fields,
+    // 'mp3' format retained
+    val mp3SyncBad = "494433" + "0400" + "00" + "00000080" + ("00" * 16)
+    // reserved MPEG version bits (01) -> NULL fields
+    val mp3VerBad = "FFEB9000" + ("AB" * 32)
+    // bitrate index 15 (reserved) -> NULL fields
+    val mp3BrBad = "FFFBF000" + ("AB" * 32)
+    // sample-rate index 3 (reserved) -> NULL fields
+    val mp3SrBad = "FFFB9C00" + ("AB" * 32)
+    // ID3 tag size (70000, syncsafe <0,4,34,112>) larger than the hexed
+    // prefix: the first frame is out of reach — octet_length is
+    // whole-blob but __av_p derives from the PREFIX, so the length guard
+    // must NULL the fields, not read past the hex or throw
+    val mp3TagHuge = "494433" + "0400" + "00" + "00042270" + ("00" * 64)
+    // FLAC with a 36-bit total-samples value (2^35): the u32-pair split —
+    // u32a packs sr 44100 | ch-1 1 | bps-1 15 | total_hi 8 = 0x0AC442F8,
+    // u32b = 0
+    val flac36 = "664C6143" + "80" + "000022" + "1000" + "1000" +
+      "000000" + "000000" + "0AC442F8" + "00000000" + ("00" * 16)
+    // truncated STREAMINFO -> NULL fields, 'flac' retained
+    val flacCut = "664C6143" + "80" + "0000"
+    // first metadata block not STREAMINFO (type 4; the spec requires
+    // STREAMINFO first, so this is defensive) -> NULL fields
+    val flacWrongBlock = "664C6143" + "84" + "000022" + "1000" + "1000" +
+      "000000" + "000000" + "0AC442F8" + "00000000" + ("00" * 16)
+    val media = Seq((1L, mp3Bare), (2L, mp3Tagged), (3L, mp3SyncBad),
+        (4L, mp3VerBad), (5L, mp3BrBad), (6L, mp3SrBad), (7L, mp3TagHuge),
+        (8L, flac36), (9L, flacCut), (10L, flacWrongBlock))
+      .toDF("media_id", "hx")
+      .select($"media_id", unhex($"hx").as("content"))
+    val got = Multimodal.avMetadata(media)
+      .select($"media_id", $"av_format", $"channels", $"sample_rate",
+        $"bits_per_sample", $"duration_ms")
+      .as[(Long, Option[String], Option[Long], Option[Long], Option[Long],
+        Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    val flacDur = (1L << 35) * 1000 / 44100 // exact Long floor-div twin
+    assert(got === Seq(
+      (1L, Some("mp3"), Some(2L), Some(44100L), None, Some(10L)),
+      (2L, Some("mp3"), Some(1L), Some(8000L), None, Some(5L)),
+      (3L, Some("mp3"), None, None, None, None),
+      (4L, Some("mp3"), None, None, None, None),
+      (5L, Some("mp3"), None, None, None, None),
+      (6L, Some("mp3"), None, None, None, None),
+      (7L, Some("mp3"), None, None, None, None),
+      (8L, Some("flac"), Some(2L), Some(44100L), Some(16L), Some(flacDur)),
+      (9L, Some("flac"), None, None, None, None),
+      (10L, Some("flac"), None, None, None, None)))
+  }
+
+  test("avMetadata round-trips synthAudioBytes across the corpus") {
+    val parsed = Multimodal.avMetadata(
+      Multimodal.synthAudioBytes(docs, "doc_id"))
+    val id = $"media_id"
+    val hid = floor(id / lit(2)).cast("long")
+    val isMp3 = pmod(id, lit(2)) === 0
+    val v = when(pmod(hid, lit(3)) === 0, 3L)
+      .when(pmod(hid, lit(3)) === 1, 2L).otherwise(0L)
+    val bi = (lit(1) + pmod(hid * 5, lit(14))).cast("int")
+    val si1 = (pmod(hid * 7, lit(3)) + 1).cast("int")
+    val kbps = when(v === 3, element_at(
+        typedlit(Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+          256, 320)), bi))
+      .otherwise(element_at(
+        typedlit(Seq(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+          160)), bi))
+    val sr = when(v === 3, element_at(typedlit(Seq(44100, 48000, 32000)), si1))
+      .when(v === 2, element_at(typedlit(Seq(22050, 24000, 16000)), si1))
+      .otherwise(element_at(typedlit(Seq(11025, 12000, 8000)), si1))
+    val ch = when(pmod(hid, lit(4)) === 3, 1L).otherwise(2L)
+    val audioN = lit(50) + pmod(hid * 13, lit(200))
+    val fsr = lit(8000) + pmod(hid, lit(8)) * 1000
+    val fch = lit(1) + pmod(hid, lit(8))
+    val fbps = lit(8) + pmod(hid, lit(3)) * 8
+    val ftotal = pmod(hid * 17, lit(8)) * lit(4294967296L) +
+      lit(100000) + pmod(hid * 13, lit(1000000))
+    val bad = parsed.where(
+      ($"av_format" =!= when(isMp3, "mp3").otherwise("flac")) ||
+      (isMp3 && ($"channels" =!= ch || $"sample_rate" =!= sr ||
+        $"bits_per_sample".isNotNull ||
+        $"duration_ms" =!= floor((audioN + 4) * 8 / kbps))) ||
+      (!isMp3 && ($"channels" =!= fch || $"sample_rate" =!= fsr ||
+        $"bits_per_sample" =!= fbps ||
+        $"duration_ms" =!= floor(ftotal * 1000 / fsr))))
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
+    // every MPEG version / both kbps tables / all 4 channel modes and
+    // the nonzero total_hi split all actually occur in the mix
+    import org.apache.spark.sql.functions.countDistinct
+    val variety = parsed.agg(
+      countDistinct(when(isMp3, pmod(hid, lit(3)))).as("vers"),
+      countDistinct(when(isMp3, pmod(hid, lit(4)))).as("cms"),
+      countDistinct(when(!isMp3, pmod(hid * 17, lit(8)))).as("this")
+    ).as[(Long, Long, Long)].head()
+    assert(variety === ((3L, 4L, 8L)), variety)
+  }
+
   test("imageDims: bounded header prefix, no shuffle in the plan") {
     val media = Multimodal.synthImageBytes(docs, "doc_id")
     // a prefix too short to reach the JPEG SOF fails safe to NULL dims
