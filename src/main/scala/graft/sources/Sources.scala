@@ -164,12 +164,14 @@ object Sources {
     *    pruning);
     *  - tmp path derives from the normalized Path, never string concat
     *    (a trailing slash would nest tmp INSIDE the source and the swap
-    *    would delete both copies); its name starts with `_`, which Spark's
-    *    file readers skip — so when the compacted target is one PARTITION
-    *    of a larger table (e.g. the admission index's `batch_id=N` dirs,
-    *    whose sibling tmp lands inside the table root), a crash-stranded
-    *    tmp is invisible to partition discovery instead of poisoning the
-    *    partition column's inferred type;
+    *    would delete both copies); its name starts with `_` AND has any
+    *    '=' encoded out ([[compactingTmp]]) — Spark's hidden-path filter
+    *    skips `_`-prefixed names only when they contain no '=', so when
+    *    the compacted target is one PARTITION of a larger table (the
+    *    admission index's `batch_id=N` dirs, whose sibling tmp lands
+    *    inside the table root), an un-encoded crash-stranded tmp would be
+    *    parsed as a conflicting partition column and fail every read of
+    *    the whole table;
     *  - already-compact directories return without rewriting.
     * The delete+rename swap is crash-windowed, not atomic: a crash
     * between the two strands the (complete) data under `__compacting`,
@@ -177,18 +179,38 @@ object Sources {
     * writers — that isolation is what table formats add on top; a
     * compaction job owns its table's maintenance window. Returns the
     * resulting file count. */
+  /** Tmp sibling for [[compactParquet]]'s write-swap. The name must start
+    * with `_` AND contain no '=': Spark's hidden-path filter only skips
+    * `_`-prefixed names WITHOUT an '=' (so `_temporary` is invisible, but
+    * an un-encoded `_batch_id=0__compacting` sibling inside a partitioned
+    * table root is parsed as a CONFLICTING partition column and fails
+    * every read of the whole table — tested in StreamingSpec). '=' is
+    * therefore encoded; [[graft.streaming.EventStreams.compactAdmissionIndex]]
+    * decodes it when reconstructing a crash-stranded partition's name. */
+  private[graft] def compactingTmp(dir: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir.getParent,
+      "_" + dir.getName.replace("=", "__EQ__") + "__compacting")
+
   def compactParquet(spark: SparkSession, path: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetFileBytes > 0)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
-    val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
-      "_" + dir.getName + "__compacting")
+    val tmp = compactingTmp(dir)
     if (fs.exists(tmp)) {
       if (!fs.exists(dir)) { // crashed between delete and rename: complete it
         require(fs.rename(tmp, dir), s"recovery rename $tmp -> $dir failed")
-      } else fs.delete(tmp, true) // stale tmp from a crashed write phase
+      } else if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        // tmp's write COMMITTED (the committer writes _SUCCESS last), so a
+        // coexisting dir is either the pre-compaction original (crash after
+        // write, before delete — both copies complete, either is correct)
+        // or a PARTIALLY-deleted original (crash mid-delete — only tmp is
+        // complete). tmp is the safe choice in both; deleting it here, as
+        // the pre-marker code did, loses rows in the second case.
+        require(fs.delete(dir, true), s"recovery delete of $dir failed")
+        require(fs.rename(tmp, dir), s"recovery rename $tmp -> $dir failed")
+      } else fs.delete(tmp, true) // uncommitted tmp: a crashed write phase
     }
     val entries = fs.listStatus(dir)
     require(!entries.exists(_.getPath.getName == "_spark_metadata"),

@@ -386,6 +386,21 @@ object EventStreams {
     * proves bit-equality of post-compaction decisions). Run it between
     * batches — compactParquet is not safe against a concurrent writer to
     * the SAME partition, and old partitions are never written again.
+    *
+    * CRASH RECOVERY is this op's job, not just compaction: a compaction
+    * that died between its delete and rename leaves ONLY the
+    * `_`-prefixed, '='-encoded tmp (`_batch_id__EQ__N__compacting` — see
+    * [[graft.sources.Sources.compactingTmp]] for why '=' must not appear:
+    * an un-encoded name is parsed as a conflicting partition column and
+    * fails every index read). The tmp is invisible to readers (by design)
+    * but would ALSO be invisible to a naive `batch_id=` listing, so the
+    * partition's band signatures would silently vanish from the index and
+    * later batches would re-admit duplicates of those docs. The partition
+    * name is therefore reconstructed (decoded) from any stranded tmp and
+    * routed through compactParquet, whose recovery branch completes the
+    * rename. An (externally) emptied partition dir with no stranded tmp
+    * is skipped with a stderr line instead of aborting the whole
+    * maintenance pass.
     * Returns (partitions compacted, total resulting files). */
   def compactAdmissionIndex(spark: SparkSession, indexPath: String,
                             targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
@@ -393,11 +408,33 @@ object EventStreams {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(indexPath))
     if (!fs.exists(root)) return (0, 0) // no index yet: nothing to compact
-    val parts = fs.listStatus(root).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-    val counts = parts.map(p =>
-      graft.sources.Sources.compactParquet(spark, p.getPath.toString,
+    val entries = fs.listStatus(root)
+    val live = entries.collect {
+      case s if s.isDirectory && s.getPath.getName.startsWith("batch_id=") =>
+        s.getPath.getName
+    }
+    val stranded = entries.collect {
+      case s if s.isDirectory &&
+          s.getPath.getName.startsWith("_batch_id__EQ__") &&
+          s.getPath.getName.endsWith("__compacting") =>
+        s.getPath.getName.stripPrefix("_").stripSuffix("__compacting")
+          .replace("__EQ__", "=")
+    }
+    val counts = (live ++ stranded).distinct.sorted.flatMap { name =>
+      val part = new org.apache.hadoop.fs.Path(root, name)
+      val hasTmp = fs.exists(graft.sources.Sources.compactingTmp(part))
+      val hasFiles = fs.exists(part) && fs.listStatus(part).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (!hasTmp && !hasFiles) {
+        // reachable only by external tampering (the gate always writes
+        // files into the partitions it creates): skip, don't abort —
+        // compactParquet would require-fail and kill the whole pass
+        System.err.println(
+          s"[compactAdmissionIndex] skipping $part: no parquet files")
+        None
+      } else Some(graft.sources.Sources.compactParquet(spark, part.toString,
         targetFileBytes))
-    (parts.length, counts.sum)
+    }
+    (counts.length, counts.sum)
   }
 }

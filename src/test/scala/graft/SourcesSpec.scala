@@ -78,6 +78,32 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.compactParquet(spark, dir) == 1 && parquetFiles == 1)
   }
 
+  test("compactParquet recovery: committed tmp survives a partially-deleted dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_rec")
+      .toString + "/t"
+    val nation = Sources.table(spark, sf, "nation")
+    nation.repartition(4).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qdir = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val tmp = new org.apache.hadoop.fs.Path(qdir.getParent,
+      "_" + qdir.getName + "__compacting")
+    // simulate: a compaction wrote AND committed its tmp (_SUCCESS is
+    // written last), then crashed mid-delete of the original — one source
+    // file already gone. Only the tmp is complete; preferring the dir (or
+    // deleting the tmp, as the pre-marker code did) loses rows.
+    spark.read.parquet(dir).repartition(1).write.parquet(tmp.toString)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+    val victim = fs.listStatus(qdir)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    assert(fs.delete(victim, false))
+    assert(Sources.compactParquet(spark, dir) == 1)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == nation.count(), "rows lost to the crash window")
+    assert(after.exceptAll(nation).isEmpty && nation.exceptAll(after).isEmpty)
+    assert(!fs.exists(tmp))
+  }
+
   test("compactParquet refuses partitioned and streaming-sink directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
     Sources.table(spark, sf, "orders")

@@ -290,6 +290,44 @@ class StreamingSpec extends SparkSpec {
     assert(decisions(plain).count(!_._4) >= 30) // planted dups caught
   }
 
+  test("compactAdmissionIndex recovers a crash-stranded partition and " +
+      "skips empty dirs") {
+    import spark.implicits._
+    val base = Sources.table(spark, sf, "documents")
+      .select("doc_id", "text").where(col("doc_id") < 120)
+    val deltas = (0 to 1).map(i => base.where(col("doc_id") % 2 === i))
+    val root = Files.createTempDirectory("graft_adm_crash").toString
+    deltas.zipWithIndex.foreach { case (d, i) =>
+      EventStreams.processDedupAdmissionBatch(d, i,
+        root + "/index", root + "/decisions")
+    }
+    def indexRows = spark.read.parquet(root + "/index")
+      .select($"doc_id", $"band", $"sig", $"batch_id".cast("int"))
+      .as[(Long, Int, String, Int)].collect().toSet
+    val preRows = indexRows
+    // simulate a compaction that crashed between its delete and rename:
+    // only the (complete) tmp remains, whose `_` prefix + '='-encoding
+    // hide it from readers — and, before the fix, from the maintenance
+    // listing too, so the partition's band signatures silently vanished
+    // and later batches would re-admit duplicates of those docs
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part0 = new org.apache.hadoop.fs.Path(root + "/index/batch_id=0")
+    assert(fs.rename(part0, Sources.compactingTmp(part0)))
+    // the stranded tmp must be INVISIBLE, not a read-breaking sibling: an
+    // un-encoded `_batch_id=0__compacting` name would be parsed as a
+    // conflicting partition column and fail this read outright
+    assert(spark.read.parquet(root + "/index")
+      .where($"batch_id" === 0).isEmpty)
+    // an (externally) emptied sibling partition must be skipped, not
+    // abort the whole maintenance pass
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root + "/index/batch_id=7"))
+    val (nParts, _) =
+      EventStreams.compactAdmissionIndex(spark, root + "/index")
+    assert(nParts === 2) // batch 0 recovered + batch 1; empty 7 skipped
+    assert(indexRows === preRows, "recovery changed index rows")
+  }
+
   test("streaming curation funnel (admission -> quality -> split) equals " +
       "the batch fold, redelivery included") {
     import spark.implicits._
