@@ -93,7 +93,25 @@ object Multimodal {
     * canvas w-1/h-1 as LE u24 pairs). All three live at fixed offsets
     * once the fourcc is known, so this is a 1-hop parse, not a fold.
     *
-    * Output: input columns + format ('png'/'jpeg'/'gif'/'webp'/NULL),
+    * BMP: 'BM', then the DIB header whose first u32 LE (byte 14) is its
+    * own size and selects the layout: 12 (BITMAPCOREHEADER) stores
+    * width/height as u16 LE at bytes 18/20; 40+ (BITMAPINFOHEADER and
+    * the V4/V5 extensions, which share the leading fields) as i32 LE at
+    * bytes 18/22. An INFO-header height may be NEGATIVE (two's
+    * complement = a top-down DIB); the emitted height is the MAGNITUDE —
+    * a resolution filter wants pixels, not scanline order. The 2-byte
+    * 'BM' sniff is weak on arbitrary binary; on an image corpus it is
+    * the format's only signature.
+    *
+    * ICO: reserved u16 0, type u16 1 (LE), entry count >= 1 (the count
+    * gate rejects all-zero prefixes the 4-byte signature alone would
+    * accept); the FIRST directory entry's width/height bytes are at 6/7,
+    * where 0 means 256 (the classic byte-sized-dimension trap). Multi-
+    * image files report the first entry, not the largest — a header
+    * parser takes the directory as ordered.
+    *
+    * Output: input columns + format
+    * ('png'/'jpeg'/'gif'/'webp'/'bmp'/'ico'/NULL),
     * width, height (NULL when unparseable). Unknown containers pass
     * through with NULL format — filter, don't fail, at corpus scale.
     * Truncated-header reads are length-guarded: a prefix shorter than a
@@ -186,6 +204,20 @@ object Multimodal {
         .when(fourcc === "5650384C", vp8l)
         .when(fourcc === "56503858", vp8x)
     }
+    // BMP DIB dims: layout selected by the DIB header's own size field
+    val dibSize = when(hexLen(36), le(29, 4))
+    // i32 LE magnitude: a top-down DIB stores height two's-complement
+    def bmpMag(c: Column): Column =
+      when(c >= 2147483648L, lit(4294967296L) - c).otherwise(c)
+    def bmpDim(first: Boolean): Column =
+      when(dibSize === 12, when(hexLen(44), le(if (first) 37 else 41, 2)))
+        .when(dibSize >= 40, when(hexLen(52),
+          if (first) le(37, 4) else bmpMag(le(45, 4))))
+    // ICO first-directory-entry dims: a stored 0 means 256
+    def icoDim(first: Boolean): Column = when(hexLen(16), {
+      val b = le(if (first) 13 else 15, 1)
+      when(b === 0, 256L).otherwise(b)
+    })
     withHex
       .withColumn("format",
         when(hx.startsWith("89504E470D0A1A0A"), "png")
@@ -193,20 +225,27 @@ object Multimodal {
           .when(hx.startsWith("474946383761") ||
             hx.startsWith("474946383961"), "gif")
           .when(hx.startsWith("52494646") &&
-            substring(hx, 17, 8) === "57454250", "webp"))
+            substring(hx, 17, 8) === "57454250", "webp")
+          .when(hx.startsWith("424D"), "bmp")
+          .when(hx.startsWith("00000100") && hexLen(12) && le(9, 2) >= 1,
+            "ico"))
       .withColumn("__img_sof", when(col("format") === "jpeg", jpegFold))
       .withColumn("width",
         when(col("format") === "png",
           conv(substring(hx, 33, 8), 16, 10).cast(LongType))
           .when(col("format") === "jpeg", col("__img_sof.w"))
           .when(col("format") === "gif" && hexLen(20), le(13, 2))
-          .when(col("format") === "webp", webpDim(first = true)))
+          .when(col("format") === "webp", webpDim(first = true))
+          .when(col("format") === "bmp", bmpDim(first = true))
+          .when(col("format") === "ico", icoDim(first = true)))
       .withColumn("height",
         when(col("format") === "png",
           conv(substring(hx, 41, 8), 16, 10).cast(LongType))
           .when(col("format") === "jpeg", col("__img_sof.h"))
           .when(col("format") === "gif" && hexLen(20), le(17, 2))
-          .when(col("format") === "webp", webpDim(first = false)))
+          .when(col("format") === "webp", webpDim(first = false))
+          .when(col("format") === "bmp", bmpDim(first = false))
+          .when(col("format") === "ico", icoDim(first = false)))
       .drop("__img_hx", "__img_sof")
   }
 
@@ -307,6 +346,56 @@ object Multimodal {
         .when(pmod(id, lit(5)) === 2, gif("474946383961"))
         .when(pmod(id, lit(5)) === 3, vp8l)
         .otherwise(vp8x)).as("content"))
+  }
+
+  /** Deterministic VALID BMP/ICO exhibit bytes — the test/demo source for
+    * [[imageDims]]'s desktop/web-crawl-format branches. Even ids are BMPs
+    * cycling pmod(hid, 3): 0 = INFO header with a NEGATIVE (top-down,
+    * two's-complement) stored height — the sign trap; 1 = positive INFO
+    * header; 2 = the legacy 12-byte CORE header whose dims are u16, not
+    * i32 (an INFO-offset read lands in the wrong field). Odd ids are
+    * single-entry ICOs whose byte-sized dims encode 256 as 0 — ids whose
+    * derived dim hits 256 exercise that wrap in the bulk oracle, not just
+    * a golden. Parameters derive from floor(id/2) (same parity-coverage
+    * reasoning as [[synthAudioBytes]]); the q130 oracle recomputes every
+    * field as ground-truth id arithmetic. */
+  def synthBmpIcoBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val hid = floor(id / lit(2)).cast(LongType)
+    val fill = upper(md5(id.cast(StringType)))
+    val w = lit(16) + pmod(hid, lit(1024))
+    val h = lit(16) + pmod(hid * 7, lit(768))
+    val variant = pmod(hid, lit(3))
+    val hStored = when(variant === 0, lit(4294967296L) - h).otherwise(h)
+    val bmpInfo = concat(
+      lit("424D"), le4(lit(62)), lit("00000000"), le4(lit(54)),
+      le4(lit(40)), le4(w), le4(hStored),
+      lit("0100"), lit("1800"), le4(lit(0)), // planes 1, 24 bpp, BI_RGB
+      le4(lit(8)), le4(lit(2835)), le4(lit(2835)), le4(lit(0)), le4(lit(0)),
+      substring(fill, 1, 16)) // 8 payload bytes -> 62 total
+    val bmpCore = concat(
+      lit("424D"), le4(lit(34)), lit("00000000"), le4(lit(26)),
+      le4(lit(12)), le2(w), le2(h),
+      lit("0100"), lit("1800"),
+      substring(fill, 1, 16)) // 8 payload bytes -> 34 total
+    // multipliers 51/29 put the 256->0 wrap within reach of a small
+    // corpus (iw = 256 at hid = 5, i.e. doc_id 11; a plain pmod(hid, 256)
+    // would need doc_id 511 and no sub-sf0.1 oracle run would ever
+    // exercise the wrap)
+    val iw = lit(1) + pmod(hid * 51, lit(256)) // 1..256
+    val ih = lit(1) + pmod(hid * 29, lit(256))
+    def icoByte(v: Column) = leHex(when(v === 256, lit(0)).otherwise(v), 1)
+    val ico = concat(
+      lit("0000"), lit("0100"), le2(lit(1)),   // reserved, type icon, count
+      icoByte(iw), icoByte(ih),
+      lit("00"), lit("00"), lit("0100"), lit("2000"), // colors/planes/bpp
+      le4(lit(16)), le4(lit(22)),              // data size, data offset
+      fill) // 16 payload bytes -> 38 total
+    docs.select(
+      id.as("media_id"),
+      unhex(when(pmod(id, lit(2)) === 0,
+          when(variant === 2, bmpCore).otherwise(bmpInfo))
+        .otherwise(ico)).as("content"))
   }
 
   /** REAL audio/video container-header parsing — sample rate, channel

@@ -1621,6 +1621,41 @@ object TrainingData {
              |  CAST(length(hx) // 2 AS BIGINT) AS n_bytes
              |FROM p ORDER BY media_id""".stripMargin)),
 
+    // Desktop/legacy image headers (Multimodal.imageDims BMP/ICO
+    // branches): BMP DIB layouts selected by the header's own size field
+    // (12-byte CORE u16 dims vs 40+-byte INFO i32 dims), the top-down
+    // NEGATIVE stored height emitted as magnitude, and ICO's
+    // byte-sized dims where 0 means 256 (ids whose dim derives to 256
+    // exercise the wrap in this bulk oracle). Bytes are synthesized valid
+    // containers (Multimodal.synthBmpIcoBytes); the oracle recomputes
+    // every field as GROUND-TRUTH id arithmetic; golden hand-assembled
+    // headers in TrainingDataSpec pin the byte layout. Expression-only;
+    // blobs never shuffle.
+    Q("q130_bmp_ico_dims",
+      (s, dir) => Multimodal.imageDims(
+          Multimodal.synthBmpIcoBytes(t(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          octet_length(col("content")).cast(LongType).as("n_bytes"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2) + 2) % 2 AS pm2,
+             |    (((doc_id // 2) % 3) + 3) % 3 AS variant,
+             |    16 + (((doc_id // 2) % 1024) + 1024) % 1024 AS bw,
+             |    16 + (((doc_id // 2 * 7) % 768) + 768) % 768 AS bh,
+             |    1 + (((doc_id // 2 * 51) % 256) + 256) % 256 AS iw,
+             |    1 + (((doc_id // 2 * 29) % 256) + 256) % 256 AS ih
+             |  FROM documents)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN pm2 = 0 THEN 'bmp' ELSE 'ico' END AS format,
+             |  CAST(CASE WHEN pm2 = 0 THEN bw ELSE iw END AS BIGINT)
+             |    AS width,
+             |  CAST(CASE WHEN pm2 = 0 THEN bh ELSE ih END AS BIGINT)
+             |    AS height,
+             |  CAST(CASE WHEN pm2 = 1 THEN 38 WHEN variant = 2 THEN 34
+             |       ELSE 62 END AS BIGINT) AS n_bytes
+             |FROM m ORDER BY media_id""".stripMargin)),
+
     // Audio/video container metadata (Multimodal.avMetadata): WAV chunk
     // walk (LIST before fmt, word-aligned hops) and MP4 box walk (free
     // before moov, descend into moov AND trak, mvhd + tkhd v0+v1 layouts

@@ -297,6 +297,71 @@ class TrainingDataSpec extends SparkSpec {
     assert(fmts.keySet === Set("gif", "webp") && fmts.values.forall(_ > 0))
   }
 
+  test("imageDims: golden BMP/ICO headers, sign/zero traps, malformed -> NULL") {
+    // GOLDEN bytes hand-assembled against the BMP/ICO layouts (not the
+    // synth generator — a symmetric construct/parse bug can't cancel).
+    // 2x2 24-bit BITMAPINFOHEADER
+    val bmpInfo = "424D" + "46000000" + "00000000" + "36000000" +
+      "28000000" + "02000000" + "02000000" + "0100" + "1800" + ("00" * 20)
+    // top-down DIB: stored height -2 (FEFFFFFF LE) -> magnitude 2
+    val bmpTopDown = "424D" + "46000000" + "00000000" + "36000000" +
+      "28000000" + "02000000" + "FEFFFFFF" + "0100" + "1800" + ("00" * 20)
+    // legacy 12-byte CORE header: u16 dims 3x4 — an INFO-offset i32 read
+    // would splice the height's bytes into the width
+    val bmpCore = "424D" + "22000000" + "00000000" + "1A000000" +
+      "0C000000" + "0300" + "0400" + "0100" + "1800"
+    // truncated before the DIB size field -> NULL dims, 'bmp' retained
+    val bmpCut = "424D" + "1E000000" + "00000000" + "36000000" + "28"
+    // single-entry ICO: width byte 0 = 256, height 16
+    val ico256 = "0000" + "0100" + "0100" + "00" + "10" + "00" + "00" +
+      "0100" + "2000" + "10000000" + "16000000" + ("AB" * 16)
+    // entry count 0: the count gate must reject (NULL format) — an
+    // all-zero-ish prefix is not an icon
+    val icoCount0 = "0000" + "0100" + "0000" + "20" + "20"
+    // sig + count but truncated before the dims -> 'ico', NULL dims
+    val icoCut = "0000" + "0100" + "0100"
+    val media = Seq((1L, bmpInfo), (2L, bmpTopDown), (3L, bmpCore),
+        (4L, bmpCut), (5L, ico256), (6L, icoCount0), (7L, icoCut))
+      .toDF("media_id", "hx")
+      .select($"media_id", unhex($"hx").as("content"))
+    val got = Multimodal.imageDims(media)
+      .select($"media_id", $"format", $"width", $"height")
+      .as[(Long, Option[String], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("bmp"), Some(2L), Some(2L)),
+      (2L, Some("bmp"), Some(2L), Some(2L)),
+      (3L, Some("bmp"), Some(3L), Some(4L)),
+      (4L, Some("bmp"), None, None),
+      (5L, Some("ico"), Some(256L), Some(16L)),
+      (6L, None, None, None),
+      (7L, Some("ico"), None, None)))
+  }
+
+  test("imageDims round-trips synthBmpIcoBytes across the corpus") {
+    val parsed = Multimodal.imageDims(
+      Multimodal.synthBmpIcoBytes(docs, "doc_id"))
+    val id = $"media_id"
+    val hid = floor(id / lit(2)).cast("long")
+    val isBmp = pmod(id, lit(2)) === 0
+    val bad = parsed.where(
+      ($"format" =!= when(isBmp, "bmp").otherwise("ico")) ||
+      (isBmp && ($"width" =!= (lit(16) + pmod(hid, lit(1024))) ||
+        $"height" =!= (lit(16) + pmod(hid * 7, lit(768))))) ||
+      (!isBmp && ($"width" =!= (lit(1) + pmod(hid * 51, lit(256))) ||
+        $"height" =!= (lit(1) + pmod(hid * 29, lit(256))))) ||
+      $"width".isNull || $"height".isNull)
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
+    // the 256->0 ICO wrap and both BMP layouts actually occur in the mix
+    import org.apache.spark.sql.functions.countDistinct
+    val variety = parsed.agg(
+      countDistinct(when(isBmp, pmod(hid, lit(3)))).as("layouts"),
+      org.apache.spark.sql.functions.sum(
+        when(!isBmp && $"width" === 256, 1L).otherwise(0L)).as("wraps")
+    ).as[(Long, Long)].head()
+    assert(variety._1 === 3L && variety._2 >= 1L, variety)
+  }
+
   test("avMetadata: golden WAV/MP4 headers, chunk padding, malformed -> NULL") {
     // GOLDEN bytes hand-assembled against RIFF/ISO-BMFF specs (not the
     // synth generator — a symmetric construct/parse bug can't cancel).
