@@ -209,10 +209,13 @@ object Multimodal {
     // i32 LE magnitude: a top-down DIB stores height two's-complement
     def bmpMag(c: Column): Column =
       when(c >= 2147483648L, lit(4294967296L) - c).otherwise(c)
+    // width is spec-unsigned: a sign-bit-set value is malformed -> NULL
+    // (only HEIGHT legitimately goes negative, meaning top-down)
     def bmpDim(first: Boolean): Column =
       when(dibSize === 12, when(hexLen(44), le(if (first) 37 else 41, 2)))
         .when(dibSize >= 40, when(hexLen(52),
-          if (first) le(37, 4) else bmpMag(le(45, 4))))
+          if (first) when(le(37, 4) < 2147483648L, le(37, 4))
+          else bmpMag(le(45, 4))))
     // ICO first-directory-entry dims: a stored 0 means 256
     def icoDim(first: Boolean): Column = when(hexLen(16), {
       val b = le(if (first) 13 else 15, 1)

@@ -324,7 +324,19 @@ object EventStreams {
     * SCALE SHAPE: stages 2-3 are map-side on the admitted delta (the
     * quality score is scan-side regex arithmetic, the split a hash of the
     * already-computed fingerprint); the only join beyond the admission
-    * gate's is delta-sized (decisions back to the batch). */
+    * gate's is delta-sized (decisions back to the batch).
+    *
+    * READ-AFTER-WRITE: stage 2 reads `decisionsPath` back immediately
+    * after stage 1 wrote it — deliberate, not an oversight. The
+    * alternative (carrying the decisions DataFrame forward) would
+    * RECOMPUTE the whole index probe when stage 2's join executes, while
+    * the read-back is a partition-pruned scan of the one just-written
+    * `batch_id=N` directory. The contract this rests on: the store must
+    * be read-after-write consistent for new objects — true of HDFS,
+    * ABFS, GCS and (since Dec 2020) S3; on a pre-2020-style eventually-
+    * consistent store this funnel could silently see an empty decision
+    * set, so there it must run against a consistent metadata layer
+    * instead. */
   def processCurationBatch(batch: DataFrame, batchId: Long,
                            indexPath: String, decisionsPath: String,
                            keptPath: String, idCol: String = "doc_id",

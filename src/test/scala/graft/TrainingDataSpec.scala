@@ -320,8 +320,13 @@ class TrainingDataSpec extends SparkSpec {
     val icoCount0 = "0000" + "0100" + "0000" + "20" + "20"
     // sig + count but truncated before the dims -> 'ico', NULL dims
     val icoCut = "0000" + "0100" + "0100"
+    // sign-bit-set WIDTH is malformed (only height legitimately goes
+    // negative) -> NULL width, height still parses
+    val bmpNegW = "424D" + "46000000" + "00000000" + "36000000" +
+      "28000000" + "FFFFFFFF" + "02000000" + "0100" + "1800" + ("00" * 20)
     val media = Seq((1L, bmpInfo), (2L, bmpTopDown), (3L, bmpCore),
-        (4L, bmpCut), (5L, ico256), (6L, icoCount0), (7L, icoCut))
+        (4L, bmpCut), (5L, ico256), (6L, icoCount0), (7L, icoCut),
+        (8L, bmpNegW))
       .toDF("media_id", "hx")
       .select($"media_id", unhex($"hx").as("content"))
     val got = Multimodal.imageDims(media)
@@ -335,7 +340,8 @@ class TrainingDataSpec extends SparkSpec {
       (4L, Some("bmp"), None, None),
       (5L, Some("ico"), Some(256L), Some(16L)),
       (6L, None, None, None),
-      (7L, Some("ico"), None, None)))
+      (7L, Some("ico"), None, None),
+      (8L, Some("bmp"), None, Some(2L))))
   }
 
   test("imageDims round-trips synthBmpIcoBytes across the corpus") {
