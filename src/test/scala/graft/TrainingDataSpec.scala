@@ -658,6 +658,60 @@ class TrainingDataSpec extends SparkSpec {
     assert(variety === ((3L, 4L, 8L)), variety)
   }
 
+  test("header parsers never throw under exhaustive truncation + " +
+      "corruption fuzz") {
+    // EVERY prefix length of every synth container family, plus byte
+    // corruptions at id-derived positions, through BOTH parsers (cross-
+    // format: WAV bytes through imageDims find its weak sniffs too).
+    // Under ANSI mode any unguarded CAST / element_at / partial-field
+    // read is a job-killing throw — this fuzz is the standing regression
+    // net for the class that produced the r12 WAV truncation bug and the
+    // r13 INT-overflow-on-huge-chunk-size bug. It asserts ONLY the
+    // contract fuzz can check: every input row yields exactly one output
+    // row and no expression throws; field correctness is the golden and
+    // round-trip tests' job.
+    val base = docs.where($"doc_id" < 48).select($"doc_id")
+    val families = Seq(
+      Multimodal.synthImageBytes(base, "doc_id"),
+      Multimodal.synthWebImageBytes(base, "doc_id"),
+      Multimodal.synthBmpIcoBytes(base, "doc_id"),
+      Multimodal.synthAvBytes(base, "doc_id"),
+      Multimodal.synthAudioBytes(base, "doc_id"))
+    // force full evaluation of every parsed column (a bare count would
+    // let column pruning skip the parse expressions entirely)
+    def force(df: org.apache.spark.sql.DataFrame): Long = {
+      val r = df.agg(count(lit(1)),
+        sum(hash(df.columns.map(col): _*)).cast("long")).head()
+      r.getLong(0)
+    }
+    families.foreach { fam =>
+      val truncated = fam.select($"media_id",
+        explode(sequence(lit(0), octet_length($"content")))
+          .as("k"))
+        .join(fam, Seq("media_id"))
+        .select($"media_id", expr("substring(content, 1, k)").as("content"))
+      val corrupted = Seq("00", "80", "FF").map { b =>
+        fam.select($"media_id",
+          concat(
+            expr("substring(content, 1, " +
+              "pmod(media_id * 31, octet_length(content)))"),
+            unhex(lit(b)),
+            expr("substring(content, " +
+              "pmod(media_id * 31, octet_length(content)) + 2, " +
+              "2147483647)")).as("content"))
+      }.reduce(_ unionAll _)
+      for (mutated <- Seq(truncated, corrupted)) {
+        val nIn = mutated.count()
+        // default bounds AND tiny bounds that force every walk off the
+        // hexed prefix mid-structure
+        assert(force(Multimodal.imageDims(mutated)) === nIn)
+        assert(force(Multimodal.imageDims(mutated, headerBytes = 32)) === nIn)
+        assert(force(Multimodal.avMetadata(mutated)) === nIn)
+        assert(force(Multimodal.avMetadata(mutated, headerBytes = 64)) === nIn)
+      }
+    }
+  }
+
   test("imageDims: bounded header prefix, no shuffle in the plan") {
     val media = Multimodal.synthImageBytes(docs, "doc_id")
     // a prefix too short to reach the JPEG SOF fails safe to NULL dims
