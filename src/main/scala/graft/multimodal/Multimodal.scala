@@ -474,12 +474,27 @@ object Multimodal {
     * no value ever touches the sign bit. duration_ms = total samples x
     * 1000 / sample rate — exact, not estimated.
     *
-    * Output: input columns + av_format ('wav'/'mp4'/'mp3'/'flac'/NULL),
-    * channels (WAV/MP3/FLAC), sample_rate (WAV/MP3/FLAC),
-    * bits_per_sample (WAV/FLAC; MP3 and MP4 don't carry one), width,
-    * height (MP4 video; NULL elsewhere), duration_ms (all). All reads
-    * are length-guarded so a truncated header NULLs rather than
-    * assembling a partial-bytes value. */
+    * Ogg (Opus/Vorbis): 'OggS' + version 0; the first page's payload
+    * starts after the VARIABLE-length segment table (27 + the
+    * segment-count byte at offset 26 — a fixed payload offset is wrong
+    * for any page with more than one lacing value). The payload prefix
+    * selects the codec: 'OpusHead' (channel count u8 at payload byte 9,
+    * the STORED input_sample_rate u32 LE at 12 — informational per
+    * RFC 7845, decode is always 48 kHz; emitted as stored) or
+    * '\\x01vorbis' (channels u8 at 11, rate u32 LE at 12). The emitted
+    * `codec` column distinguishes them. duration needs the LAST page's
+    * granule position — end-of-file, unreachable by a header parser —
+    * so it is NULL for ogg.
+    *
+    * Output: input columns + av_format
+    * ('wav'/'mp4'/'mp3'/'flac'/'ogg'/NULL),
+    * codec ('opus'/'vorbis' for ogg; NULL where the container already
+    * implies the codec or it is unknown), channels (WAV/MP3/FLAC/Ogg),
+    * sample_rate (WAV/MP3/FLAC/Ogg), bits_per_sample (WAV/FLAC; the
+    * others don't carry one), width, height (MP4 video; NULL elsewhere),
+    * duration_ms (all but ogg). All reads are length-guarded so a
+    * truncated header NULLs rather than assembling a partial-bytes
+    * value. */
   def avMetadata(media: DataFrame, contentCol: String = "content",
                  maxChunks: Int = 16,
                  headerBytes: Int = 64 * 1024): DataFrame = {
@@ -487,10 +502,10 @@ object Multimodal {
       s"maxChunks must be in [1, 256], got $maxChunks")
     require(headerBytes >= 64,
       s"headerBytes must cover the smallest fmt/mvhd layout (64), got $headerBytes")
-    Seq("av_format", "channels", "sample_rate", "bits_per_sample",
+    Seq("av_format", "codec", "channels", "sample_rate", "bits_per_sample",
       "width", "height", "duration_ms",
       "__av_hx", "__av_wav", "__av_mp4", "__av_p", "__av_mp3",
-      "__av_flac").foreach(c =>
+      "__av_flac", "__av_ogg").foreach(c =>
       require(!media.columns.contains(c),
         s"Multimodal.avMetadata: media already has a '$c' column — rename " +
           "it first; avMetadata appends its own"))
@@ -682,6 +697,27 @@ object Multimodal {
         ELSE CAST(NULL AS
           STRUCT<sr: BIGINT, ch: BIGINT, bps: BIGINT, total: BIGINT>)
       END""")
+    // Ogg first-page payload: after the variable-length segment table.
+    // The payload char offset is bounded by construction (<= 565), so the
+    // INT casts are safe without a BIGINT guard.
+    val oggP = s"(55 + 2 * ${b("53")})"
+    def oggSt(ch: String, sr: String, codec: String) =
+      s"named_struct('ch', $ch, 'sr', $sr, 'codec', $codec)"
+    val oggFields = expr(s"""
+      CASE WHEN length(__av_hx) >= 54 AND ${b("9")} = 0 THEN
+        CASE
+          WHEN length(__av_hx) >= $oggP + 31
+               AND substring(__av_hx, CAST($oggP AS INT), 16)
+                 = '4F70757348656164'
+            THEN ${oggSt(b(s"$oggP + 18"), le32(s"$oggP + 24"), "'opus'")}
+          WHEN length(__av_hx) >= $oggP + 31
+               AND substring(__av_hx, CAST($oggP AS INT), 14)
+                 = '01766F72626973'
+            THEN ${oggSt(b(s"$oggP + 22"), le32(s"$oggP + 24"), "'vorbis'")}
+          ELSE CAST(NULL AS STRUCT<ch: BIGINT, sr: BIGINT, codec: STRING>)
+        END
+      ELSE CAST(NULL AS STRUCT<ch: BIGINT, sr: BIGINT, codec: STRING>)
+      END""")
     val hx = col("__av_hx")
     media
       .withColumn("__av_hx", hex(substring(col(contentCol), 1, headerBytes)))
@@ -693,16 +729,19 @@ object Multimodal {
             (substring(hx, 1, 2) === "FF" &&
               conv(substring(hx, 3, 2), 16, 10).cast(LongType) >= 224),
             "mp3")
-          .when(hx.startsWith("664C6143"), "flac"))
+          .when(hx.startsWith("664C6143"), "flac")
+          .when(hx.startsWith("4F676753"), "ogg"))
       .withColumn("__av_wav", when(col("av_format") === "wav", wavFold))
       .withColumn("__av_mp4", when(col("av_format") === "mp4", mp4Fold))
       .withColumn("__av_p", when(col("av_format") === "mp3", mp3P))
       .withColumn("__av_mp3", when(col("av_format") === "mp3", mp3Fields))
       .withColumn("__av_flac", when(col("av_format") === "flac", flacFields))
+      .withColumn("__av_ogg", when(col("av_format") === "ogg", oggFields))
+      .withColumn("codec", col("__av_ogg.codec"))
       .withColumn("channels", coalesce(col("__av_wav.ch"),
-        col("__av_mp3.ch"), col("__av_flac.ch")))
+        col("__av_mp3.ch"), col("__av_flac.ch"), col("__av_ogg.ch")))
       .withColumn("sample_rate", coalesce(col("__av_wav.sr"),
-        col("__av_mp3.sr"), col("__av_flac.sr")))
+        col("__av_mp3.sr"), col("__av_flac.sr"), col("__av_ogg.sr")))
       .withColumn("bits_per_sample",
         coalesce(col("__av_wav.bits"), col("__av_flac.bps")))
       .withColumn("width", col("__av_mp4.w"))
@@ -720,7 +759,7 @@ object Multimodal {
           .when(col("av_format") === "flac" && col("__av_flac.sr") > 0,
             expr("(__av_flac.total * 1000) div __av_flac.sr")))
       .drop("__av_hx", "__av_wav", "__av_mp4", "__av_p", "__av_mp3",
-        "__av_flac")
+        "__av_flac", "__av_ogg")
   }
 
   /** Deterministic VALID WAV/MP4 container exhibit bytes — the test/demo
@@ -871,6 +910,47 @@ object Multimodal {
     docs.select(
       id.as("media_id"),
       unhex(when(pmod(id, lit(2)) === 0, mp3).otherwise(flac)).as("content"))
+  }
+
+  /** Deterministic VALID Ogg exhibit bytes — the test/demo source for
+    * [[avMetadata]]'s Ogg branch (pmod(id, 2): even ids Opus, odd Vorbis
+    * identification headers). The first page carries an id-derived
+    * VARIABLE-length segment table (1..3 lacing values — the trap the
+    * payload-offset arithmetic exists to handle: a fixed offset is only
+    * right for single-segment pages). Channel count and the stored
+    * sample rate are id arithmetic the q131 oracle recomputes as ground
+    * truth; parameters derive from floor(id/2) (parity-coverage, as
+    * [[synthAudioBytes]]). */
+  def synthOggBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val hid = floor(id / lit(2)).cast(LongType)
+    val fill = upper(md5(id.cast(StringType)))
+    def b2(v: Column) = lpad(hex(v), 2, "0")
+    val co = lit(1) + pmod(hid, lit(8))
+    val sr = lit(8000) + pmod(hid, lit(8)) * 5000
+    val nseg = lit(1) + pmod(hid, lit(3))
+    val pageFront = concat(
+      lit("4F676753"), lit("00"), lit("02"), // OggS, stream v0, BOS flag
+      repeat(lit("00"), 8),                  // granule position
+      substring(fill, 1, 8),                 // serial (parser-opaque)
+      repeat(lit("00"), 8),                  // page seq + crc (opaque)
+      b2(nseg),
+      lit("1E1E1E").substr(lit(1),
+        (nseg * 2).cast(IntegerType)))       // lacing values (opaque)
+    val opus = concat(pageFront,
+      lit("4F70757348656164"), lit("01"),    // 'OpusHead', version 1
+      b2(co), lit("3801"),                   // channels, pre-skip 312 LE
+      le4(sr), lit("0000"), lit("00"))       // input rate, gain, mapping
+    val vorbis = concat(pageFront,
+      lit("01"), lit("766F72626973"),        // \x01vorbis
+      lit("00000000"),                       // version 0
+      b2(co), le4(sr),
+      repeat(lit("00"), 12),                 // max/nominal/min bitrate
+      lit("B8"), lit("01"))                  // blocksizes, framing bit
+    docs.select(
+      id.as("media_id"),
+      unhex(when(pmod(id, lit(2)) === 0, opus).otherwise(vorbis))
+        .as("content"))
   }
 
   /** STUB decoder: a real implementation would parse the codec and emit

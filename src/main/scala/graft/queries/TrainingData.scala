@@ -1771,6 +1771,40 @@ object TrainingData {
              |       ELSE 42 END AS BIGINT) AS n_bytes
              |FROM f ORDER BY media_id""".stripMargin)),
 
+    // Ogg container metadata (Multimodal.avMetadata Ogg branch): the
+    // VARIABLE-length segment table before the first page's payload (a
+    // fixed payload offset is only right for single-segment pages — the
+    // synth cycles 1..3 lacing values), then codec selection by payload
+    // prefix: OpusHead (channels u8, stored input rate u32 LE) vs
+    // \\x01vorbis (channels u8, rate u32 LE). duration is NULL by
+    // contract — it lives in the LAST page's granule position, which a
+    // header parser cannot reach. Oracle recomputes all fields as
+    // GROUND-TRUTH id arithmetic; golden headers in TrainingDataSpec pin
+    // the byte layout. Expression-only; blobs never shuffle.
+    Q("q131_ogg_header_meta",
+      (s, dir) => Multimodal.avMetadata(
+          Multimodal.synthOggBytes(t(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("av_format"), col("codec"),
+          col("channels"), col("sample_rate"), col("duration_ms"),
+          octet_length(col("content")).cast(LongType).as("n_bytes"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2) + 2) % 2 AS pm2,
+             |    1 + (((doc_id // 2) % 8) + 8) % 8 AS co,
+             |    8000 + (((doc_id // 2) % 8) + 8) % 8 * 5000 AS sr,
+             |    1 + (((doc_id // 2) % 3) + 3) % 3 AS nseg
+             |  FROM documents)
+             |SELECT doc_id AS media_id,
+             |  'ogg' AS av_format,
+             |  CASE WHEN pm2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+             |  CAST(co AS BIGINT) AS channels,
+             |  CAST(sr AS BIGINT) AS sample_rate,
+             |  CAST(NULL AS BIGINT) AS duration_ms,
+             |  CAST(27 + nseg + CASE WHEN pm2 = 0 THEN 19 ELSE 30 END
+             |    AS BIGINT) AS n_bytes
+             |FROM m ORDER BY media_id""".stripMargin)),
+
     // ---- Events: streaming-shaped batch ops ---------------------------
 
     // Hourly windowed aggregation (batch form of the streaming window agg;

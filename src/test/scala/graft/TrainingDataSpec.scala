@@ -612,6 +612,67 @@ class TrainingDataSpec extends SparkSpec {
       (10L, Some("flac"), None, None, None, None)))
   }
 
+  test("avMetadata: golden Ogg Opus/Vorbis headers, version/codec/trunc -> NULL") {
+    // GOLDEN bytes hand-assembled against RFC 3533 (Ogg) + RFC 7845
+    // (Opus) + the Vorbis I spec. Page front: OggS, version 0, BOS flag,
+    // granule(8), serial(4), seq(4), crc(4) = 26 bytes, then the
+    // segment-count byte and the variable lacing table the payload
+    // offset must skip.
+    val front1 = "4F676753" + "00" + "02" + ("00" * 8) + "01000000" +
+      ("00" * 8) + "01" + "13" // 1 lacing value
+    // stereo Opus, stored input rate 48000 (0xBB80 LE)
+    val opusGold = front1 + "4F70757348656164" + "01" + "02" + "3801" +
+      "80BB0000" + "0000" + "00"
+    // 2-segment table: a fixed payload offset lands 1 byte short here
+    val front2 = "4F676753" + "00" + "02" + ("00" * 8) + "02000000" +
+      ("00" * 8) + "02" + "AA00"
+    val vorbGold = front2 + "01" + "766F72626973" + "00000000" + "02" +
+      "44AC0000" + ("00" * 12) + "B8" + "01" // stereo, 44100
+    // stream-structure version != 0 -> NULL fields, 'ogg' retained
+    val oggVerBad = "4F676753" + "01" + "02" + ("00" * 8) + "01000000" +
+      ("00" * 8) + "01" + "13" + "4F70757348656164" + "01" + "02" +
+      "3801" + "80BB0000" + "0000" + "00"
+    // unknown first-packet codec -> NULL fields
+    val oggUnknown = front1 + "DEADBEEF" + ("00" * 28)
+    // truncated before the segment table -> NULL fields
+    val oggCut = "4F676753" + "00"
+    val media = Seq((1L, opusGold), (2L, vorbGold), (3L, oggVerBad),
+        (4L, oggUnknown), (5L, oggCut))
+      .toDF("media_id", "hx")
+      .select($"media_id", unhex($"hx").as("content"))
+    val got = Multimodal.avMetadata(media)
+      .select($"media_id", $"av_format", $"codec", $"channels",
+        $"sample_rate", $"duration_ms")
+      .as[(Long, Option[String], Option[String], Option[Long], Option[Long],
+        Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("ogg"), Some("opus"), Some(2L), Some(48000L), None),
+      (2L, Some("ogg"), Some("vorbis"), Some(2L), Some(44100L), None),
+      (3L, Some("ogg"), None, None, None, None),
+      (4L, Some("ogg"), None, None, None, None),
+      (5L, Some("ogg"), None, None, None, None)))
+  }
+
+  test("avMetadata round-trips synthOggBytes across the corpus") {
+    val parsed = Multimodal.avMetadata(
+      Multimodal.synthOggBytes(docs, "doc_id"))
+    val id = $"media_id"
+    val hid = floor(id / lit(2)).cast("long")
+    val bad = parsed.where(
+      $"av_format" =!= "ogg" ||
+      $"codec" =!= when(pmod(id, lit(2)) === 0, "opus").otherwise("vorbis") ||
+      $"channels" =!= (lit(1) + pmod(hid, lit(8))) ||
+      $"sample_rate" =!= (lit(8000) + pmod(hid, lit(8)) * 5000) ||
+      $"duration_ms".isNotNull || $"bits_per_sample".isNotNull ||
+      $"width".isNotNull || $"height".isNotNull)
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
+    // all three segment-table lengths occur in the mix
+    import org.apache.spark.sql.functions.countDistinct
+    assert(parsed.agg(countDistinct(pmod(hid, lit(3))))
+      .head().getLong(0) === 3L)
+  }
+
   test("avMetadata round-trips synthAudioBytes across the corpus") {
     val parsed = Multimodal.avMetadata(
       Multimodal.synthAudioBytes(docs, "doc_id"))
@@ -676,7 +737,8 @@ class TrainingDataSpec extends SparkSpec {
       Multimodal.synthWebImageBytes(base, "doc_id"),
       Multimodal.synthBmpIcoBytes(base, "doc_id"),
       Multimodal.synthAvBytes(base, "doc_id"),
-      Multimodal.synthAudioBytes(base, "doc_id"))
+      Multimodal.synthAudioBytes(base, "doc_id"),
+      Multimodal.synthOggBytes(base, "doc_id"))
     // force full evaluation of every parsed column (a bare count would
     // let column pruning skip the parse expressions entirely)
     def force(df: org.apache.spark.sql.DataFrame): Long = {
