@@ -110,6 +110,23 @@ object Multimodal {
     * image files report the first entry, not the largest — a header
     * parser takes the directory as ordered.
     *
+    * TIFF: 'II*\\0' (little-endian) or 'MM\\0*' (big-endian) — EVERY
+    * multi-byte field including the IFD offset, entry count, tags and
+    * values follows the header's byte order, so the whole walk is
+    * endian-paired. The u32 header offset points at the first IFD
+    * (commonly NOT at byte 8 — real writers put it after the image
+    * data); its u16 entry count prefixes count x 12-byte entries
+    * (tag u16, type u16, count u32, value field 4 bytes) sorted by tag.
+    * Tags 256/257 carry ImageWidth/ImageLength as type 3 SHORT or type 4
+    * LONG; a SHORT value sits in the FIRST two bytes of the value field
+    * in FILE byte order — reading the value field as a u32 in a
+    * big-endian file yields width x 65536, the classic TIFF trap. Other
+    * value types for these tags (spec-illegal) yield NULL for that
+    * dimension. The entry scan is bounded by `maxSegments`; entries are
+    * tag-sorted so 256/257 come before the strip/EXIF tags that dominate
+    * real IFDs. An IFD offset or entry beyond the hexed prefix skips in
+    * BIGINT (no INT cast on untrusted offsets) and leaves the dims NULL.
+    *
     * Output: input columns + format
     * ('png'/'jpeg'/'gif'/'webp'/'bmp'/'ico'/NULL),
     * width, height (NULL when unparseable). Unknown containers pass
@@ -137,10 +154,11 @@ object Multimodal {
     // it silently replaced by parsed (possibly NULL) values. The temp
     // columns are guarded too — an input already carrying __img_hx would be
     // silently overwritten and then dropped.
-    Seq("format", "width", "height", "__img_hx", "__img_sof").foreach(c =>
-      require(!media.columns.contains(c),
-        s"Multimodal.imageDims: media already has a '$c' column — rename " +
-          "it first; imageDims appends its own"))
+    Seq("format", "width", "height", "__img_hx", "__img_sof", "__img_tif")
+      .foreach(c =>
+        require(!media.columns.contains(c),
+          s"Multimodal.imageDims: media already has a '$c' column — rename " +
+            "it first; imageDims appends its own"))
     val withHex = media.withColumn("__img_hx",
       hex(substring(col(contentCol), 1, headerBytes)))
     val jpegFold = expr(s"""
@@ -204,6 +222,56 @@ object Multimodal {
         .when(fourcc === "5650384C", vp8l)
         .when(fourcc === "56503858", vp8x)
     }
+    // TIFF first-IFD scan, endian-paired: every multi-byte read follows
+    // the header's byte order. The IFD offset is an UNTRUSTED u32, so it
+    // rides the fold state in BIGINT and every bounds check happens
+    // before any INT cast (the avMetadata overflow lesson). Returns a
+    // struct(w, h, n, o) or NULL.
+    def tiffFold(le: Boolean): Column = {
+      def u16(at: String) =
+        if (le) s"""CAST(conv(concat(
+           |substring(__img_hx, CAST(($at) + 2 AS INT), 2),
+           |substring(__img_hx, CAST(($at) AS INT), 2)), 16, 10) AS BIGINT)"""
+          .stripMargin
+        else s"""CAST(conv(substring(__img_hx, CAST(($at) AS INT), 4),
+           |16, 10) AS BIGINT)""".stripMargin
+      def u32(at: String) =
+        if (le) s"""CAST(conv(concat(
+           |substring(__img_hx, CAST(($at) + 6 AS INT), 2),
+           |substring(__img_hx, CAST(($at) + 4 AS INT), 2),
+           |substring(__img_hx, CAST(($at) + 2 AS INT), 2),
+           |substring(__img_hx, CAST(($at) AS INT), 2)), 16, 10) AS BIGINT)"""
+          .stripMargin
+        else s"""CAST(conv(substring(__img_hx, CAST(($at) AS INT), 8),
+           |16, 10) AS BIGINT)""".stripMargin
+      val off = u32("9") // IFD offset, header bytes 4-7 (literal chars: safe)
+      val eb = "(2 * st.o + 24 * i + 5)" // entry i's 1-based char base
+      def st4(w: String, h: String) =
+        s"named_struct('w', $w, 'h', $h, 'n', st.n, 'o', st.o)"
+      expr(s"""
+        CASE WHEN length(__img_hx) >= 2 * ($off) + 4 THEN
+          aggregate(
+            sequence(0, ${maxSegments - 1}),
+            named_struct('w', CAST(NULL AS BIGINT), 'h', CAST(NULL AS BIGINT),
+                         'n', ${u16(s"2 * ($off) + 1")},
+                         'o', CAST(($off) AS BIGINT)),
+            (st, i) -> CASE
+              WHEN st.w IS NOT NULL AND st.h IS NOT NULL THEN st
+              WHEN st.n IS NULL OR i >= st.n
+                   OR length(__img_hx) < 2 * st.o + 24 * i + 28 THEN st
+              WHEN ${u16(eb)} = 256 THEN ${st4(
+                s"""CASE WHEN ${u16(s"$eb + 4")} = 3 THEN ${u16(s"$eb + 16")}
+                   |WHEN ${u16(s"$eb + 4")} = 4 THEN ${u32(s"$eb + 16")}
+                   |END""".stripMargin, "st.h")}
+              WHEN ${u16(eb)} = 257 THEN ${st4("st.w",
+                s"""CASE WHEN ${u16(s"$eb + 4")} = 3 THEN ${u16(s"$eb + 16")}
+                   |WHEN ${u16(s"$eb + 4")} = 4 THEN ${u32(s"$eb + 16")}
+                   |END""".stripMargin)}
+              ELSE st
+            END,
+            st -> st)
+        END""")
+    }
     // BMP DIB dims: layout selected by the DIB header's own size field
     val dibSize = when(hexLen(36), le(29, 4))
     // i32 LE magnitude: a top-down DIB stores height two's-complement
@@ -230,9 +298,15 @@ object Multimodal {
           .when(hx.startsWith("52494646") &&
             substring(hx, 17, 8) === "57454250", "webp")
           .when(hx.startsWith("424D"), "bmp")
+          .when(hx.startsWith("49492A00") || hx.startsWith("4D4D002A"),
+            "tiff")
           .when(hx.startsWith("00000100") && hexLen(12) && le(9, 2) >= 1,
             "ico"))
       .withColumn("__img_sof", when(col("format") === "jpeg", jpegFold))
+      .withColumn("__img_tif",
+        when(col("format") === "tiff",
+          when(hx.startsWith("49492A00"), tiffFold(le = true))
+            .otherwise(tiffFold(le = false))))
       .withColumn("width",
         when(col("format") === "png",
           conv(substring(hx, 33, 8), 16, 10).cast(LongType))
@@ -240,6 +314,7 @@ object Multimodal {
           .when(col("format") === "gif" && hexLen(20), le(13, 2))
           .when(col("format") === "webp", webpDim(first = true))
           .when(col("format") === "bmp", bmpDim(first = true))
+          .when(col("format") === "tiff", col("__img_tif.w"))
           .when(col("format") === "ico", icoDim(first = true)))
       .withColumn("height",
         when(col("format") === "png",
@@ -248,8 +323,9 @@ object Multimodal {
           .when(col("format") === "gif" && hexLen(20), le(17, 2))
           .when(col("format") === "webp", webpDim(first = false))
           .when(col("format") === "bmp", bmpDim(first = false))
+          .when(col("format") === "tiff", col("__img_tif.h"))
           .when(col("format") === "ico", icoDim(first = false)))
-      .drop("__img_hx", "__img_sof")
+      .drop("__img_hx", "__img_sof", "__img_tif")
   }
 
   /** Deterministic VALID image-container exhibit bytes from an id column —
@@ -399,6 +475,51 @@ object Multimodal {
       unhex(when(pmod(id, lit(2)) === 0,
           when(variant === 2, bmpCore).otherwise(bmpInfo))
         .otherwise(ico)).as("content"))
+  }
+
+  /** Deterministic VALID TIFF exhibit bytes — the test/demo source for
+    * [[imageDims]]'s TIFF branch. Even ids are little-endian ('II'), odd
+    * big-endian ('MM') — every multi-byte field byte-swaps with the
+    * header, which is the format's whole trap surface. The IFD sits
+    * after an id-derived 0..15-byte filler gap (real writers put the IFD
+    * after the image data, so a parser assuming offset 8 reads garbage),
+    * optionally behind a leading tag-254 entry (tags stay ascending),
+    * and the width/height entries cycle SHORT/LONG value types — a
+    * SHORT's value occupies the FIRST two bytes of the 4-byte value
+    * field in FILE order, so a reader that grabs the whole u32 gets
+    * width x 65536 on big-endian files. The q132 oracle recomputes all
+    * fields as ground-truth id arithmetic. */
+  def synthTiffBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val hid = floor(id / lit(2)).cast(LongType)
+    val fill = upper(md5(id.cast(StringType)))
+    val w = lit(16) + pmod(hid, lit(1024))
+    val h = lit(16) + pmod(hid * 7, lit(768))
+    val pad = pmod(hid, lit(16))
+    val extra = pmod(hid, lit(2))   // leading tag-254 entry when 1
+    val mix = pmod(hid, lit(3))     // 0: w,h SHORT; 1: w SHORT h LONG;
+                                    // 2: w,h LONG
+    def tiff(le: Boolean): Column = {
+      def u16h(v: Column) = if (le) leHex(v, 2) else lpad(hex(v), 4, "0")
+      def u32h(v: Column) = if (le) leHex(v, 4) else lpad(hex(v), 8, "0")
+      def entry(tag: Int, typ: Int, v: Column): Column = concat(
+        u16h(lit(tag)), u16h(lit(typ)), u32h(lit(1)),
+        if (typ == 3) concat(u16h(v), lit("0000")) else u32h(v))
+      val eW = when(mix < 2, entry(256, 3, w)).otherwise(entry(256, 4, w))
+      val eH = when(mix === 0, entry(257, 3, h)).otherwise(entry(257, 4, h))
+      concat(
+        lit(if (le) "49492A00" else "4D4D002A"),
+        u32h(lit(8) + pad),
+        fill.substr(lit(1), (pad * 2).cast(IntegerType)),
+        u16h(lit(2) + extra),
+        when(extra === 1, entry(254, 4, lit(0))).otherwise(lit("")),
+        eW, eH,
+        u32h(lit(0))) // no next IFD
+    }
+    docs.select(
+      id.as("media_id"),
+      unhex(when(pmod(id, lit(2)) === 0, tiff(le = true))
+        .otherwise(tiff(le = false))).as("content"))
   }
 
   /** REAL audio/video container-header parsing — sample rate, channel

@@ -1656,6 +1656,35 @@ object TrainingData {
              |       ELSE 62 END AS BIGINT) AS n_bytes
              |FROM m ORDER BY media_id""".stripMargin)),
 
+    // TIFF first-IFD dims (Multimodal.imageDims TIFF branch): BOTH byte
+    // orders ('II'/'MM' — every field including the IFD offset, entry
+    // count, tags and values swaps with the header), an id-derived
+    // filler gap before the IFD (offset-8 assumptions read garbage),
+    // tag-sorted entries with an optional leading tag-254, and
+    // SHORT-vs-LONG value types where a SHORT occupies the FIRST two
+    // bytes of the value field in FILE order (a whole-u32 read on 'MM'
+    // files yields width x 65536). Oracle is ground-truth id arithmetic;
+    // goldens pin the byte layout. Expression-only; blobs never shuffle.
+    Q("q132_tiff_dims",
+      (s, dir) => Multimodal.imageDims(
+          Multimodal.synthTiffBytes(t(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          octet_length(col("content")).cast(LongType).as("n_bytes"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    (((doc_id // 2) % 16) + 16) % 16 AS pad,
+             |    (((doc_id // 2) % 2) + 2) % 2 AS extra,
+             |    16 + (((doc_id // 2) % 1024) + 1024) % 1024 AS w,
+             |    16 + (((doc_id // 2 * 7) % 768) + 768) % 768 AS h
+             |  FROM documents)
+             |SELECT doc_id AS media_id,
+             |  'tiff' AS format,
+             |  CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(14 + pad + 12 * (2 + extra) AS BIGINT) AS n_bytes
+             |FROM m ORDER BY media_id""".stripMargin)),
+
     // Audio/video container metadata (Multimodal.avMetadata): WAV chunk
     // walk (LIST before fmt, word-aligned hops) and MP4 box walk (free
     // before moov, descend into moov AND trak, mvhd + tkhd v0+v1 layouts

@@ -368,6 +368,76 @@ class TrainingDataSpec extends SparkSpec {
     assert(variety._1 === 3L && variety._2 >= 1L, variety)
   }
 
+  test("imageDims: golden TIFF headers, endian/SHORT-alignment traps, " +
+      "malformed -> NULL") {
+    // GOLDEN bytes hand-assembled against TIFF 6.0 (not the synth
+    // generator). Minimal LE: IFD at 8, two SHORT entries, 320x240
+    val tiffLE = "49492A00" + "08000000" + "0200" +
+      "0001" + "0300" + "01000000" + "4001" + "0000" +
+      "0101" + "0300" + "01000000" + "F000" + "0000" +
+      "00000000"
+    // BE twin: the SHORT values sit in the FIRST two bytes of the value
+    // field — a right-aligned-u32 reader gets 0x01400000 = 20971520
+    val tiffBE = "4D4D002A" + "00000008" + "0002" +
+      "0100" + "0003" + "00000001" + "0140" + "0000" +
+      "0101" + "0003" + "00000001" + "00F0" + "0000" +
+      "00000000"
+    // BE with LONG height + a leading tag-254 entry + IFD after 4 filler
+    // bytes (offset 12): exercises gap, ascending tags, mixed types
+    val tiffBEGap = "4D4D002A" + "0000000C" + "AABBCCDD" + "0003" +
+      "00FE" + "0004" + "00000001" + "00000000" +
+      "0100" + "0003" + "00000001" + "0140" + "0000" +
+      "0101" + "0004" + "00000001" + "000000F0" +
+      "00000000"
+    // u32-max IFD offset: the BIGINT bounds guard must NULL, not throw
+    val tiffHugeOff = "49492A00" + "FFFFFFFF" + "AABB"
+    // count says 2 but the file ends after the width entry: width
+    // parses, height stays NULL
+    val tiffCut = "49492A00" + "08000000" + "0200" +
+      "0001" + "0300" + "01000000" + "4001" + "0000"
+    // tag 256 with a spec-illegal RATIONAL type -> width NULL; height ok
+    val tiffBadType = "49492A00" + "08000000" + "0200" +
+      "0001" + "0500" + "01000000" + "4001" + "0000" +
+      "0101" + "0300" + "01000000" + "F000" + "0000" +
+      "00000000"
+    val media = Seq((1L, tiffLE), (2L, tiffBE), (3L, tiffBEGap),
+        (4L, tiffHugeOff), (5L, tiffCut), (6L, tiffBadType))
+      .toDF("media_id", "hx")
+      .select($"media_id", unhex($"hx").as("content"))
+    val got = Multimodal.imageDims(media)
+      .select($"media_id", $"format", $"width", $"height")
+      .as[(Long, Option[String], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("tiff"), Some(320L), Some(240L)),
+      (2L, Some("tiff"), Some(320L), Some(240L)),
+      (3L, Some("tiff"), Some(320L), Some(240L)),
+      (4L, Some("tiff"), None, None),
+      (5L, Some("tiff"), Some(320L), None),
+      (6L, Some("tiff"), None, Some(240L))))
+  }
+
+  test("imageDims round-trips synthTiffBytes across the corpus") {
+    val parsed = Multimodal.imageDims(
+      Multimodal.synthTiffBytes(docs, "doc_id"))
+    val id = $"media_id"
+    val hid = floor(id / lit(2)).cast("long")
+    val bad = parsed.where(
+      $"format" =!= "tiff" ||
+      $"width" =!= (lit(16) + pmod(hid, lit(1024))) ||
+      $"height" =!= (lit(16) + pmod(hid * 7, lit(768))) ||
+      $"width".isNull || $"height".isNull)
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
+    // both endiannesses, all three type mixes, both entry counts occur
+    import org.apache.spark.sql.functions.countDistinct
+    val variety = parsed.agg(
+      countDistinct(pmod(id, lit(2))).as("endians"),
+      countDistinct(pmod(hid, lit(3))).as("mixes"),
+      countDistinct(pmod(hid, lit(2))).as("counts")
+    ).as[(Long, Long, Long)].head()
+    assert(variety === ((2L, 3L, 2L)), variety)
+  }
+
   test("avMetadata: golden WAV/MP4 headers, chunk padding, malformed -> NULL") {
     // GOLDEN bytes hand-assembled against RIFF/ISO-BMFF specs (not the
     // synth generator — a symmetric construct/parse bug can't cancel).
@@ -738,7 +808,8 @@ class TrainingDataSpec extends SparkSpec {
       Multimodal.synthBmpIcoBytes(base, "doc_id"),
       Multimodal.synthAvBytes(base, "doc_id"),
       Multimodal.synthAudioBytes(base, "doc_id"),
-      Multimodal.synthOggBytes(base, "doc_id"))
+      Multimodal.synthOggBytes(base, "doc_id"),
+      Multimodal.synthTiffBytes(base, "doc_id"))
     // force full evaluation of every parsed column (a bare count would
     // let column pruning skip the parse expressions entirely)
     def force(df: org.apache.spark.sql.DataFrame): Long = {
