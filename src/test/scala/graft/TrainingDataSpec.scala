@@ -845,6 +845,39 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("synth generators produce parseable containers at NEGATIVE ids") {
+    // the pmod / floor-div idiom exists so a negative-id corpus derives
+    // the same bytes on both engines; a stray '%' or truncating division
+    // would produce negative residues whose hex() is 16 chars wide and
+    // silently truncates inside lpad, yielding NULL fields only at
+    // negative ids — this pins every family end-to-end there
+    val neg = spark.range(-64, 0).toDF("doc_id")
+    def bad(df: org.apache.spark.sql.DataFrame,
+            cond: org.apache.spark.sql.Column) = {
+      val b = df.where(!cond || cond.isNull)
+      assert(b.isEmpty, b.limit(3).collect().mkString("; "))
+    }
+    bad(Multimodal.imageDims(Multimodal.synthImageBytes(neg, "doc_id")),
+      $"format".isin("png", "jpeg") && $"width".isNotNull &&
+        $"height".isNotNull)
+    bad(Multimodal.imageDims(Multimodal.synthWebImageBytes(neg, "doc_id")),
+      $"format".isin("gif", "webp") && $"width".isNotNull &&
+        $"height".isNotNull)
+    bad(Multimodal.imageDims(Multimodal.synthBmpIcoBytes(neg, "doc_id")),
+      $"format".isin("bmp", "ico") && $"width".isNotNull &&
+        $"height".isNotNull)
+    bad(Multimodal.imageDims(Multimodal.synthTiffBytes(neg, "doc_id")),
+      $"format" === "tiff" && $"width".isNotNull && $"height".isNotNull)
+    bad(Multimodal.avMetadata(Multimodal.synthAvBytes(neg, "doc_id")),
+      $"av_format".isin("wav", "mp4") && $"duration_ms".isNotNull)
+    bad(Multimodal.avMetadata(Multimodal.synthAudioBytes(neg, "doc_id")),
+      $"av_format".isin("mp3", "flac") && $"channels".isNotNull &&
+        $"sample_rate".isNotNull && $"duration_ms".isNotNull)
+    bad(Multimodal.avMetadata(Multimodal.synthOggBytes(neg, "doc_id")),
+      $"av_format" === "ogg" && $"codec".isNotNull &&
+        $"channels".isNotNull && $"sample_rate".isNotNull)
+  }
+
   test("imageDims: bounded header prefix, no shuffle in the plan") {
     val media = Multimodal.synthImageBytes(docs, "doc_id")
     // a prefix too short to reach the JPEG SOF fails safe to NULL dims
