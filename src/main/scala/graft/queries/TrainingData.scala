@@ -1834,6 +1834,103 @@ object TrainingData {
              |    AS BIGINT) AS n_bytes
              |FROM m ORDER BY media_id""".stripMargin)),
 
+    // Media format census — the composed curation report: all seven synth
+    // container families through BOTH header parsers, unioned, then a
+    // per-format aggregate (count, exact width sum, exact duration sum —
+    // sums, not avgs, so the cross-engine compare is integer-exact).
+    // This is the query a crawl triage actually runs ("what formats and
+    // how much of each do we hold?"), and any single-family parse
+    // regression surfaces as a census delta pinpointing the format. The
+    // oracle recomputes every aggregate from the families' id-arithmetic
+    // ground truth — 12 formats, each a one-line spec(id) aggregate.
+    // Scale shape: parsers are scan-side expressions; the only exchange
+    // is the 12-group aggregate's.
+    Q("q133_media_format_census",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val img = Seq(
+          Multimodal.synthImageBytes(d, "doc_id"),
+          Multimodal.synthWebImageBytes(d, "doc_id"),
+          Multimodal.synthBmpIcoBytes(d, "doc_id"),
+          Multimodal.synthTiffBytes(d, "doc_id"))
+          .map(m => Multimodal.imageDims(m)
+            .select(col("format"), col("width"),
+              lit(null).cast(LongType).as("duration_ms")))
+          .reduce(_ unionByName _)
+        val av = Seq(
+          Multimodal.synthAvBytes(d, "doc_id"),
+          Multimodal.synthAudioBytes(d, "doc_id"),
+          Multimodal.synthOggBytes(d, "doc_id"))
+          .map(m => Multimodal.avMetadata(m)
+            .select(col("av_format").as("format"), col("width"),
+              col("duration_ms")))
+          .reduce(_ unionByName _)
+        img.unionByName(av)
+          .groupBy("format")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("width"), lit(0L))).as("sum_w"),
+            sum(coalesce(col("duration_ms"), lit(0L))).as("sum_dur"))
+          .orderBy("format")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2) + 2) % 2 AS pm2,
+             |    ((doc_id % 5) + 5) % 5 AS pm5,
+             |    ((doc_id % 4) + 4) % 4 AS pm4,
+             |    ((doc_id % 8) + 8) % 8 AS pm8,
+             |    ((doc_id % 10) + 10) % 10 AS pm10,
+             |    (((doc_id * 13) % 9000) + 9000) % 9000 AS pm13k,
+             |    (((doc_id * 11) % 60000) + 60000) % 60000 AS pm11k,
+             |    16 + ((doc_id % 1024) + 1024) % 1024 AS iw,
+             |    doc_id // 2 AS hid
+             |  FROM documents),
+             |f AS (
+             |  SELECT b.*,
+             |    16 + ((hid % 1024) + 1024) % 1024 AS hw,
+             |    1 + (((hid * 51) % 256) + 256) % 256 AS icow,
+             |    ((hid % 8) + 8) % 8 AS hm8,
+             |    1 + (((hid * 5) % 14) + 14) % 14 AS bi,
+             |    50 + (((hid * 13) % 200) + 200) % 200 AS audion,
+             |    (((hid * 17) % 8) + 8) % 8 AS thi,
+             |    100000 + (((hid * 13) % 1000000) + 1000000) % 1000000 AS tlo,
+             |    CASE WHEN ((hid % 3) + 3) % 3 = 0 THEN 3
+             |         WHEN ((hid % 3) + 3) % 3 = 1 THEN 2 ELSE 0 END AS v
+             |  FROM b)
+             |SELECT format, CAST(n AS BIGINT) AS n,
+             |       CAST(sum_w AS BIGINT) AS sum_w,
+             |       CAST(sum_dur AS BIGINT) AS sum_dur
+             |FROM (
+             |  SELECT 'bmp' AS format, count(*) AS n, SUM(hw) AS sum_w,
+             |         0 AS sum_dur FROM f WHERE pm2 = 0
+             |  UNION ALL SELECT 'flac', count(*), 0,
+             |    SUM((thi * 4294967296 + tlo) * 1000 // (8000 + hm8 * 1000))
+             |    FROM f WHERE pm2 = 1
+             |  UNION ALL SELECT 'gif', count(*), SUM(iw), 0
+             |    FROM f WHERE pm5 IN (0, 2)
+             |  UNION ALL SELECT 'ico', count(*), SUM(icow), 0
+             |    FROM f WHERE pm2 = 1
+             |  UNION ALL SELECT 'jpeg', count(*), SUM(iw), 0
+             |    FROM f WHERE pm2 = 1
+             |  UNION ALL SELECT 'mp3', count(*), 0,
+             |    SUM(((4 + audion) * 8) // (CASE WHEN v = 3
+             |      THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(bi AS INT)]
+             |      ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[CAST(bi AS INT)] END))
+             |    FROM f WHERE pm2 = 0
+             |  UNION ALL SELECT 'mp4', count(*), SUM(iw),
+             |    SUM((3000 + pm11k) * 1000 // (600 + pm10 * 100))
+             |    FROM f WHERE pm2 = 1
+             |  UNION ALL SELECT 'ogg', count(*), 0, 0 FROM f
+             |  UNION ALL SELECT 'png', count(*), SUM(iw), 0
+             |    FROM f WHERE pm2 = 0
+             |  UNION ALL SELECT 'tiff', count(*), SUM(hw), 0 FROM f
+             |  UNION ALL SELECT 'wav', count(*), 0,
+             |    SUM((1000 + pm13k) * 1000 // ((8000 + pm8 * 1000) *
+             |      (CASE WHEN pm4 = 0 THEN 1 ELSE 2 END) * 2))
+             |    FROM f WHERE pm2 = 0
+             |  UNION ALL SELECT 'webp', count(*), SUM(iw), 0
+             |    FROM f WHERE pm5 IN (1, 3, 4)
+             |) ORDER BY format""".stripMargin)),
+
     // ---- Events: streaming-shaped batch ops ---------------------------
 
     // Hourly windowed aggregation (batch form of the streaming window agg;
