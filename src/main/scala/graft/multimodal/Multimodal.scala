@@ -127,10 +127,26 @@ object Multimodal {
     * real IFDs. An IFD offset or entry beyond the hexed prefix skips in
     * BIGINT (no INT cast on untrusted offsets) and leaves the dims NULL.
     *
+    * EXIF orientation (JPEG): the segment walk records the first
+    * APP1/Exif segment's embedded TIFF header on its way to the SOF, and
+    * a second endian-paired IFD scan reads tag 274 (type 3 SHORT,
+    * value 1..8; anything else NULLs). Orientations 5..8 mean the pixels
+    * are stored TRANSPOSED — phone portrait shots store landscape coded
+    * dims plus orientation 6/8 — so the emitted width/height are SWAPPED
+    * to the DISPLAY resolution there (the same display-dims convention
+    * as [[avMetadata]]'s rotated tkhd). The `orientation` column carries
+    * the raw stored value; JPEGs without EXIF (or with a non-Exif APP1,
+    * e.g. XMP) have it NULL and keep the SOF dims as-is.
+    *
     * Output: input columns + format
-    * ('png'/'jpeg'/'gif'/'webp'/'bmp'/'ico'/NULL),
-    * width, height (NULL when unparseable). Unknown containers pass
+    * ('png'/'jpeg'/'gif'/'webp'/'bmp'/'tiff'/'ico'/NULL),
+    * width, height (NULL when unparseable), orientation (JPEG EXIF
+    * only). Unknown containers pass
     * through with NULL format — filter, don't fail, at corpus scale.
+    * Filter the INPUT before calling this (partition/scan pruning
+    * happens there): the parse projection is deliberately opaque to
+    * predicate pushdown — see [[ndZero]] — so predicates written on the
+    * output evaluate row-wise just above the parse.
     * Truncated-header reads are length-guarded: a prefix shorter than a
     * format's dimension field yields NULL, never a partial-bytes value.
     *
@@ -142,6 +158,19 @@ object Multimodal {
     * the prefix fails the marker test and yields NULL dims — the same
     * fail-safe as malformed input; raise the bound for thumbnail-stuffed
     * corpora rather than trusting unbounded headers. */
+  /** Nondeterministic ZERO (`rand() * 0`): added to the LAST column a
+    * parser computes so that column's alias is nondeterministic, which
+    * stops Catalyst's predicate pushdown AT the parse projection.
+    * Without it, a `.where` on any parsed column substitutes the full
+    * fold expressions into the predicate — once per reference — and a
+    * simple resolution filter took ~40 s of optimizer+codegen time
+    * (measured: 12 s optimize / 9 s physical / 19 s codegen on a 64-row
+    * frame). With it, predicates evaluate just above the parse as cheap
+    * attribute references. The trade: input-column predicates written
+    * AFTER the parse no longer reach the scan either — filter the input
+    * BEFORE parsing (the contract both parsers' docstrings state). */
+  private def ndZero: Column = (rand() * lit(0)).cast(LongType)
+
   def imageDims(media: DataFrame, contentCol: String = "content",
                 maxSegments: Int = 16,
                 headerBytes: Int = 256 * 1024): DataFrame = {
@@ -154,19 +183,23 @@ object Multimodal {
     // it silently replaced by parsed (possibly NULL) values. The temp
     // columns are guarded too — an input already carrying __img_hx would be
     // silently overwritten and then dropped.
-    Seq("format", "width", "height", "__img_hx", "__img_sof", "__img_tif")
-      .foreach(c =>
+    Seq("format", "width", "height", "orientation",
+      "__img_hx", "__img_sof", "__img_tif").foreach(c =>
         require(!media.columns.contains(c),
           s"Multimodal.imageDims: media already has a '$c' column — rename " +
             "it first; imageDims appends its own"))
     val withHex = media.withColumn("__img_hx",
       hex(substring(col(contentCol), 1, headerBytes)))
+    // the fold ALSO records the char position of an APP1/Exif segment's
+    // embedded TIFF header ('ex') on its way to the SOF — EXIF
+    // orientation lives there and a second pass would re-walk the chain
     val jpegFold = expr(s"""
       aggregate(
         sequence(1, $maxSegments),
         named_struct('pos', CAST(5 AS BIGINT),
                      'h', CAST(NULL AS BIGINT),
                      'w', CAST(NULL AS BIGINT),
+                     'ex', CAST(NULL AS BIGINT),
                      'done', false),
         (st, i) -> CASE
           WHEN st.done THEN st
@@ -178,19 +211,34 @@ object Multimodal {
                              16, 10) AS BIGINT),
               'w', CAST(conv(substring(__img_hx, CAST(st.pos AS INT) + 14, 4),
                              16, 10) AS BIGINT),
+              'ex', st.ex,
               'done', true)
           WHEN substring(__img_hx, CAST(st.pos AS INT), 4) = 'FFFF'
             THEN named_struct('pos', st.pos + 2, 'h', CAST(NULL AS BIGINT),
-                              'w', CAST(NULL AS BIGINT), 'done', false)
+                              'w', CAST(NULL AS BIGINT), 'ex', st.ex,
+                              'done', false)
           WHEN substring(__img_hx, CAST(st.pos AS INT), 2) <> 'FF'
                OR substring(__img_hx, CAST(st.pos AS INT), 4) = 'FFD9'
             THEN named_struct('pos', st.pos, 'h', CAST(NULL AS BIGINT),
-                              'w', CAST(NULL AS BIGINT), 'done', true)
+                              'w', CAST(NULL AS BIGINT), 'ex', st.ex,
+                              'done', true)
+          WHEN substring(__img_hx, CAST(st.pos AS INT), 4) = 'FFE1'
+               AND substring(__img_hx, CAST(st.pos AS INT) + 8, 12)
+                 = '457869660000'
+               AND st.ex IS NULL
+            THEN named_struct(
+              'pos', st.pos + 4 + 2 * CAST(conv(
+                substring(__img_hx, CAST(st.pos AS INT) + 4, 4), 16, 10)
+                AS BIGINT),
+              'h', CAST(NULL AS BIGINT), 'w', CAST(NULL AS BIGINT),
+              'ex', st.pos + 20,
+              'done', false)
           ELSE named_struct(
             'pos', st.pos + 4 + 2 * CAST(conv(
               substring(__img_hx, CAST(st.pos AS INT) + 4, 4), 16, 10)
               AS BIGINT),
             'h', CAST(NULL AS BIGINT), 'w', CAST(NULL AS BIGINT),
+            'ex', st.ex,
             'done', false)
         END,
         st -> st)""")
@@ -272,6 +320,74 @@ object Multimodal {
             st -> st)
         END""")
     }
+    // EXIF orientation: a second bounded scan of the TIFF IFD embedded at
+    // the APP1 position the jpegFold recorded. Same endian-paired BIGINT
+    // discipline as tiffFold; only tag 274 (type 3 SHORT, value 1..8) is
+    // read. Values 5..8 mean the image is stored transposed — the
+    // width/height the SOF carries are the CODED dims and the DISPLAY
+    // dims are swapped.
+    //
+    // STRUCTURE NOTE (plan-size, the hard-won one): this is ONE fold
+    // whose byte order and base position live in the fold STATE, not two
+    // endian-specialized folds reading `__img_sof.ex` at every position.
+    // Catalyst's predicate pushdown substitutes an alias's full
+    // definition into EVERY reference when a caller filters on these
+    // columns, so each `__img_sof` reference multiplies into a whole
+    // jpegFold copy inside the rewritten predicate — the first version
+    // referenced it ~30x across two folds and a simple .where() on the
+    // output took minutes to optimize/codegen. This version references
+    // `__img_sof.ex` exactly 3 times (base + the two endian probes);
+    // iteration 0 initializes the IFD offset/count from state, entries
+    // use i-1.
+    val exifFold: Column = {
+      def u16(at: String) =
+        s"""CASE WHEN st.le THEN CAST(conv(concat(
+           |substring(__img_hx, CAST(($at) + 2 AS INT), 2),
+           |substring(__img_hx, CAST(($at) AS INT), 2)), 16, 10) AS BIGINT)
+           |ELSE CAST(conv(substring(__img_hx, CAST(($at) AS INT), 4),
+           |16, 10) AS BIGINT) END""".stripMargin
+      def u32(at: String) =
+        s"""CASE WHEN st.le THEN CAST(conv(concat(
+           |substring(__img_hx, CAST(($at) + 6 AS INT), 2),
+           |substring(__img_hx, CAST(($at) + 4 AS INT), 2),
+           |substring(__img_hx, CAST(($at) + 2 AS INT), 2),
+           |substring(__img_hx, CAST(($at) AS INT), 2)), 16, 10) AS BIGINT)
+           |ELSE CAST(conv(substring(__img_hx, CAST(($at) AS INT), 8),
+           |16, 10) AS BIGINT) END""".stripMargin
+      val eb = "(st.b + 2 * st.o + 24 * (i - 1) + 4)"
+      expr(s"""
+        aggregate(
+          sequence(0, $maxSegments),
+          named_struct('r', CAST(NULL AS BIGINT),
+                       'n', CAST(NULL AS BIGINT),
+                       'o', CAST(NULL AS BIGINT),
+                       'b', CAST(__img_sof.ex AS BIGINT),
+                       'le', substring(__img_hx, CAST(__img_sof.ex AS INT),
+                         8) = '49492A00',
+                       'be', substring(__img_hx, CAST(__img_sof.ex AS INT),
+                         8) = '4D4D002A'),
+          (st, i) -> CASE
+            WHEN st.r IS NOT NULL THEN st
+            WHEN i = 0 THEN CASE
+              WHEN (st.le OR st.be)
+                   AND length(__img_hx) >= st.b + 2 * (${u32("st.b + 8")}) + 5
+                THEN named_struct('r', st.r,
+                  'n', ${u16(s"st.b + 2 * (${u32("st.b + 8")})")},
+                  'o', ${u32("st.b + 8")},
+                  'b', st.b, 'le', st.le, 'be', st.be)
+              ELSE st
+            END
+            WHEN st.n IS NULL OR st.o IS NULL OR i > st.n
+                 OR length(__img_hx) < st.b + 2 * st.o + 24 * (i - 1) + 27
+              THEN st
+            WHEN ${u16(eb)} = 274 AND ${u16(s"$eb + 4")} = 3
+                 AND ${u16(s"$eb + 16")} BETWEEN 1 AND 8
+              THEN named_struct('r', ${u16(s"$eb + 16")},
+                'n', st.n, 'o', st.o, 'b', st.b, 'le', st.le, 'be', st.be)
+            ELSE st
+          END,
+          st -> st).r""")
+    }
     // BMP DIB dims: layout selected by the DIB header's own size field
     val dibSize = when(hexLen(36), le(29, 4))
     // i32 LE magnitude: a top-down DIB stores height two's-complement
@@ -307,10 +423,15 @@ object Multimodal {
         when(col("format") === "tiff",
           when(hx.startsWith("49492A00"), tiffFold(le = true))
             .otherwise(tiffFold(le = false))))
+      .withColumn("orientation",
+        when(col("format") === "jpeg" && col("__img_sof.ex").isNotNull,
+          exifFold))
       .withColumn("width",
         when(col("format") === "png",
           conv(substring(hx, 33, 8), 16, 10).cast(LongType))
-          .when(col("format") === "jpeg", col("__img_sof.w"))
+          .when(col("format") === "jpeg",
+            when(col("orientation") >= 5, col("__img_sof.h"))
+              .otherwise(col("__img_sof.w")))
           .when(col("format") === "gif" && hexLen(20), le(13, 2))
           .when(col("format") === "webp", webpDim(first = true))
           .when(col("format") === "bmp", bmpDim(first = true))
@@ -319,12 +440,14 @@ object Multimodal {
       .withColumn("height",
         when(col("format") === "png",
           conv(substring(hx, 41, 8), 16, 10).cast(LongType))
-          .when(col("format") === "jpeg", col("__img_sof.h"))
+          .when(col("format") === "jpeg",
+            when(col("orientation") >= 5, col("__img_sof.w"))
+              .otherwise(col("__img_sof.h")))
           .when(col("format") === "gif" && hexLen(20), le(17, 2))
           .when(col("format") === "webp", webpDim(first = false))
           .when(col("format") === "bmp", bmpDim(first = false))
           .when(col("format") === "tiff", col("__img_tif.h"))
-          .when(col("format") === "ico", icoDim(first = false)))
+          .when(col("format") === "ico", icoDim(first = false)) + ndZero)
       .drop("__img_hx", "__img_sof", "__img_tif")
   }
 
@@ -522,6 +645,51 @@ object Multimodal {
         .otherwise(tiff(le = false))).as("content"))
   }
 
+  /** Deterministic VALID EXIF-tagged JPEG exhibit bytes — the test/demo
+    * source for [[imageDims]]'s orientation path. Each id yields a JPEG
+    * whose APP1/Exif segment embeds a minimal TIFF (id-derived
+    * endianness — EXIF ships both 'II' and 'MM' in the wild) holding one
+    * tag-274 entry with orientation 1..8 (all eight occur per endian
+    * class via floor(id/2)), followed by a variable-length COM segment
+    * and the SOF0 — so the walk must hop BOTH the Exif and COM segments
+    * to reach the dims, and the orientation scan runs against both byte
+    * orders corpus-wide. The q134 oracle recomputes format, orientation,
+    * DISPLAY dims (swapped for 5..8) and size as ground-truth id
+    * arithmetic. */
+  def synthExifJpegBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val hid = floor(id / lit(2)).cast(LongType)
+    val fill = repeat(upper(md5(id.cast(StringType))), 2)
+    val w2 = lpad(hex(lit(16) + pmod(id, lit(1024))), 4, "0")
+    val h2 = lpad(hex(lit(16) + pmod(id * 7, lit(768))), 4, "0")
+    val orient = lit(1) + pmod(hid, lit(8))
+    val comBytes = (lit(1) + pmod(hid, lit(32))).cast(IntegerType)
+    val comLen = lpad(hex(comBytes + 2), 4, "0")
+    def tiffExif(le: Boolean): Column = {
+      def u16h(v: Column) = if (le) leHex(v, 2) else lpad(hex(v), 4, "0")
+      def u32h(v: Column) = if (le) leHex(v, 4) else lpad(hex(v), 8, "0")
+      concat(
+        lit(if (le) "49492A00" else "4D4D002A"),
+        u32h(lit(8)),              // IFD immediately after the header
+        u16h(lit(1)),              // one entry
+        u16h(lit(274)), u16h(lit(3)), u32h(lit(1)),
+        concat(u16h(orient), lit("0000")),
+        u32h(lit(0)))              // no next IFD -> TIFF is 26 bytes
+    }
+    val app1 = concat(
+      lit("FFE1"), lit("0022"),    // APP1, declared length 34 BE
+      lit("457869660000"),         // 'Exif\0\0'
+      when(pmod(id, lit(2)) === 0, tiffExif(le = true))
+        .otherwise(tiffExif(le = false)))
+    val jpeg = concat(
+      lit("FFD8"), app1,
+      lit("FFFE"), comLen, fill.substr(lit(1), comBytes * 2),
+      lit("FFC00011"), lit("08"), h2, w2,
+      lit("03012200021101031101"),
+      lit("FFD9"))
+    docs.select(id.as("media_id"), unhex(jpeg).as("content"))
+  }
+
   /** REAL audio/video container-header parsing — sample rate, channel
     * count, bit depth and duration straight from WAV/RIFF and MP4 (ISO
     * BMFF) bytes, built-in expressions only (no codec, no UDF, no
@@ -615,7 +783,9 @@ object Multimodal {
     * others don't carry one), width, height (MP4 video; NULL elsewhere),
     * duration_ms (all but ogg). All reads are length-guarded so a
     * truncated header NULLs rather than assembling a partial-bytes
-    * value. */
+    * value. Filter the INPUT before calling this — the parse projection
+    * is deliberately opaque to predicate pushdown (see [[ndZero]]), so
+    * output predicates evaluate row-wise just above the parse. */
   def avMetadata(media: DataFrame, contentCol: String = "content",
                  maxChunks: Int = 16,
                  headerBytes: Int = 64 * 1024): DataFrame = {
@@ -878,7 +1048,7 @@ object Multimodal {
             expr(s"""((octet_length(`$contentCol`) - (__av_p - 1) div 2)
                     | * 8) div __av_mp3.kbps""".stripMargin))
           .when(col("av_format") === "flac" && col("__av_flac.sr") > 0,
-            expr("(__av_flac.total * 1000) div __av_flac.sr")))
+            expr("(__av_flac.total * 1000) div __av_flac.sr")) + ndZero)
       .drop("__av_hx", "__av_wav", "__av_mp4", "__av_p", "__av_mp3",
         "__av_flac", "__av_ogg")
   }

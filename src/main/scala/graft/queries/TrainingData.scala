@@ -1834,6 +1834,38 @@ object TrainingData {
              |    AS BIGINT) AS n_bytes
              |FROM m ORDER BY media_id""".stripMargin)),
 
+    // EXIF orientation + display dims (Multimodal.imageDims orientation
+    // path): the segment walk hops an APP1/Exif segment (recording its
+    // embedded TIFF) AND a variable-length COM to reach the SOF, then a
+    // second endian-paired IFD scan reads tag 274 — both 'II' and 'MM'
+    // byte orders occur corpus-wide, all eight orientations each, and
+    // orientations 5..8 swap the emitted dims to DISPLAY resolution (the
+    // phone-portrait trap: coded landscape + orientation 6). Oracle is
+    // ground-truth id arithmetic; goldens pin the byte layout.
+    Q("q134_exif_orientation",
+      (s, dir) => Multimodal.imageDims(
+          Multimodal.synthExifJpegBytes(t(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("format"), col("orientation"),
+          col("width"), col("height"),
+          octet_length(col("content")).cast(LongType).as("n_bytes"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    1 + (((doc_id // 2) % 8) + 8) % 8 AS orient,
+             |    1 + (((doc_id // 2) % 32) + 32) % 32 AS comb,
+             |    16 + ((doc_id % 1024) + 1024) % 1024 AS w,
+             |    16 + (((doc_id * 7) % 768) + 768) % 768 AS h
+             |  FROM documents)
+             |SELECT doc_id AS media_id,
+             |  'jpeg' AS format,
+             |  CAST(orient AS BIGINT) AS orientation,
+             |  CAST(CASE WHEN orient >= 5 THEN h ELSE w END AS BIGINT)
+             |    AS width,
+             |  CAST(CASE WHEN orient >= 5 THEN w ELSE h END AS BIGINT)
+             |    AS height,
+             |  CAST(63 + comb AS BIGINT) AS n_bytes
+             |FROM m ORDER BY media_id""".stripMargin)),
+
     // Media format census — the composed curation report: all seven synth
     // container families through BOTH header parsers, unioned, then a
     // per-format aggregate (count, exact width sum, exact duration sum —

@@ -438,6 +438,74 @@ class TrainingDataSpec extends SparkSpec {
     assert(variety === ((2L, 3L, 2L)), variety)
   }
 
+  test("imageDims: golden EXIF orientation, endian/transpose/absent traps") {
+    // GOLDEN bytes hand-assembled against EXIF 2.x / TIFF 6.0. Shared
+    // tail: COM-free, SOF0 with coded dims 320x240, EOI.
+    val sof = "FFC00011" + "08" + "00F0" + "0140" +
+      "03012200021101031101" + "FFD9"
+    // big-endian EXIF, orientation 6 (phone portrait): DISPLAY dims must
+    // swap to 240x320 while the SOF still codes 320x240
+    val exifMM6 = "FFD8" + "FFE1" + "0022" + "457869660000" +
+      "4D4D002A" + "00000008" + "0001" +
+      "0112" + "0003" + "00000001" + "0006" + "0000" + "00000000" + sof
+    // little-endian EXIF, orientation 1: no swap
+    val exifII1 = "FFD8" + "FFE1" + "0022" + "457869660000" +
+      "49492A00" + "08000000" + "0100" +
+      "1201" + "0300" + "01000000" + "0100" + "0000" + "00000000" + sof
+    // EXIF present but no tag 274 (XResolution instead) -> NULL, no swap
+    val exifNo274 = "FFD8" + "FFE1" + "0022" + "457869660000" +
+      "4D4D002A" + "00000008" + "0001" +
+      "011A" + "0005" + "00000001" + "00000000" + "00000000" + sof
+    // APP1 that is XMP, not Exif: must be hopped without recording
+    val xmpApp1 = "FFD8" + "FFE1" + "0008" + "687474703A2F" + sof
+    // Exif signature but the embedded TIFF truncated mid-header: the
+    // orientation scan reads into the NEXT segment and must NULL out
+    val exifCut = "FFD8" + "FFE1" + "000C" + "457869660000" +
+      "4D4D002A" + sof
+    // stored orientation 0 (spec-invalid) -> NULL, no swap
+    val exifZero = "FFD8" + "FFE1" + "0022" + "457869660000" +
+      "4D4D002A" + "00000008" + "0001" +
+      "0112" + "0003" + "00000001" + "0000" + "0000" + "00000000" + sof
+    val media = Seq((1L, exifMM6), (2L, exifII1), (3L, exifNo274),
+        (4L, xmpApp1), (5L, exifCut), (6L, exifZero))
+      .toDF("media_id", "hx")
+      .select($"media_id", unhex($"hx").as("content"))
+    val got = Multimodal.imageDims(media)
+      .select($"media_id", $"format", $"orientation", $"width", $"height")
+      .as[(Long, Option[String], Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("jpeg"), Some(6L), Some(240L), Some(320L)),
+      (2L, Some("jpeg"), Some(1L), Some(320L), Some(240L)),
+      (3L, Some("jpeg"), None, Some(320L), Some(240L)),
+      (4L, Some("jpeg"), None, Some(320L), Some(240L)),
+      (5L, Some("jpeg"), None, Some(320L), Some(240L)),
+      (6L, Some("jpeg"), None, Some(320L), Some(240L))))
+  }
+
+  test("imageDims round-trips synthExifJpegBytes across the corpus") {
+    val parsed = Multimodal.imageDims(
+      Multimodal.synthExifJpegBytes(docs, "doc_id"))
+    val id = $"media_id"
+    val hid = floor(id / lit(2)).cast("long")
+    val orient = lit(1) + pmod(hid, lit(8))
+    val cw = lit(16) + pmod(id, lit(1024))
+    val ch = lit(16) + pmod(id * 7, lit(768))
+    val bad = parsed.where(
+      $"format" =!= "jpeg" || $"orientation" =!= orient ||
+      $"width" =!= when(orient >= 5, ch).otherwise(cw) ||
+      $"height" =!= when(orient >= 5, cw).otherwise(ch) ||
+      $"orientation".isNull || $"width".isNull)
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
+    // both endiannesses and all eight orientations occur
+    import org.apache.spark.sql.functions.countDistinct
+    val variety = parsed.agg(
+      countDistinct(pmod(id, lit(2))).as("endians"),
+      countDistinct($"orientation").as("orients"))
+      .as[(Long, Long)].head()
+    assert(variety === ((2L, 8L)), variety)
+  }
+
   test("avMetadata: golden WAV/MP4 headers, chunk padding, malformed -> NULL") {
     // GOLDEN bytes hand-assembled against RIFF/ISO-BMFF specs (not the
     // synth generator — a symmetric construct/parse bug can't cancel).
@@ -809,7 +877,8 @@ class TrainingDataSpec extends SparkSpec {
       Multimodal.synthAvBytes(base, "doc_id"),
       Multimodal.synthAudioBytes(base, "doc_id"),
       Multimodal.synthOggBytes(base, "doc_id"),
-      Multimodal.synthTiffBytes(base, "doc_id"))
+      Multimodal.synthTiffBytes(base, "doc_id"),
+      Multimodal.synthExifJpegBytes(base, "doc_id"))
     // force full evaluation of every parsed column (a bare count would
     // let column pruning skip the parse expressions entirely)
     def force(df: org.apache.spark.sql.DataFrame): Long = {
@@ -868,6 +937,9 @@ class TrainingDataSpec extends SparkSpec {
         $"height".isNotNull)
     bad(Multimodal.imageDims(Multimodal.synthTiffBytes(neg, "doc_id")),
       $"format" === "tiff" && $"width".isNotNull && $"height".isNotNull)
+    bad(Multimodal.imageDims(Multimodal.synthExifJpegBytes(neg, "doc_id")),
+      $"format" === "jpeg" && $"orientation".isNotNull &&
+        $"width".isNotNull && $"height".isNotNull)
     bad(Multimodal.avMetadata(Multimodal.synthAvBytes(neg, "doc_id")),
       $"av_format".isin("wav", "mp4") && $"duration_ms".isNotNull)
     bad(Multimodal.avMetadata(Multimodal.synthAudioBytes(neg, "doc_id")),
