@@ -158,15 +158,17 @@ object Multimodal {
     * the prefix fails the marker test and yields NULL dims — the same
     * fail-safe as malformed input; raise the bound for thumbnail-stuffed
     * corpora rather than trusting unbounded headers. */
-  /** Nondeterministic ZERO (`rand() * 0`): added to the LAST column a
-    * parser computes so that column's alias is nondeterministic, which
+  /** Nondeterministic ZERO (`rand() * 0`): added to every fold-backed
+    * numeric output column so those aliases are nondeterministic, which
     * stops Catalyst's predicate pushdown AT the parse projection.
     * Without it, a `.where` on any parsed column substitutes the full
     * fold expressions into the predicate — once per reference — and a
     * simple resolution filter took ~40 s of optimizer+codegen time
     * (measured: 12 s optimize / 9 s physical / 19 s codegen on a 64-row
     * frame). With it, predicates evaluate just above the parse as cheap
-    * attribute references. The trade: input-column predicates written
+    * attribute references. EVERY such column carries the marker (not
+    * just the last one) so the barrier survives column pruning when a
+    * caller selects a subset. The trade: input-column predicates written
     * AFTER the parse no longer reach the scan either — filter the input
     * BEFORE parsing (the contract both parsers' docstrings state). */
   private def ndZero: Column = (rand() * lit(0)).cast(LongType)
@@ -425,7 +427,7 @@ object Multimodal {
             .otherwise(tiffFold(le = false))))
       .withColumn("orientation",
         when(col("format") === "jpeg" && col("__img_sof.ex").isNotNull,
-          exifFold))
+          exifFold) + ndZero)
       .withColumn("width",
         when(col("format") === "png",
           conv(substring(hx, 33, 8), 16, 10).cast(LongType))
@@ -436,7 +438,7 @@ object Multimodal {
           .when(col("format") === "webp", webpDim(first = true))
           .when(col("format") === "bmp", bmpDim(first = true))
           .when(col("format") === "tiff", col("__img_tif.w"))
-          .when(col("format") === "ico", icoDim(first = true)))
+          .when(col("format") === "ico", icoDim(first = true)) + ndZero)
       .withColumn("height",
         when(col("format") === "png",
           conv(substring(hx, 41, 8), 16, 10).cast(LongType))
@@ -1030,13 +1032,15 @@ object Multimodal {
       .withColumn("__av_ogg", when(col("av_format") === "ogg", oggFields))
       .withColumn("codec", col("__av_ogg.codec"))
       .withColumn("channels", coalesce(col("__av_wav.ch"),
-        col("__av_mp3.ch"), col("__av_flac.ch"), col("__av_ogg.ch")))
+        col("__av_mp3.ch"), col("__av_flac.ch"), col("__av_ogg.ch"))
+        + ndZero)
       .withColumn("sample_rate", coalesce(col("__av_wav.sr"),
-        col("__av_mp3.sr"), col("__av_flac.sr"), col("__av_ogg.sr")))
+        col("__av_mp3.sr"), col("__av_flac.sr"), col("__av_ogg.sr"))
+        + ndZero)
       .withColumn("bits_per_sample",
-        coalesce(col("__av_wav.bits"), col("__av_flac.bps")))
-      .withColumn("width", col("__av_mp4.w"))
-      .withColumn("height", col("__av_mp4.h"))
+        coalesce(col("__av_wav.bits"), col("__av_flac.bps")) + ndZero)
+      .withColumn("width", col("__av_mp4.w") + ndZero)
+      .withColumn("height", col("__av_mp4.h") + ndZero)
       .withColumn("duration_ms",
         when(col("av_format") === "wav" && col("__av_wav.br") > 0,
           expr("(__av_wav.db * 1000) div __av_wav.br"))
