@@ -127,6 +127,22 @@ object Multimodal {
     * real IFDs. An IFD offset or entry beyond the hexed prefix skips in
     * BIGINT (no INT cast on untrusted offsets) and leaves the dims NULL.
     *
+    * AVIF/HEIC/HEIF (ISO-BMFF images, sniffed by the ftyp major brand —
+    * avif/avis -> 'avif', heic/heix -> 'heic', the brand-agnostic
+    * mif1/msf1 -> 'heif'; video brands like isom/mp42 are NOT claimed,
+    * they are [[avMetadata]]'s 'mp4'): the pixel dimensions live in an
+    * `ispe` (ImageSpatialExtents) full-box nested meta > iprp > ipco,
+    * never at a fixed offset. A bounded box walk DESCENDS into those
+    * three containers (meta is a full-box: 4 version/flags bytes past
+    * its header) and hops everything else by its u32 size (u64 largesize
+    * when size==1); the first ispe's u32 BE width/height win. The dims
+    * are the CODED extents of the first ispe property — a HEIF `irot`
+    * transform or a grid-derivation's reassembled canvas is not applied
+    * (the single-ispe read is the header-parser contract, same spirit as
+    * Ogg's NULL duration). Walk budget is 2 x `maxSegments`: real muxers
+    * put hdlr/pitm/iloc/iinf/iref before iprp and colr/hvcC before ispe,
+    * and each descent spends an iteration.
+    *
     * EXIF orientation (JPEG): the segment walk records the first
     * APP1/Exif segment's embedded TIFF header on its way to the SOF, and
     * a second endian-paired IFD scan reads tag 274 (type 3 SHORT,
@@ -139,7 +155,8 @@ object Multimodal {
     * e.g. XMP) have it NULL and keep the SOF dims as-is.
     *
     * Output: input columns + format
-    * ('png'/'jpeg'/'gif'/'webp'/'bmp'/'tiff'/'ico'/NULL),
+    * ('png'/'jpeg'/'gif'/'webp'/'bmp'/'tiff'/'ico'/'avif'/'heic'/
+    * 'heif'/NULL),
     * width, height (NULL when unparseable), orientation (JPEG EXIF
     * only). Unknown containers pass
     * through with NULL format — filter, don't fail, at corpus scale.
@@ -186,7 +203,7 @@ object Multimodal {
     // columns are guarded too — an input already carrying __img_hx would be
     // silently overwritten and then dropped.
     Seq("format", "width", "height", "orientation",
-      "__img_hx", "__img_sof", "__img_tif").foreach(c =>
+      "__img_hx", "__img_sof", "__img_tif", "__img_isp").foreach(c =>
         require(!media.columns.contains(c),
           s"Multimodal.imageDims: media already has a '$c' column — rename " +
             "it first; imageDims appends its own"))
@@ -407,6 +424,78 @@ object Multimodal {
       val b = le(if (first) 13 else 15, 1)
       when(b === 0, 256L).otherwise(b)
     })
+    // AVIF/HEIC (ISO-BMFF image): the pixel dimensions live in an `ispe`
+    // (ImageSpatialExtents) full-box nested meta > iprp > ipco — never at
+    // a fixed offset. One bounded fold walks top-level boxes and DESCENDS
+    // into the three container boxes (meta is a full-box: +4 version/
+    // flags bytes past the 8-byte header; iprp/ipco are plain containers)
+    // instead of hopping them; the first ispe wins. Box sizes are
+    // UNTRUSTED u32s so `pos` rides the state in BIGINT and every bounds
+    // check precedes the INT cast (the avMetadata overflow lesson);
+    // size==1 hops via the u64 largesize (high word must be 0 — a >4 GiB
+    // offset is past any hexed prefix anyway); size 0 ("to EOF") or <8
+    // stops the walk as unwalkable. An ispe DECLARING size < 20 is not
+    // read (its "dims" would be the following box's bytes — the WAV fmt
+    // truncation lesson); it falls through to the hop so a later valid
+    // ispe can still win. The descend-don't-track-extent choice
+    // means a fourcc collision in un-descended sibling payloads can't
+    // happen (payload bytes are only reached by descending), but a
+    // container's trailing garbage could be read as sibling boxes — the
+    // done/size guards bound that to a NULL, never a throw.
+    def ibe(at: String, nBytes: Int) =
+      s"""CAST(conv(substring(__img_hx, CAST(($at) AS INT), ${2 * nBytes}),
+         |16, 10) AS BIGINT)""".stripMargin
+    def ispSt(pos: String, w: String, h: String, done: String) =
+      s"named_struct('pos', $pos, 'w', $w, 'h', $h, 'done', $done)"
+    val ispSize = ibe("st.pos", 4)
+    // 2x the segment budget of the flat walks: the path to ispe crosses
+    // ~12-15 boxes in real muxer output (meta's hdlr/pitm/iloc/iinf/iref
+    // children precede iprp; ipco's colr/hvcC precede ispe) and each
+    // DESCENT spends an iteration too — 16 would NULL well-formed phone
+    // photos at the default setting
+    val ispeFold = expr(s"""
+      aggregate(
+        sequence(1, ${2 * maxSegments}),
+        ${ispSt("CAST(1 AS BIGINT)", "CAST(NULL AS BIGINT)",
+          "CAST(NULL AS BIGINT)", "false")},
+        (st, i) -> CASE
+          WHEN st.done THEN st
+          WHEN st.pos IS NULL OR length(__img_hx) < st.pos + 15
+            THEN ${ispSt("st.pos", "st.w", "st.h", "true")}
+          WHEN substring(__img_hx, CAST(st.pos AS INT) + 8, 8) = '6D657461'
+            THEN ${ispSt("st.pos + 24", "st.w", "st.h", "false")}
+          WHEN substring(__img_hx, CAST(st.pos AS INT) + 8, 8) = '69707270'
+               OR substring(__img_hx, CAST(st.pos AS INT) + 8, 8)
+                 = '6970636F'
+            THEN ${ispSt("st.pos + 16", "st.w", "st.h", "false")}
+          WHEN substring(__img_hx, CAST(st.pos AS INT) + 8, 8) = '69737065'
+               AND ($ispSize) >= 20
+            THEN CASE
+              WHEN length(__img_hx) >= st.pos + 39
+                THEN ${ispSt("st.pos", ibe("st.pos + 24", 4),
+                  ibe("st.pos + 32", 4), "true")}
+              ELSE ${ispSt("st.pos", "CAST(NULL AS BIGINT)",
+                "CAST(NULL AS BIGINT)", "true")}
+            END
+          WHEN ($ispSize) = 1
+            THEN CASE
+              WHEN length(__img_hx) >= st.pos + 31
+                   AND ${ibe("st.pos + 16", 4)} = 0
+                   AND ${ibe("st.pos + 24", 4)} >= 16
+                THEN ${ispSt(s"st.pos + 2 * (${ibe("st.pos + 24", 4)})",
+                  "st.w", "st.h", "false")}
+              ELSE ${ispSt("st.pos", "st.w", "st.h", "true")}
+            END
+          WHEN ($ispSize) IS NULL OR ($ispSize) < 8
+            THEN ${ispSt("st.pos", "st.w", "st.h", "true")}
+          ELSE ${ispSt(s"st.pos + 2 * ($ispSize)", "st.w", "st.h", "false")}
+        END,
+        st -> st)""")
+    // ftyp major brand (bytes 8-11) — only IMAGE brands are claimed;
+    // isom/mp42/... stay NULL here (they are avMetadata's 'mp4', not an
+    // image). mif1/msf1 majors are the brand-agnostic HEIF signature real
+    // muxers emit when the codec lives in the compatible-brands list.
+    val ftypBrand = substring(hx, 17, 8)
     withHex
       .withColumn("format",
         when(hx.startsWith("89504E470D0A1A0A"), "png")
@@ -418,13 +507,27 @@ object Multimodal {
           .when(hx.startsWith("424D"), "bmp")
           .when(hx.startsWith("49492A00") || hx.startsWith("4D4D002A"),
             "tiff")
-          .when(hx.startsWith("00000100") && hexLen(12) && le(9, 2) >= 1,
-            "ico"))
+          // ICO's magic (00 00 01 00) is genuinely ambiguous: it is also
+          // the size field of a 256-byte ISO-BMFF box, so a long-brand-list
+          // ftyp would sniff as ICO. Bytes 4-7 disambiguate — a real ICO
+          // has image count + first-entry dims there, never 'ftyp'.
+          .when(hx.startsWith("00000100") && hexLen(12) && le(9, 2) >= 1 &&
+            substring(hx, 9, 8) =!= "66747970",
+            "ico")
+          .when(substring(hx, 9, 8) === "66747970",
+            when(ftypBrand === "61766966" || ftypBrand === "61766973",
+              "avif") // avif / avis (image sequence)
+              .when(ftypBrand === "68656963" || ftypBrand === "68656978",
+                "heic") // heic / heix
+              .when(ftypBrand === "6D696631" || ftypBrand === "6D736631",
+                "heif"))) // mif1 / msf1 brand-agnostic HEIF
       .withColumn("__img_sof", when(col("format") === "jpeg", jpegFold))
       .withColumn("__img_tif",
         when(col("format") === "tiff",
           when(hx.startsWith("49492A00"), tiffFold(le = true))
             .otherwise(tiffFold(le = false))))
+      .withColumn("__img_isp",
+        when(col("format").isin("avif", "heic", "heif"), ispeFold))
       .withColumn("orientation",
         when(col("format") === "jpeg" && col("__img_sof.ex").isNotNull,
           exifFold) + ndZero)
@@ -438,7 +541,9 @@ object Multimodal {
           .when(col("format") === "webp", webpDim(first = true))
           .when(col("format") === "bmp", bmpDim(first = true))
           .when(col("format") === "tiff", col("__img_tif.w"))
-          .when(col("format") === "ico", icoDim(first = true)) + ndZero)
+          .when(col("format") === "ico", icoDim(first = true))
+          .when(col("format").isin("avif", "heic", "heif"),
+            col("__img_isp.w")) + ndZero)
       .withColumn("height",
         when(col("format") === "png",
           conv(substring(hx, 41, 8), 16, 10).cast(LongType))
@@ -449,8 +554,10 @@ object Multimodal {
           .when(col("format") === "webp", webpDim(first = false))
           .when(col("format") === "bmp", bmpDim(first = false))
           .when(col("format") === "tiff", col("__img_tif.h"))
-          .when(col("format") === "ico", icoDim(first = false)) + ndZero)
-      .drop("__img_hx", "__img_sof", "__img_tif")
+          .when(col("format") === "ico", icoDim(first = false))
+          .when(col("format").isin("avif", "heic", "heif"),
+            col("__img_isp.h")) + ndZero)
+      .drop("__img_hx", "__img_sof", "__img_tif", "__img_isp")
   }
 
   /** Deterministic VALID image-container exhibit bytes from an id column —
@@ -645,6 +752,56 @@ object Multimodal {
       id.as("media_id"),
       unhex(when(pmod(id, lit(2)) === 0, tiff(le = true))
         .otherwise(tiff(le = false))).as("content"))
+  }
+
+  /** Deterministic VALID AVIF/HEIC (ISO-BMFF image) exhibit bytes — the
+    * test/demo source for [[imageDims]]'s ispe branch. Even ids are AVIF
+    * (major brand `avif`), odd HEIC (`heic`), both listing `mif1` as the
+    * compatible brand like real muxers. The dimensions live in an `ispe`
+    * full-box nested meta > iprp > ipco, and the path there is mined with
+    * every trap the walk exists for: an id-derived variable-length `free`
+    * box BEFORE meta (shifts every later offset), an `hdlr` decoy child
+    * inside meta, and a `pixi` decoy property before the ispe inside ipco
+    * — a fixed-offset "parser" reads garbage at every step and only the
+    * descend-walk finds the dims. Box sizes are honest (each container's
+    * size is the exact sum of its children); a trailing `mdat` carries
+    * id-derived filler. Parameters derive from floor(id/2): w = 16 +
+    * pmod(hid, 1024), h = 16 + pmod(7 hid, 768), free payload 1 +
+    * pmod(3 hid, 16) bytes, mdat payload 1 + pmod(5 hid, 16) bytes —
+    * total size 133 + nfree + nmdat, all recomputed by the q135 oracle
+    * as ground-truth id arithmetic. */
+  def synthIsobmffBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val hid = floor(id / lit(2)).cast(LongType)
+    val fill = upper(md5(id.cast(StringType))) // up to 16 bytes of filler
+    val w = lit(16) + pmod(hid, lit(1024))
+    val h = lit(16) + pmod(hid * 7, lit(768))
+    val nfree = lit(1) + pmod(hid * 3, lit(16)) // 1..16 free payload bytes
+    val nmdat = lit(1) + pmod(hid * 5, lit(16)) // 1..16 mdat payload bytes
+    def be4(v: Column) = lpad(hex(v), 8, "0")
+    val brand = when(pmod(id, lit(2)) === 0, "61766966") // 'avif'
+      .otherwise(lit("68656963")) // 'heic'
+    val ftyp = concat(be4(lit(20)), lit("66747970"), brand,
+      lit("00000000"), lit("6D696631")) // minor version 0, compat mif1
+    val free = concat(be4(lit(8) + nfree), lit("66726565"),
+      fill.substr(lit(1), (nfree * 2).cast(IntegerType)))
+    // meta(full) { hdlr(33) iprp { ipco { pixi(16) ispe(20) } } } —
+    // 12 + 33 + 52 = 97; iprp = 8 + 44; ipco = 8 + 16 + 20
+    val hdlr = concat(be4(lit(33)), lit("68646C72"), lit("00000000"),
+      lit("00000000"), lit("70696374"), lit("00" * 12), lit("00"))
+    val ispe = concat(be4(lit(20)), lit("69737065"), lit("00000000"),
+      be4(w), be4(h))
+    val pixi = concat(be4(lit(16)), lit("70697869"), lit("00000000"),
+      lit("03"), lit("080808")) // 3 channels x 8 bpc
+    val ipco = concat(be4(lit(44)), lit("6970636F"), pixi, ispe)
+    val iprp = concat(be4(lit(52)), lit("69707270"), ipco)
+    val meta = concat(be4(lit(97)), lit("6D657461"), lit("00000000"),
+      hdlr, iprp)
+    val mdat = concat(be4(lit(8) + nmdat), lit("6D646174"),
+      fill.substr(lit(1), (nmdat * 2).cast(IntegerType)))
+    docs.select(
+      id.as("media_id"),
+      unhex(concat(ftyp, free, meta, mdat)).as("content"))
   }
 
   /** Deterministic VALID EXIF-tagged JPEG exhibit bytes — the test/demo

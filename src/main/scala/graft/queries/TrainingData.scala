@@ -1866,7 +1866,44 @@ object TrainingData {
              |  CAST(63 + comb AS BIGINT) AS n_bytes
              |FROM m ORDER BY media_id""".stripMargin)),
 
-    // Media format census — the composed curation report: all seven synth
+    // AVIF/HEIC image dims (Multimodal.imageDims ispe branch): modern
+    // web-crawl image containers are ISO-BMFF, so the dimensions live in
+    // an `ispe` full-box nested meta > iprp > ipco — reachable only by a
+    // box walk that DESCENDS into containers (plus a variable-length
+    // `free` box, an `hdlr` decoy child and a `pixi` decoy property on
+    // the way; fixed offsets read garbage at every step). Bytes are
+    // synthesized valid containers (Multimodal.synthIsobmffBytes); the
+    // oracle recomputes every field as GROUND-TRUTH id arithmetic —
+    // spec(id), not a parse replay — and hand-assembled golden headers in
+    // TrainingDataSpec pin the byte layout (mif1 brand, largesize hop,
+    // truncation and non-image-brand NULL paths). Expression-only; blobs
+    // never shuffle.
+    Q("q135_isobmff_image_dims",
+      (s, dir) => Multimodal.imageDims(
+          Multimodal.synthIsobmffBytes(t(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          octet_length(col("content")).cast(LongType).as("n_bytes"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2) + 2) % 2 AS pm2,
+             |    doc_id // 2 AS hid
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, pm2,
+             |    16 + ((hid % 1024) + 1024) % 1024 AS w,
+             |    16 + (((hid * 7) % 768) + 768) % 768 AS h,
+             |    1 + (((hid * 3) % 16) + 16) % 16 AS nfree,
+             |    1 + (((hid * 5) % 16) + 16) % 16 AS nmdat
+             |  FROM m)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN pm2 = 0 THEN 'avif' ELSE 'heic' END AS format,
+             |  CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(133 + nfree + nmdat AS BIGINT) AS n_bytes
+             |FROM f ORDER BY media_id""".stripMargin)),
+
+    // Media format census — the composed curation report: all eight synth
     // container families through BOTH header parsers, unioned, then a
     // per-format aggregate (count, exact width sum, exact duration sum —
     // sums, not avgs, so the cross-engine compare is integer-exact).
@@ -1874,7 +1911,7 @@ object TrainingData {
     // how much of each do we hold?"), and any single-family parse
     // regression surfaces as a census delta pinpointing the format. The
     // oracle recomputes every aggregate from the families' id-arithmetic
-    // ground truth — 12 formats, each a one-line spec(id) aggregate.
+    // ground truth — 14 formats, each a one-line spec(id) aggregate.
     // Scale shape: parsers are scan-side expressions; the only exchange
     // is the 12-group aggregate's.
     Q("q133_media_format_census",
@@ -1884,7 +1921,8 @@ object TrainingData {
           Multimodal.synthImageBytes(d, "doc_id"),
           Multimodal.synthWebImageBytes(d, "doc_id"),
           Multimodal.synthBmpIcoBytes(d, "doc_id"),
-          Multimodal.synthTiffBytes(d, "doc_id"))
+          Multimodal.synthTiffBytes(d, "doc_id"),
+          Multimodal.synthIsobmffBytes(d, "doc_id"))
           .map(m => Multimodal.imageDims(m)
             .select(col("format"), col("width"),
               lit(null).cast(LongType).as("duration_ms")))
@@ -1932,8 +1970,12 @@ object TrainingData {
              |       CAST(sum_w AS BIGINT) AS sum_w,
              |       CAST(sum_dur AS BIGINT) AS sum_dur
              |FROM (
-             |  SELECT 'bmp' AS format, count(*) AS n, SUM(hw) AS sum_w,
+             |  SELECT 'avif' AS format, count(*) AS n, SUM(hw) AS sum_w,
              |         0 AS sum_dur FROM f WHERE pm2 = 0
+             |  UNION ALL SELECT 'bmp', count(*), SUM(hw), 0
+             |    FROM f WHERE pm2 = 0
+             |  UNION ALL SELECT 'heic', count(*), SUM(hw), 0
+             |    FROM f WHERE pm2 = 1
              |  UNION ALL SELECT 'flac', count(*), 0,
              |    SUM((thi * 4294967296 + tlo) * 1000 // (8000 + hm8 * 1000))
              |    FROM f WHERE pm2 = 1

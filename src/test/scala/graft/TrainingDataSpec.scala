@@ -506,6 +506,122 @@ class TrainingDataSpec extends SparkSpec {
     assert(variety === ((2L, 8L)), variety)
   }
 
+  test("imageDims: golden AVIF/HEIC headers, nested-box descent, " +
+      "largesize hop, malformed -> NULL") {
+    // GOLDEN bytes hand-assembled against ISO-BMFF / HEIF layouts (not
+    // the synth generator — a symmetric construct/parse bug can't
+    // cancel). The dims live in an ispe full-box nested
+    // meta > iprp > ipco; only a walk that DESCENDS into containers
+    // reaches them.
+    val ftypAvif = "00000014" + "66747970" + "61766966" + "00000000" +
+      "6D696631"
+    val ispe = (w: String, h: String) =>
+      "00000014" + "69737065" + "00000000" + w + h
+    def meta(w: String, h: String) = // minimal: meta{iprp{ipco{ispe}}}
+      "00000030" + "6D657461" + "00000000" +
+        "00000024" + "69707270" +
+        "0000001C" + "6970636F" + ispe(w, h)
+    // 1: minimal AVIF, 100 x 50
+    val avifMin = ftypAvif + meta("00000064", "00000032")
+    // 2: HEIC with every decoy on the path — variable free box before
+    // meta, hdlr child before iprp, pixi property before ispe (the
+    // generator layout, hand-assembled), 300 x 200
+    val heicFull = "00000014" + "66747970" + "68656963" + "00000000" +
+      "6D696631" +
+      "0000000B" + "66726565" + "AABBCC" +
+      "00000061" + "6D657461" + "00000000" +
+        "00000021" + "68646C72" + "00000000" + "00000000" + "70696374" +
+          ("00" * 12) + "00" +
+        "00000034" + "69707270" +
+          "0000002C" + "6970636F" +
+            "00000010" + "70697869" + "00000000" + "03" + "080808" +
+            ispe("0000012C", "000000C8")
+    // 3: brand-agnostic mif1 major -> 'heif', 10 x 20
+    val mif1 = "00000014" + "66747970" + "6D696631" + "00000000" +
+      "6D696631" + meta("0000000A", "00000014")
+    // 4: size==1 free box hopped via its u64 largesize (17 bytes),
+    // then the minimal meta, 7 x 9
+    val largesize = ftypAvif +
+      "00000001" + "66726565" + "0000000000000011" + "AA" +
+      meta("00000007", "00000009")
+    // 5: truncated inside the container chain -> 'avif' kept, NULL dims
+    val truncMeta = avifMin.substring(0, 96)
+    // 6: truncated 3 bytes into the ispe payload -> NULL dims (the
+    // ispe-specific length gate, not the generic pos guard)
+    val truncIspe = avifMin.substring(0, 130)
+    // 7: a non-image brand is NOT claimed (it is avMetadata's mp4)
+    val isom = "00000014" + "66747970" + "69736F6D" + "00000000" +
+      "6D703432"
+    // 8: size-0 box ("to EOF") stops the walk -> NULL dims
+    val sizeZero = ftypAvif + "00000000" + "66726565"
+    // 9: an ispe DECLARING size 16 (payload short of the dims) is NOT
+    // read — without the declared-size gate its "width" would be its own
+    // trailing bytes (0x63 = 99) and its "height" the NEXT box's size
+    // field (0x14 = 20); the walk hops it and the valid ispe after wins,
+    // 640 x 480
+    val badIspe = "00000010" + "69737065" + "00000000" + "00000063"
+    val undersizedThenValid = ftypAvif +
+      "00000040" + "6D657461" + "00000000" +
+        "00000034" + "69707270" +
+          "0000002C" + "6970636F" + badIspe +
+            ispe("00000280", "000001E0")
+    // 10: the undersized ispe is the ONLY property -> hop runs off the
+    // end -> NULL dims (never the garbage read)
+    val undersizedOnly = ftypAvif +
+      "0000002C" + "6D657461" + "00000000" +
+        "00000020" + "69707270" +
+          "00000018" + "6970636F" + badIspe
+    // 11: a 256-byte ftyp (long compatible-brand list) starts with
+    // 00 00 01 00 — byte-identical to ICO's magic. The sniff must read
+    // bytes 4-7 ('ftyp') and claim avif, not ico (whose le-width at
+    // byte 6 would be garbage); the walk hops the full 256 bytes to the
+    // meta, 33 x 44
+    val longFtyp = "00000100" + "66747970" + "61766966" + "00000000" +
+      ("6D696631" * 60) + meta("00000021", "0000002C")
+    val media = Seq((1L, avifMin), (2L, heicFull), (3L, mif1),
+        (4L, largesize), (5L, truncMeta), (6L, truncIspe), (7L, isom),
+        (8L, sizeZero), (9L, undersizedThenValid), (10L, undersizedOnly),
+        (11L, longFtyp))
+      .toDF("media_id", "hx")
+      .select($"media_id", unhex($"hx").as("content"))
+    val got = Multimodal.imageDims(media)
+      .select($"media_id", $"format", $"width", $"height")
+      .as[(Long, Option[String], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("avif"), Some(100L), Some(50L)),
+      (2L, Some("heic"), Some(300L), Some(200L)),
+      (3L, Some("heif"), Some(10L), Some(20L)),
+      (4L, Some("avif"), Some(7L), Some(9L)),
+      (5L, Some("avif"), None, None),
+      (6L, Some("avif"), None, None),
+      (7L, None, None, None),
+      (8L, Some("avif"), None, None),
+      (9L, Some("avif"), Some(640L), Some(480L)),
+      (10L, Some("avif"), None, None),
+      (11L, Some("avif"), Some(33L), Some(44L))))
+  }
+
+  test("imageDims round-trips synthIsobmffBytes across the corpus") {
+    // every synthesized AVIF/HEIC parses back to the id-derived dims —
+    // through the variable-length free box, the hdlr decoy and the pixi
+    // decoy, where any fixed-offset read produces garbage
+    val parsed = Multimodal.imageDims(
+      Multimodal.synthIsobmffBytes(docs, "doc_id"))
+    val id = $"media_id"
+    val hid = floor(id / lit(2)).cast("long")
+    val bad = parsed.where(
+      $"format" =!= when(pmod(id, lit(2)) === 0, "avif")
+        .otherwise("heic") ||
+      $"width" =!= (lit(16) + pmod(hid, lit(1024))) ||
+      $"height" =!= (lit(16) + pmod(hid * 7, lit(768))) ||
+      $"width".isNull || $"height".isNull)
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
+    val fmts = parsed.groupBy("format").count().as[(String, Long)]
+      .collect().toMap
+    assert(fmts.keySet === Set("avif", "heic") && fmts.values.forall(_ > 0))
+  }
+
   test("avMetadata: golden WAV/MP4 headers, chunk padding, malformed -> NULL") {
     // GOLDEN bytes hand-assembled against RIFF/ISO-BMFF specs (not the
     // synth generator — a symmetric construct/parse bug can't cancel).
@@ -878,7 +994,8 @@ class TrainingDataSpec extends SparkSpec {
       Multimodal.synthAudioBytes(base, "doc_id"),
       Multimodal.synthOggBytes(base, "doc_id"),
       Multimodal.synthTiffBytes(base, "doc_id"),
-      Multimodal.synthExifJpegBytes(base, "doc_id"))
+      Multimodal.synthExifJpegBytes(base, "doc_id"),
+      Multimodal.synthIsobmffBytes(base, "doc_id"))
     // force full evaluation of every parsed column (a bare count would
     // let column pruning skip the parse expressions entirely)
     def force(df: org.apache.spark.sql.DataFrame): Long = {
@@ -940,6 +1057,9 @@ class TrainingDataSpec extends SparkSpec {
     bad(Multimodal.imageDims(Multimodal.synthExifJpegBytes(neg, "doc_id")),
       $"format" === "jpeg" && $"orientation".isNotNull &&
         $"width".isNotNull && $"height".isNotNull)
+    bad(Multimodal.imageDims(Multimodal.synthIsobmffBytes(neg, "doc_id")),
+      $"format".isin("avif", "heic") && $"width".isNotNull &&
+        $"height".isNotNull)
     bad(Multimodal.avMetadata(Multimodal.synthAvBytes(neg, "doc_id")),
       $"av_format".isin("wav", "mp4") && $"duration_ms".isNotNull)
     bad(Multimodal.avMetadata(Multimodal.synthAudioBytes(neg, "doc_id")),
