@@ -934,12 +934,36 @@ object Multimodal {
     * granule position — end-of-file, unreachable by a header parser —
     * so it is NULL for ogg.
     *
+    * WebM/Matroska (EBML, magic 1A45DFA3): element IDs and sizes are
+    * VARINTS — the first byte's leading-bit class encodes each one's
+    * length (IDs 1-4 bytes kept with their marker, sizes 1-8 bytes with
+    * the marker stripped), so nothing sits at a fixed offset and a walk
+    * is mandatory. The fold descends into the EBML head, Segment, Info,
+    * Tracks, TrackEntry and Video/Audio (descending reads only id+size,
+    * so a container's size — including the all-ones UNKNOWN size live
+    * muxers write for Segment — is never trusted), reads DocType
+    * ('webm' -> av_format 'webm', anything else/missing -> generic
+    * 'mkv'), TimestampScale (default 1,000,000 ns when absent), Duration
+    * (an IEEE-754 BE float, f32 or f64, decoded arithmetically — sign
+    * bit, inf/nan or subnormal yields NULL), PixelWidth/PixelHeight,
+    * Channels, SamplingFrequency and the first CodecID, and generically
+    * hops everything else; the first Cluster ends the walk (media data —
+    * past it nothing a header parser may read remains). duration_ms =
+    * Duration ticks x TimestampScale / 1e6, exact for the
+    * integer-valued floats real muxers write. A file whose Info/Tracks
+    * follow the first Cluster (some live remuxes) legitimately yields
+    * NULL for the fields not yet seen — same header-parser contract as
+    * Ogg's NULL duration.
+    *
     * Output: input columns + av_format
-    * ('wav'/'mp4'/'mp3'/'flac'/'ogg'/NULL),
-    * codec ('opus'/'vorbis' for ogg; NULL where the container already
-    * implies the codec or it is unknown), channels (WAV/MP3/FLAC/Ogg),
-    * sample_rate (WAV/MP3/FLAC/Ogg), bits_per_sample (WAV/FLAC; the
-    * others don't carry one), width, height (MP4 video; NULL elsewhere),
+    * ('wav'/'mp4'/'mp3'/'flac'/'ogg'/'webm'/'mkv'/NULL),
+    * codec ('opus'/'vorbis' for ogg; the CodecID string for webm/mkv,
+    * NULL-ed via try_validate_utf8 if its bytes are not UTF-8 — ANSI
+    * decode() would THROW there; NULL where the container already
+    * implies the codec or it is unknown), channels (WAV/MP3/FLAC/Ogg/
+    * EBML-audio), sample_rate (WAV/MP3/FLAC/Ogg/EBML-audio),
+    * bits_per_sample (WAV/FLAC; the others don't carry one), width,
+    * height (MP4/EBML video; NULL elsewhere),
     * duration_ms (all but ogg). All reads are length-guarded so a
     * truncated header NULLs rather than assembling a partial-bytes
     * value. Filter the INPUT before calling this — the parse projection
@@ -955,7 +979,7 @@ object Multimodal {
     Seq("av_format", "codec", "channels", "sample_rate", "bits_per_sample",
       "width", "height", "duration_ms",
       "__av_hx", "__av_wav", "__av_mp4", "__av_p", "__av_mp3",
-      "__av_flac", "__av_ogg").foreach(c =>
+      "__av_flac", "__av_ogg", "__av_web").foreach(c =>
       require(!media.columns.contains(c),
         s"Multimodal.avMetadata: media already has a '$c' column — rename " +
           "it first; avMetadata appends its own"))
@@ -1168,9 +1192,180 @@ object Multimodal {
         END
       ELSE CAST(NULL AS STRUCT<ch: BIGINT, sr: BIGINT, codec: STRING>)
       END""")
+    // WebM/Matroska (EBML): every element is <id varint><size varint>
+    // <payload>, where the FIRST BYTE's leading-bit class encodes each
+    // varint's length (>=0x80 -> 1 byte, >=0x40 -> 2, ... id up to 4,
+    // size up to 8) and the size's value strips its marker bit
+    // (raw - 2^(7*len)). Nothing is at a fixed offset; the walk below
+    // DESCENDS into the six container elements (EBML head, Segment, Info,
+    // Tracks, TrackEntry, Video/Audio — descending costs id+size only, so
+    // a container's size, INCLUDING the all-ones "unknown size" real
+    // stream muxers write for Segment, never needs trusting), reads the
+    // leaf fields it knows (DocType, TimestampScale, Duration, Pixel
+    // Width/Height, Channels, SamplingFrequency, CodecID) and generically
+    // hops everything else (Void, SeekHead, CRC-32, TrackNumber, ...) by
+    // id-class + size. Duration and SamplingFrequency are EBML FLOATS
+    // (IEEE 754 BE, 4 or 8 bytes) decoded arithmetically: sign bit set,
+    // inf/nan, or subnormal -> NULL (a negative/non-finite duration is
+    // malformed); the decode is exact for the integer-valued floats real
+    // muxers write. Sizes are UNTRUSTED so pos rides BIGINT and every
+    // bounds check precedes the INT cast; a truncated or malformed
+    // element ends the walk KEEPING the fields found so far (a header
+    // parser prices what it saw, NULL for the rest); the first Cluster
+    // (media data) ends it by contract. Walk budget 3x maxChunks: the
+    // EBML head alone has ~7 children before DocTypeReadVersion and each
+    // descent spends an iteration.
+    def vSzLen(szPos: String) =
+      s"""CASE WHEN ${b(szPos)} >= 128 THEN 1 WHEN ${b(szPos)} >= 64 THEN 2
+         |WHEN ${b(szPos)} >= 32 THEN 3 WHEN ${b(szPos)} >= 16 THEN 4
+         |WHEN ${b(szPos)} >= 8 THEN 5 WHEN ${b(szPos)} >= 4 THEN 6
+         |WHEN ${b(szPos)} >= 2 THEN 7 WHEN ${b(szPos)} >= 1 THEN 8
+         |END""".stripMargin
+    def vSzVal(szPos: String) =
+      s"""(CAST(conv(substring(__av_hx, CAST(($szPos) AS INT),
+         |2 * (${vSzLen(szPos)})), 16, 10) AS BIGINT)
+         |- shiftleft(CAST(1 AS BIGINT), 7 * (${vSzLen(szPos)})))""".stripMargin
+    def vDataPos(szPos: String) = s"(($szPos) + 2 * (${vSzLen(szPos)}))"
+    // IEEE 754 BE decode at a data position (f32/f64): NULL for sign bit
+    // set, inf/nan (max exponent) and subnormals (zero exponent, unless
+    // all-zero bits = exact 0.0). Exact for mantissas real durations use.
+    def f32(dp: String) =
+      s"""CASE WHEN ${b(dp)} >= 128 THEN CAST(NULL AS DOUBLE)
+         |WHEN ${be(dp, 4)} = 0 THEN 0.0D
+         |WHEN ${be(dp, 4)} div 8388608 IN (0, 255) THEN CAST(NULL AS DOUBLE)
+         |ELSE (1.0D + CAST(${be(dp, 4)} % 8388608 AS DOUBLE) / 8388608.0D)
+         |* power(2.0D, CAST(${be(dp, 4)} div 8388608 AS DOUBLE) - 127.0D)
+         |END""".stripMargin
+    def f64(dp: String) =
+      s"""CASE WHEN ${b(dp)} >= 128 THEN CAST(NULL AS DOUBLE)
+         |WHEN ${be(dp, 8)} = 0 THEN 0.0D
+         |WHEN ${be(dp, 8)} div 4503599627370496 IN (0, 2047)
+         |  THEN CAST(NULL AS DOUBLE)
+         |ELSE (1.0D + CAST(${be(dp, 8)} % 4503599627370496 AS DOUBLE)
+         |/ 4503599627370496.0D)
+         |* power(2.0D, CAST(${be(dp, 8)} div 4503599627370496 AS DOUBLE)
+         |- 1023.0D) END""".stripMargin
+    def webSt(pos: String, dt: String, scale: String, dur: String,
+              w: String, h: String, ch: String, sr: String, cid: String,
+              done: String) =
+      s"""named_struct('pos', $pos, 'dt', $dt, 'scale', $scale,
+         |'dur', $dur, 'w', $w, 'h', $h, 'ch', $ch, 'sr', $sr,
+         |'cid', $cid, 'done', $done)""".stripMargin
+    def webKeep(pos: String, done: String,
+                over: (String, String)*): String = {
+      val f = Map("dt" -> "st.dt", "scale" -> "st.scale", "dur" -> "st.dur",
+        "w" -> "st.w", "h" -> "st.h", "ch" -> "st.ch", "sr" -> "st.sr",
+        "cid" -> "st.cid") ++ over
+      webSt(pos, f("dt"), f("scale"), f("dur"), f("w"), f("h"), f("ch"),
+        f("sr"), f("cid"), done)
+    }
+    // a leaf read: guard the declared size and the hexed prefix, read via
+    // `value`, hop past the payload; malformed/truncated ends the walk
+    // keeping prior fields (the size field itself was already bounded by
+    // the iteration's length guard via vSzLen's byte read)
+    def webLeaf(szPos: String, field: String, value: String => String,
+                szCond: String => String = sz => s"$sz BETWEEN 1 AND 8") = {
+      val sz = vSzVal(szPos)
+      val dp = vDataPos(szPos)
+      s"""CASE WHEN ${szCond(sz)}
+         |AND length(__av_hx) >= $dp + 2 * ($sz) - 1
+         |THEN ${webKeep(s"$dp + 2 * ($sz)", "false", field -> value(dp))}
+         |ELSE ${webKeep("st.pos", "true")} END""".stripMargin
+    }
+    def webId(nBytes: Int, idHex: String) =
+      s"substring(__av_hx, CAST(st.pos AS INT), ${2 * nBytes}) = '$idHex'"
+    def webDescend(idBytes: Int) = {
+      val szPos = s"st.pos + ${2 * idBytes}"
+      webKeep(vDataPos(szPos), "false")
+    }
+    val genSzPos = s"st.pos + 2 * (CASE WHEN ${b("st.pos")} >= 128 THEN 1" +
+      s" WHEN ${b("st.pos")} >= 64 THEN 2 WHEN ${b("st.pos")} >= 32 THEN 3" +
+      s" WHEN ${b("st.pos")} >= 16 THEN 4 END)"
+    val webmFold = expr(s"""
+      aggregate(
+        sequence(1, ${3 * maxChunks}),
+        ${webSt("CAST(1 AS BIGINT)", "CAST(NULL AS STRING)",
+          "CAST(NULL AS BIGINT)", "CAST(NULL AS DOUBLE)",
+          "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)",
+          "CAST(NULL AS BIGINT)", "CAST(NULL AS DOUBLE)",
+          "CAST(NULL AS STRING)", "false")},
+        (st, i) -> CASE
+          WHEN st.done THEN st
+          WHEN st.pos IS NULL OR length(__av_hx) < st.pos + 3
+            THEN ${webKeep("st.pos", "true")}
+          WHEN ${webId(4, "1A45DFA3")} OR ${webId(4, "18538067")}
+               OR ${webId(4, "1549A966")} OR ${webId(4, "1654AE6B")}
+            THEN ${webDescend(4)}
+          WHEN ${webId(4, "1F43B675")}
+            THEN ${webKeep("st.pos", "true")}
+          WHEN ${webId(1, "AE")} OR ${webId(1, "E0")} OR ${webId(1, "E1")}
+            THEN ${webDescend(1)}
+          WHEN ${webId(2, "4282")}
+            THEN ${webLeaf("st.pos + 4", "dt",
+              dp => s"""substring(__av_hx, CAST(($dp) AS INT),
+                       |CAST(2 * (${vSzVal("st.pos + 4")}) AS INT))"""
+                .stripMargin,
+              sz => s"$sz BETWEEN 1 AND 16")}
+          WHEN ${webId(3, "2AD7B1")}
+            THEN ${webLeaf("st.pos + 6", "scale", dp =>
+              s"""CAST(conv(substring(__av_hx, CAST(($dp) AS INT),
+                 |CAST(2 * (${vSzVal("st.pos + 6")}) AS INT)), 16, 10)
+                 |AS BIGINT)"""
+                .stripMargin)}
+          WHEN ${webId(2, "4489")}
+            THEN ${webLeaf("st.pos + 4", "dur",
+              dp => s"""CASE WHEN (${vSzVal("st.pos + 4")}) = 4
+                       |THEN ${f32(dp)} ELSE ${f64(dp)} END""".stripMargin,
+              sz => s"$sz IN (4, 8)")}
+          WHEN ${webId(1, "B0")}
+            THEN ${webLeaf("st.pos + 2", "w", dp =>
+              s"""CAST(conv(substring(__av_hx, CAST(($dp) AS INT),
+                 |CAST(2 * (${vSzVal("st.pos + 2")}) AS INT)), 16, 10)
+                 |AS BIGINT)"""
+                .stripMargin)}
+          WHEN ${webId(1, "BA")}
+            THEN ${webLeaf("st.pos + 2", "h", dp =>
+              s"""CAST(conv(substring(__av_hx, CAST(($dp) AS INT),
+                 |CAST(2 * (${vSzVal("st.pos + 2")}) AS INT)), 16, 10)
+                 |AS BIGINT)"""
+                .stripMargin)}
+          WHEN ${webId(1, "9F")}
+            THEN ${webLeaf("st.pos + 2", "ch", dp =>
+              s"""CAST(conv(substring(__av_hx, CAST(($dp) AS INT),
+                 |CAST(2 * (${vSzVal("st.pos + 2")}) AS INT)), 16, 10)
+                 |AS BIGINT)"""
+                .stripMargin)}
+          WHEN ${webId(1, "B5")}
+            THEN ${webLeaf("st.pos + 2", "sr",
+              dp => s"""CASE WHEN (${vSzVal("st.pos + 2")}) = 4
+                       |THEN ${f32(dp)} ELSE ${f64(dp)} END""".stripMargin,
+              sz => s"$sz IN (4, 8)")}
+          WHEN ${webId(1, "86")}
+            THEN ${webLeaf("st.pos + 2", "cid",
+              dp => s"""substring(__av_hx, CAST(($dp) AS INT),
+                       |CAST(2 * (${vSzVal("st.pos + 2")}) AS INT))"""
+                .stripMargin,
+              sz => s"$sz BETWEEN 1 AND 16")}
+          WHEN ${b("st.pos")} >= 16
+            THEN CASE
+              WHEN (${vSzVal(genSzPos)}) IS NULL
+                   OR (${vSzVal(genSzPos)}) < 0
+                   OR (${vSzVal(genSzPos)})
+                     = shiftleft(CAST(1 AS BIGINT),
+                                 7 * (${vSzLen(genSzPos)})) - 1
+                THEN ${webKeep("st.pos", "true")}
+              ELSE ${webKeep(s"(${vDataPos(genSzPos)})" +
+                s" + 2 * (${vSzVal(genSzPos)})", "false")}
+            END
+          ELSE ${webKeep("st.pos", "true")}
+        END,
+        st -> st)""")
     val hx = col("__av_hx")
     media
       .withColumn("__av_hx", hex(substring(col(contentCol), 1, headerBytes)))
+      // the EBML fold is gated on the magic directly (not av_format):
+      // av_format NEEDS its DocType ('webm' vs generic 'mkv' Matroska)
+      .withColumn("__av_web", when(hx.startsWith("1A45DFA3"), webmFold))
       .withColumn("av_format",
         when(hx.startsWith("52494646") &&
           substring(hx, 17, 8) === "57415645", "wav")
@@ -1180,24 +1375,40 @@ object Multimodal {
               conv(substring(hx, 3, 2), 16, 10).cast(LongType) >= 224),
             "mp3")
           .when(hx.startsWith("664C6143"), "flac")
-          .when(hx.startsWith("4F676753"), "ogg"))
+          .when(hx.startsWith("4F676753"), "ogg")
+          .when(hx.startsWith("1A45DFA3"),
+            // 7765626D = 'webm'; any other (or missing) DocType is
+            // generic Matroska — 6D6174726F736B61 = 'matroska'
+            when(col("__av_web.dt") === "7765626D", "webm")
+              .otherwise("mkv")))
       .withColumn("__av_wav", when(col("av_format") === "wav", wavFold))
       .withColumn("__av_mp4", when(col("av_format") === "mp4", mp4Fold))
       .withColumn("__av_p", when(col("av_format") === "mp3", mp3P))
       .withColumn("__av_mp3", when(col("av_format") === "mp3", mp3Fields))
       .withColumn("__av_flac", when(col("av_format") === "flac", flacFields))
       .withColumn("__av_ogg", when(col("av_format") === "ogg", oggFields))
-      .withColumn("codec", col("__av_ogg.codec"))
+      .withColumn("codec", coalesce(col("__av_ogg.codec"),
+        // the track's CodecID string, e.g. V_VP9 / A_OPUS. NOT decode():
+        // under ANSI decode(bin,'UTF-8') THROWS on invalid bytes (fuzz-
+        // caught — one corrupt CodecID would kill a corpus job); the
+        // binary->string cast is non-validating and try_validate_utf8
+        // turns invalid sequences into NULL
+        expr("try_validate_utf8(cast(unhex(__av_web.cid) as string))")))
       .withColumn("channels", coalesce(col("__av_wav.ch"),
-        col("__av_mp3.ch"), col("__av_flac.ch"), col("__av_ogg.ch"))
+        col("__av_mp3.ch"), col("__av_flac.ch"), col("__av_ogg.ch"),
+        col("__av_web.ch"))
         + ndZero)
       .withColumn("sample_rate", coalesce(col("__av_wav.sr"),
-        col("__av_mp3.sr"), col("__av_flac.sr"), col("__av_ogg.sr"))
+        col("__av_mp3.sr"), col("__av_flac.sr"), col("__av_ogg.sr"),
+        // SamplingFrequency is an EBML float; integral for real rates
+        col("__av_web.sr").cast(LongType))
         + ndZero)
       .withColumn("bits_per_sample",
         coalesce(col("__av_wav.bits"), col("__av_flac.bps")) + ndZero)
-      .withColumn("width", col("__av_mp4.w") + ndZero)
-      .withColumn("height", col("__av_mp4.h") + ndZero)
+      .withColumn("width", coalesce(col("__av_mp4.w"), col("__av_web.w"))
+        + ndZero)
+      .withColumn("height", coalesce(col("__av_mp4.h"), col("__av_web.h"))
+        + ndZero)
       .withColumn("duration_ms",
         when(col("av_format") === "wav" && col("__av_wav.br") > 0,
           expr("(__av_wav.db * 1000) div __av_wav.br"))
@@ -1209,9 +1420,18 @@ object Multimodal {
             expr(s"""((octet_length(`$contentCol`) - (__av_p - 1) div 2)
                     | * 8) div __av_mp3.kbps""".stripMargin))
           .when(col("av_format") === "flac" && col("__av_flac.sr") > 0,
-            expr("(__av_flac.total * 1000) div __av_flac.sr")) + ndZero)
+            expr("(__av_flac.total * 1000) div __av_flac.sr"))
+          // Duration is in TICKS of TimestampScale NANOSECONDS (default
+          // 1,000,000 = ms ticks when the Info omits it): ms = ticks x
+          // scale / 1e6 — exact for the integral floats real muxers write
+          .when(col("av_format").isin("webm", "mkv") &&
+            col("__av_web.dur").isNotNull,
+            floor(col("__av_web.dur") *
+              coalesce(col("__av_web.scale"), lit(1000000L))
+                .cast("double") / lit(1000000.0d)).cast(LongType))
+          + ndZero)
       .drop("__av_hx", "__av_wav", "__av_mp4", "__av_p", "__av_mp3",
-        "__av_flac", "__av_ogg")
+        "__av_flac", "__av_ogg", "__av_web")
   }
 
   /** Deterministic VALID WAV/MP4 container exhibit bytes — the test/demo
@@ -1402,6 +1622,109 @@ object Multimodal {
     docs.select(
       id.as("media_id"),
       unhex(when(pmod(id, lit(2)) === 0, opus).otherwise(vorbis))
+        .as("content"))
+  }
+
+  /** Deterministic VALID WebM/Matroska (EBML) exhibit bytes — the
+    * test/demo source for [[avMetadata]]'s EBML branch. Even ids are
+    * WebM (DocType 'webm', a VP9 video track with PixelWidth/Height),
+    * odd Matroska (DocType 'matroska', an Opus audio track with
+    * SamplingFrequency as an IEEE-754 f32 + Channels). The path to every
+    * field is mined with the traps the walk exists for, each id-varied so
+    * the bulk oracle (not just a golden) exercises them: a
+    * variable-length Void element before Info, the Info SIZE varint
+    * encoded in 2 bytes for pmod(hid,4)==1 (writers pad size fields),
+    * Duration as f32 vs f64 by pmod(hid,2), TimestampScale present vs
+    * absent-default by pmod(hid,3), and the Segment size known (8-byte
+    * varint, the rewrite-friendly encoding real muxers emit) vs the
+    * all-ones UNKNOWN live-stream encoding by pmod(hid,5). Duration
+    * ticks = 1000 + pmod(13 hid, 9000) at scale 1e6 (= milliseconds),
+    * exactly representable in both float widths. A trailing Cluster
+    * carries id-derived filler. The q136 oracle recomputes every field
+    * and the total byte length as GROUND-TRUTH id arithmetic. */
+  def synthWebmBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val hid = floor(id / lit(2)).cast(LongType)
+    val fill = upper(md5(id.cast(StringType))) // up to 16 bytes of filler
+    def b2(v: Column) = lpad(hex(v), 2, "0")
+    def vi1(n: Column) = b2(lit(128) + n) // 1-byte size varint, n <= 63
+    def vi2(n: Column) = lpad(hex(lit(16384) + n), 4, "0") // 2-byte size
+    // exact IEEE-754 encoders for integer v in [512, 65535] (the synth
+    // ranges): exponent by range, mantissa shift via exact pow-of-2
+    def fexp(v: Column) =
+      when(v >= 32768, 15).when(v >= 16384, 14).when(v >= 8192, 13)
+        .when(v >= 4096, 12).when(v >= 2048, 11).when(v >= 1024, 10)
+        .otherwise(9)
+    def p2(n: Column) = pow(lit(2.0), n.cast(DoubleType)).cast(LongType)
+    def f32hex(v: Column) = {
+      val ex = fexp(v)
+      lpad(hex((ex + 127) * lit(8388608L) +
+        (v - p2(ex)) * p2(lit(23) - ex)), 8, "0")
+    }
+    def f64hex(v: Column) = {
+      val ex = fexp(v)
+      lpad(hex((ex + 1023) * lit(4503599627370496L) +
+        (v - p2(ex)) * p2(lit(52) - ex)), 16, "0")
+    }
+    val w = lit(16) + pmod(hid, lit(1024))
+    val h = lit(16) + pmod(hid * 7, lit(768))
+    val ch = lit(1) + pmod(hid, lit(8))
+    val sr = lit(8000) + pmod(hid, lit(8)) * 1000
+    val dur = lit(1000) + pmod(hid * 13, lit(9000))
+    val nfv = lit(1) + pmod(hid * 3, lit(16)) // 1..16 Void filler bytes
+    val ncl = lit(1) + pmod(hid * 5, lit(16)) // 1..16 Cluster filler bytes
+    val f8 = pmod(hid, lit(2)) === 1          // f64 Duration
+    val info2 = pmod(hid, lit(4)) === 1       // 2-byte Info size varint
+    val segKnown = pmod(hid, lit(5)) =!= 0    // known vs unknown Segment sz
+    val headW = concat(lit("1A45DFA3"), lit("87"),
+      lit("4282"), lit("84"), lit("7765626D")) // 12 bytes
+    val headM = concat(lit("1A45DFA3"), lit("8B"),
+      lit("4282"), lit("88"), lit("6D6174726F736B61")) // 16 bytes
+    val void = concat(lit("EC"), vi1(nfv),
+      fill.substr(lit(1), (nfv * 2).cast(IntegerType)))
+    val tsElem = concat(lit("2AD7B1"), lit("84"), lit("000F4240"))
+    val durElem = concat(lit("4489"),
+      when(f8, concat(lit("88"), f64hex(dur)))
+        .otherwise(concat(lit("84"), f32hex(dur))))
+    val tsPresent = pmod(hid, lit(3)) =!= 0
+    val infoContent = when(tsPresent, lit(8)).otherwise(lit(0)) +
+      when(f8, lit(11)).otherwise(lit(7))
+    val info = concat(lit("1549A966"),
+      when(info2, vi2(infoContent)).otherwise(vi1(infoContent)),
+      when(tsPresent, tsElem).otherwise(lit("")), durElem)
+    val infoBytes = lit(4) + when(info2, 2).otherwise(1) + infoContent
+    def dim2(v: Column) = lpad(hex(v), 4, "0")
+    // video TrackEntry: TrackNumber + CodecID V_VP9 + Video{B0,BA} =
+    // 3 + 7 + 10 = 20 content bytes -> AE(22) -> Tracks content 22
+    val tracksV = concat(lit("1654AE6B"), vi1(lit(22)),
+      lit("AE"), vi1(lit(20)),
+      lit("D7"), lit("81"), lit("01"),
+      lit("86"), lit("85"), lit("565F565039"), // V_VP9
+      lit("E0"), lit("88"),
+      lit("B0"), lit("82"), dim2(w), lit("BA"), lit("82"), dim2(h))
+    // audio TrackEntry: TrackNumber + CodecID A_OPUS + Audio{B5,9F} =
+    // 3 + 8 + 11 = 22 content bytes -> AE(24) -> Tracks content 24
+    val tracksA = concat(lit("1654AE6B"), vi1(lit(24)),
+      lit("AE"), vi1(lit(22)),
+      lit("D7"), lit("81"), lit("01"),
+      lit("86"), lit("86"), lit("415F4F505553"), // A_OPUS
+      lit("E1"), lit("89"),
+      lit("B5"), lit("84"), f32hex(sr), lit("9F"), lit("81"), b2(ch))
+    val tracksBytes = when(pmod(id, lit(2)) === 0, 27L).otherwise(29L)
+    val clusterHd = concat(lit("1F43B675"), vi1(ncl),
+      fill.substr(lit(1), (ncl * 2).cast(IntegerType)))
+    // Segment content: Void + Info + Tracks + Cluster
+    val segContent = (lit(2) + nfv) + infoBytes + tracksBytes +
+      (lit(5) + ncl)
+    val segSize = when(segKnown,
+      concat(lit("01"), lpad(hex(segContent), 14, "0")))
+      .otherwise(lit("01FFFFFFFFFFFFFF"))
+    val seg = concat(lit("18538067"), segSize)
+    val webm = concat(headW, seg, void, info, tracksV, clusterHd)
+    val mkv = concat(headM, seg, void, info, tracksA, clusterHd)
+    docs.select(
+      id.as("media_id"),
+      unhex(when(pmod(id, lit(2)) === 0, webm).otherwise(mkv))
         .as("content"))
   }
 

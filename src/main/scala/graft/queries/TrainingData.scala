@@ -1903,7 +1903,61 @@ object TrainingData {
              |  CAST(133 + nfree + nmdat AS BIGINT) AS n_bytes
              |FROM f ORDER BY media_id""".stripMargin)),
 
-    // Media format census — the composed curation report: all eight synth
+    // WebM/Matroska metadata (avMetadata EBML branch): video crawls are
+    // WebM/MKV-heavy, and EBML is structurally unlike every other
+    // container here — element IDs and sizes are VARINTS whose first
+    // byte's leading-bit class encodes their length, floats are IEEE-754
+    // decoded arithmetically, and the fields sit behind a six-deep
+    // container descent (Segment > Info / Tracks > TrackEntry > Video/
+    // Audio). Bytes are synthesized valid containers
+    // (Multimodal.synthWebmBytes) varying every trap axis with the id
+    // (Void decoy, 1-vs-2-byte size varints, f32-vs-f64 Duration,
+    // default-vs-stored TimestampScale, known-vs-unknown Segment size);
+    // the oracle recomputes every field and the byte length as
+    // GROUND-TRUTH id arithmetic — spec(id), not a parse replay — and
+    // hand-assembled golden headers in TrainingDataSpec pin the layout.
+    // Expression-only; blobs never shuffle.
+    Q("q136_webm_metadata",
+      (s, dir) => Multimodal.avMetadata(
+          Multimodal.synthWebmBytes(t(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("av_format"), col("codec"),
+          col("channels"), col("sample_rate"), col("width"), col("height"),
+          col("duration_ms"),
+          octet_length(col("content")).cast(LongType).as("n_bytes"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2) + 2) % 2 AS pm2,
+             |    doc_id // 2 AS hid
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, pm2,
+             |    16 + ((hid % 1024) + 1024) % 1024 AS w,
+             |    16 + (((hid * 7) % 768) + 768) % 768 AS h,
+             |    1 + ((hid % 8) + 8) % 8 AS ch,
+             |    8000 + ((hid % 8) + 8) % 8 * 1000 AS sr,
+             |    1000 + (((hid * 13) % 9000) + 9000) % 9000 AS dur,
+             |    1 + (((hid * 3) % 16) + 16) % 16 AS nfv,
+             |    1 + (((hid * 5) % 16) + 16) % 16 AS ncl,
+             |    CASE WHEN ((hid % 3) + 3) % 3 <> 0 THEN 8 ELSE 0 END AS tsb,
+             |    CASE WHEN ((hid % 2) + 2) % 2 = 1 THEN 11 ELSE 7 END AS durb,
+             |    CASE WHEN ((hid % 4) + 4) % 4 = 1 THEN 2 ELSE 1 END AS iszb
+             |  FROM m)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN pm2 = 0 THEN 'webm' ELSE 'mkv' END AS av_format,
+             |  CASE WHEN pm2 = 0 THEN 'V_VP9' ELSE 'A_OPUS' END AS codec,
+             |  CAST(CASE WHEN pm2 = 1 THEN ch END AS BIGINT) AS channels,
+             |  CAST(CASE WHEN pm2 = 1 THEN sr END AS BIGINT) AS sample_rate,
+             |  CAST(CASE WHEN pm2 = 0 THEN w END AS BIGINT) AS width,
+             |  CAST(CASE WHEN pm2 = 0 THEN h END AS BIGINT) AS height,
+             |  CAST(dur AS BIGINT) AS duration_ms,
+             |  CAST(CASE WHEN pm2 = 0 THEN 12 ELSE 16 END
+             |    + 12 + 2 + nfv + 4 + iszb + tsb + durb
+             |    + CASE WHEN pm2 = 0 THEN 27 ELSE 29 END
+             |    + 5 + ncl AS BIGINT) AS n_bytes
+             |FROM f ORDER BY media_id""".stripMargin)),
+
+    // Media format census — the composed curation report: all nine synth
     // container families through BOTH header parsers, unioned, then a
     // per-format aggregate (count, exact width sum, exact duration sum —
     // sums, not avgs, so the cross-engine compare is integer-exact).
@@ -1911,9 +1965,9 @@ object TrainingData {
     // how much of each do we hold?"), and any single-family parse
     // regression surfaces as a census delta pinpointing the format. The
     // oracle recomputes every aggregate from the families' id-arithmetic
-    // ground truth — 14 formats, each a one-line spec(id) aggregate.
+    // ground truth — 16 formats, each a one-line spec(id) aggregate.
     // Scale shape: parsers are scan-side expressions; the only exchange
-    // is the 12-group aggregate's.
+    // is the final per-format aggregate's.
     Q("q133_media_format_census",
       (s, dir) => {
         val d = t(s, dir, "documents")
@@ -1930,7 +1984,8 @@ object TrainingData {
         val av = Seq(
           Multimodal.synthAvBytes(d, "doc_id"),
           Multimodal.synthAudioBytes(d, "doc_id"),
-          Multimodal.synthOggBytes(d, "doc_id"))
+          Multimodal.synthOggBytes(d, "doc_id"),
+          Multimodal.synthWebmBytes(d, "doc_id"))
           .map(m => Multimodal.avMetadata(m)
             .select(col("av_format").as("format"), col("width"),
               col("duration_ms")))
@@ -1963,6 +2018,7 @@ object TrainingData {
              |    50 + (((hid * 13) % 200) + 200) % 200 AS audion,
              |    (((hid * 17) % 8) + 8) % 8 AS thi,
              |    100000 + (((hid * 13) % 1000000) + 1000000) % 1000000 AS tlo,
+             |    1000 + (((hid * 13) % 9000) + 9000) % 9000 AS hdur,
              |    CASE WHEN ((hid % 3) + 3) % 3 = 0 THEN 3
              |         WHEN ((hid % 3) + 3) % 3 = 1 THEN 2 ELSE 0 END AS v
              |  FROM b)
@@ -1990,10 +2046,14 @@ object TrainingData {
              |      THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(bi AS INT)]
              |      ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[CAST(bi AS INT)] END))
              |    FROM f WHERE pm2 = 0
+             |  UNION ALL SELECT 'mkv', count(*), 0, SUM(hdur)
+             |    FROM f WHERE pm2 = 1
              |  UNION ALL SELECT 'mp4', count(*), SUM(iw),
              |    SUM((3000 + pm11k) * 1000 // (600 + pm10 * 100))
              |    FROM f WHERE pm2 = 1
              |  UNION ALL SELECT 'ogg', count(*), 0, 0 FROM f
+             |  UNION ALL SELECT 'webm', count(*), SUM(hw), SUM(hdur)
+             |    FROM f WHERE pm2 = 0
              |  UNION ALL SELECT 'png', count(*), SUM(iw), 0
              |    FROM f WHERE pm2 = 0
              |  UNION ALL SELECT 'tiff', count(*), SUM(hw), 0 FROM f

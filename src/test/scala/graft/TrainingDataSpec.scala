@@ -908,6 +908,115 @@ class TrainingDataSpec extends SparkSpec {
       (5L, Some("ogg"), None, None, None, None)))
   }
 
+  test("avMetadata: golden WebM/Matroska EBML, varint sizes, float decode, " +
+      "malformed -> NULL") {
+    // GOLDEN bytes hand-assembled against the EBML RFC 8794 + Matroska
+    // element registry (not the synth generator — a symmetric
+    // construct/parse bug can't cancel). Every field sits behind
+    // variable-length varints; floats are IEEE 754 BE.
+    // 1: minimal webm video — DocType 'webm', known-size boxes, f32
+    // Duration 1500 ticks, TimestampScale 1e6, V_VP9 640x480
+    val headWebm = "1A45DFA3" + "87" + "4282" + "84" + "7765626D"
+    val segUnk = "18538067" + "01FFFFFFFFFFFFFF"
+    val infoTsDur = "1549A966" + "8F" +
+      "2AD7B1" + "84" + "000F4240" +
+      "4489" + "84" + "44BB8000" // 1500.0f
+    val tracksVideo = "1654AE6B" + "93" +
+      "AE" + "91" +
+        "86" + "85" + "565F565039" + // V_VP9
+        "E0" + "88" + "B0" + "82" + "0280" + "BA" + "82" + "01E0"
+    val cluster = "1F43B675" + "81" + "00"
+    val webmGold = headWebm + segUnk + infoTsDur + tracksVideo + cluster
+    // 2: matroska audio — 8-byte DocType, SeekHead + Void decoys, Info
+    // with a 2-BYTE size varint (writers pad size fields), Duration as
+    // f64 2500.0 with NO TimestampScale (default 1e6), A_OPUS 6ch 48kHz
+    val headMkv = "1A45DFA3" + "8B" + "4282" + "88" + "6D6174726F736B61"
+    val mkvGold = headMkv + segUnk +
+      "114D9B74" + "82" + "AABB" + // SeekHead (generic 4-byte-id hop)
+      "EC" + "83" + "CCDDEE" + // Void
+      "1549A966" + "400B" + "4489" + "88" + "40A3880000000000" +
+      "1654AE6B" + "98" +
+        "AE" + "96" +
+          "D7" + "81" + "01" + // TrackNumber (generic 1-byte-id hop)
+          "86" + "86" + "415F4F505553" + // A_OPUS
+          "E1" + "89" + "B5" + "84" + "473B8000" + "9F" + "81" + "06" +
+      cluster
+    // 3: an unknown-size element outside the descend set stops the walk
+    // KEEPING fields found so far (dur yes, tracks never reached)
+    val unkStop = headWebm + segUnk + infoTsDur +
+      "EC" + "01FFFFFFFFFFFFFF" + tracksVideo
+    // 4: Duration = +inf (0x7F800000) -> NULL duration, walk continues
+    // to the tracks (dims still parsed)
+    val infInfo = "1549A966" + "8F" +
+      "2AD7B1" + "84" + "000F4240" + "4489" + "84" + "7F800000"
+    val infDur = headWebm + segUnk + infInfo + tracksVideo + cluster
+    // 5: truncated mid-TrackEntry -> dur kept, dims/codec NULL
+    val truncTracks = (headWebm + segUnk + infoTsDur + tracksVideo)
+      .dropRight(24)
+    // 6: Cluster before Tracks (live-stream layout) -> dur kept
+    val clusterFirst = headWebm + segUnk + infoTsDur + cluster + tracksVideo
+    // 7: EBML head without DocType -> generic 'mkv'
+    val noDocType = "1A45DFA3" + "84" + "4286" + "81" + "01" +
+      segUnk + infoTsDur + cluster
+    val media = Seq((1L, webmGold), (2L, mkvGold), (3L, unkStop),
+        (4L, infDur), (5L, truncTracks), (6L, clusterFirst), (7L, noDocType))
+      .toDF("media_id", "hx")
+      .select($"media_id", unhex($"hx").as("content"))
+    val got = Multimodal.avMetadata(media)
+      .select($"media_id", $"av_format", $"codec", $"channels",
+        $"sample_rate", $"width", $"height", $"duration_ms")
+      .as[(Long, Option[String], Option[String], Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("webm"), Some("V_VP9"), None, None, Some(640L), Some(480L),
+        Some(1500L)),
+      (2L, Some("mkv"), Some("A_OPUS"), Some(6L), Some(48000L), None, None,
+        Some(2500L)),
+      (3L, Some("webm"), None, None, None, None, None, Some(1500L)),
+      (4L, Some("webm"), Some("V_VP9"), None, None, Some(640L), Some(480L),
+        None),
+      (5L, Some("webm"), None, None, None, None, None, Some(1500L)),
+      (6L, Some("webm"), None, None, None, None, None, Some(1500L)),
+      (7L, Some("mkv"), None, None, None, None, None, Some(1500L))))
+  }
+
+  test("avMetadata round-trips synthWebmBytes across the corpus") {
+    // every synthesized EBML container parses back to the id-derived
+    // fields — through the Void decoy, the 1-vs-2-byte Info size varint,
+    // f32-vs-f64 Duration, present-vs-default TimestampScale and
+    // known-vs-unknown Segment size, all of which vary with the id
+    val parsed = Multimodal.avMetadata(
+      Multimodal.synthWebmBytes(docs, "doc_id"))
+    val id = $"media_id"
+    val hid = floor(id / lit(2)).cast("long")
+    val even = pmod(id, lit(2)) === 0
+    val bad = parsed.where(
+      $"av_format" =!= when(even, "webm").otherwise("mkv") ||
+      $"codec" =!= when(even, "V_VP9").otherwise("A_OPUS") ||
+      $"duration_ms" =!= (lit(1000) + pmod(hid * 13, lit(9000))) ||
+      when(even,
+        $"width" =!= (lit(16) + pmod(hid, lit(1024))) ||
+        $"height" =!= (lit(16) + pmod(hid * 7, lit(768))) ||
+        $"channels".isNotNull || $"sample_rate".isNotNull)
+        .otherwise(
+          $"channels" =!= (lit(1) + pmod(hid, lit(8))) ||
+          $"sample_rate" =!= (lit(8000) + pmod(hid, lit(8)) * 1000) ||
+          $"width".isNotNull || $"height".isNotNull) ||
+      $"bits_per_sample".isNotNull)
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
+    // the variant axes all occur in the mix
+    import org.apache.spark.sql.functions.countDistinct
+    val variety = Multimodal.synthWebmBytes(docs, "doc_id")
+      .select(floor($"media_id" / lit(2)).cast("long").as("hid"))
+      .agg(countDistinct(pmod($"hid", lit(2))),
+        countDistinct(pmod($"hid", lit(3))),
+        countDistinct(pmod($"hid", lit(4))),
+        countDistinct(pmod($"hid", lit(5))))
+      .as[(Long, Long, Long, Long)].head()
+    assert(variety === ((2L, 3L, 4L, 5L)), variety)
+  }
+
   test("avMetadata round-trips synthOggBytes across the corpus") {
     val parsed = Multimodal.avMetadata(
       Multimodal.synthOggBytes(docs, "doc_id"))
@@ -995,7 +1104,8 @@ class TrainingDataSpec extends SparkSpec {
       Multimodal.synthOggBytes(base, "doc_id"),
       Multimodal.synthTiffBytes(base, "doc_id"),
       Multimodal.synthExifJpegBytes(base, "doc_id"),
-      Multimodal.synthIsobmffBytes(base, "doc_id"))
+      Multimodal.synthIsobmffBytes(base, "doc_id"),
+      Multimodal.synthWebmBytes(base, "doc_id"))
     // force full evaluation of every parsed column (a bare count would
     // let column pruning skip the parse expressions entirely)
     def force(df: org.apache.spark.sql.DataFrame): Long = {
@@ -1068,6 +1178,9 @@ class TrainingDataSpec extends SparkSpec {
     bad(Multimodal.avMetadata(Multimodal.synthOggBytes(neg, "doc_id")),
       $"av_format" === "ogg" && $"codec".isNotNull &&
         $"channels".isNotNull && $"sample_rate".isNotNull)
+    bad(Multimodal.avMetadata(Multimodal.synthWebmBytes(neg, "doc_id")),
+      $"av_format".isin("webm", "mkv") && $"codec".isNotNull &&
+        $"duration_ms".isNotNull)
   }
 
   test("imageDims: bounded header prefix, no shuffle in the plan") {
