@@ -1728,6 +1728,248 @@ object Multimodal {
         .as("content"))
   }
 
+  /** Archive-container metadata from BOUNDED head + tail windows — the
+    * crawl-dump triage step that runs BEFORE any decompress: which codec,
+    * how many member files, how big uncompressed. Unlike the media
+    * parsers, the load-bearing fields of archive formats live at the
+    * END of the file (gzip's ISIZE trailer, ZIP's end-of-central-
+    * directory record), so this parser hexes BOTH a bounded head prefix
+    * and a bounded TAIL suffix — never the whole blob; a 10 GiB archive
+    * costs the same two windows as a 10 KiB one, and blobs never
+    * shuffle.
+    *
+    * gzip (RFC 1952): CM byte 2 (8 = deflate -> detail), MTIME u32 LE at
+    * bytes 4-7, and ISIZE — the uncompressed size MOD 2^32 by spec — in
+    * the LAST four bytes (tail window; requires >= 18 total bytes).
+    *
+    * ZIP (APPNOTE): the EOCD record sits at EOF behind a VARIABLE-length
+    * archive comment, so it is found by a reverse search over the tail
+    * window (reverse(hex) + locate of the char-reversed magic finds the
+    * LAST occurrence), then VALIDATED: the found record's byte alignment
+    * must be even and its comment-length field must equal exactly the
+    * bytes remaining after the record — a false magic inside comment
+    * bytes or a mid-byte coincidence fails validation and yields NULL,
+    * never garbage counts. n_entries = the total-entries u16. A comment
+    * longer than the tail window (or one embedding the magic bytes)
+    * legitimately NULLs — the documented single-probe contract; NULL is
+    * the fail-safe triage answer ("open this one the slow way").
+    *
+    * zstd (RFC 8878): the frame-header descriptor byte gates everything
+    * — FCS field size flag (bits 7-6), single-segment (bit 5, decides
+    * whether a window descriptor byte follows), dict-ID length (bits
+    * 1-0) — so the frame-content-size offset is computed, not fixed;
+    * flag 1's u16 stores value-256 per spec. A no-FCS frame (flag 0,
+    * multi-segment) yields NULL size: the format genuinely does not
+    * declare it.
+    *
+    * xz: stream-flags check type (byte 7: none/crc32/crc64/sha256 ->
+    * detail); the uncompressed size lives in the INDEX (variable-length,
+    * mid-file) — NULL by the bounded-window contract. bzip2: the block
+    * size digit ('1'-'9') -> detail 'level-N'; the format stores no
+    * sizes at all.
+    *
+    * Output: input columns + format ('gzip'/'zip'/'zstd'/'xz'/'bz2'/
+    * NULL), detail (gzip compression method, xz check, bz2 level),
+    * n_entries (ZIP only), uncompressed_size (gzip mod-2^32, zstd when
+    * declared), mtime_epoch (gzip). Malformed/truncated yields NULL,
+    * never a throw; filter the INPUT before calling (parse outputs are
+    * pushdown-opaque via [[ndZero]], as the other parsers). */
+  def archiveMetadata(media: DataFrame, contentCol: String = "content",
+                      headBytes: Int = 4096,
+                      tailBytes: Int = 4096): DataFrame = {
+    require(headBytes >= 16, s"headBytes must be >= 16, got $headBytes")
+    require(tailBytes >= 26,
+      s"tailBytes must cover EOCD + gzip trailer (26), got $tailBytes")
+    Seq("format", "detail", "n_entries", "uncompressed_size", "mtime_epoch",
+      "__ar_hd", "__ar_tl", "__ar_zp").foreach(c =>
+      require(!media.columns.contains(c),
+        s"Multimodal.archiveMetadata: media already has a '$c' column — " +
+          "rename it first; archiveMetadata appends its own"))
+    def hb(at: String) = // head byte
+      s"""CAST(conv(substring(__ar_hd, CAST(($at) AS INT), 2), 16, 10)
+         |AS BIGINT)""".stripMargin
+    def hle(at: String, nBytes: Int) = { // head little-endian uint
+      val parts = (nBytes - 1 to 0 by -1).map(i =>
+        s"substring(__ar_hd, CAST(($at) AS INT) + ${2 * i}, 2)")
+      s"CAST(conv(concat(${parts.mkString(", ")}), 16, 10) AS BIGINT)"
+    }
+    def tle(at: String, nBytes: Int) = { // tail little-endian uint
+      val parts = (nBytes - 1 to 0 by -1).map(i =>
+        s"substring(__ar_tl, CAST(($at) AS INT) + ${2 * i}, 2)")
+      s"CAST(conv(concat(${parts.mkString(", ")}), 16, 10) AS BIGINT)"
+    }
+    val hd = col("__ar_hd")
+    // ZIP EOCD: reverse-search the tail for the LAST occurrence of the
+    // magic, derive its char position s, then validate alignment and the
+    // comment-runs-to-EOF invariant before trusting any field.
+    // '6050B405' is '504B0506' char-reversed.
+    val zipFields = expr(s"""
+      CASE WHEN locate('6050B405', reverse(__ar_tl)) > 0 THEN
+        CASE WHEN (length(__ar_tl) - locate('6050B405', reverse(__ar_tl))
+                   - 6) % 2 = 1
+                  AND (${tle(s"(length(__ar_tl) - " +
+                    s"locate('6050B405', reverse(__ar_tl)) - 6) + 40", 2)})
+                    = (length(__ar_tl)
+                       - (length(__ar_tl)
+                          - locate('6050B405', reverse(__ar_tl)) - 6)
+                       + 1) div 2 - 22
+          THEN named_struct('n', ${tle(s"(length(__ar_tl) - " +
+            s"locate('6050B405', reverse(__ar_tl)) - 6) + 20", 2)})
+          ELSE CAST(NULL AS STRUCT<n: BIGINT>)
+        END
+      ELSE CAST(NULL AS STRUCT<n: BIGINT>) END""")
+    // zstd frame-header descriptor: computed FCS offset + per-flag width
+    val fhd = hb("9")
+    val zstdSize = {
+      val fcsFlag = s"($fhd) div 64"
+      val ss = s"(($fhd) div 32) % 2"
+      val dlen = s"element_at(array(0, 1, 2, 4), CAST(($fhd) % 4 + 1 AS INT))"
+      val fcsAt = s"(11 + 2 * ((1 - ($ss)) + ($dlen)))"
+      s"""CASE
+         |WHEN ($fcsFlag) = 0 AND ($ss) = 1
+         |     AND length(__ar_hd) >= ($fcsAt) + 1
+         |  THEN ${hb(fcsAt)}
+         |WHEN ($fcsFlag) = 1 AND length(__ar_hd) >= ($fcsAt) + 3
+         |  THEN ${hle(fcsAt, 2)} + 256
+         |WHEN ($fcsFlag) = 2 AND length(__ar_hd) >= ($fcsAt) + 7
+         |  THEN ${hle(fcsAt, 4)}
+         |WHEN ($fcsFlag) = 3 AND length(__ar_hd) >= ($fcsAt) + 15
+         |     AND ${hle(s"($fcsAt) + 8", 4)} < 2147483648
+         |  THEN ${hle(fcsAt, 4)} + shiftleft(${hle(s"($fcsAt) + 8", 4)}, 32)
+         |ELSE CAST(NULL AS BIGINT) END""".stripMargin
+    }
+    media
+      .withColumn("__ar_hd", hex(substring(col(contentCol), 1, headBytes)))
+      .withColumn("__ar_tl",
+        hex(substring(col(contentCol), -tailBytes, tailBytes)))
+      .withColumn("format",
+        when(hd.startsWith("1F8B"), "gzip")
+          .when(hd.startsWith("504B0304") || hd.startsWith("504B0506"),
+            "zip")
+          .when(hd.startsWith("28B52FFD"), "zstd")
+          .when(hd.startsWith("FD377A585A00"), "xz")
+          .when(hd.startsWith("425A68") &&
+            substring(hd, 7, 2).between("31", "39"), "bz2"))
+      .withColumn("__ar_zp", when(col("format") === "zip", zipFields))
+      .withColumn("detail",
+        when(col("format") === "gzip" && expr(hb("5")) === 8, "deflate")
+          .when(col("format") === "xz",
+            when(substring(hd, 15, 2) === "00", "none")
+              .when(substring(hd, 15, 2) === "01", "crc32")
+              .when(substring(hd, 15, 2) === "04", "crc64")
+              .when(substring(hd, 15, 2) === "0A", "sha256"))
+          .when(col("format") === "bz2",
+            concat(lit("level-"),
+              (expr(hb("7")) - 48).cast(StringType))))
+      .withColumn("n_entries", col("__ar_zp.n") + ndZero)
+      .withColumn("uncompressed_size",
+        when(col("format") === "gzip" &&
+          octet_length(col(contentCol)) >= 18,
+          expr(tle("length(__ar_tl) - 7", 4)))
+          .when(col("format") === "zstd" && expr(s"length(__ar_hd) >= 10"),
+            expr(zstdSize)) + ndZero)
+      .withColumn("mtime_epoch",
+        when(col("format") === "gzip" && expr("length(__ar_hd) >= 16"),
+          expr(hle("9", 4))) + ndZero)
+      .drop("__ar_hd", "__ar_tl", "__ar_zp")
+  }
+
+  /** Deterministic VALID archive exhibit bytes — the test/demo source for
+    * [[archiveMetadata]] (pmod(id, 5) picks gzip / ZIP / zstd / xz /
+    * bzip2; parameters derive from floor(id/5) so every residue class
+    * sees every variant). Each family carries its trap: the gzip ISIZE
+    * sits after an id-derived payload (tail read, not an offset from the
+    * head); the ZIP has 1-4 STORED members and an id-derived 0..31-byte
+    * archive COMMENT after the EOCD — the reverse-search must skip the
+    * comment bytes and the validation must accept exactly this layout;
+    * the zstd cycles all four FCS widths incl. the u16's value-256
+    * bias, a dict-ID byte that shifts the FCS offset, and the no-FCS
+    * multi-segment shape (NULL size by spec); xz cycles its three check
+    * types; bzip2 its nine levels. The q137 oracle recomputes every
+    * field and byte length as GROUND-TRUTH id arithmetic. */
+  def synthArchiveBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val hid = floor(id / lit(5)).cast(LongType)
+    val fill = repeat(upper(md5(id.cast(StringType))), 2) // 32 bytes
+    val variant = pmod(id, lit(5))
+    // gzip: header(10) + payload + crc(4) + ISIZE(4)
+    val gzNp = lit(1) + pmod(hid, lit(16))
+    val gzMt = lit(1600000000L) + pmod(hid * 7, lit(100000))
+    val gzUs = lit(1000) + pmod(hid * 13, lit(9000))
+    val gzip = concat(lit("1F8B"), lit("08"), lit("00"),
+      leHex(gzMt, 4), lit("00"), lit("03"),
+      fill.substr(lit(1), (gzNp * 2).cast(IntegerType)),
+      substring(fill, 33, 8), // CRC32 (parser-opaque)
+      leHex(gzUs, 4))
+    // ZIP: 1-4 STORED members (fixed 4-byte names/payloads so the local
+    // and central records are compile-time literals with per-member
+    // offsets), EOCD, then the id-derived comment
+    val zipN = lit(1) + pmod(hid, lit(4))
+    val zipClen = pmod(hid * 3, lit(32))
+    def zLocal(k: Int) = // 38 bytes: 30 header + 4 name + 4 data
+      "504B0304" + "1400" + "0000" + "0000" + "0000" + "0000" +
+        "00000000" + "04000000" + "04000000" + "0400" + "0000" +
+        s"66696C3$k" + "44415441" // name 'fil<k>', data 'DATA'
+    def zCentral(k: Int) = // 50 bytes: 46 header + 4 name
+      "504B0102" + "1400" + "1400" + "0000" + "0000" + "0000" + "0000" +
+        "00000000" + "04000000" + "04000000" + "0400" + "0000" + "0000" +
+        "0000" + "0000" + "00000000" +
+        leHexLit(38 * k, 4) + s"66696C3$k"
+    val zipBody = (1 to 4).map { n =>
+      (n, (0 until n).map(k => zLocal(k)).mkString +
+        (0 until n).map(k => zCentral(k)).mkString)
+    }
+    val zipEocd = concat(lit("504B0506"), lit("0000"), lit("0000"),
+      leHex(zipN, 2), leHex(zipN, 2), leHex(zipN * 50, 4),
+      leHex(zipN * 38, 4), leHex(zipClen, 2),
+      fill.substr(lit(1), (zipClen * 2).cast(IntegerType)))
+    val zip = concat(
+      zipBody.foldLeft(lit(""): Column) { case (acc, (n, body)) =>
+        when(zipN === n, lit(body)).otherwise(acc)
+      }, zipEocd)
+    // zstd: magic + descriptor + [window][dict][fcs] + frame data
+    val zsSub = pmod(hid, lit(4))
+    val zsNp = lit(1) + pmod(hid, lit(8))
+    val zsUs0 = pmod(hid, lit(256))
+    val zsUs1 = lit(256) + pmod(hid, lit(60000))
+    val zsUs2 = lit(70000) + pmod(hid * 11, lit(1000000))
+    val zsData = fill.substr(lit(1), (zsNp * 2).cast(IntegerType))
+    val zstd = concat(lit("28B52FFD"),
+      when(zsSub === 0, concat(lit("20"), leHex(zsUs0, 1)))
+        .when(zsSub === 1,
+          concat(lit("61"), lit("AB"), leHex(zsUs1 - 256, 2)))
+        .when(zsSub === 2, concat(lit("A0"), leHex(zsUs2, 4)))
+        .otherwise(concat(lit("00"), lit("58"))), // no FCS, window desc
+      zsData)
+    // xz: magic(6) + stream flags(2) + opaque filler
+    val xzNp = lit(1) + pmod(hid, lit(8))
+    val xzCheck = pmod(hid, lit(3))
+    val xz = concat(lit("FD377A585A00"), lit("00"),
+      when(xzCheck === 0, "01").when(xzCheck === 1, "04").otherwise("0A"),
+      fill.substr(lit(1), (xzNp * 2).cast(IntegerType)))
+    // bzip2: 'BZh' + level digit + opaque filler
+    val bzNp = lit(1) + pmod(hid, lit(8))
+    val bzD = lit(1) + pmod(hid, lit(9))
+    val bz2 = concat(lit("425A68"), lpad(hex(lit(48) + bzD), 2, "0"),
+      fill.substr(lit(1), (bzNp * 2).cast(IntegerType)))
+    docs.select(
+      id.as("media_id"),
+      unhex(when(variant === 0, gzip)
+        .when(variant === 1, zip)
+        .when(variant === 2, zstd)
+        .when(variant === 3, xz)
+        .otherwise(bz2)).as("content"))
+  }
+
+  /** Little-endian hex literal for compile-time values (synth helpers). */
+  private def leHexLit(v: Int, nBytes: Int): String = {
+    val be = f"$v%08X".takeRight(2 * nBytes) match {
+      case s if s.length < 2 * nBytes => ("0" * (2 * nBytes - s.length)) + s
+      case s => s
+    }
+    (nBytes - 1 to 0 by -1).map(i => be.substring(2 * i, 2 * i + 2)).mkString
+  }
+
   /** STUB decoder: a real implementation would parse the codec and emit
     * pixel/sample features. This fake derives a deterministic 4-dim
     * "embedding" from the content hash so downstream plumbing (schema,

@@ -1957,6 +1957,72 @@ object TrainingData {
              |    + 5 + ncl AS BIGINT) AS n_bytes
              |FROM f ORDER BY media_id""".stripMargin)),
 
+    // Archive metadata (Multimodal.archiveMetadata): crawl-dump triage
+    // BEFORE any decompress — which codec, how many member files, how big
+    // uncompressed. Unlike the media parsers this one reads a bounded
+    // TAIL window too: gzip's ISIZE trailer and ZIP's end-of-central-
+    // directory (behind a variable-length archive comment, found by a
+    // validated reverse search) live at EOF. Bytes are synthesized valid
+    // archives (Multimodal.synthArchiveBytes: gzip/zip/zstd/xz/bz2, all
+    // four zstd FCS widths, 1-4 ZIP members + id-derived comment); the
+    // oracle recomputes every field and byte length as GROUND-TRUTH id
+    // arithmetic, and hand-assembled golden bytes in TrainingDataSpec pin
+    // the layouts incl. the fake-EOCD-in-comment NULL path.
+    // Expression-only; blobs never shuffle.
+    Q("q137_archive_metadata",
+      (s, dir) => Multimodal.archiveMetadata(
+          Multimodal.synthArchiveBytes(t(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("format"), col("detail"),
+          col("n_entries"), col("uncompressed_size"), col("mtime_epoch"),
+          octet_length(col("content")).cast(LongType).as("n_bytes"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 5) + 5) % 5 AS v,
+             |    doc_id // 5 AS hid
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, v,
+             |    1000 + (((hid * 13) % 9000) + 9000) % 9000 AS gzus,
+             |    1600000000 + (((hid * 7) % 100000) + 100000) % 100000
+             |      AS gzmt,
+             |    1 + ((hid % 16) + 16) % 16 AS gznp,
+             |    1 + ((hid % 4) + 4) % 4 AS zn,
+             |    (((hid * 3) % 32) + 32) % 32 AS zclen,
+             |    ((hid % 4) + 4) % 4 AS sub,
+             |    ((hid % 256) + 256) % 256 AS zsus0,
+             |    256 + ((hid % 60000) + 60000) % 60000 AS zsus1,
+             |    70000 + (((hid * 11) % 1000000) + 1000000) % 1000000
+             |      AS zsus2,
+             |    1 + ((hid % 8) + 8) % 8 AS np8,
+             |    ((hid % 3) + 3) % 3 AS xzc,
+             |    1 + ((hid % 9) + 9) % 9 AS bzd
+             |  FROM m)
+             |SELECT doc_id AS media_id,
+             |  CASE v WHEN 0 THEN 'gzip' WHEN 1 THEN 'zip'
+             |         WHEN 2 THEN 'zstd' WHEN 3 THEN 'xz'
+             |         ELSE 'bz2' END AS format,
+             |  CASE WHEN v = 0 THEN 'deflate'
+             |       WHEN v = 3 THEN CASE xzc WHEN 0 THEN 'crc32'
+             |         WHEN 1 THEN 'crc64' ELSE 'sha256' END
+             |       WHEN v = 4 THEN 'level-' || CAST(bzd AS VARCHAR)
+             |  END AS detail,
+             |  CAST(CASE WHEN v = 1 THEN zn END AS BIGINT) AS n_entries,
+             |  CAST(CASE WHEN v = 0 THEN gzus
+             |            WHEN v = 2 THEN
+             |              CASE sub WHEN 0 THEN zsus0 WHEN 1 THEN zsus1
+             |                WHEN 2 THEN zsus2 END
+             |  END AS BIGINT) AS uncompressed_size,
+             |  CAST(CASE WHEN v = 0 THEN gzmt END AS BIGINT) AS mtime_epoch,
+             |  CAST(CASE v WHEN 0 THEN 18 + gznp
+             |              WHEN 1 THEN 88 * zn + 22 + zclen
+             |              WHEN 2 THEN CASE sub WHEN 0 THEN 6 + np8
+             |                WHEN 1 THEN 8 + np8 WHEN 2 THEN 9 + np8
+             |                ELSE 6 + np8 END
+             |              WHEN 3 THEN 8 + np8
+             |              ELSE 4 + np8 END AS BIGINT) AS n_bytes
+             |FROM f ORDER BY media_id""".stripMargin)),
+
     // Media format census — the composed curation report: all nine synth
     // container families through BOTH header parsers, unioned, then a
     // per-format aggregate (count, exact width sum, exact duration sum —

@@ -1017,6 +1017,132 @@ class TrainingDataSpec extends SparkSpec {
     assert(variety === ((2L, 3L, 4L, 5L)), variety)
   }
 
+  test("archiveMetadata: golden gzip/zip/zstd/xz/bz2, EOCD reverse search, " +
+      "fake-magic comment -> NULL") {
+    // GOLDEN bytes hand-assembled against RFC 1952 (gzip), APPNOTE
+    // (ZIP), RFC 8878 (zstd) — not the synth generator. The tail-window
+    // reads (gzip ISIZE, ZIP EOCD behind a variable comment) are the
+    // machinery under test.
+    // 1: gzip, mtime 1700000000, ISIZE 12345
+    val gz = "1F8B" + "08" + "00" + "00F15365" + "00" + "03" +
+      "AABB" + "11223344" + "39300000"
+    // 2: gzip with a non-deflate CM byte -> detail NULL, fields kept
+    val gzOdd = "1F8B" + "05" + "00" + "00F15365" + "00" + "03" +
+      "AABB" + "11223344" + "39300000"
+    // 3: header-only gzip (no trailer reachable) -> size NULL
+    val gzShort = "1F8B" + "08" + "00" + "00F15365" + "00" + "03"
+    // 4: one STORED member + 5-byte comment 'HELLO' — the EOCD is NOT the
+    // last 22 bytes; only the reverse search + comment-length validation
+    // find it
+    val zLocal = "504B0304" + "1400" + "0000" + "0000" + "0000" + "0000" +
+      "00000000" + "04000000" + "04000000" + "0400" + "0000" +
+      "66696C30" + "44415441"
+    val zCentral = "504B0102" + "1400" + "1400" + "0000" + "0000" +
+      "0000" + "0000" + "00000000" + "04000000" + "04000000" + "0400" +
+      "0000" + "0000" + "0000" + "0000" + "00000000" + "00000000" +
+      "66696C30"
+    val zip1 = zLocal + zCentral + "504B0506" + "0000" + "0000" +
+      "0100" + "0100" + "32000000" + "26000000" + "0500" + "48454C4C4F"
+    // 5: the 22-byte comment EMBEDS a fake EOCD magic — the reverse
+    // search finds the fake (it is the LAST occurrence), its clen field
+    // (0xFFFF) fails the comment-runs-to-EOF validation, and the result
+    // is NULL, never the fake's garbage counts (single-probe contract)
+    val zipFake = zLocal + zCentral + "504B0506" + "0000" + "0000" +
+      "0100" + "0100" + "32000000" + "26000000" + "1600" +
+      "504B0506" + ("FF" * 18)
+    // 6: empty zip = bare EOCD, zero entries, no comment
+    val zipEmpty = "504B0506" + "0000" + "0000" + "0000" + "0000" +
+      "00000000" + "00000000" + "0000"
+    // 7-10: zstd FCS widths — u8 (123), u16+256 (1000), u32 (100000),
+    // u64 (5000000000, exercises the two-u32 compose); 11: no FCS
+    // declared (flag 0, multi-segment) -> NULL by spec; 12: truncated FCS
+    val zstd8 = "28B52FFD" + "20" + "7B" + "CAFE"
+    val zstd16 = "28B52FFD" + "61" + "AB" + "E802" + "CAFE"
+    val zstd32 = "28B52FFD" + "A0" + "A0860100" + "CAFE"
+    val zstd64 = "28B52FFD" + "E0" + "00F2052A01000000" + "CAFE"
+    val zstdNone = "28B52FFD" + "00" + "58" + "CAFE"
+    val zstdCut = "28B52FFD" + "A0" + "A086"
+    // 13: xz crc64; 14: bz2 level 9; 15: bz2 with a non-digit level byte
+    // is NOT claimed
+    val xz = "FD377A585A00" + "00" + "04" + "CAFE"
+    val bz = "425A68" + "39" + "CAFE"
+    val bzBad = "425A68" + "41" + "CAFE"
+    val media = Seq((1L, gz), (2L, gzOdd), (3L, gzShort), (4L, zip1),
+        (5L, zipFake), (6L, zipEmpty), (7L, zstd8), (8L, zstd16),
+        (9L, zstd32), (10L, zstd64), (11L, zstdNone), (12L, zstdCut),
+        (13L, xz), (14L, bz), (15L, bzBad))
+      .toDF("media_id", "hx")
+      .select($"media_id", unhex($"hx").as("content"))
+    val got = Multimodal.archiveMetadata(media)
+      .select($"media_id", $"format", $"detail", $"n_entries",
+        $"uncompressed_size", $"mtime_epoch")
+      .as[(Long, Option[String], Option[String], Option[Long], Option[Long],
+        Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("gzip"), Some("deflate"), None, Some(12345L),
+        Some(1700000000L)),
+      (2L, Some("gzip"), None, None, Some(12345L), Some(1700000000L)),
+      (3L, Some("gzip"), Some("deflate"), None, None, Some(1700000000L)),
+      (4L, Some("zip"), None, Some(1L), None, None),
+      (5L, Some("zip"), None, None, None, None),
+      (6L, Some("zip"), None, Some(0L), None, None),
+      (7L, Some("zstd"), None, None, Some(123L), None),
+      (8L, Some("zstd"), None, None, Some(1000L), None),
+      (9L, Some("zstd"), None, None, Some(100000L), None),
+      (10L, Some("zstd"), None, None, Some(5000000000L), None),
+      (11L, Some("zstd"), None, None, None, None),
+      (12L, Some("zstd"), None, None, None, None),
+      (13L, Some("xz"), Some("crc64"), None, None, None),
+      (14L, Some("bz2"), Some("level-9"), None, None, None),
+      (15L, None, None, None, None, None)))
+  }
+
+  test("archiveMetadata round-trips synthArchiveBytes across the corpus") {
+    val parsed = Multimodal.archiveMetadata(
+      Multimodal.synthArchiveBytes(docs, "doc_id"))
+    val id = $"media_id"
+    val hid = floor(id / lit(5)).cast("long")
+    val v = pmod(id, lit(5))
+    val sub = pmod(hid, lit(4))
+    val bad = parsed.where(
+      $"format" =!= when(v === 0, "gzip").when(v === 1, "zip")
+        .when(v === 2, "zstd").when(v === 3, "xz").otherwise("bz2") ||
+      when(v === 0,
+        $"detail" =!= "deflate" ||
+        $"uncompressed_size" =!= (lit(1000) + pmod(hid * 13, lit(9000))) ||
+        $"mtime_epoch" =!= (lit(1600000000L) + pmod(hid * 7, lit(100000))) ||
+        $"n_entries".isNotNull)
+        .when(v === 1,
+          $"n_entries" =!= (lit(1) + pmod(hid, lit(4))) ||
+          $"detail".isNotNull || $"uncompressed_size".isNotNull)
+        .when(v === 2,
+          when(sub === 0, $"uncompressed_size" =!= pmod(hid, lit(256)))
+            .when(sub === 1,
+              $"uncompressed_size" =!= (lit(256) + pmod(hid, lit(60000))))
+            .when(sub === 2, $"uncompressed_size" =!=
+              (lit(70000) + pmod(hid * 11, lit(1000000))))
+            .otherwise($"uncompressed_size".isNotNull) ||
+          $"detail".isNotNull || $"n_entries".isNotNull)
+        .when(v === 3,
+          $"detail" =!= when(pmod(hid, lit(3)) === 0, "crc32")
+            .when(pmod(hid, lit(3)) === 1, "crc64").otherwise("sha256") ||
+          $"uncompressed_size".isNotNull)
+        .otherwise(
+          $"detail" =!= concat(lit("level-"),
+            (lit(1) + pmod(hid, lit(9))).cast("string")) ||
+          $"uncompressed_size".isNotNull))
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
+    // every family and every zstd FCS shape occurs in the mix
+    import org.apache.spark.sql.functions.countDistinct
+    val variety = parsed
+      .agg(countDistinct($"format"),
+        countDistinct(when(pmod(id, lit(5)) === 2,
+          pmod(floor(id / lit(5)).cast("long"), lit(4)))))
+      .as[(Long, Long)].head()
+    assert(variety === ((5L, 4L)), variety)
+  }
+
   test("avMetadata round-trips synthOggBytes across the corpus") {
     val parsed = Multimodal.avMetadata(
       Multimodal.synthOggBytes(docs, "doc_id"))
@@ -1105,7 +1231,8 @@ class TrainingDataSpec extends SparkSpec {
       Multimodal.synthTiffBytes(base, "doc_id"),
       Multimodal.synthExifJpegBytes(base, "doc_id"),
       Multimodal.synthIsobmffBytes(base, "doc_id"),
-      Multimodal.synthWebmBytes(base, "doc_id"))
+      Multimodal.synthWebmBytes(base, "doc_id"),
+      Multimodal.synthArchiveBytes(base, "doc_id"))
     // force full evaluation of every parsed column (a bare count would
     // let column pruning skip the parse expressions entirely)
     def force(df: org.apache.spark.sql.DataFrame): Long = {
@@ -1137,6 +1264,9 @@ class TrainingDataSpec extends SparkSpec {
         assert(force(Multimodal.imageDims(mutated, headerBytes = 32)) === nIn)
         assert(force(Multimodal.avMetadata(mutated)) === nIn)
         assert(force(Multimodal.avMetadata(mutated, headerBytes = 64)) === nIn)
+        assert(force(Multimodal.archiveMetadata(mutated)) === nIn)
+        assert(force(Multimodal.archiveMetadata(mutated,
+          headBytes = 16, tailBytes = 26)) === nIn)
       }
     }
   }
@@ -1181,6 +1311,9 @@ class TrainingDataSpec extends SparkSpec {
     bad(Multimodal.avMetadata(Multimodal.synthWebmBytes(neg, "doc_id")),
       $"av_format".isin("webm", "mkv") && $"codec".isNotNull &&
         $"duration_ms".isNotNull)
+    bad(Multimodal.archiveMetadata(Multimodal.synthArchiveBytes(neg,
+        "doc_id")),
+      $"format".isin("gzip", "zip", "zstd", "xz", "bz2"))
   }
 
   test("imageDims: bounded header prefix, no shuffle in the plan") {
@@ -1198,6 +1331,11 @@ class TrainingDataSpec extends SparkSpec {
     val plan = Multimodal.imageDims(media)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
+    // same contract for the archive parser (its TAIL window included)
+    val arPlan = Multimodal.archiveMetadata(
+        Multimodal.synthArchiveBytes(docs, "doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!arPlan.contains("Exchange"), arPlan.take(2000))
   }
 
   test("imageDims round-trips synthImageBytes across the corpus") {
