@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.sources.Sources
-import graft.text.TextOps
+import graft.text.{TextOps, UrlOps}
 import graft.queries.Relational.{Q, decStr}
 
 /** Beyond-reference operators for 100 TB training-data pipelines
@@ -2022,6 +2022,94 @@ object TrainingData {
              |              WHEN 3 THEN 8 + np8
              |              ELSE 4 + np8 END AS BIGINT) AS n_bytes
              |FROM f ORDER BY media_id""".stripMargin)),
+
+    // URL canonicalization (UrlOps.canonicalizeUrls): the derivation
+    // before exact-URL dedup — same page, different tracking params /
+    // param order / case / default port / fragment must canonicalize
+    // equal. Zero-UDF try_parse_url (ANSI parse_url THROWS on malformed
+    // crawl URLs) + array HOFs; the oracle recomputes the canonical
+    // STRING and every derived column as ground-truth id arithmetic.
+    Q("q138_url_canonicalize",
+      (s, dir) => UrlOps.canonicalizeUrls(
+          UrlOps.synthUrls(t(s, dir, "documents"), "doc_id"))
+        .select(col("url_id"), col("url_host"), col("url_port"),
+          col("registrable_domain"), col("canonical_url"))
+        .orderBy("url_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2) + 2) % 2 AS m2,
+             |    ((doc_id % 3) + 3) % 3 AS m3,
+             |    ((doc_id % 4) + 4) % 4 AS m4,
+             |    ((doc_id % 6) + 6) % 6 AS m6,
+             |    ((doc_id % 7) + 7) % 7 AS m7,
+             |    ((doc_id % 100) + 100) % 100 AS c100,
+             |    ((doc_id % 50) + 50) % 50 AS c50,
+             |    ((doc_id % 30) + 30) % 30 AS c30
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, m2, m6, m7, c50, c30,
+             |    CASE WHEN m2 = 0 THEN 'http' ELSE 'https' END AS sch,
+             |    CASE m3 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+             |      ELSE 'a.b.' END AS sub,
+             |    'site' || CAST(c100 AS VARCHAR) || '.' ||
+             |      CASE m4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+             |        WHEN 2 THEN 'co.uk' ELSE 'io' END AS dom
+             |  FROM m)
+             |SELECT doc_id AS url_id,
+             |  sub || dom AS url_host,
+             |  CAST(CASE WHEN m6 = 0 THEN 80 WHEN m6 = 1 THEN 8080 END
+             |    AS BIGINT) AS url_port,
+             |  dom AS registrable_domain,
+             |  sch || '://' || sub || dom ||
+             |    CASE WHEN m6 = 1 THEN ':8080'
+             |         WHEN m6 = 0 AND m2 = 1 THEN ':80' ELSE '' END ||
+             |    CASE WHEN m7 = 0 THEN '/'
+             |         ELSE '/p' || CAST(c50 AS VARCHAR) END ||
+             |    '?a=1&q=' || CAST(c30 AS VARCHAR) AS canonical_url
+             |FROM f ORDER BY url_id""".stripMargin)),
+
+    // Per-domain crawl census over canonicalized URLs — the aggregate
+    // capPerKey / topFractionPerKey key on: registrable domain, not raw
+    // host, so www./m./regional subdomains pool into one budget. The
+    // oracle replays the domain derivation and aggregates in SQL.
+    Q("q139_domain_stats",
+      (s, dir) => UrlOps.canonicalizeUrls(
+          UrlOps.synthUrls(t(s, dir, "documents"), "doc_id"))
+        .groupBy("registrable_domain")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("url_host")).as("n_hosts"),
+          countDistinct(col("canonical_url")).as("n_pages"))
+        .orderBy("registrable_domain"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2) + 2) % 2 AS m2,
+             |    ((doc_id % 3) + 3) % 3 AS m3,
+             |    ((doc_id % 4) + 4) % 4 AS m4,
+             |    ((doc_id % 6) + 6) % 6 AS m6,
+             |    ((doc_id % 7) + 7) % 7 AS m7,
+             |    ((doc_id % 100) + 100) % 100 AS c100,
+             |    ((doc_id % 50) + 50) % 50 AS c50,
+             |    ((doc_id % 30) + 30) % 30 AS c30
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, m2, m6, m7, c50, c30,
+             |    CASE WHEN m2 = 0 THEN 'http' ELSE 'https' END AS sch,
+             |    CASE m3 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+             |      ELSE 'a.b.' END AS sub,
+             |    'site' || CAST(c100 AS VARCHAR) || '.' ||
+             |      CASE m4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+             |        WHEN 2 THEN 'co.uk' ELSE 'io' END AS dom
+             |  FROM m)
+             |SELECT dom AS registrable_domain,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT sub || dom) AS BIGINT) AS n_hosts,
+             |  CAST(count(DISTINCT sch || '://' || sub || dom ||
+             |    CASE WHEN m6 = 1 THEN ':8080'
+             |         WHEN m6 = 0 AND m2 = 1 THEN ':80' ELSE '' END ||
+             |    CASE WHEN m7 = 0 THEN '/'
+             |         ELSE '/p' || CAST(c50 AS VARCHAR) END ||
+             |    '?a=1&q=' || CAST(c30 AS VARCHAR)) AS BIGINT) AS n_pages
+             |FROM f GROUP BY dom ORDER BY registrable_domain""".stripMargin)),
 
     // Media format census — the composed curation report: all nine synth
     // container families through BOTH header parsers, unioned, then a

@@ -1143,6 +1143,77 @@ class TrainingDataSpec extends SparkSpec {
     assert(variety === ((5L, 4L)), variety)
   }
 
+  test("canonicalizeUrls: golden URLs — case, default ports, tracking " +
+      "params, sort, fragment, PSL heuristic, malformed -> NULL") {
+    val urls = Seq(
+      // scheme+host lowercase, PATH CASE KEPT, http:80 stripped,
+      // tracking stripped, params sorted, fragment dropped
+      (1L, "http://www.Example.COM:80/Path?utm_source=x&b=2&a=1#frag"),
+      // https with an explicit :80 is NOT the default — kept; empty
+      // path normalizes to '/'; co.uk is a multi-label public suffix
+      (2L, "HTTPS://site.co.uk:80?q=1"),
+      // deep subdomain chain -> last-two-label registrable domain
+      (3L, "https://a.b.deep.example.org/x"),
+      // single-label host is its own domain
+      (4L, "http://localhost/x"),
+      // every param tracking -> no '?' in the canonical form
+      (5L, "http://h.io:8080/p?fbclid=z"),
+      // unparseable -> NULL everything, never a throw (ANSI parse_url
+      // would raise INVALID_URL here)
+      (6L, "ht tp://bad url"),
+      // no path, no query
+      (7L, "https://example.com"))
+      .toDF("url_id", "url")
+    val got = graft.text.UrlOps.canonicalizeUrls(urls)
+      .select($"url_id", $"url_host", $"url_port", $"registrable_domain",
+        $"canonical_url")
+      .as[(Long, Option[String], Option[Long], Option[String],
+        Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("www.example.com"), Some(80L), Some("example.com"),
+        Some("http://www.example.com/Path?a=1&b=2")),
+      (2L, Some("site.co.uk"), Some(80L), Some("site.co.uk"),
+        Some("https://site.co.uk:80/?q=1")),
+      (3L, Some("a.b.deep.example.org"), None, Some("example.org"),
+        Some("https://a.b.deep.example.org/x")),
+      (4L, Some("localhost"), None, Some("localhost"),
+        Some("http://localhost/x")),
+      (5L, Some("h.io"), Some(8080L), Some("h.io"),
+        Some("http://h.io:8080/p")),
+      (6L, None, None, None, None),
+      (7L, Some("example.com"), None, Some("example.com"),
+        Some("https://example.com/"))))
+  }
+
+  test("canonicalizeUrls round-trips synthUrls across the corpus") {
+    val parsed = graft.text.UrlOps.canonicalizeUrls(
+      graft.text.UrlOps.synthUrls(docs, "doc_id"))
+    val id = $"url_id"
+    def m(k: Int) = pmod(id, lit(k))
+    val core = concat(lit("site"), pmod(id, lit(100)).cast("string"))
+    val tld = when(m(4) === 0, "com").when(m(4) === 1, "org")
+      .when(m(4) === 2, "co.uk").otherwise("io")
+    val host = concat(
+      when(m(3) === 0, "").when(m(3) === 1, "www.").otherwise("a.b."),
+      core, lit("."), tld)
+    val canon = concat(
+      when(m(2) === 0, "http").otherwise("https"), lit("://"), host,
+      when(m(6) === 0, when(m(2) === 0, "").otherwise(":80"))
+        .when(m(6) === 1, ":8080").otherwise(""),
+      when(m(7) === 0, "/").otherwise(
+        concat(lit("/p"), pmod(id, lit(50)).cast("string"))),
+      concat(lit("?a=1&q="), pmod(id, lit(30)).cast("string")))
+    val domain = concat(core, lit("."), tld)
+    val bad = parsed.where(
+      $"canonical_url" =!= canon || $"registrable_domain" =!= domain ||
+      $"url_host" =!= host ||
+      $"canonical_url".isNull || $"registrable_domain".isNull)
+    assert(bad.isEmpty,
+      bad.select("url_id", "url", "canonical_url", "registrable_domain")
+        .limit(5).collect().mkString("; "))
+  }
+
   test("avMetadata round-trips synthOggBytes across the corpus") {
     val parsed = Multimodal.avMetadata(
       Multimodal.synthOggBytes(docs, "doc_id"))
