@@ -1215,17 +1215,20 @@ object Multimodal {
     // (media data) ends it by contract. Walk budget 3x maxChunks: the
     // EBML head alone has ~7 children before DocTypeReadVersion and each
     // descent spends an iteration.
-    def vSzLen(szPos: String) =
-      s"""CASE WHEN ${b(szPos)} >= 128 THEN 1 WHEN ${b(szPos)} >= 64 THEN 2
-         |WHEN ${b(szPos)} >= 32 THEN 3 WHEN ${b(szPos)} >= 16 THEN 4
-         |WHEN ${b(szPos)} >= 8 THEN 5 WHEN ${b(szPos)} >= 4 THEN 6
-         |WHEN ${b(szPos)} >= 2 THEN 7 WHEN ${b(szPos)} >= 1 THEN 8
-         |END""".stripMargin
-    def vSzVal(szPos: String) =
-      s"""(CAST(conv(substring(__av_hx, CAST(($szPos) AS INT),
-         |2 * (${vSzLen(szPos)})), 16, 10) AS BIGINT)
-         |- shiftleft(CAST(1 AS BIGINT), 7 * (${vSzLen(szPos)})))""".stripMargin
-    def vDataPos(szPos: String) = s"(($szPos) + 2 * (${vSzLen(szPos)}))"
+    //
+    // PLAN-SIZE DISCIPLINE: SQL lambdas have no let-bindings, and a
+    // naive inlining of the per-iteration intermediates (size-varint
+    // length, value, data position — each referencing the others) blew
+    // the fold up to a multi-MiB expression whose OPTIMIZER cost taxed
+    // every avMetadata plan ~+1.1 s and the 9-family census 10x
+    // (measured r13, same mechanism as the pushdown-substitution find).
+    // The fold below fakes lets with nested single-element
+    // transform(array(x), v -> ...) hops: szp (size-varint position),
+    // then s.szl (its length), then v.szv/v.dp (its value / the payload
+    // position) are each computed ONCE and referenced as lambda
+    // variables; the whole fold shrank ~10x and per-iteration work at
+    // execution dropped the same way (the interpreted HOF evaluator
+    // re-evaluated every inlined copy).
     // IEEE 754 BE decode at a data position (f32/f64): NULL for sign bit
     // set, inf/nan (max exponent) and subnormals (zero exponent, unless
     // all-zero bits = exact 0.0). Exact for mantissas real durations use.
@@ -1259,28 +1262,26 @@ object Multimodal {
       webSt(pos, f("dt"), f("scale"), f("dur"), f("w"), f("h"), f("ch"),
         f("sr"), f("cid"), done)
     }
-    // a leaf read: guard the declared size and the hexed prefix, read via
-    // `value`, hop past the payload; malformed/truncated ends the walk
-    // keeping prior fields (the size field itself was already bounded by
-    // the iteration's length guard via vSzLen's byte read)
-    def webLeaf(szPos: String, field: String, value: String => String,
-                szCond: String => String = sz => s"$sz BETWEEN 1 AND 8") = {
-      val sz = vSzVal(szPos)
-      val dp = vDataPos(szPos)
-      s"""CASE WHEN ${szCond(sz)}
-         |AND length(__av_hx) >= $dp + 2 * ($sz) - 1
-         |THEN ${webKeep(s"$dp + 2 * ($sz)", "false", field -> value(dp))}
+    // a leaf read inside the innermost lambda: guard the declared size
+    // (v.szv) and the hexed prefix, read `value` at v.dp, hop past the
+    // payload; malformed/truncated ends the walk keeping prior fields
+    def webLeaf(field: String, value: String,
+                szCond: String = "v.szv BETWEEN 1 AND 8") =
+      s"""CASE WHEN $szCond
+         |AND length(__av_hx) >= v.dp + 2 * v.szv - 1
+         |THEN ${webKeep("v.dp + 2 * v.szv", "false", field -> value)}
          |ELSE ${webKeep("st.pos", "true")} END""".stripMargin
-    }
-    def webId(nBytes: Int, idHex: String) =
-      s"substring(__av_hx, CAST(st.pos AS INT), ${2 * nBytes}) = '$idHex'"
-    def webDescend(idBytes: Int) = {
-      val szPos = s"st.pos + ${2 * idBytes}"
-      webKeep(vDataPos(szPos), "false")
-    }
-    val genSzPos = s"st.pos + 2 * (CASE WHEN ${b("st.pos")} >= 128 THEN 1" +
-      s" WHEN ${b("st.pos")} >= 64 THEN 2 WHEN ${b("st.pos")} >= 32 THEN 3" +
-      s" WHEN ${b("st.pos")} >= 16 THEN 4 END)"
+    // uint payload of v.szv bytes at v.dp
+    val webUint =
+      """CAST(conv(substring(__av_hx, CAST(v.dp AS INT),
+        |CAST(2 * v.szv AS INT)), 16, 10) AS BIGINT)""".stripMargin
+    // float payload (EBML floats are f32 or f64)
+    val webFloat = s"CASE WHEN v.szv = 4 THEN ${f32("v.dp")} " +
+      s"ELSE ${f64("v.dp")} END"
+    // string payload (bounded; szCond caps v.szv at 16 bytes)
+    val webStr =
+      """substring(__av_hx, CAST(v.dp AS INT),
+        |CAST(2 * v.szv AS INT))""".stripMargin
     val webmFold = expr(s"""
       aggregate(
         sequence(1, ${3 * maxChunks}),
@@ -1293,71 +1294,63 @@ object Multimodal {
           WHEN st.done THEN st
           WHEN st.pos IS NULL OR length(__av_hx) < st.pos + 3
             THEN ${webKeep("st.pos", "true")}
-          WHEN ${webId(4, "1A45DFA3")} OR ${webId(4, "18538067")}
-               OR ${webId(4, "1549A966")} OR ${webId(4, "1654AE6B")}
-            THEN ${webDescend(4)}
-          WHEN ${webId(4, "1F43B675")}
-            THEN ${webKeep("st.pos", "true")}
-          WHEN ${webId(1, "AE")} OR ${webId(1, "E0")} OR ${webId(1, "E1")}
-            THEN ${webDescend(1)}
-          WHEN ${webId(2, "4282")}
-            THEN ${webLeaf("st.pos + 4", "dt",
-              dp => s"""substring(__av_hx, CAST(($dp) AS INT),
-                       |CAST(2 * (${vSzVal("st.pos + 4")}) AS INT))"""
-                .stripMargin,
-              sz => s"$sz BETWEEN 1 AND 16")}
-          WHEN ${webId(3, "2AD7B1")}
-            THEN ${webLeaf("st.pos + 6", "scale", dp =>
-              s"""CAST(conv(substring(__av_hx, CAST(($dp) AS INT),
-                 |CAST(2 * (${vSzVal("st.pos + 6")}) AS INT)), 16, 10)
-                 |AS BIGINT)"""
-                .stripMargin)}
-          WHEN ${webId(2, "4489")}
-            THEN ${webLeaf("st.pos + 4", "dur",
-              dp => s"""CASE WHEN (${vSzVal("st.pos + 4")}) = 4
-                       |THEN ${f32(dp)} ELSE ${f64(dp)} END""".stripMargin,
-              sz => s"$sz IN (4, 8)")}
-          WHEN ${webId(1, "B0")}
-            THEN ${webLeaf("st.pos + 2", "w", dp =>
-              s"""CAST(conv(substring(__av_hx, CAST(($dp) AS INT),
-                 |CAST(2 * (${vSzVal("st.pos + 2")}) AS INT)), 16, 10)
-                 |AS BIGINT)"""
-                .stripMargin)}
-          WHEN ${webId(1, "BA")}
-            THEN ${webLeaf("st.pos + 2", "h", dp =>
-              s"""CAST(conv(substring(__av_hx, CAST(($dp) AS INT),
-                 |CAST(2 * (${vSzVal("st.pos + 2")}) AS INT)), 16, 10)
-                 |AS BIGINT)"""
-                .stripMargin)}
-          WHEN ${webId(1, "9F")}
-            THEN ${webLeaf("st.pos + 2", "ch", dp =>
-              s"""CAST(conv(substring(__av_hx, CAST(($dp) AS INT),
-                 |CAST(2 * (${vSzVal("st.pos + 2")}) AS INT)), 16, 10)
-                 |AS BIGINT)"""
-                .stripMargin)}
-          WHEN ${webId(1, "B5")}
-            THEN ${webLeaf("st.pos + 2", "sr",
-              dp => s"""CASE WHEN (${vSzVal("st.pos + 2")}) = 4
-                       |THEN ${f32(dp)} ELSE ${f64(dp)} END""".stripMargin,
-              sz => s"$sz IN (4, 8)")}
-          WHEN ${webId(1, "86")}
-            THEN ${webLeaf("st.pos + 2", "cid",
-              dp => s"""substring(__av_hx, CAST(($dp) AS INT),
-                       |CAST(2 * (${vSzVal("st.pos + 2")}) AS INT))"""
-                .stripMargin,
-              sz => s"$sz BETWEEN 1 AND 16")}
-          WHEN ${b("st.pos")} >= 16
-            THEN CASE
-              WHEN (${vSzVal(genSzPos)}) IS NULL
-                   OR (${vSzVal(genSzPos)}) < 0
-                   OR (${vSzVal(genSzPos)})
-                     = shiftleft(CAST(1 AS BIGINT),
-                                 7 * (${vSzLen(genSzPos)})) - 1
-                THEN ${webKeep("st.pos", "true")}
-              ELSE ${webKeep(s"(${vDataPos(genSzPos)})" +
-                s" + 2 * (${vSzVal(genSzPos)})", "false")}
-            END
-          ELSE ${webKeep("st.pos", "true")}
+          ELSE element_at(transform(
+            array(st.pos + 2 * (CASE
+              WHEN ${b("st.pos")} >= 128 THEN 1
+              WHEN ${b("st.pos")} >= 64 THEN 2
+              WHEN ${b("st.pos")} >= 32 THEN 3
+              WHEN ${b("st.pos")} >= 16 THEN 4 END)),
+            szp -> element_at(transform(
+              array(named_struct(
+                'idh', substring(__av_hx, CAST(st.pos AS INT),
+                  CAST(szp - st.pos AS INT)),
+                'szl', CASE
+                  WHEN ${b("szp")} >= 128 THEN 1
+                  WHEN ${b("szp")} >= 64 THEN 2
+                  WHEN ${b("szp")} >= 32 THEN 3
+                  WHEN ${b("szp")} >= 16 THEN 4
+                  WHEN ${b("szp")} >= 8 THEN 5
+                  WHEN ${b("szp")} >= 4 THEN 6
+                  WHEN ${b("szp")} >= 2 THEN 7
+                  WHEN ${b("szp")} >= 1 THEN 8 END)),
+              s -> element_at(transform(
+                array(named_struct(
+                  'idh', s.idh,
+                  'szl', s.szl,
+                  'szv', CAST(conv(substring(__av_hx, CAST(szp AS INT),
+                      2 * s.szl), 16, 10) AS BIGINT)
+                    - shiftleft(CAST(1 AS BIGINT), 7 * s.szl),
+                  'dp', szp + 2 * s.szl)),
+                v -> CASE
+                  WHEN v.idh IN ('1A45DFA3', '18538067', '1549A966',
+                                 '1654AE6B', 'AE', 'E0', 'E1')
+                    THEN ${webKeep("v.dp", "false")}
+                  WHEN v.idh = '1F43B675'
+                    THEN ${webKeep("st.pos", "true")}
+                  WHEN v.idh = '4282'
+                    THEN ${webLeaf("dt", webStr,
+                      "v.szv BETWEEN 1 AND 16")}
+                  WHEN v.idh = '2AD7B1'
+                    THEN ${webLeaf("scale", webUint)}
+                  WHEN v.idh = '4489'
+                    THEN ${webLeaf("dur", webFloat, "v.szv IN (4, 8)")}
+                  WHEN v.idh = 'B0'
+                    THEN ${webLeaf("w", webUint)}
+                  WHEN v.idh = 'BA'
+                    THEN ${webLeaf("h", webUint)}
+                  WHEN v.idh = '9F'
+                    THEN ${webLeaf("ch", webUint)}
+                  WHEN v.idh = 'B5'
+                    THEN ${webLeaf("sr", webFloat, "v.szv IN (4, 8)")}
+                  WHEN v.idh = '86'
+                    THEN ${webLeaf("cid", webStr,
+                      "v.szv BETWEEN 1 AND 16")}
+                  WHEN v.szv IS NULL OR v.szv < 0
+                       OR v.szv = shiftleft(CAST(1 AS BIGINT),
+                                            7 * v.szl) - 1
+                    THEN ${webKeep("st.pos", "true")}
+                  ELSE ${webKeep("v.dp + 2 * v.szv", "false")}
+                END), 1)), 1)), 1)
         END,
         st -> st)""")
     val hx = col("__av_hx")
