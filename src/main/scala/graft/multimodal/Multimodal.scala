@@ -1742,7 +1742,10 @@ object Multimodal {
     * must be even and its comment-length field must equal exactly the
     * bytes remaining after the record — a false magic inside comment
     * bytes or a mid-byte coincidence fails validation and yields NULL,
-    * never garbage counts. n_entries = the total-entries u16. A comment
+    * never garbage counts. n_entries = the total-entries u16 — EXCEPT
+    * 0xFFFF, which is ZIP64's "see the ZIP64 EOCD" sentinel, not a
+    * count: it yields NULL (the real count lives in a separate record
+    * this bounded probe does not chase). A comment
     * longer than the tail window (or one embedding the magic bytes)
     * legitimately NULLs — the documented single-probe contract; NULL is
     * the fail-safe triage answer ("open this one the slow way").
@@ -1806,8 +1809,10 @@ object Multimodal {
                        - (length(__ar_tl)
                           - locate('6050B405', reverse(__ar_tl)) - 6)
                        + 1) div 2 - 22
-          THEN named_struct('n', ${tle(s"(length(__ar_tl) - " +
-            s"locate('6050B405', reverse(__ar_tl)) - 6) + 20", 2)})
+          THEN named_struct('n',
+            nullif(${tle(s"(length(__ar_tl) - " +
+              s"locate('6050B405', reverse(__ar_tl)) - 6) + 20", 2)},
+              CAST(65535 AS BIGINT)))
           ELSE CAST(NULL AS STRUCT<n: BIGINT>)
         END
       ELSE CAST(NULL AS STRUCT<n: BIGINT>) END""")

@@ -1053,6 +1053,11 @@ class TrainingDataSpec extends SparkSpec {
     // 6: empty zip = bare EOCD, zero entries, no comment
     val zipEmpty = "504B0506" + "0000" + "0000" + "0000" + "0000" +
       "00000000" + "00000000" + "0000"
+    // 6b (id 16): a ZIP64 archive stores 0xFFFF in the u16 counts as a
+    // "see the ZIP64 EOCD" sentinel — reporting 65535 as a real count
+    // would be wrong; NULL instead
+    val zip64 = "504B0506" + "0000" + "0000" + "FFFF" + "FFFF" +
+      "FFFFFFFF" + "FFFFFFFF" + "0000"
     // 7-10: zstd FCS widths — u8 (123), u16+256 (1000), u32 (100000),
     // u64 (5000000000, exercises the two-u32 compose); 11: no FCS
     // declared (flag 0, multi-segment) -> NULL by spec; 12: truncated FCS
@@ -1070,7 +1075,7 @@ class TrainingDataSpec extends SparkSpec {
     val media = Seq((1L, gz), (2L, gzOdd), (3L, gzShort), (4L, zip1),
         (5L, zipFake), (6L, zipEmpty), (7L, zstd8), (8L, zstd16),
         (9L, zstd32), (10L, zstd64), (11L, zstdNone), (12L, zstdCut),
-        (13L, xz), (14L, bz), (15L, bzBad))
+        (13L, xz), (14L, bz), (15L, bzBad), (16L, zip64))
       .toDF("media_id", "hx")
       .select($"media_id", unhex($"hx").as("content"))
     val got = Multimodal.archiveMetadata(media)
@@ -1095,7 +1100,8 @@ class TrainingDataSpec extends SparkSpec {
       (12L, Some("zstd"), None, None, None, None),
       (13L, Some("xz"), Some("crc64"), None, None, None),
       (14L, Some("bz2"), Some("level-9"), None, None, None),
-      (15L, None, None, None, None, None)))
+      (15L, None, None, None, None, None),
+      (16L, Some("zip"), None, None, None, None)))
   }
 
   test("archiveMetadata round-trips synthArchiveBytes across the corpus") {
