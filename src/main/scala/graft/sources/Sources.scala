@@ -206,10 +206,33 @@ object Sources {
         // coexisting dir is either the pre-compaction original (crash after
         // write, before delete — both copies complete, either is correct)
         // or a PARTIALLY-deleted original (crash mid-delete — only tmp is
-        // complete). tmp is the safe choice in both; deleting it here, as
-        // the pre-marker code did, loses rows in the second case.
-        require(fs.delete(dir, true), s"recovery delete of $dir failed")
-        require(fs.rename(tmp, dir), s"recovery rename $tmp -> $dir failed")
+        // complete). tmp is the safe choice in both — UNLESS dir was
+        // legitimately REWRITTEN after the crash stranded the tmp (a
+        // reprocessed batch id, outside the append-only contract): then
+        // dir carries fresh rows the stale compacted tmp lacks. A rewrite
+        // is distinguishable by dir owning its own _SUCCESS with a newer
+        // mtime than tmp's; in that case discard the stale tmp instead of
+        // silently replacing fresh data with pre-crash compacted data.
+        val tmpOk = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+        val dirOk = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+        val tmpTs = fs.getFileStatus(tmpOk).getModificationTime
+        val dirTs = if (fs.exists(dirOk))
+          fs.getFileStatus(dirOk).getModificationTime else Long.MinValue
+        if (dirTs > tmpTs) {
+          System.err.println(
+            s"compactParquet recovery: $dir has its own _SUCCESS " +
+              s"(mtime=$dirTs) newer than stranded tmp $tmp " +
+              s"(mtime=$tmpTs) — keeping dir, discarding the stale tmp")
+          fs.delete(tmp, true)
+        } else {
+          System.err.println(
+            s"compactParquet recovery: completing crashed swap — " +
+              s"tmp=$tmp (_SUCCESS mtime=$tmpTs) replaces dir=$dir " +
+              s"(_SUCCESS mtime=${if (dirTs == Long.MinValue) "absent"
+              else dirTs})")
+          require(fs.delete(dir, true), s"recovery delete of $dir failed")
+          require(fs.rename(tmp, dir), s"recovery rename $tmp -> $dir failed")
+        }
       } else fs.delete(tmp, true) // uncommitted tmp: a crashed write phase
     }
     val entries = fs.listStatus(dir)

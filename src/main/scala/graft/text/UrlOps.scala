@@ -66,9 +66,19 @@ object UrlOps {
       .withColumn("url_scheme", expr(s"lower(try_parse_url($u, 'PROTOCOL'))"))
       .withColumn("url_host", expr(s"lower(try_parse_url($u, 'HOST'))"))
       .withColumn("__u_auth", expr(s"try_parse_url($u, 'AUTHORITY')"))
+      // try_cast, not CAST: java.net.URI's registry-authority fallback
+      // lets try_parse_url accept authorities like 'x:99999999999999999999'
+      // whose digit run overflows BIGINT — an ANSI CAST there crashes the
+      // whole corpus job on one malformed crawl URL. Out-of-range ports
+      // (>65535, impossible on the wire) also yield NULL, so canonical_url
+      // simply drops them.
       .withColumn("url_port",
-        expr("""CAST(nullif(regexp_extract(__u_auth, ':([0-9]+)$', 1), '')
-               |AS BIGINT)""".stripMargin))
+        expr("""CASE WHEN TRY_CAST(nullif(
+               |    regexp_extract(__u_auth, ':([0-9]+)$', 1), '')
+               |  AS BIGINT) BETWEEN 0 AND 65535
+               |THEN TRY_CAST(nullif(
+               |    regexp_extract(__u_auth, ':([0-9]+)$', 1), '')
+               |  AS BIGINT) END""".stripMargin))
       .withColumn("__u_path",
         expr(s"""CASE WHEN url_host IS NULL THEN NULL
                 |WHEN coalesce(try_parse_url($u, 'PATH'), '') = '' THEN '/'

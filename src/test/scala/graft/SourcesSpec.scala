@@ -104,6 +104,33 @@ class SourcesSpec extends SparkSpec {
     assert(!fs.exists(tmp))
   }
 
+  test("compactParquet recovery: dir rewritten AFTER the crash beats the " +
+      "stale committed tmp") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_rw")
+      .toString + "/t"
+    val nation = Sources.table(spark, sf, "nation")
+    nation.repartition(4).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qdir = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val tmp = Sources.compactingTmp(qdir)
+    // a compaction committed its tmp then crashed before the swap...
+    spark.read.parquet(dir).repartition(1).write.parquet(tmp.toString)
+    // ...and the partition was then legitimately REPROCESSED: overwrite
+    // with different rows, whose _SUCCESS is newer than the tmp's (pin
+    // the ordering explicitly — local FS mtime resolution can be coarse)
+    val fresh = nation.limit(5)
+    fresh.write.mode("overwrite").parquet(dir)
+    fs.setTimes(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"),
+      System.currentTimeMillis() - 60000L, -1)
+    assert(Sources.compactParquet(spark, dir) == 1)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 5,
+      "fresh rewrite was replaced by the stale compacted tmp")
+    assert(after.exceptAll(fresh).isEmpty && fresh.exceptAll(after).isEmpty)
+    assert(!fs.exists(tmp), "stale tmp must be discarded")
+  }
+
   test("compactParquet refuses partitioned and streaming-sink directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
     Sources.table(spark, sf, "orders")

@@ -1168,7 +1168,13 @@ class TrainingDataSpec extends SparkSpec {
       // would raise INVALID_URL here)
       (6L, "ht tp://bad url"),
       // no path, no query
-      (7L, "https://example.com"))
+      (7L, "https://example.com"),
+      // digit run overflows BIGINT — java.net.URI's registry-authority
+      // fallback accepts this, so an ANSI CAST would crash the job;
+      // port must come back NULL (and be absent from the canonical form)
+      (8L, "http://x:99999999999999999999/p"),
+      // parseable but impossible on the wire (>65535) — also NULL
+      (9L, "http://x:99999/p"))
       .toDF("url_id", "url")
     val got = graft.text.UrlOps.canonicalizeUrls(urls)
       .select($"url_id", $"url_host", $"url_port", $"registrable_domain",
@@ -1189,7 +1195,12 @@ class TrainingDataSpec extends SparkSpec {
         Some("http://h.io:8080/p")),
       (6L, None, None, None, None),
       (7L, Some("example.com"), None, Some("example.com"),
-        Some("https://example.com/"))))
+        Some("https://example.com/")),
+      // over-Long digit run: registry-based authority, so HOST is NULL
+      // too — the whole row degrades to NULL instead of throwing
+      (8L, None, None, None, None),
+      // >65535: host parses, the impossible port is dropped
+      (9L, Some("x"), None, Some("x"), Some("http://x/p"))))
   }
 
   test("canonicalizeUrls round-trips synthUrls across the corpus") {
