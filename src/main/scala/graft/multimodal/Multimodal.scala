@@ -190,13 +190,47 @@ object Multimodal {
     * BEFORE parsing (the contract both parsers' docstrings state). */
   private def ndZero: Column = (rand() * lit(0)).cast(LongType)
 
+  /** Every format label [[imageDims]] can emit — its default (and the
+    * validity domain of) `formats`. */
+  val ImageFormats: Set[String] = Set("png", "jpeg", "gif", "webp", "bmp",
+    "tiff", "ico", "avif", "heic", "heif")
+
+  /** Every format label [[avMetadata]] can emit — its default (and the
+    * validity domain of) `formats`. 'webm' and 'mkv' are one EBML family:
+    * requesting either compiles the (one) EBML fold and both labels. */
+  val AvFormats: Set[String] = Set("wav", "mp4", "mp3", "flac", "ogg",
+    "webm", "mkv")
+
+  /** Build a when-chain from the format branches that survived dispatch
+    * filtering; no surviving branch means the column is constant NULL. */
+  private def whenChain(branches: Seq[(Column, Column)]): Column =
+    branches match {
+      case (c, v) +: rest =>
+        rest.foldLeft(when(c, v)) { case (acc, (bc, bv)) => acc.when(bc, bv) }
+      case _ => lit(null).cast(LongType)
+    }
+
   def imageDims(media: DataFrame, contentCol: String = "content",
                 maxSegments: Int = 16,
-                headerBytes: Int = 256 * 1024): DataFrame = {
+                headerBytes: Int = 256 * 1024,
+                formats: Set[String] = ImageFormats): DataFrame = {
     require(maxSegments >= 1 && maxSegments <= 256,
       s"maxSegments must be in [1, 256], got $maxSegments")
     require(headerBytes >= 32,
       s"headerBytes must cover at least the PNG IHDR (32), got $headerBytes")
+    // PER-FORMAT DISPATCH (plan-size, the r13 lesson): every format family
+    // added here grows the ONE parse expression every caller compiles, so
+    // the planning tax was O(formats x queries) and produced a measured
+    // 10.7x optimizer regression once. `formats` bounds what this CALL
+    // compiles: the magic SNIFF still labels every known container (it is
+    // a handful of literal prefix tests — plan-free by comparison), but a
+    // family's FOLD/branch expressions enter the plan only when requested,
+    // so a JPEG-only pipeline never compiles the ISO-BMFF box walk. Rows
+    // whose sniffed format is outside `formats` keep NULL width/height/
+    // orientation — the format label stays truthful either way.
+    require(formats.nonEmpty && formats.subsetOf(ImageFormats),
+      s"formats must be a non-empty subset of $ImageFormats, got $formats")
+    def want(fs: String*): Boolean = fs.exists(formats.contains)
     // the family's reserved-output guard (survivors/selectWithinBudget/...):
     // a media table that already carries catalog width/height must not have
     // it silently replaced by parsed (possibly NULL) values. The temp
@@ -212,7 +246,7 @@ object Multimodal {
     // the fold ALSO records the char position of an APP1/Exif segment's
     // embedded TIFF header ('ex') on its way to the SOF — EXIF
     // orientation lives there and a second pass would re-walk the chain
-    val jpegFold = expr(s"""
+    lazy val jpegFold = expr(s"""
       aggregate(
         sequence(1, $maxSegments),
         named_struct('pos', CAST(5 AS BIGINT),
@@ -358,7 +392,7 @@ object Multimodal {
     // `__img_sof.ex` exactly 3 times (base + the two endian probes);
     // iteration 0 initializes the IFD offset/count from state, entries
     // use i-1.
-    val exifFold: Column = {
+    lazy val exifFold: Column = {
       def u16(at: String) =
         s"""CASE WHEN st.le THEN CAST(conv(concat(
            |substring(__img_hx, CAST(($at) + 2 AS INT), 2),
@@ -453,7 +487,7 @@ object Multimodal {
     // children precede iprp; ipco's colr/hvcC precede ispe) and each
     // DESCENT spends an iteration too — 16 would NULL well-formed phone
     // photos at the default setting
-    val ispeFold = expr(s"""
+    lazy val ispeFold = expr(s"""
       aggregate(
         sequence(1, ${2 * maxSegments}),
         ${ispSt("CAST(1 AS BIGINT)", "CAST(NULL AS BIGINT)",
@@ -496,7 +530,8 @@ object Multimodal {
     // image). mif1/msf1 majors are the brand-agnostic HEIF signature real
     // muxers emit when the codec lives in the compatible-brands list.
     val ftypBrand = substring(hx, 17, 8)
-    withHex
+    val isoWanted = Seq("avif", "heic", "heif").filter(formats.contains)
+    val sniffed = withHex
       .withColumn("format",
         when(hx.startsWith("89504E470D0A1A0A"), "png")
           .when(hx.startsWith("FFD8"), "jpeg")
@@ -521,42 +556,57 @@ object Multimodal {
                 "heic") // heic / heix
               .when(ftypBrand === "6D696631" || ftypBrand === "6D736631",
                 "heif"))) // mif1 / msf1 brand-agnostic HEIF
-      .withColumn("__img_sof", when(col("format") === "jpeg", jpegFold))
-      .withColumn("__img_tif",
-        when(col("format") === "tiff",
+    // temp fold columns exist only for requested families — an unrequested
+    // family's fold never parses, attaches, or enters any plan
+    val withFolds = Seq(
+      ("__img_sof", want("jpeg"),
+        () => when(col("format") === "jpeg", jpegFold)),
+      ("__img_tif", want("tiff"),
+        () => when(col("format") === "tiff",
           when(hx.startsWith("49492A00"), tiffFold(le = true))
-            .otherwise(tiffFold(le = false))))
-      .withColumn("__img_isp",
-        when(col("format").isin("avif", "heic", "heif"), ispeFold))
+            .otherwise(tiffFold(le = false)))),
+      ("__img_isp", isoWanted.nonEmpty,
+        () => when(col("format").isin(isoWanted: _*), ispeFold))
+    ).foldLeft(sniffed) { case (df, (name, wanted, mk)) =>
+      if (wanted) df.withColumn(name, mk()) else df
+    }
+    val iso: Column = col("format").isin(isoWanted: _*)
+    withFolds
       .withColumn("orientation",
-        when(col("format") === "jpeg" && col("__img_sof.ex").isNotNull,
-          exifFold) + ndZero)
-      .withColumn("width",
-        when(col("format") === "png",
-          conv(substring(hx, 33, 8), 16, 10).cast(LongType))
-          .when(col("format") === "jpeg",
+        (if (want("jpeg"))
+          when(col("format") === "jpeg" && col("__img_sof.ex").isNotNull,
+            exifFold)
+        else lit(null).cast(LongType)) + ndZero)
+      .withColumn("width", whenChain(
+        Seq[(String, (Column, Column))](
+          "png" -> (col("format") === "png",
+            conv(substring(hx, 33, 8), 16, 10).cast(LongType)),
+          "jpeg" -> (col("format") === "jpeg",
             when(col("orientation") >= 5, col("__img_sof.h"))
-              .otherwise(col("__img_sof.w")))
-          .when(col("format") === "gif" && hexLen(20), le(13, 2))
-          .when(col("format") === "webp", webpDim(first = true))
-          .when(col("format") === "bmp", bmpDim(first = true))
-          .when(col("format") === "tiff", col("__img_tif.w"))
-          .when(col("format") === "ico", icoDim(first = true))
-          .when(col("format").isin("avif", "heic", "heif"),
-            col("__img_isp.w")) + ndZero)
-      .withColumn("height",
-        when(col("format") === "png",
-          conv(substring(hx, 41, 8), 16, 10).cast(LongType))
-          .when(col("format") === "jpeg",
+              .otherwise(col("__img_sof.w"))),
+          "gif" -> (col("format") === "gif" && hexLen(20), le(13, 2)),
+          "webp" -> (col("format") === "webp", webpDim(first = true)),
+          "bmp" -> (col("format") === "bmp", bmpDim(first = true)),
+          "tiff" -> (col("format") === "tiff", col("__img_tif.w")),
+          "ico" -> (col("format") === "ico", icoDim(first = true))
+        ).collect { case (f, b) if formats(f) => b } ++
+          (if (isoWanted.isEmpty) Nil
+           else Seq((iso, col("__img_isp.w"))))) + ndZero)
+      .withColumn("height", whenChain(
+        Seq[(String, (Column, Column))](
+          "png" -> (col("format") === "png",
+            conv(substring(hx, 41, 8), 16, 10).cast(LongType)),
+          "jpeg" -> (col("format") === "jpeg",
             when(col("orientation") >= 5, col("__img_sof.w"))
-              .otherwise(col("__img_sof.h")))
-          .when(col("format") === "gif" && hexLen(20), le(17, 2))
-          .when(col("format") === "webp", webpDim(first = false))
-          .when(col("format") === "bmp", bmpDim(first = false))
-          .when(col("format") === "tiff", col("__img_tif.h"))
-          .when(col("format") === "ico", icoDim(first = false))
-          .when(col("format").isin("avif", "heic", "heif"),
-            col("__img_isp.h")) + ndZero)
+              .otherwise(col("__img_sof.h"))),
+          "gif" -> (col("format") === "gif" && hexLen(20), le(17, 2)),
+          "webp" -> (col("format") === "webp", webpDim(first = false)),
+          "bmp" -> (col("format") === "bmp", bmpDim(first = false)),
+          "tiff" -> (col("format") === "tiff", col("__img_tif.h")),
+          "ico" -> (col("format") === "ico", icoDim(first = false))
+        ).collect { case (f, b) if formats(f) => b } ++
+          (if (isoWanted.isEmpty) Nil
+           else Seq((iso, col("__img_isp.h"))))) + ndZero)
       .drop("__img_hx", "__img_sof", "__img_tif", "__img_isp")
   }
 
@@ -971,11 +1021,23 @@ object Multimodal {
     * output predicates evaluate row-wise just above the parse. */
   def avMetadata(media: DataFrame, contentCol: String = "content",
                  maxChunks: Int = 16,
-                 headerBytes: Int = 64 * 1024): DataFrame = {
+                 headerBytes: Int = 64 * 1024,
+                 formats: Set[String] = AvFormats): DataFrame = {
     require(maxChunks >= 1 && maxChunks <= 256,
       s"maxChunks must be in [1, 256], got $maxChunks")
     require(headerBytes >= 64,
       s"headerBytes must cover the smallest fmt/mvhd layout (64), got $headerBytes")
+    // PER-FORMAT DISPATCH (plan-size, the r13 lesson — see [[imageDims]]):
+    // a family's fold compiles into this call's plan only when requested.
+    // The magic sniff still labels wav/mp4/mp3/flac/ogg unconditionally
+    // (literal prefix tests), but the webm-vs-mkv label itself REQUIRES
+    // the EBML walk (DocType is an element, not a magic), so when neither
+    // 'webm' nor 'mkv' is requested an EBML blob keeps av_format NULL —
+    // the one family whose label costs a fold. Rows outside `formats`
+    // keep NULL metadata fields; labels stay truthful.
+    require(formats.nonEmpty && formats.subsetOf(AvFormats),
+      s"formats must be a non-empty subset of $AvFormats, got $formats")
+    def want(fs: String*): Boolean = fs.exists(formats.contains)
     Seq("av_format", "codec", "channels", "sample_rate", "bits_per_sample",
       "width", "height", "duration_ms",
       "__av_hx", "__av_wav", "__av_mp4", "__av_p", "__av_mp3",
@@ -1002,7 +1064,7 @@ object Multimodal {
               db: String, done: String) =
       s"""named_struct('pos', $pos, 'ch', $ch, 'sr', $sr, 'br', $br,
          |'bits', $bits, 'db', $db, 'done', $done)""".stripMargin
-    val wavFold = expr(s"""
+    lazy val wavFold = expr(s"""
       aggregate(
         sequence(1, $maxChunks),
         ${wavSt(s"CAST(25 AS BIGINT)", "CAST(NULL AS BIGINT)",
@@ -1032,7 +1094,7 @@ object Multimodal {
          |'w', $w, 'h', $h, 'done', $done)""".stripMargin
     val mp4Size = be("st.pos", 4)
     val mp4Hop = s"st.pos + 2 * ($mp4Size)"
-    val mp4Fold = expr(s"""
+    lazy val mp4Fold = expr(s"""
       aggregate(
         sequence(1, $maxChunks),
         ${mp4St("CAST(1 AS BIGINT)", "CAST(NULL AS BIGINT)",
@@ -1116,7 +1178,7 @@ object Multimodal {
     // MP3: first-frame char position — one hop over an ID3v2 tag via its
     // syncsafe 28-bit size (bytes 6-9, each 7-bit; a high bit set is
     // malformed -> NULL), else byte 0
-    val mp3P = expr(s"""
+    lazy val mp3P = expr(s"""
       CASE WHEN substring(__av_hx, 1, 6) = '494433' THEN
         CASE WHEN length(__av_hx) >= 20
                   AND ${b("13")} < 128 AND ${b("15")} < 128
@@ -1130,7 +1192,7 @@ object Multimodal {
     // element_at, so ANSI can never see an out-of-range index)
     val hdr2 = b("__av_p + 2") // version/layer byte
     val hdr3 = b("__av_p + 4") // bitrate/samplerate byte
-    val mp3Fields = expr(s"""
+    lazy val mp3Fields = expr(s"""
       CASE WHEN __av_p IS NOT NULL
                 AND length(__av_hx) >= __av_p + 7
                 AND substring(__av_hx, CAST(__av_p AS INT), 2) = 'FF'
@@ -1161,7 +1223,7 @@ object Multimodal {
     // u32a = <sr:20><ch-1:3><bps-1:5><total_hi:4>, u32b = total_lo
     val u32a = "CAST(conv(substring(__av_hx, 37, 8), 16, 10) AS BIGINT)"
     val u32b = "CAST(conv(substring(__av_hx, 45, 8), 16, 10) AS BIGINT)"
-    val flacFields = expr(s"""
+    lazy val flacFields = expr(s"""
       CASE WHEN length(__av_hx) >= 52 AND ${b("9")} % 128 = 0
         THEN named_struct(
           'sr', CAST($u32a div 4096 AS BIGINT),
@@ -1177,7 +1239,7 @@ object Multimodal {
     val oggP = s"(55 + 2 * ${b("53")})"
     def oggSt(ch: String, sr: String, codec: String) =
       s"named_struct('ch', $ch, 'sr', $sr, 'codec', $codec)"
-    val oggFields = expr(s"""
+    lazy val oggFields = expr(s"""
       CASE WHEN length(__av_hx) >= 54 AND ${b("9")} = 0 THEN
         CASE
           WHEN length(__av_hx) >= $oggP + 31
@@ -1282,7 +1344,7 @@ object Multimodal {
     val webStr =
       """substring(__av_hx, CAST(v.dp AS INT),
         |CAST(2 * v.szv AS INT))""".stripMargin
-    val webmFold = expr(s"""
+    lazy val webmFold = expr(s"""
       aggregate(
         sequence(1, ${3 * maxChunks}),
         ${webSt("CAST(1 AS BIGINT)", "CAST(NULL AS STRING)",
@@ -1354,13 +1416,17 @@ object Multimodal {
         END,
         st -> st)""")
     val hx = col("__av_hx")
-    media
+    val ebml = want("webm", "mkv")
+    val hexed = media
       .withColumn("__av_hx", hex(substring(col(contentCol), 1, headerBytes)))
-      // the EBML fold is gated on the magic directly (not av_format):
-      // av_format NEEDS its DocType ('webm' vs generic 'mkv' Matroska)
-      .withColumn("__av_web", when(hx.startsWith("1A45DFA3"), webmFold))
-      .withColumn("av_format",
-        when(hx.startsWith("52494646") &&
+    // the EBML fold is gated on the magic directly (not av_format):
+    // av_format NEEDS its DocType ('webm' vs generic 'mkv' Matroska)
+    val withWeb = if (ebml)
+      hexed.withColumn("__av_web", when(hx.startsWith("1A45DFA3"), webmFold))
+    else hexed
+    val sniffed = withWeb
+      .withColumn("av_format", {
+        val base = when(hx.startsWith("52494646") &&
           substring(hx, 17, 8) === "57415645", "wav")
           .when(substring(hx, 9, 8) === "66747970", "mp4")
           .when(hx.startsWith("494433") ||
@@ -1369,60 +1435,91 @@ object Multimodal {
             "mp3")
           .when(hx.startsWith("664C6143"), "flac")
           .when(hx.startsWith("4F676753"), "ogg")
-          .when(hx.startsWith("1A45DFA3"),
-            // 7765626D = 'webm'; any other (or missing) DocType is
-            // generic Matroska — 6D6174726F736B61 = 'matroska'
-            when(col("__av_web.dt") === "7765626D", "webm")
-              .otherwise("mkv")))
-      .withColumn("__av_wav", when(col("av_format") === "wav", wavFold))
-      .withColumn("__av_mp4", when(col("av_format") === "mp4", mp4Fold))
-      .withColumn("__av_p", when(col("av_format") === "mp3", mp3P))
-      .withColumn("__av_mp3", when(col("av_format") === "mp3", mp3Fields))
-      .withColumn("__av_flac", when(col("av_format") === "flac", flacFields))
-      .withColumn("__av_ogg", when(col("av_format") === "ogg", oggFields))
-      .withColumn("codec", coalesce(col("__av_ogg.codec"),
+        if (!ebml) base
+        else base.when(hx.startsWith("1A45DFA3"),
+          // 7765626D = 'webm'; any other (or missing) DocType is
+          // generic Matroska — 6D6174726F736B61 = 'matroska'
+          when(col("__av_web.dt") === "7765626D", "webm")
+            .otherwise("mkv"))
+      })
+    val withFolds = Seq(
+      ("__av_wav", want("wav"),
+        () => when(col("av_format") === "wav", wavFold)),
+      ("__av_mp4", want("mp4"),
+        () => when(col("av_format") === "mp4", mp4Fold)),
+      ("__av_p", want("mp3"),
+        () => when(col("av_format") === "mp3", mp3P)),
+      ("__av_mp3", want("mp3"),
+        () => when(col("av_format") === "mp3", mp3Fields)),
+      ("__av_flac", want("flac"),
+        () => when(col("av_format") === "flac", flacFields)),
+      ("__av_ogg", want("ogg"),
+        () => when(col("av_format") === "ogg", oggFields))
+    ).foldLeft(sniffed) { case (df, (name, wanted, mk)) =>
+      if (wanted) df.withColumn(name, mk()) else df
+    }
+    // coalesce over only the requested families' fields; none -> NULL
+    def coal(parts: Seq[(Boolean, Column)], orElse: Column): Column =
+      parts.collect { case (true, c) => c } match {
+        case Seq() => orElse
+        case cs    => coalesce(cs: _*)
+      }
+    val nullL = lit(null).cast(LongType)
+    withFolds
+      .withColumn("codec", coal(Seq(
+        want("ogg") -> col("__av_ogg.codec"),
         // the track's CodecID string, e.g. V_VP9 / A_OPUS. NOT decode():
         // under ANSI decode(bin,'UTF-8') THROWS on invalid bytes (fuzz-
         // caught — one corrupt CodecID would kill a corpus job); the
         // binary->string cast is non-validating and try_validate_utf8
         // turns invalid sequences into NULL
-        expr("try_validate_utf8(cast(unhex(__av_web.cid) as string))")))
-      .withColumn("channels", coalesce(col("__av_wav.ch"),
-        col("__av_mp3.ch"), col("__av_flac.ch"), col("__av_ogg.ch"),
-        col("__av_web.ch"))
-        + ndZero)
-      .withColumn("sample_rate", coalesce(col("__av_wav.sr"),
-        col("__av_mp3.sr"), col("__av_flac.sr"), col("__av_ogg.sr"),
+        ebml -> expr(
+          "try_validate_utf8(cast(unhex(__av_web.cid) as string))")),
+        lit(null).cast("string")))
+      .withColumn("channels", coal(Seq(
+        want("wav") -> col("__av_wav.ch"), want("mp3") -> col("__av_mp3.ch"),
+        want("flac") -> col("__av_flac.ch"),
+        want("ogg") -> col("__av_ogg.ch"), ebml -> col("__av_web.ch")),
+        nullL) + ndZero)
+      .withColumn("sample_rate", coal(Seq(
+        want("wav") -> col("__av_wav.sr"), want("mp3") -> col("__av_mp3.sr"),
+        want("flac") -> col("__av_flac.sr"),
+        want("ogg") -> col("__av_ogg.sr"),
         // SamplingFrequency is an EBML float; integral for real rates
-        col("__av_web.sr").cast(LongType))
-        + ndZero)
-      .withColumn("bits_per_sample",
-        coalesce(col("__av_wav.bits"), col("__av_flac.bps")) + ndZero)
-      .withColumn("width", coalesce(col("__av_mp4.w"), col("__av_web.w"))
-        + ndZero)
-      .withColumn("height", coalesce(col("__av_mp4.h"), col("__av_web.h"))
-        + ndZero)
-      .withColumn("duration_ms",
-        when(col("av_format") === "wav" && col("__av_wav.br") > 0,
-          expr("(__av_wav.db * 1000) div __av_wav.br"))
-          .when(col("av_format") === "mp4" && col("__av_mp4.ts") > 0,
-            expr("(__av_mp4.dur * 1000) div __av_mp4.ts"))
-          // CBR estimate: audio bytes (blob minus the ID3 tag) x 8 bits
-          // over kilobits/s lands directly in milliseconds
-          .when(col("av_format") === "mp3" && col("__av_mp3.kbps") > 0,
-            expr(s"""((octet_length(`$contentCol`) - (__av_p - 1) div 2)
-                    | * 8) div __av_mp3.kbps""".stripMargin))
-          .when(col("av_format") === "flac" && col("__av_flac.sr") > 0,
-            expr("(__av_flac.total * 1000) div __av_flac.sr"))
-          // Duration is in TICKS of TimestampScale NANOSECONDS (default
-          // 1,000,000 = ms ticks when the Info omits it): ms = ticks x
-          // scale / 1e6 — exact for the integral floats real muxers write
-          .when(col("av_format").isin("webm", "mkv") &&
-            col("__av_web.dur").isNotNull,
-            floor(col("__av_web.dur") *
-              coalesce(col("__av_web.scale"), lit(1000000L))
-                .cast("double") / lit(1000000.0d)).cast(LongType))
-          + ndZero)
+        ebml -> col("__av_web.sr").cast(LongType)),
+        nullL) + ndZero)
+      .withColumn("bits_per_sample", coal(Seq(
+        want("wav") -> col("__av_wav.bits"),
+        want("flac") -> col("__av_flac.bps")), nullL) + ndZero)
+      .withColumn("width", coal(Seq(
+        want("mp4") -> col("__av_mp4.w"), ebml -> col("__av_web.w")),
+        nullL) + ndZero)
+      .withColumn("height", coal(Seq(
+        want("mp4") -> col("__av_mp4.h"), ebml -> col("__av_web.h")),
+        nullL) + ndZero)
+      .withColumn("duration_ms", whenChain(Seq(
+        want("wav") -> (col("av_format") === "wav" && col("__av_wav.br") > 0,
+          expr("(__av_wav.db * 1000) div __av_wav.br")),
+        want("mp4") -> (col("av_format") === "mp4" && col("__av_mp4.ts") > 0,
+          expr("(__av_mp4.dur * 1000) div __av_mp4.ts")),
+        // CBR estimate: audio bytes (blob minus the ID3 tag) x 8 bits
+        // over kilobits/s lands directly in milliseconds
+        want("mp3") -> (col("av_format") === "mp3" &&
+          col("__av_mp3.kbps") > 0,
+          expr(s"""((octet_length(`$contentCol`) - (__av_p - 1) div 2)
+                  | * 8) div __av_mp3.kbps""".stripMargin)),
+        want("flac") -> (col("av_format") === "flac" &&
+          col("__av_flac.sr") > 0,
+          expr("(__av_flac.total * 1000) div __av_flac.sr")),
+        // Duration is in TICKS of TimestampScale NANOSECONDS (default
+        // 1,000,000 = ms ticks when the Info omits it): ms = ticks x
+        // scale / 1e6 — exact for the integral floats real muxers write
+        ebml -> (col("av_format").isin("webm", "mkv") &&
+          col("__av_web.dur").isNotNull,
+          floor(col("__av_web.dur") *
+            coalesce(col("__av_web.scale"), lit(1000000L))
+              .cast("double") / lit(1000000.0d)).cast(LongType))
+      ).collect { case (true, b) => b }) + ndZero)
       .drop("__av_hx", "__av_wav", "__av_mp4", "__av_p", "__av_mp3",
         "__av_flac", "__av_ogg", "__av_web")
   }

@@ -1458,7 +1458,8 @@ object TrainingData {
     // shuffle.
     Q("q125_image_header_dims",
       (s, dir) => Multimodal.imageDims(
-          Multimodal.synthImageBytes(t(s, dir, "documents"), "doc_id"))
+          Multimodal.synthImageBytes(t(s, dir, "documents"), "doc_id"),
+          formats = Set("png", "jpeg"))
         .select(col("media_id"), col("format"), col("width"), col("height"),
           octet_length(col("content")).cast(LongType).as("n_bytes"))
         .orderBy("media_id"),
@@ -1539,7 +1540,8 @@ object TrainingData {
     // cannot cancel out there. Expression-only; blobs never shuffle.
     Q("q127_web_image_dims",
       (s, dir) => Multimodal.imageDims(
-          Multimodal.synthWebImageBytes(t(s, dir, "documents"), "doc_id"))
+          Multimodal.synthWebImageBytes(t(s, dir, "documents"), "doc_id"),
+          formats = Set("gif", "webp"))
         .select(col("media_id"), col("format"), col("width"), col("height"),
           octet_length(col("content")).cast(LongType).as("n_bytes"))
         .orderBy("media_id"),
@@ -1633,7 +1635,8 @@ object TrainingData {
     // blobs never shuffle.
     Q("q130_bmp_ico_dims",
       (s, dir) => Multimodal.imageDims(
-          Multimodal.synthBmpIcoBytes(t(s, dir, "documents"), "doc_id"))
+          Multimodal.synthBmpIcoBytes(t(s, dir, "documents"), "doc_id"),
+          formats = Set("bmp", "ico"))
         .select(col("media_id"), col("format"), col("width"), col("height"),
           octet_length(col("content")).cast(LongType).as("n_bytes"))
         .orderBy("media_id"),
@@ -1667,7 +1670,8 @@ object TrainingData {
     // goldens pin the byte layout. Expression-only; blobs never shuffle.
     Q("q132_tiff_dims",
       (s, dir) => Multimodal.imageDims(
-          Multimodal.synthTiffBytes(t(s, dir, "documents"), "doc_id"))
+          Multimodal.synthTiffBytes(t(s, dir, "documents"), "doc_id"),
+          formats = Set("tiff"))
         .select(col("media_id"), col("format"), col("width"), col("height"),
           octet_length(col("content")).cast(LongType).as("n_bytes"))
         .orderBy("media_id"),
@@ -1701,7 +1705,8 @@ object TrainingData {
     // shuffle.
     Q("q128_av_header_meta",
       (s, dir) => Multimodal.avMetadata(
-          Multimodal.synthAvBytes(t(s, dir, "documents"), "doc_id"))
+          Multimodal.synthAvBytes(t(s, dir, "documents"), "doc_id"),
+          formats = Set("wav", "mp4"))
         .select(col("media_id"), col("av_format"), col("channels"),
           col("sample_rate"), col("bits_per_sample"),
           col("width"), col("height"), col("duration_ms"),
@@ -1753,7 +1758,8 @@ object TrainingData {
     // NULL paths included). Expression-only; blobs never shuffle.
     Q("q129_audio_header_meta",
       (s, dir) => Multimodal.avMetadata(
-          Multimodal.synthAudioBytes(t(s, dir, "documents"), "doc_id"))
+          Multimodal.synthAudioBytes(t(s, dir, "documents"), "doc_id"),
+          formats = Set("mp3", "flac"))
         .select(col("media_id"), col("av_format"), col("channels"),
           col("sample_rate"), col("bits_per_sample"), col("duration_ms"),
           octet_length(col("content")).cast(LongType).as("n_bytes"))
@@ -1812,7 +1818,8 @@ object TrainingData {
     // the byte layout. Expression-only; blobs never shuffle.
     Q("q131_ogg_header_meta",
       (s, dir) => Multimodal.avMetadata(
-          Multimodal.synthOggBytes(t(s, dir, "documents"), "doc_id"))
+          Multimodal.synthOggBytes(t(s, dir, "documents"), "doc_id"),
+          formats = Set("ogg"))
         .select(col("media_id"), col("av_format"), col("codec"),
           col("channels"), col("sample_rate"), col("duration_ms"),
           octet_length(col("content")).cast(LongType).as("n_bytes"))
@@ -1844,7 +1851,8 @@ object TrainingData {
     // ground-truth id arithmetic; goldens pin the byte layout.
     Q("q134_exif_orientation",
       (s, dir) => Multimodal.imageDims(
-          Multimodal.synthExifJpegBytes(t(s, dir, "documents"), "doc_id"))
+          Multimodal.synthExifJpegBytes(t(s, dir, "documents"), "doc_id"),
+          formats = Set("jpeg"))
         .select(col("media_id"), col("format"), col("orientation"),
           col("width"), col("height"),
           octet_length(col("content")).cast(LongType).as("n_bytes"))
@@ -1880,7 +1888,8 @@ object TrainingData {
     // never shuffle.
     Q("q135_isobmff_image_dims",
       (s, dir) => Multimodal.imageDims(
-          Multimodal.synthIsobmffBytes(t(s, dir, "documents"), "doc_id"))
+          Multimodal.synthIsobmffBytes(t(s, dir, "documents"), "doc_id"),
+          formats = Set("avif", "heic", "heif"))
         .select(col("media_id"), col("format"), col("width"), col("height"),
           octet_length(col("content")).cast(LongType).as("n_bytes"))
         .orderBy("media_id"),
@@ -1919,7 +1928,8 @@ object TrainingData {
     // Expression-only; blobs never shuffle.
     Q("q136_webm_metadata",
       (s, dir) => Multimodal.avMetadata(
-          Multimodal.synthWebmBytes(t(s, dir, "documents"), "doc_id"))
+          Multimodal.synthWebmBytes(t(s, dir, "documents"), "doc_id"),
+          formats = Set("webm", "mkv"))
         .select(col("media_id"), col("av_format"), col("codec"),
           col("channels"), col("sample_rate"), col("width"), col("height"),
           col("duration_ms"),
