@@ -2821,6 +2821,65 @@ object TrainingData {
         get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_val
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // WARC record extraction (Warc.explodeWarcBlobs): the FIRST step of a
+    // crawl pipeline — split a WARC dump into one row per record. The
+    // synth blobs pack 1-3 records with id-derived types/URIs/payload
+    // lengths plus three traps (lowercase content-length, a truncated
+    // trailing record that must be dropped with the complete ones kept,
+    // and a garbage first line that must yield ZERO records — WARC has no
+    // resync marker). The oracle rebuilds every record's text with id
+    // arithmetic and recomputes byte OFFSETS as a running sum of record
+    // lengths, so the parser's position accounting is pinned exactly.
+    // Scale shape: the flatMap is a narrow map-side explode (records
+    // never shuffle); file-level parallelism for real dumps lives in
+    // Warc.warcRecords.
+    Q("q140_warc_records",
+      (s, dir) => graft.sources.Warc.explodeWarcBlobs(
+          graft.sources.Warc.synthWarcBytes(t(s, dir, "documents"),
+            "doc_id"))
+        .select(col("media_id"), col("rec_idx"), col("offset"),
+          col("warc_type"), col("target_uri"), col("record_id"),
+          col("content_length"),
+          col("payload").cast(StringType).as("payload_str"))
+        .orderBy("media_id", "rec_idx"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 3) + 3) % 3 AS m3,
+             |    ((doc_id % 11) + 11) % 11 AS m11,
+             |    ((doc_id % 100) + 100) % 100 AS site
+             |  FROM documents),
+             |r AS (
+             |  SELECT m.*, t.k FROM m, (VALUES (0), (1), (2)) t(k)
+             |  WHERE m.m11 <> 3 AND t.k <= m.m3),
+             |rec AS (
+             |  SELECT doc_id, k,
+             |    CASE k WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+             |      ELSE 'metadata' END AS warc_type,
+             |    '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '-' ||
+             |      CAST(k AS VARCHAR) || '>' AS record_id,
+             |    'http://site' || CAST(site AS VARCHAR) || '.com/p' ||
+             |      CAST(k AS VARCHAR) AS target_uri,
+             |    'P' || repeat('x', CAST(
+             |      (((doc_id * 7 + k) % 50) + 50) % 50 + 10 AS INT))
+             |      AS payload
+             |  FROM r),
+             |rl AS (
+             |  SELECT doc_id, k, warc_type, target_uri, record_id, payload,
+             |    CAST(length(payload) AS BIGINT) AS content_length,
+             |    10 + 11 + length(warc_type) + 2
+             |      + 16 + length(record_id) + 2
+             |      + 17 + length(target_uri) + 2
+             |      + 14 + 2 + length(CAST(length(payload) AS VARCHAR)) + 2
+             |      + 2 + length(payload) + 4 AS reclen
+             |  FROM rec)
+             |SELECT doc_id AS media_id, CAST(k AS BIGINT) AS rec_idx,
+             |  CAST(COALESCE(SUM(reclen) OVER (PARTITION BY doc_id
+             |    ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
+             |  warc_type, target_uri, record_id, content_length,
+             |  payload AS payload_str
+             |FROM rl ORDER BY media_id, rec_idx""".stripMargin))
   )
 }

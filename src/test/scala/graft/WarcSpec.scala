@@ -1,0 +1,170 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warc
+
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val crlf = "\r\n"
+
+  private def record(wtype: String, uri: String, rid: String,
+                     payload: String,
+                     clName: String = "Content-Length"): String =
+    "WARC/1.0" + crlf +
+      s"WARC-Type: $wtype" + crlf +
+      s"WARC-Record-ID: $rid" + crlf +
+      s"WARC-Target-URI: $uri" + crlf +
+      s"$clName: ${payload.length}" + crlf +
+      crlf + payload + crlf + crlf
+
+  test("explodeWarcBlobs: golden records — types, offsets, case-insensitive " +
+      "headers, traps stop the walk without losing parsed records") {
+    val r0 = record("response", "http://a.com/x", "<urn:uuid:1>", "hello")
+    val r1 = record("request", "http://a.com/y", "<urn:uuid:2>",
+      "WARC/1.0 inside a payload must not resync", clName = "content-LENGTH")
+    val good = r0 + r1
+    // truncated mid-header after one full record: first record kept
+    val trunc = r0 + "WARC/1.0" + crlf + "WARC-Type: resp"
+    // bad version line: zero records
+    val bad = "HTTP/1.1 200 OK" + crlf + r0
+    // declared length longer than the bytes present: record dropped
+    val shortPay = "WARC/1.0" + crlf + "Content-Length: 99" + crlf + crlf +
+      "tiny"
+    val blobs = Seq(
+      (1L, good.getBytes(US_ASCII)),
+      (2L, trunc.getBytes(US_ASCII)),
+      (3L, bad.getBytes(US_ASCII)),
+      (4L, shortPay.getBytes(US_ASCII)),
+      (5L, Array.empty[Byte])).toDF("media_id", "content")
+    val got = Warc.explodeWarcBlobs(blobs)
+      .select($"media_id", $"rec_idx", $"offset", $"warc_type",
+        $"target_uri", $"record_id", $"content_length",
+        $"payload".cast("string"), $"payload_truncated")
+      .as[(Long, Long, Long, String, String, String, Long, String, Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, "response", "http://a.com/x", "<urn:uuid:1>", 5L,
+        "hello", false),
+      (1L, 1L, r0.length.toLong, "request", "http://a.com/y",
+        "<urn:uuid:2>", 41L, "WARC/1.0 inside a payload must not resync",
+        false),
+      (2L, 0L, 0L, "response", "http://a.com/x", "<urn:uuid:1>", 5L,
+        "hello", false)))
+  }
+
+  test("explodeWarcBlobs: payload cap skips excess bytes, keeps the " +
+      "declared length, marks the row, and stays in sync") {
+    val big = record("response", "u", "<r1>", "x" * 100)
+    val after = record("metadata", "u2", "<r2>", "ok")
+    val blobs = Seq((1L, (big + after).getBytes(US_ASCII)))
+      .toDF("media_id", "content")
+    val got = Warc.explodeWarcBlobs(blobs, maxPayloadBytes = 16)
+      .select($"rec_idx", $"content_length",
+        octet_length($"payload").as("kept"), $"payload_truncated")
+      .as[(Long, Long, Int, Boolean)].collect().sortBy(_._1).toSeq
+    // the capped record reports the DECLARED 100 but carries 16 bytes,
+    // and the walk still lands exactly on the next record
+    assert(got === Seq((0L, 100L, 16, true), (1L, 2L, 2, false)))
+  }
+
+  test("warcRecords: .warc and record-per-member .warc.gz files parse " +
+      "identically; offsets are uncompressed-stream offsets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc").toString
+    val recs = (0 until 5).map(i =>
+      record(if (i % 2 == 0) "response" else "request",
+        s"http://h$i.com/", s"<urn:uuid:$i>", s"payload-$i-" + "y" * i))
+    val plainBytes = recs.mkString.getBytes(US_ASCII)
+    val fo = new FileOutputStream(s"$dir/a.warc")
+    fo.write(plainBytes); fo.close()
+    // WARC.gz convention: each record its own gzip member, concatenated
+    val gz = new ByteArrayOutputStream()
+    recs.foreach { r =>
+      val g = new GZIPOutputStream(gz)
+      g.write(r.getBytes(US_ASCII)); g.finish()
+    }
+    val go = new FileOutputStream(s"$dir/b.warc.gz")
+    go.write(gz.toByteArray); go.close()
+    // a non-warc file must be ignored by the listing
+    val xo = new FileOutputStream(s"$dir/notes.txt"); xo.write(42); xo.close()
+    val df = Warc.warcRecords(spark, dir)
+    val byFile = df.groupBy($"path").count()
+      .as[(String, Long)].collect().toMap
+    assert(byFile.size === 2 && byFile.values.forall(_ === 5L))
+    val a = df.where($"path".endsWith("a.warc"))
+      .select($"rec_idx", $"offset", $"target_uri",
+        $"payload".cast("string"))
+      .as[(Long, Long, String, String)].collect().sortBy(_._1).toSeq
+    val b = df.where($"path".endsWith("b.warc.gz"))
+      .select($"rec_idx", $"offset", $"target_uri",
+        $"payload".cast("string"))
+      .as[(Long, Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(a === b, "gz and plain parses must agree on the logical stream")
+    val expOffsets = recs.scanLeft(0L)(_ + _.length).init
+    assert(a.map(_._2) === expOffsets)
+    assert(a.map(_._4) === (0 until 5).map(i => s"payload-$i-" + "y" * i))
+  }
+
+  test("synthWarcBytes round-trips across the corpus, traps included") {
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .select($"doc_id")
+    val parsed = Warc.explodeWarcBlobs(Warc.synthWarcBytes(docs, "doc_id"))
+    val id = $"media_id"
+    // garbage-first-line ids yield zero records; everyone else 1 + m3
+    val perDoc = parsed.groupBy("media_id").count()
+    val joined = docs.join(perDoc, docs("doc_id") === perDoc("media_id"),
+      "left")
+    val wrong = joined.where(
+      when(pmod($"doc_id", lit(11)) === 3, coalesce($"count", lit(0L)) =!= 0)
+        .otherwise(coalesce($"count", lit(0L)) =!=
+          pmod($"doc_id", lit(3)) + 1))
+    assert(wrong.isEmpty, wrong.limit(5).collect().mkString("; "))
+    // spot-verify field derivations on the parsed rows
+    val badField = parsed.where(
+      $"warc_type" =!= element_at(
+        array(lit("response"), lit("request"), lit("metadata")),
+        ($"rec_idx" + 1).cast("int")) ||
+      $"target_uri" =!= concat(lit("http://site"),
+        pmod(id, lit(100)).cast("string"), lit(".com/p"),
+        $"rec_idx".cast("string")) ||
+      $"content_length" =!=
+        pmod(id * 7 + $"rec_idx", lit(50)) + 11 ||
+      $"payload_truncated")
+    assert(badField.isEmpty, badField.limit(5).collect().mkString("; "))
+  }
+
+  test("WARC parser never throws under truncation + corruption fuzz") {
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .where($"doc_id" < 48).select($"doc_id")
+    val fam = Warc.synthWarcBytes(docs, "doc_id")
+    val truncated = fam.select($"media_id",
+      explode(sequence(lit(0), octet_length($"content"))).as("k"))
+      .join(fam, Seq("media_id"))
+      .select($"media_id", expr("substring(content, 1, k)").as("content"))
+    val corrupted = Seq("00", "0D", "FF").map { b =>
+      fam.select($"media_id",
+        concat(
+          expr("substring(content, 1, " +
+            "pmod(media_id * 31, octet_length(content)))"),
+          unhex(lit(b)),
+          expr("substring(content, " +
+            "pmod(media_id * 31, octet_length(content)) + 2, " +
+            "2147483647)")).as("content"))
+    }.reduce(_ unionAll _)
+    for (mutated <- Seq(truncated, corrupted)) {
+      // the parser must never throw, and every record it does emit must
+      // be internally consistent (payload not longer than declared)
+      val n = Warc.explodeWarcBlobs(mutated)
+        .where(octet_length($"payload") > $"content_length").count()
+      assert(n === 0)
+      val n2 = Warc.explodeWarcBlobs(mutated, maxPayloadBytes = 7)
+        .where(octet_length($"payload") > 7).count()
+      assert(n2 === 0)
+    }
+  }
+}
