@@ -102,20 +102,26 @@ object NearDupRecall {
       // nprobe widens the probe set; the curve below is what a user reads
       // to pick nprobe for THEIR recall target (SCALING.md "IVF recall").
       println("\nIVF recall@10 vs nprobe (16 learned centroids, 50 queries):")
-      println("| nprobe | hit neighbors | recall@10 |")
-      println("|---|---|---|")
+      println("| nprobe | hit neighbors | recall@10 | wall s |")
+      println("|---|---|---|---|")
       val queries = vecs.where(col("id") < 50)
-      val centroids = Similarity.kmeansLite(vecs, k = 16, iters = 2)
+      // materialized ONCE so per-nprobe wall time measures the probe scan,
+      // not a k-means re-train per row
+      val centroids = Similarity.kmeansLite(vecs, k = 16, iters = 2).cache()
+      centroids.count()
       val truth = Similarity.bruteForceTopK(queries, vecs, 10)
         .select("query_id", "neighbor_id").cache()
       val truthN = truth.count()
       try {
-        for (np <- Seq(1, 2, 4)) {
+        for (np <- Seq(1, 2, 4, 8)) {
+          val t0 = System.nanoTime()
           val hits = Similarity.ivfTopK(queries, vecs, centroids, 10, np)
             .select("query_id", "neighbor_id").intersect(truth).count()
-          println(f"| $np | $hits/$truthN | ${hits.toDouble / truthN}%.3f |")
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"| $np | $hits/$truthN | ${hits.toDouble / truthN}%.3f " +
+            f"| $wall%.2f |")
         }
-      } finally truth.unpersist()
+      } finally { truth.unpersist(); centroids.unpersist() }
     } finally vecs.unpersist()
     spark.stop()
   }

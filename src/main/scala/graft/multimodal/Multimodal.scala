@@ -1913,13 +1913,28 @@ object Multimodal {
           ELSE CAST(NULL AS STRUCT<n: BIGINT>)
         END
       ELSE CAST(NULL AS STRUCT<n: BIGINT>) END""")
+    // zstd frames may be PRECEDED by a skippable frame (RFC 8878 §3.1.2:
+    // magic 0x184D2A50..5F LE + u32 LE size + opaque data — metadata
+    // sidecars some archivers emit). Sniffing only offset 0 mis-read
+    // such files as non-zstd (r13 adversarial-sweep finding). One
+    // leading skippable frame is hopped; its UNTRUSTED u32 size is
+    // bounded to the head window BEFORE any INT cast (the r13 overflow
+    // lesson), so a huge declared size — or a second skippable frame,
+    // or a hop past the window — just fails the magic probe and the
+    // blob stays NULL-format: fail-safe, never garbage.
+    val zoff =
+      s"""(CASE WHEN substring(__ar_hd, 1, 1) = '5'
+         |AND substring(__ar_hd, 3, 6) = '2A4D18'
+         |AND length(__ar_hd) >= 16
+         |AND ${hle("9", 4)} <= $headBytes
+         |THEN 17 + 2 * (${hle("9", 4)}) ELSE 1 END)""".stripMargin
     // zstd frame-header descriptor: computed FCS offset + per-flag width
-    val fhd = hb("9")
+    val fhd = hb(s"$zoff + 8")
     val zstdSize = {
       val fcsFlag = s"($fhd) div 64"
       val ss = s"(($fhd) div 32) % 2"
       val dlen = s"element_at(array(0, 1, 2, 4), CAST(($fhd) % 4 + 1 AS INT))"
-      val fcsAt = s"(11 + 2 * ((1 - ($ss)) + ($dlen)))"
+      val fcsAt = s"($zoff + 10 + 2 * ((1 - ($ss)) + ($dlen)))"
       s"""CASE
          |WHEN ($fcsFlag) = 0 AND ($ss) = 1
          |     AND length(__ar_hd) >= ($fcsAt) + 1
@@ -1941,7 +1956,9 @@ object Multimodal {
         when(hd.startsWith("1F8B"), "gzip")
           .when(hd.startsWith("504B0304") || hd.startsWith("504B0506"),
             "zip")
-          .when(hd.startsWith("28B52FFD"), "zstd")
+          .when(expr(
+            s"substring(__ar_hd, CAST($zoff AS INT), 8)") === "28B52FFD",
+            "zstd")
           .when(hd.startsWith("FD377A585A00"), "xz")
           .when(hd.startsWith("425A68") &&
             substring(hd, 7, 2).between("31", "39"), "bz2"))
@@ -1961,7 +1978,8 @@ object Multimodal {
         when(col("format") === "gzip" &&
           octet_length(col(contentCol)) >= 18,
           expr(tle("length(__ar_tl) - 7", 4)))
-          .when(col("format") === "zstd" && expr(s"length(__ar_hd) >= 10"),
+          .when(col("format") === "zstd" &&
+            expr(s"length(__ar_hd) >= $zoff + 9"),
             expr(zstdSize)) + ndZero)
       .withColumn("mtime_epoch",
         when(col("format") === "gzip" && expr("length(__ar_hd) >= 16"),
@@ -2029,7 +2047,14 @@ object Multimodal {
     val zsUs1 = lit(256) + pmod(hid, lit(60000))
     val zsUs2 = lit(70000) + pmod(hid * 11, lit(1000000))
     val zsData = fill.substr(lit(1), (zsNp * 2).cast(IntegerType))
-    val zstd = concat(lit("28B52FFD"),
+    // pmod(hid,7)=3 rows lead with a SKIPPABLE frame (any 0x184D2A5x
+    // magic + u32 LE size + opaque bytes) the parser must hop
+    val skn = lit(1) + pmod(hid, lit(6))
+    val zsSkip = when(pmod(hid, lit(7)) === 3,
+      concat(lit("5"), hex(pmod(hid, lit(16))), lit("2A4D18"),
+        leHex(skn, 4), fill.substr(lit(1), (skn * 2).cast(IntegerType))))
+      .otherwise("")
+    val zstd = concat(zsSkip, lit("28B52FFD"),
       when(zsSub === 0, concat(lit("20"), leHex(zsUs0, 1)))
         .when(zsSub === 1,
           concat(lit("61"), lit("AB"), leHex(zsUs1 - 256, 2)))

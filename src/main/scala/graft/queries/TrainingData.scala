@@ -2006,7 +2006,9 @@ object TrainingData {
              |      AS zsus2,
              |    1 + ((hid % 8) + 8) % 8 AS np8,
              |    ((hid % 3) + 3) % 3 AS xzc,
-             |    1 + ((hid % 9) + 9) % 9 AS bzd
+             |    1 + ((hid % 9) + 9) % 9 AS bzd,
+             |    ((hid % 7) + 7) % 7 AS sk7,
+             |    1 + ((hid % 6) + 6) % 6 AS skn
              |  FROM m)
              |SELECT doc_id AS media_id,
              |  CASE v WHEN 0 THEN 'gzip' WHEN 1 THEN 'zip'
@@ -2026,9 +2028,10 @@ object TrainingData {
              |  CAST(CASE WHEN v = 0 THEN gzmt END AS BIGINT) AS mtime_epoch,
              |  CAST(CASE v WHEN 0 THEN 18 + gznp
              |              WHEN 1 THEN 88 * zn + 22 + zclen
-             |              WHEN 2 THEN CASE sub WHEN 0 THEN 6 + np8
+             |              WHEN 2 THEN (CASE sub WHEN 0 THEN 6 + np8
              |                WHEN 1 THEN 8 + np8 WHEN 2 THEN 9 + np8
-             |                ELSE 6 + np8 END
+             |                ELSE 6 + np8 END)
+             |                + CASE WHEN sk7 = 3 THEN 8 + skn ELSE 0 END
              |              WHEN 3 THEN 8 + np8
              |              ELSE 4 + np8 END AS BIGINT) AS n_bytes
              |FROM f ORDER BY media_id""".stripMargin)),
@@ -2054,10 +2057,11 @@ object TrainingData {
              |    ((doc_id % 7) + 7) % 7 AS m7,
              |    ((doc_id % 100) + 100) % 100 AS c100,
              |    ((doc_id % 50) + 50) % 50 AS c50,
-             |    ((doc_id % 30) + 30) % 30 AS c30
+             |    ((doc_id % 30) + 30) % 30 AS c30,
+             |    ((doc_id % 9) + 9) % 9 AS m9
              |  FROM documents),
              |f AS (
-             |  SELECT doc_id, m2, m6, m7, c50, c30,
+             |  SELECT doc_id, m2, m6, m7, c50, c30, m9,
              |    CASE WHEN m2 = 0 THEN 'http' ELSE 'https' END AS sch,
              |    CASE m3 WHEN 0 THEN '' WHEN 1 THEN 'www.'
              |      ELSE 'a.b.' END AS sub,
@@ -2074,7 +2078,8 @@ object TrainingData {
              |    CASE WHEN m6 = 1 THEN ':8080'
              |         WHEN m6 = 0 AND m2 = 1 THEN ':80' ELSE '' END ||
              |    CASE WHEN m7 = 0 THEN '/'
-             |         ELSE '/p' || CAST(c50 AS VARCHAR) END ||
+             |         ELSE '/p' || CAST(c50 AS VARCHAR) ||
+             |           CASE WHEN m9 = 4 THEN '%2F' ELSE '' END END ||
              |    '?a=1&q=' || CAST(c30 AS VARCHAR) AS canonical_url
              |FROM f ORDER BY url_id""".stripMargin)),
 
@@ -2099,10 +2104,11 @@ object TrainingData {
              |    ((doc_id % 7) + 7) % 7 AS m7,
              |    ((doc_id % 100) + 100) % 100 AS c100,
              |    ((doc_id % 50) + 50) % 50 AS c50,
-             |    ((doc_id % 30) + 30) % 30 AS c30
+             |    ((doc_id % 30) + 30) % 30 AS c30,
+             |    ((doc_id % 9) + 9) % 9 AS m9
              |  FROM documents),
              |f AS (
-             |  SELECT doc_id, m2, m6, m7, c50, c30,
+             |  SELECT doc_id, m2, m6, m7, c50, c30, m9,
              |    CASE WHEN m2 = 0 THEN 'http' ELSE 'https' END AS sch,
              |    CASE m3 WHEN 0 THEN '' WHEN 1 THEN 'www.'
              |      ELSE 'a.b.' END AS sub,
@@ -2117,7 +2123,8 @@ object TrainingData {
              |    CASE WHEN m6 = 1 THEN ':8080'
              |         WHEN m6 = 0 AND m2 = 1 THEN ':80' ELSE '' END ||
              |    CASE WHEN m7 = 0 THEN '/'
-             |         ELSE '/p' || CAST(c50 AS VARCHAR) END ||
+             |         ELSE '/p' || CAST(c50 AS VARCHAR) ||
+             |           CASE WHEN m9 = 4 THEN '%2F' ELSE '' END END ||
              |    '?a=1&q=' || CAST(c30 AS VARCHAR)) AS BIGINT) AS n_pages
              |FROM f GROUP BY dom ORDER BY registrable_domain""".stripMargin)),
 
@@ -2643,6 +2650,11 @@ object TrainingData {
     // The full corpus-curation funnel as ONE declarative plan: quality
     // threshold -> exact dedup (keep lowest id per content hash) -> per-
     // domain cap -> deterministic split -> per-(lang, split) accounting.
+    // Stage 0 of the real-crawl version is UnicodeOps.normalizeText
+    // (NFC + mojibake repair BEFORE any hashing — wired and timed in
+    // CurationBench; omitted here because this corpus is clean ASCII and
+    // q142 pins the clean-input no-op, so the oracle can stay a pure
+    // DuckDB replay).
     // Catalyst pipelines the whole funnel; only the dedup/cap window
     // group-limits and the final agg shuffle. This is the shape of a
     // production 100 TB
@@ -2880,6 +2892,151 @@ object TrainingData {
              |    AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
              |  warc_type, target_uri, record_id, content_length,
              |  payload AS payload_str
-             |FROM rl ORDER BY media_id, rec_idx""".stripMargin))
+             |FROM rl ORDER BY media_id, rec_idx""".stripMargin)),
+
+    // HTML -> text extraction (HtmlOps.htmlToText): the step between a
+    // crawl payload and every text operator. The synth pages carry the
+    // full trap set (script/style/comment bodies with markup, an
+    // attribute value containing '>', CDATA, numeric + hex entities, the
+    // &amp;#60; double-decode cascade trap, unterminated comment/script
+    // tails) and the oracle rebuilds the EXPECTED text as ground-truth id
+    // arithmetic — not a regex replay, so an extraction bug cannot cancel
+    // out against its own oracle. Scale shape: per-row expressions at
+    // scan speed, nothing shuffles.
+    Q("q141_html_to_text",
+      (s, dir) => graft.text.HtmlOps.htmlToText(
+          graft.text.HtmlOps.synthHtml(t(s, dir, "documents"), "doc_id"),
+          "html")
+        .select(col("media_id"), col("text_extracted"),
+          length(col("text_extracted")).cast(LongType).as("n_chars"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 4) + 4) % 4 AS m4,
+             |    ((doc_id % 9) + 9) % 9 AS m9,
+             |    ((doc_id % 100) + 100) % 100 AS c100,
+             |    ((doc_id % 50) + 50) % 50 AS c50
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id,
+             |    'T' || CAST(doc_id AS VARCHAR) ||
+             |    ' Doc ' || CAST(doc_id AS VARCHAR) ||
+             |    ' Para ' || CAST(c100 AS VARCHAR) ||
+             |    ' & more AB &#60; literal' ||
+             |    CASE WHEN m4 = 1
+             |      THEN ' cd' || CAST(m9 AS VARCHAR) || ' data'
+             |      ELSE '' END ||
+             |    ' word' || CAST(c50 AS VARCHAR) || ' tail'
+             |      AS text_extracted
+             |  FROM m)
+             |SELECT doc_id AS media_id, text_extracted,
+             |  CAST(length(text_extracted) AS BIGINT) AS n_chars
+             |FROM f ORDER BY media_id""".stripMargin)),
+
+    // Unicode normalization + mojibake repair (UnicodeOps.normalizeText,
+    // NFC via the native nfc_normalize codegen expression): three input
+    // variants — decomposed-with-junk, whole-string mojibake (UTF-8
+    // mis-decoded as Latin-1, repaired byte-exact), already-clean — all
+    // normalize to ONE id-arithmetic clean string the oracle rebuilds
+    // directly; `changed` pins that the clean variant is untouched (the
+    // no-false-positive gate: its accented chars are valid UTF-8 lead
+    // byte values). Scale shape: per-row expressions, nothing shuffles.
+    Q("q142_unicode_normalize",
+      (s, dir) => graft.text.UnicodeOps.normalizeText(
+          graft.text.UnicodeOps.synthMojibake(t(s, dir, "documents"),
+            "doc_id"),
+          "text_raw")
+        .select(col("media_id"), col("text_norm"),
+          length(col("text_norm")).cast(LongType).as("n_chars"),
+          (col("text_raw") =!= col("text_norm")).as("changed"))
+        .orderBy("media_id"),
+      Some("WITH m AS (\n" +
+        "  SELECT doc_id,\n" +
+        "    ((doc_id % 3) + 3) % 3 AS m3,\n" +
+        "    ((doc_id % 50) + 50) % 50 AS c50\n" +
+        "  FROM documents),\n" +
+        "f AS (\n" +
+        "  SELECT doc_id, m3,\n" +
+        "    'Doc ' || CAST(doc_id AS VARCHAR) ||\n" +
+        "    ' caf\u00e9 \u00e0 la ni\u00f1o ' ||\n" +
+        "    CAST(c50 AS VARCHAR) || ' zap!' AS text_norm\n" +
+        "  FROM m)\n" +
+        "SELECT doc_id AS media_id, text_norm,\n" +
+        "  CAST(length(text_norm) AS BIGINT) AS n_chars,\n" +
+        "  m3 <> 2 AS changed\n" +
+        "FROM f ORDER BY media_id"))
+  ) ++ Seq(
+
+    // PDF triage (Pdf.pdfTriage): version / linearization / approximate
+    // page count (precedence: linearization /N -> trailer /Count ->
+    // /Type /Page object count, with the /Type /Pages decoy excluded) /
+    // last-startxref / %%EOF integrity / encryption — bounded head+tail
+    // windows, expression-only. Traps: /Count omitted (fallback path),
+    // truncation right after 'startxref' (field-by-field degradation),
+    // non-PDF garbage (all NULL). Oracle is ground-truth id arithmetic.
+    Q("q143_pdf_triage",
+      (s, dir) => graft.multimodal.Pdf.pdfTriage(
+          graft.multimodal.Pdf.synthPdfBytes(t(s, dir, "documents"),
+            "doc_id"))
+        .select(col("media_id"), col("pdf_version"), col("linearized"),
+          col("n_pages_approx"), col("startxref"), col("has_eof"),
+          col("encrypted"),
+          octet_length(col("content")).cast(LongType).as("n_bytes"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2) + 2) % 2 AS m2,
+             |    ((doc_id % 3) + 3) % 3 AS m3,
+             |    ((doc_id % 5) + 5) % 5 AS m5,
+             |    ((doc_id % 6) + 6) % 6 AS m6,
+             |    ((doc_id % 7) + 7) % 7 AS m7,
+             |    ((doc_id % 8) + 8) % 8 AS m8,
+             |    ((doc_id % 11) + 11) % 11 AS m11,
+             |    ((doc_id % 13) + 13) % 13 AS m13,
+             |    ((doc_id % 100) + 100) % 100 AS c100
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, m2, m3, m5, m7, m11,
+             |    CASE WHEN m13 = 9 THEN '2.0'
+             |      ELSE '1.' || CAST(m8 AS VARCHAR) END AS ver,
+             |    m6 + 1 AS n,
+             |    9000 + c100 AS sx,
+             |    CASE WHEN m2 = 0 THEN
+             |      '1 0 obj' || chr(10) ||
+             |      '<< /Linearized 1 /L 5000 /N ' ||
+             |      CAST(m6 + 1 AS VARCHAR) || ' /H [500 200] >>' ||
+             |      chr(10) || 'endobj' || chr(10) ELSE '' END AS lin,
+             |    CASE WHEN m5 = 4 THEN ''
+             |      ELSE '/Count ' || CAST(m6 + 1 AS VARCHAR) || ' '
+             |      END AS cnt
+             |  FROM m),
+             |g AS (
+             |  SELECT doc_id, m2, m3, m5, m7, m11, ver, n, sx,
+             |    '%PDF-' || ver || chr(10) || lin ||
+             |    '2 0 obj' || chr(10) ||
+             |    '<< /Type /Pages /Kids [3 0 R] ' || cnt || '>>' ||
+             |    chr(10) || 'endobj' || chr(10) ||
+             |    repeat('3 0 obj' || chr(10) ||
+             |      '<< /Type /Page /Parent 2 0 R >>' || chr(10) ||
+             |      'endobj' || chr(10), n) ||
+             |    'trailer' || chr(10) || '<< /Size 9 /Root 4 0 R' ||
+             |    CASE WHEN m3 = 0 THEN ' /Encrypt 5 0 R' ELSE '' END ||
+             |    ' >>' || chr(10) || 'startxref' || chr(10) ||
+             |    CASE WHEN m7 = 2 THEN ''
+             |      ELSE CAST(sx AS VARCHAR) || chr(10) || '%%EOF' ||
+             |        chr(10) END AS pdf
+             |  FROM f)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN m11 <> 6 THEN ver END AS pdf_version,
+             |  CASE WHEN m11 <> 6 THEN m2 = 0 END AS linearized,
+             |  CASE WHEN m11 <> 6 THEN CAST(n AS BIGINT) END
+             |    AS n_pages_approx,
+             |  CASE WHEN m11 <> 6 AND m7 <> 2 THEN CAST(sx AS BIGINT) END
+             |    AS startxref,
+             |  CASE WHEN m11 <> 6 THEN m7 <> 2 END AS has_eof,
+             |  CASE WHEN m11 <> 6 THEN m3 = 0 END AS encrypted,
+             |  CAST(CASE WHEN m11 = 6 THEN length('GARBAGE NOT A PDF')
+             |    ELSE length(pdf) END AS BIGINT) AS n_bytes
+             |FROM g ORDER BY media_id""".stripMargin))
   )
 }

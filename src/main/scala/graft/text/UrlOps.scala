@@ -52,17 +52,39 @@ object UrlOps {
     * The registrable domain is the last two host labels, or three when
     * the trailing two are a known multi-label public suffix
     * ([[multiLabelSuffixes]]); a single-label host is its own domain. */
+  /** SQL fragment: percent-encoding triplets in `inner` normalized to
+    * UPPERCASE hex (RFC 3986 §6.2.2.1 — '%2f' and '%2F' are the same
+    * octet and must canonicalize equal). Split-on-'%' rebuild, one pass;
+    * a '%' not followed by two hex digits is left as-is (malformed but
+    * present in crawls; escaping it would CHANGE the URL). */
+  private def pctUpperSql(inner: String): String =
+    s"""(CASE WHEN instr($inner, '%') = 0 THEN $inner ELSE
+       |concat(element_at(split($inner, '%', -1), 1),
+       |  aggregate(slice(split($inner, '%', -1), 2,
+       |      greatest(size(split($inner, '%', -1)) - 1, 0)), '',
+       |    (acc, p) -> acc || CASE WHEN p rlike '^[0-9a-fA-F]{2}'
+       |      THEN '%' || upper(substring(p, 1, 2)) || substring(p, 3)
+       |      ELSE '%' || p END,
+       |    s -> s)) END)""".stripMargin
+
   def canonicalizeUrls(df: DataFrame, urlCol: String = "url"): DataFrame = {
     Seq("url_scheme", "url_host", "url_port", "url_path",
       "registrable_domain", "canonical_url",
-      "__u_auth", "__u_path", "__u_q", "__u_labs")
+      "__u_src", "__u_auth", "__u_path", "__u_q", "__u_labs")
       .foreach(c => require(!df.columns.contains(c),
         s"UrlOps.canonicalizeUrls: df already has a '$c' column — rename " +
           "it first; canonicalizeUrls appends its own"))
-    val u = s"`$urlCol`"
+    graft.functions.IdnEncodeHost.register(df.sparkSession)
+    // IDN pre-encode: java.net.URI (and so try_parse_url) REJECTS a
+    // non-ASCII authority outright, so an IRI-form crawl URL would NULL
+    // every derived column; punycoding the host first makes it parseable
+    // AND is the canonical form (DNS only knows A-labels). ASCII URLs
+    // pass through allocation-free.
+    val u = "__u_src"
     val tracking = trackingParams.map(p => s"'$p'").mkString(", ")
     val suffixes = multiLabelSuffixes.map(s => s"'$s'").mkString(", ")
     df
+      .withColumn("__u_src", expr(s"idn_encode_host(`$urlCol`)"))
       .withColumn("url_scheme", expr(s"lower(try_parse_url($u, 'PROTOCOL'))"))
       .withColumn("url_host", expr(s"lower(try_parse_url($u, 'HOST'))"))
       .withColumn("__u_auth", expr(s"try_parse_url($u, 'AUTHORITY')"))
@@ -82,12 +104,17 @@ object UrlOps {
       .withColumn("__u_path",
         expr(s"""CASE WHEN url_host IS NULL THEN NULL
                 |WHEN coalesce(try_parse_url($u, 'PATH'), '') = '' THEN '/'
-                |ELSE try_parse_url($u, 'PATH') END""".stripMargin))
+                |ELSE ${pctUpperSql(s"try_parse_url($u, 'PATH')")} END"""
+          .stripMargin))
       // tracking params out, the rest sorted; '' when nothing survives.
       // filter/array_sort keep this inside one projection — no explode.
+      // Percent-case normalizes BEFORE the sort: '%2f' and '%2F' params
+      // must land at the same sort position or equal URLs canonicalize
+      // to different strings.
       .withColumn("__u_q",
         expr(s"""array_join(array_sort(filter(
-                |  split(coalesce(try_parse_url($u, 'QUERY'), ''), '&'),
+                |  split(${pctUpperSql(
+                    s"coalesce(try_parse_url($u, 'QUERY'), '')")}, '&'),
                 |  p -> p <> '' AND NOT element_at(split(p, '='), 1)
                 |         IN ($tracking))), '&')""".stripMargin))
       .withColumn("__u_labs", split(col("url_host"), "\\."))
@@ -112,7 +139,7 @@ object UrlOps {
           __u_path,
           CASE WHEN __u_q = '' THEN '' ELSE concat('?', __u_q) END)
         END"""))
-      .drop("__u_auth", "__u_q", "__u_labs")
+      .drop("__u_src", "__u_auth", "__u_q", "__u_labs")
       .withColumnRenamed("__u_path", "url_path")
   }
 
@@ -139,7 +166,9 @@ object UrlOps {
     val portRaw = when(m(6) === 0, ":80").when(m(6) === 1, ":8080")
       .otherwise("")
     val pathRaw = when(m(7) === 0, "").otherwise(
-      concat(lit("/p"), pmod(id, lit(50)).cast(StringType)))
+      concat(lit("/p"), pmod(id, lit(50)).cast(StringType),
+        // lowercase percent triplet: canonical form must uppercase it
+        when(m(9) === 4, "%2f").otherwise("")))
     val qP = concat(lit("q="), pmod(id, lit(30)).cast(StringType))
     val track = lit("utm_source=track")
     val query = when(m(3) === 0,

@@ -51,9 +51,16 @@ object CurationBench {
       tStage = now
     }
 
-    val docs = graft.sources.Sources.table(spark, sfDir, "documents")
+    val docsIn0 = graft.sources.Sources.table(spark, sfDir, "documents")
+    // 0. Unicode normalization + mojibake repair BEFORE anything hashes:
+    // the optional first stage every real crawl corpus needs (q142 pins
+    // that clean text passes through untouched, so on this synthetic
+    // corpus it is a measured no-op — the time is the honest cost of
+    // running the gate on text that doesn't need repair)
+    val docs = graft.text.UnicodeOps.normalizeText(docsIn0, "text")
+      .drop("text").withColumnRenamed("text_norm", "text")
     val docsIn = docs.count()
-    lap("read")
+    lap("read+normalize")
 
     // 1. score once; the cached projection feeds every downstream stage
     val scored = docs.select(col("doc_id"), col("source"), col("text"),

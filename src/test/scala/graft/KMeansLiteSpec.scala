@@ -60,4 +60,33 @@ class KMeansLiteSpec extends SparkSpec {
     assert(top1(1) === Seq(1L)) // nprobe=1 scans only list 0: settles for m
     assert(top1(2) === Seq(2L)) // nprobe=2 probes list 1 too: recovers n
   }
+
+  test("recall@k is monotone non-decreasing in nprobe, and exact when " +
+      "every list is probed") {
+    // the claim SCALING.md's nprobe table rests on: widening the probe
+    // set can only ADD candidates (corpus vectors hold one rank-1 list
+    // assignment, queries gain lists), so recall against brute-force
+    // truth never drops — and probing all k lists IS brute force
+    val k = 8
+    val centroids = Similarity.kmeansLite(vecs, k = k, iters = 2).cache()
+    val nLists = centroids.count().toInt
+    val queries = vecs.where(col("id") < 20)
+    val truth = Similarity.bruteForceTopK(queries, vecs, 5)
+      .select("query_id", "neighbor_id").cache()
+    val truthN = truth.count()
+    val hits = Seq(1, 2, 4, 8).map { np =>
+      np -> Similarity.ivfTopK(queries, vecs, centroids, 5, np)
+        .select("query_id", "neighbor_id").intersect(truth).count()
+    }
+    hits.sliding(2).foreach { case Seq((np1, h1), (np2, h2)) =>
+      assert(h1 <= h2, s"recall dropped: nprobe=$np1 hit $h1, " +
+        s"nprobe=$np2 hit $h2")
+    case _ => ()
+    }
+    val full = hits.collectFirst { case (np, h) if np >= nLists => h }
+    assert(full.contains(truthN),
+      s"probing all $nLists lists must equal brute force: " +
+        s"$full vs $truthN")
+    truth.unpersist(); centroids.unpersist()
+  }
 }

@@ -1029,8 +1029,15 @@ class TrainingDataSpec extends SparkSpec {
     // 7: EBML head without DocType -> generic 'mkv'
     val noDocType = "1A45DFA3" + "84" + "4286" + "81" + "01" +
       segUnk + infoTsDur + cluster
+    // 8: UNKNOWN-SIZE on a nested descend container too (live remuxes
+    // write unknown-size Info/Tracks below the unknown-size Segment) —
+    // descent never trusts a container's size, so every field parses
+    val infoUnk = "1549A966" + "01FFFFFFFFFFFFFF" +
+      "2AD7B1" + "84" + "000F4240" + "4489" + "84" + "44BB8000"
+    val nestedUnk = headWebm + segUnk + infoUnk + tracksVideo + cluster
     val media = Seq((1L, webmGold), (2L, mkvGold), (3L, unkStop),
-        (4L, infDur), (5L, truncTracks), (6L, clusterFirst), (7L, noDocType))
+        (4L, infDur), (5L, truncTracks), (6L, clusterFirst), (7L, noDocType),
+        (8L, nestedUnk))
       .toDF("media_id", "hx")
       .select($"media_id", unhex($"hx").as("content"))
     val got = Multimodal.avMetadata(media)
@@ -1049,7 +1056,9 @@ class TrainingDataSpec extends SparkSpec {
         None),
       (5L, Some("webm"), None, None, None, None, None, Some(1500L)),
       (6L, Some("webm"), None, None, None, None, None, Some(1500L)),
-      (7L, Some("mkv"), None, None, None, None, None, Some(1500L))))
+      (7L, Some("mkv"), None, None, None, None, None, Some(1500L)),
+      (8L, Some("webm"), Some("V_VP9"), None, None, Some(640L), Some(480L),
+        Some(1500L))))
   }
 
   test("avMetadata round-trips synthWebmBytes across the corpus") {
@@ -1143,10 +1152,29 @@ class TrainingDataSpec extends SparkSpec {
     val xz = "FD377A585A00" + "00" + "04" + "CAFE"
     val bz = "425A68" + "39" + "CAFE"
     val bzBad = "425A68" + "41" + "CAFE"
+    // 17: a SKIPPABLE frame (0x184D2A5E LE + u32 size 3 + 3 opaque
+    // bytes) before the real zstd frame — must hop and read the FCS;
+    // 18: skippable declaring a size past the head window -> NULL
+    // format (hop refused, fail-safe); 19: skippable frame ONLY (no
+    // zstd frame after) -> NULL format
+    val zstdSkip = "5E2A4D18" + "03000000" + "ABCDEF" +
+      "28B52FFD" + "20" + "7B" + "CAFE"
+    val zstdSkipHuge = "5E2A4D18" + "FFFFFF7F" + "ABCDEF" +
+      "28B52FFD" + "20" + "7B" + "CAFE"
+    val zstdSkipOnly = "502A4D18" + "03000000" + "ABCDEF"
+    // 20: the EOCD record STRADDLES the tail window — a 4100-byte
+    // comment pushes the magic before the default 4096-byte window, so
+    // the reverse search sees only comment bytes: n_entries NULL (the
+    // honest answer at this window size), never a mis-aligned garbage
+    // read, format still 'zip' from the head magic
+    val zipStraddle = zLocal + zCentral + "504B0506" + "0000" + "0000" +
+      "0100" + "0100" + "32000000" + "26000000" + "0410" + ("00" * 4100)
     val media = Seq((1L, gz), (2L, gzOdd), (3L, gzShort), (4L, zip1),
         (5L, zipFake), (6L, zipEmpty), (7L, zstd8), (8L, zstd16),
         (9L, zstd32), (10L, zstd64), (11L, zstdNone), (12L, zstdCut),
-        (13L, xz), (14L, bz), (15L, bzBad), (16L, zip64))
+        (13L, xz), (14L, bz), (15L, bzBad), (16L, zip64),
+        (17L, zstdSkip), (18L, zstdSkipHuge), (19L, zstdSkipOnly),
+        (20L, zipStraddle))
       .toDF("media_id", "hx")
       .select($"media_id", unhex($"hx").as("content"))
     val got = Multimodal.archiveMetadata(media)
@@ -1172,7 +1200,11 @@ class TrainingDataSpec extends SparkSpec {
       (13L, Some("xz"), Some("crc64"), None, None, None),
       (14L, Some("bz2"), Some("level-9"), None, None, None),
       (15L, None, None, None, None, None),
-      (16L, Some("zip"), None, None, None, None)))
+      (16L, Some("zip"), None, None, None, None),
+      (17L, Some("zstd"), None, None, Some(123L), None),
+      (18L, None, None, None, None, None),
+      (19L, None, None, None, None, None),
+      (20L, Some("zip"), None, None, None, None)))
   }
 
   test("archiveMetadata round-trips synthArchiveBytes across the corpus") {
@@ -1245,7 +1277,18 @@ class TrainingDataSpec extends SparkSpec {
       // port must come back NULL (and be absent from the canonical form)
       (8L, "http://x:99999999999999999999/p"),
       // parseable but impossible on the wire (>65535) — also NULL
-      (9L, "http://x:99999/p"))
+      (9L, "http://x:99999/p"),
+      // RFC 3986 6.2.2.1: percent triplets normalize to UPPERCASE hex —
+      // in the path, and in query params BEFORE the sort (a stray '%'
+      // that encodes nothing already fails java.net.URI, so the NULL
+      // path covers it)
+      (10L, "http://a.com/P%2fx?b=%2f&a=1"),
+      // IRI-form host: java.net.URI rejects non-ASCII authorities, so
+      // without the idn_encode_host pre-pass every column NULLs; the
+      // canonical host is the punycode A-label (case-folded by nameprep)
+      (11L, "http://M\u00dcNCHEN.de/x"),
+      // IDN behind userinfo + port: only the host is encoded
+      (12L, "https://u@m\u00fcller.io:8080/p"))
       .toDF("url_id", "url")
     val got = graft.text.UrlOps.canonicalizeUrls(urls)
       .select($"url_id", $"url_host", $"url_port", $"registrable_domain",
@@ -1271,7 +1314,13 @@ class TrainingDataSpec extends SparkSpec {
       // too — the whole row degrades to NULL instead of throwing
       (8L, None, None, None, None),
       // >65535: host parses, the impossible port is dropped
-      (9L, Some("x"), None, Some("x"), Some("http://x/p"))))
+      (9L, Some("x"), None, Some("x"), Some("http://x/p")),
+      (10L, Some("a.com"), None, Some("a.com"),
+        Some("http://a.com/P%2Fx?a=1&b=%2F")),
+      (11L, Some("xn--mnchen-3ya.de"), None, Some("xn--mnchen-3ya.de"),
+        Some("http://xn--mnchen-3ya.de/x")),
+      (12L, Some("xn--mller-kva.io"), Some(8080L), Some("xn--mller-kva.io"),
+        Some("https://xn--mller-kva.io:8080/p"))))
   }
 
   test("canonicalizeUrls round-trips synthUrls across the corpus") {
@@ -1290,7 +1339,8 @@ class TrainingDataSpec extends SparkSpec {
       when(m(6) === 0, when(m(2) === 0, "").otherwise(":80"))
         .when(m(6) === 1, ":8080").otherwise(""),
       when(m(7) === 0, "/").otherwise(
-        concat(lit("/p"), pmod(id, lit(50)).cast("string"))),
+        concat(lit("/p"), pmod(id, lit(50)).cast("string"),
+          when(m(9) === 4, "%2F").otherwise(""))),
       concat(lit("?a=1&q="), pmod(id, lit(30)).cast("string")))
     val domain = concat(core, lit("."), tld)
     val bad = parsed.where(
@@ -1391,7 +1441,8 @@ class TrainingDataSpec extends SparkSpec {
       Multimodal.synthExifJpegBytes(base, "doc_id"),
       Multimodal.synthIsobmffBytes(base, "doc_id"),
       Multimodal.synthWebmBytes(base, "doc_id"),
-      Multimodal.synthArchiveBytes(base, "doc_id"))
+      Multimodal.synthArchiveBytes(base, "doc_id"),
+      graft.multimodal.Pdf.synthPdfBytes(base, "doc_id"))
     // force full evaluation of every parsed column (a bare count would
     // let column pruning skip the parse expressions entirely)
     def force(df: org.apache.spark.sql.DataFrame): Long = {
@@ -1426,6 +1477,9 @@ class TrainingDataSpec extends SparkSpec {
         assert(force(Multimodal.archiveMetadata(mutated)) === nIn)
         assert(force(Multimodal.archiveMetadata(mutated,
           headBytes = 16, tailBytes = 26)) === nIn)
+        assert(force(graft.multimodal.Pdf.pdfTriage(mutated)) === nIn)
+        assert(force(graft.multimodal.Pdf.pdfTriage(mutated,
+          headBytes = 16, tailBytes = 32)) === nIn)
       }
     }
   }
