@@ -1874,7 +1874,7 @@ object Multimodal {
     require(tailBytes >= 26,
       s"tailBytes must cover EOCD + gzip trailer (26), got $tailBytes")
     Seq("format", "detail", "n_entries", "uncompressed_size", "mtime_epoch",
-      "__ar_hd", "__ar_tl", "__ar_zp").foreach(c =>
+      "__ar_hd", "__ar_tl", "__ar_zo", "__ar_zp").foreach(c =>
       require(!media.columns.contains(c),
         s"Multimodal.archiveMetadata: media already has a '$c' column — " +
           "rename it first; archiveMetadata appends its own"))
@@ -1922,12 +1922,18 @@ object Multimodal {
     // lesson), so a huge declared size — or a second skippable frame,
     // or a hop past the window — just fails the magic probe and the
     // blob stays NULL-format: fail-safe, never garbage.
-    val zoff =
+    // bound ONCE as the nondeterministic-aliased __ar_zo column (the
+    // ndZero let-binding pattern): the CASE below would otherwise inline
+    // into every `format` reference and multiply through the plan — the
+    // exact blow-up this file's r13 incident documented (first measured
+    // here as q137 going 2.5x on the skippable-frame landing).
+    val zoffSql =
       s"""(CASE WHEN substring(__ar_hd, 1, 1) = '5'
          |AND substring(__ar_hd, 3, 6) = '2A4D18'
          |AND length(__ar_hd) >= 16
          |AND ${hle("9", 4)} <= $headBytes
          |THEN 17 + 2 * (${hle("9", 4)}) ELSE 1 END)""".stripMargin
+    val zoff = "CAST(__ar_zo AS BIGINT)"
     // zstd frame-header descriptor: computed FCS offset + per-flag width
     val fhd = hb(s"$zoff + 8")
     val zstdSize = {
@@ -1952,6 +1958,7 @@ object Multimodal {
       .withColumn("__ar_hd", hex(substring(col(contentCol), 1, headBytes)))
       .withColumn("__ar_tl",
         hex(substring(col(contentCol), -tailBytes, tailBytes)))
+      .withColumn("__ar_zo", expr(zoffSql) + ndZero)
       .withColumn("format",
         when(hd.startsWith("1F8B"), "gzip")
           .when(hd.startsWith("504B0304") || hd.startsWith("504B0506"),
@@ -1984,7 +1991,7 @@ object Multimodal {
       .withColumn("mtime_epoch",
         when(col("format") === "gzip" && expr("length(__ar_hd) >= 16"),
           expr(hle("9", 4))) + ndZero)
-      .drop("__ar_hd", "__ar_tl", "__ar_zp")
+      .drop("__ar_hd", "__ar_tl", "__ar_zo", "__ar_zp")
   }
 
   /** Deterministic VALID archive exhibit bytes — the test/demo source for

@@ -3037,6 +3037,68 @@ object TrainingData {
              |  CASE WHEN m11 <> 6 THEN m3 = 0 END AS encrypted,
              |  CAST(CASE WHEN m11 = 6 THEN length('GARBAGE NOT A PDF')
              |    ELSE length(pdf) END AS BIGINT) AS n_bytes
-             |FROM g ORDER BY media_id""".stripMargin))
+             |FROM g ORDER BY media_id""".stripMargin)),
+
+    // The COMPOSED crawl-ingestion pipeline — the capstone over the four
+    // r14 operators, end to end under ONE oracle: synth WARC blobs whose
+    // response payloads are full synthHtml pages -> Warc.explodeWarcBlobs
+    // (record split + offsets) -> HtmlOps.htmlToText (markup strip +
+    // entity decode) -> UnicodeOps.normalizeText (no-op on this clean
+    // corpus, pinned by q142 — exercising the plumbing is the point) ->
+    // UrlOps.canonicalizeUrls over WARC-Target-URI -> per-registrable-
+    // domain accounting. The oracle rebuilds the EXPECTED extracted text
+    // (q141's derivation) and the domain arithmetic directly — a failure
+    // in any stage shows up as a census delta. Scale shape: every stage
+    // is a narrow map-side transform; the single exchange is the final
+    // domain aggregate's.
+    Q("q144_crawl_ingest",
+      (s, dir) => {
+        val pages = graft.text.HtmlOps.synthHtml(
+          t(s, dir, "documents"), "doc_id")
+        val warc = pages.select(col("media_id"),
+          concat(
+            lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+              "WARC-Target-URI: http://crawl"),
+            pmod(col("media_id"), lit(20)).cast(StringType),
+            lit("-site.com/p\r\nContent-Length: "),
+            length(col("html")).cast(StringType),
+            lit("\r\n\r\n"), col("html"), lit("\r\n\r\n"))
+            .cast("binary").as("content"))
+        val recs = graft.sources.Warc.explodeWarcBlobs(warc)
+          .select(col("media_id"), col("target_uri"),
+            col("payload").cast(StringType).as("html"))
+        val text = graft.text.UnicodeOps.normalizeText(
+          graft.text.HtmlOps.htmlToText(recs, "html"), "text_extracted")
+        UrlOps.canonicalizeUrls(text, "target_uri")
+          .groupBy("registrable_domain")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text_norm"))).cast(LongType).as("sum_chars"))
+          .orderBy("registrable_domain")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 4) + 4) % 4 AS m4,
+             |    ((doc_id % 9) + 9) % 9 AS m9,
+             |    ((doc_id % 20) + 20) % 20 AS c20,
+             |    ((doc_id % 100) + 100) % 100 AS c100,
+             |    ((doc_id % 50) + 50) % 50 AS c50
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, c20,
+             |    'T' || CAST(doc_id AS VARCHAR) ||
+             |    ' Doc ' || CAST(doc_id AS VARCHAR) ||
+             |    ' Para ' || CAST(c100 AS VARCHAR) ||
+             |    ' & more AB &#60; literal' ||
+             |    CASE WHEN m4 = 1
+             |      THEN ' cd' || CAST(m9 AS VARCHAR) || ' data'
+             |      ELSE '' END ||
+             |    ' word' || CAST(c50 AS VARCHAR) || ' tail'
+             |      AS text_norm
+             |  FROM m)
+             |SELECT 'crawl' || CAST(c20 AS VARCHAR) || '-site.com'
+             |    AS registrable_domain,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(length(text_norm)) AS BIGINT) AS sum_chars
+             |FROM f GROUP BY 1 ORDER BY registrable_domain""".stripMargin))
   )
 }

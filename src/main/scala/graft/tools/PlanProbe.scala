@@ -34,6 +34,12 @@ object PlanProbe {
       parsed2.where(!($"format" === "jpeg" && $"orientation".isNotNull))
         .count()
     }
+    // q137 end-to-end at a given sf dir (the zoff let-binding check)
+    args.find(_.startsWith("/")).foreach { dir =>
+      val q = graft.SparkEntry.queries("q137_archive_metadata")
+      timed("q137 warm-up") { q(spark, dir).count() }
+      timed("q137 steady") { q(spark, dir).count() }
+    }
     spark.stop()
   }
 }
