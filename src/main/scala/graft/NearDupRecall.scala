@@ -34,11 +34,16 @@ object NearDupRecall {
     println("| threshold | maxMismatch | true pairs | lsh pairs | recall | candidate pairs | candidates/all-pairs |")
     println("|---|---|---|---|---|---|---|")
     try {
+      // `ivfOnly` skips the all-pairs simhash sections — at sf1.0+ the
+      // exact all-pairs truth is the (deliberately unbounded) slow path,
+      // and the IVF sweep is what the larger corpora are run for
+      val ivfOnly = args.contains("ivfOnly")
       val allPairs = n * (n - 1) / 2
       // truth depends only on thr, candidates only on mm — hoist both so
       // the expensive all-pairs scan runs once per threshold, not per cell
       val sigs = vecs.select(col("id"),
         Similarity.signBucket(col("vec"), bits).as("simhash"))
+      if (!ivfOnly) {
       val candByMm = Seq(1, 2, 3).map(mm => mm ->
         graft.dedup.Dedup.simhashBandedDups(sigs, "id", bits, mm).count()).toMap
       for (thr <- Seq(0.3, 0.5)) {
@@ -94,6 +99,7 @@ object NearDupRecall {
           println(f"| $mm | $truth | $lsh | $recall%.3f | $cand |")
         }
       } finally corpus.unpersist()
+      } // end !ivfOnly
 
       // IVF recall vs nprobe: the other recall knob this file measures.
       // Ground truth is exact brute-force top-10; candidates are ranked
