@@ -3039,12 +3039,15 @@ object TrainingData {
              |    ELSE length(pdf) END AS BIGINT) AS n_bytes
              |FROM g ORDER BY media_id""".stripMargin)),
 
-    // The COMPOSED crawl-ingestion pipeline — the capstone over the four
-    // r14 operators, end to end under ONE oracle: synth WARC blobs whose
-    // response payloads are full synthHtml pages -> Warc.explodeWarcBlobs
-    // (record split + offsets) -> HtmlOps.htmlToText (markup strip +
-    // entity decode) -> UnicodeOps.normalizeText (no-op on this clean
-    // corpus, pinned by q142 — exercising the plumbing is the point) ->
+    // The COMPOSED crawl-ingestion pipeline — the capstone over the r14
+    // operators, end to end under ONE oracle: synth WARC blobs whose
+    // response payloads are full HTTP MESSAGES (chunked or
+    // Content-Length framed) carrying synthHtml pages ->
+    // Warc.explodeWarcBlobs (record split + offsets) ->
+    // Http.parseHttpResponses (status/headers/de-chunking, WARC metadata
+    // passing through) -> HtmlOps.htmlToText (markup strip + entity
+    // decode) -> UnicodeOps.normalizeText (no-op on this clean corpus,
+    // pinned by q142 — exercising the plumbing is the point) ->
     // UrlOps.canonicalizeUrls over WARC-Target-URI -> per-registrable-
     // domain accounting. The oracle rebuilds the EXPECTED extracted text
     // (q141's derivation) and the domain arithmetic directly — a failure
@@ -3055,18 +3058,40 @@ object TrainingData {
       (s, dir) => {
         val pages = graft.text.HtmlOps.synthHtml(
           t(s, dir, "documents"), "doc_id")
+        // the WARC payload is a full HTTP RESPONSE whose body is the
+        // page — chunked framing on even ids (split at an id-derived
+        // point), Content-Length identity on odd — so the chain must
+        // de-frame HTTP before any HTML exists. The de-framed body is
+        // byte-equal to the page, which is why the oracle needs no
+        // framing model: a de-chunking bug breaks the text census.
+        val html = col("html")
+        val cut = (pmod(col("media_id"), lit(50)) + 10).cast("int")
+        val httpMsg = when(pmod(col("media_id"), lit(2)) === 0,
+          concat(
+            lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+              "Transfer-Encoding: chunked\r\n\r\n"),
+            lower(hex(cut)), lit("\r\n"), html.substr(lit(1), cut),
+            lit("\r\n"),
+            lower(hex(length(html) - cut)), lit("\r\n"),
+            html.substr(cut + 1, length(html)), lit("\r\n0\r\n\r\n")))
+          .otherwise(concat(
+            lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+              "Content-Length: "),
+            length(html).cast(StringType), lit("\r\n\r\n"), html))
         val warc = pages.select(col("media_id"),
           concat(
             lit("WARC/1.0\r\nWARC-Type: response\r\n" +
               "WARC-Target-URI: http://crawl"),
             pmod(col("media_id"), lit(20)).cast(StringType),
             lit("-site.com/p\r\nContent-Length: "),
-            length(col("html")).cast(StringType),
-            lit("\r\n\r\n"), col("html"), lit("\r\n\r\n"))
+            length(httpMsg).cast(StringType),
+            lit("\r\n\r\n"), httpMsg, lit("\r\n\r\n"))
             .cast("binary").as("content"))
-        val recs = graft.sources.Warc.explodeWarcBlobs(warc)
+        val recs = graft.sources.Http.parseHttpResponses(
+          graft.sources.Warc.explodeWarcBlobs(warc)
+            .select(col("media_id"), col("target_uri"), col("payload")))
           .select(col("media_id"), col("target_uri"),
-            col("payload").cast(StringType).as("html"))
+            col("body").cast(StringType).as("html"))
         val text = graft.text.UnicodeOps.normalizeText(
           graft.text.HtmlOps.htmlToText(recs, "html"), "text_extracted")
         UrlOps.canonicalizeUrls(text, "target_uri")
@@ -3099,6 +3124,57 @@ object TrainingData {
              |    AS registrable_domain,
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(length(text_norm)) AS BIGINT) AS sum_chars
-             |FROM f GROUP BY 1 ORDER BY registrable_domain""".stripMargin))
+             |FROM f GROUP BY 1 ORDER BY registrable_domain""".stripMargin)),
+
+    // HTTP response parsing (Http.parseHttpResponses): the layer between
+    // a WARC response record and the HTML — status line + headers,
+    // chunked DE-FRAMING (hex size lines with extensions, reassembled to
+    // the original body), Content-Length vs truncation, and (spec-side,
+    // JVM-built — expressions cannot gzip) gzip/deflate decode with a
+    // decompression-bomb output cap. The oracle rebuilds status/headers/
+    // body as ground-truth id arithmetic; the chunked variant proves
+    // de-framing because the framed wire bytes NEVER equal the body.
+    Q("q145_http_responses",
+      (s, dir) => graft.sources.Http.parseHttpResponses(
+          graft.sources.Http.synthHttpPayloads(t(s, dir, "documents"),
+            "doc_id"))
+        .select(col("media_id"), col("http_status"), col("content_type"),
+          col("transfer_encoding"),
+          col("body").cast(StringType).as("body_str"),
+          octet_length(col("body")).cast(LongType).as("body_bytes"),
+          col("body_truncated"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 3) + 3) % 3 AS m3,
+             |    ((doc_id % 5) + 5) % 5 AS m5,
+             |    ((doc_id % 11) + 11) % 11 AS m11,
+             |    ((doc_id % 40) + 40) % 40 AS m40
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, m3, m5, m11,
+             |    'Body ' || CAST(doc_id AS VARCHAR) || ' ' ||
+             |      repeat('f', CAST(m40 + 5 AS INT)) AS body
+             |  FROM m)
+             |SELECT doc_id AS media_id,
+             |  CAST(CASE WHEN m11 = 7 THEN NULL
+             |    WHEN m5 = 2 AND m3 <> 0 THEN 404
+             |    ELSE 200 END AS INTEGER) AS http_status,
+             |  CASE WHEN m11 = 7 THEN NULL
+             |    WHEN m3 = 0 THEN 'text/plain'
+             |    WHEN m5 = 2 THEN 'text/plain'
+             |    ELSE 'text/html; charset=utf-8' END AS content_type,
+             |  CASE WHEN m11 <> 7 AND m3 = 0 THEN 'chunked' END
+             |    AS transfer_encoding,
+             |  CASE WHEN m11 = 7 THEN NULL
+             |    WHEN m3 = 0 THEN body
+             |    WHEN m5 = 2 THEN ''
+             |    ELSE body END AS body_str,
+             |  CAST(CASE WHEN m11 = 7 THEN NULL
+             |    WHEN m3 = 0 THEN length(body)
+             |    WHEN m5 = 2 THEN 0
+             |    ELSE length(body) END AS BIGINT) AS body_bytes,
+             |  FALSE AS body_truncated
+             |FROM f ORDER BY media_id""".stripMargin))
   )
 }

@@ -1,0 +1,275 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.{GZIPInputStream, Inflater, InflaterInputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType}
+
+/** HTTP response parsing for WARC `response` payloads — the layer between
+  * [[Warc.explodeWarcBlobs]] and [[graft.text.HtmlOps.htmlToText]]: a
+  * crawl's response record carries the FULL HTTP message (status line,
+  * headers, body), and the body is routinely `Transfer-Encoding: chunked`
+  * and/or `Content-Encoding: gzip|deflate` — so without this step the
+  * "HTML" a pipeline extracts from is chunk-framing noise or compressed
+  * bytes.
+  *
+  * Same engineering category as the WARC reader: record-IO over binary
+  * bytes (headers are ASCII, bodies are arbitrary), so a JVM per-row
+  * parser (`mapPartitions`-class, zero UDF-boxing via the Dataset API)
+  * rather than an expression fold. JDK-only codecs: GZIPInputStream,
+  * InflaterInputStream (raw-deflate fallback for the servers that send
+  * zlib-less deflate — both wire dialects exist and both are handled).
+  *
+  * Malformed-input contract: a non-HTTP first line, an unterminated
+  * header block, a bad chunk-size line, or a codec error yields NULL
+  * status/body for that row (the other rows are untouched); a TRUNCATED
+  * body (fewer bytes than Content-Length / a short final chunk) yields
+  * the prefix that IS present with `body_truncated` set — crawlers store
+  * truncated fetches routinely and the text is still worth extracting.
+  * Decompressed output caps at `maxBodyBytes` (decompression-bomb guard:
+  * a 10 KB gzip member can inflate to GBs; the cap bounds task memory
+  * whatever the input promises). */
+object Http {
+
+  final case class HttpParsed(
+      http_status: Option[Int], content_type: Option[String],
+      content_encoding: Option[String], transfer_encoding: Option[String],
+      body: Array[Byte], body_truncated: Boolean)
+
+  private val Crlf = "\r\n".getBytes("ISO-8859-1")
+
+  /** Find the header/body split: the first CRLFCRLF (tolerates LFLF). */
+  private def headerEnd(b: Array[Byte]): Int = {
+    var i = 0
+    while (i < b.length - 1) {
+      if (b(i) == '\n') {
+        if (i + 2 < b.length && b(i + 1) == '\r' && b(i + 2) == '\n')
+          return i + 3
+        if (i + 1 < b.length && b(i + 1) == '\n') return i + 2
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** De-chunk a Transfer-Encoding: chunked body. Returns (bytes, sawEnd):
+    * a malformed size line returns null (unparseable framing); a body
+    * that ends before its declared chunk returns the prefix with
+    * sawEnd=false. */
+  private def dechunk(b: Array[Byte], from: Int,
+                      maxOut: Int): (Array[Byte], Boolean) = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = from
+    while (true) {
+      // chunk-size line: hex digits, optional ;ext, CRLF
+      var j = i
+      while (j < b.length && b(j) != '\n') j += 1
+      if (j >= b.length) return (out.toByteArray, false) // cut mid size-line
+      val lineEnd = if (j > i && b(j - 1) == '\r') j - 1 else j
+      val line = new String(b, i, lineEnd - i, "ISO-8859-1")
+      val hexPart = line.takeWhile(c => c != ';').trim
+      if (hexPart.isEmpty || hexPart.length > 8 ||
+        !hexPart.forall(c => Character.digit(c, 16) >= 0)) return (null, false)
+      val size = java.lang.Integer.parseInt(hexPart, 16)
+      i = j + 1
+      if (size == 0) return (out.toByteArray, true) // terminal chunk
+      val avail = math.min(size, b.length - i)
+      val take = math.min(avail, math.max(0, maxOut - out.size()))
+      out.write(b, i, take)
+      if (avail < size || out.size() >= maxOut)
+        return (out.toByteArray, false) // truncated / capped
+      i += size
+      // chunk data is followed by CRLF; tolerate a missing one at EOF
+      if (i + 1 < b.length && b(i) == '\r' && b(i + 1) == '\n') i += 2
+      else if (i < b.length && b(i) == '\n') i += 1
+      else if (i >= b.length) return (out.toByteArray, false)
+      else return (null, false) // desynced framing
+    }
+    (null, false) // unreachable
+  }
+
+  /** Bounded decompress; None on codec error (not a valid stream). */
+  private def inflate(bytes: Array[Byte], enc: String,
+                      maxOut: Int): Option[(Array[Byte], Boolean)] =
+    try {
+      val in = enc match {
+        case "gzip" | "x-gzip" =>
+          new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
+        case "deflate" =>
+          // zlib-wrapped first; raw deflate is retried by the caller via
+          // the nowrap variant when this one fails on the first read
+          new InflaterInputStream(new ByteArrayInputStream(bytes))
+        case "deflate-raw" =>
+          new InflaterInputStream(new ByteArrayInputStream(bytes),
+            new Inflater(true))
+        case _ => return None
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0 && out.size() < maxOut) {
+        out.write(buf, 0, math.min(n, maxOut - out.size()))
+        n = if (out.size() < maxOut) in.read(buf) else -1
+      }
+      val truncated = out.size() >= maxOut && in.read() >= 0
+      in.close()
+      Some((out.toByteArray, truncated))
+    } catch {
+      case _: Exception => None
+    }
+
+  /** Parse ONE HTTP response message. */
+  private[graft] def parseResponse(payload: Array[Byte],
+                                   maxBodyBytes: Int): HttpParsed = {
+    val none = HttpParsed(None, None, None, None, null, false)
+    if (payload == null || payload.length < 12) return none
+    val he = headerEnd(payload)
+    if (he < 0) return none
+    val head = new String(payload, 0, he, "ISO-8859-1")
+    val lines = head.split("\r?\n")
+    if (lines.isEmpty) return none
+    val status = lines.head match {
+      case s if s.startsWith("HTTP/") =>
+        val parts = s.split(" ", 3)
+        if (parts.length >= 2 && parts(1).length == 3 &&
+          parts(1).forall(_.isDigit)) Some(parts(1).toInt) else None
+      case _ => None
+    }
+    if (status.isEmpty) return none
+    var cType: Option[String] = None
+    var cEnc: Option[String] = None
+    var tEnc: Option[String] = None
+    var cLen = -1L
+    lines.tail.foreach { l =>
+      val i = l.indexOf(':')
+      if (i > 0) {
+        val k = l.substring(0, i).trim.toLowerCase
+        val v = l.substring(i + 1).trim
+        k match {
+          case "content-type"      => cType = Some(v)
+          case "content-encoding"  => cEnc = Some(v.toLowerCase)
+          case "transfer-encoding" => tEnc = Some(v.toLowerCase)
+          case "content-length" =>
+            cLen = try v.toLong catch { case _: Exception => -1L }
+          case _ => ()
+        }
+      }
+    }
+    // framing: chunked beats Content-Length (RFC 9112 §6.3)
+    val (framed, framedComplete): (Array[Byte], Boolean) =
+      if (tEnc.exists(_.contains("chunked"))) {
+        val (d, end) = dechunk(payload, he, maxBodyBytes)
+        if (d == null)
+          return HttpParsed(status, cType, cEnc, tEnc, null, false)
+        (d, end)
+      } else {
+        val avail = payload.length - he
+        val want = if (cLen >= 0) math.min(cLen, Int.MaxValue.toLong).toInt
+          else avail
+        val take = math.min(math.min(want, avail), maxBodyBytes)
+        val out = java.util.Arrays.copyOfRange(payload, he, he + take)
+        (out, take >= want || (cLen < 0 && take == avail))
+      }
+    // content decoding AFTER de-framing
+    cEnc.map(_.trim) match {
+      case Some(e @ ("gzip" | "x-gzip" | "deflate")) =>
+        val dec = inflate(framed, e, maxBodyBytes)
+          .orElse(if (e == "deflate")
+            inflate(framed, "deflate-raw", maxBodyBytes) else None)
+        dec match {
+          case Some((b, trunc)) =>
+            HttpParsed(status, cType, cEnc, tEnc, b,
+              trunc || !framedComplete)
+          case None => // codec error: framing was fine, body undecodable
+            HttpParsed(status, cType, cEnc, tEnc, null, false)
+        }
+      case _ =>
+        HttpParsed(status, cType, cEnc, tEnc, framed, !framedComplete)
+    }
+  }
+
+  /** Replace `payloadCol` with typed HTTP columns + the de-framed,
+    * decompressed body; every OTHER input column passes through — a
+    * crawl pipeline must keep the WARC-side metadata (target_uri,
+    * offsets) on each parsed row, and a join-back-on-id would put an
+    * exchange in the middle of an otherwise narrow map-side chain.
+    * Implemented as a Row→Row map with explicit Encoders.row schemas
+    * (the one Dataset shape that carries arbitrary passthrough columns
+    * through JVM parsing code without boxing into case classes). */
+  def parseHttpResponses(df: DataFrame,
+                         payloadCol: String = "payload",
+                         maxBodyBytes: Int = 1 << 20): DataFrame = {
+    require(maxBodyBytes > 0, s"maxBodyBytes: $maxBodyBytes")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    Seq("http_status", "content_type", "content_encoding",
+      "transfer_encoding", "body", "body_truncated").foreach(c =>
+      require(!df.columns.contains(c),
+        s"Http.parseHttpResponses: df already has a '$c' column — rename " +
+          "it first; parseHttpResponses appends its own"))
+    val pi = df.schema.fieldIndex(payloadCol)
+    require(df.schema(pi).dataType == BinaryType,
+      s"$payloadCol must be BINARY, got ${df.schema(pi).dataType}")
+    val outSchema = StructType(
+      df.schema.fields.patch(pi, Nil, 1).toSeq ++ Seq(
+        StructField("http_status", IntegerType),
+        StructField("content_type", StringType),
+        StructField("content_encoding", StringType),
+        StructField("transfer_encoding", StringType),
+        StructField("body", BinaryType),
+        StructField("body_truncated", BooleanType, nullable = false)))
+    df.map({ r =>
+      val p = parseResponse(r.getAs[Array[Byte]](pi), maxBodyBytes)
+      Row.fromSeq(r.toSeq.patch(pi, Nil, 1) ++ Seq(
+        p.http_status.map(Int.box).orNull, p.content_type.orNull,
+        p.content_encoding.orNull, p.transfer_encoding.orNull,
+        p.body, p.body_truncated))
+    })(Encoders.row(outSchema))
+  }
+
+  /** Deterministic HTTP response exhibits from an id column — the
+    * test/demo source for [[parseHttpResponses]] (compressed variants are
+    * JVM-built in HttpSpec; expressions cannot gzip): identity bodies
+    * with exact/short/absent Content-Length, a CHUNKED variant whose
+    * id-derived split the parser must reassemble (sizes in hex with an
+    * extension on one chunk), a 404 with an empty body, and a garbage
+    * non-HTTP payload (pmod 11 = 7) that must yield NULL status. Bodies
+    * are the id-arithmetic text `Body {id} {filler}` so the DuckDB
+    * oracle rebuilds them character-exact. */
+  def synthHttpPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    def m(k: Int) = pmod(id, lit(k))
+    val body = concat(lit("Body "), id.cast("string"), lit(" "),
+      repeat(lit("f"), (m(40) + 5).cast("int")))
+    val crlf = "\r\n"
+    // chunked split point: 1 + pmod(id,4) bytes in the first chunk
+    val c1 = (m(4) + 1).cast("int")
+    val chunk1 = body.substr(lit(1), c1)
+    val chunk2 = expr(s"substring(concat('Body ', CAST(`$idCol` AS STRING)," +
+      s" ' ', repeat('f', CAST(pmod(`$idCol`, 40) + 5 AS INT)))," +
+      s" CAST(pmod(`$idCol`, 4) + 2 AS INT), 1000000)")
+    val identity = concat(
+      lit("HTTP/1.1 200 OK" + crlf),
+      lit("Content-Type: text/html; charset=utf-8" + crlf),
+      lit("Content-Length: "), length(body).cast("string"), lit(crlf),
+      lit(crlf), body)
+    val chunked = concat(
+      lit("HTTP/1.1 200 OK" + crlf),
+      lit("Content-Type: text/plain" + crlf),
+      lit("Transfer-Encoding: chunked" + crlf),
+      lit(crlf),
+      lower(hex(c1)), lit(";ext=1" + crlf), chunk1, lit(crlf),
+      lower(hex(length(chunk2))), lit(crlf), chunk2, lit(crlf),
+      lit("0" + crlf + crlf))
+    val notFound = lit("HTTP/1.1 404 Not Found" + crlf +
+      "Content-Type: text/plain" + crlf +
+      "Content-Length: 0" + crlf + crlf)
+    val payload = when(m(11) === 7, lit("NOT HTTP AT ALL"))
+      .when(m(3) === 0, chunked)
+      .when(m(5) === 2, notFound)
+      .otherwise(identity)
+    docs.select(id.as("media_id"), payload.cast(BinaryType).as("payload"))
+  }
+}
