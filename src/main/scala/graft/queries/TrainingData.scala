@@ -3175,6 +3175,49 @@ object TrainingData {
              |    WHEN m5 = 2 THEN 0
              |    ELSE length(body) END AS BIGINT) AS body_bytes,
              |  FALSE AS body_truncated
+             |FROM f ORDER BY media_id""".stripMargin)),
+
+    // Charset-aware body decoding (Http.withBodyText): CAST(body AS
+    // STRING) is UTF-8-only, so a Latin-1/Windows-1252 page — still a
+    // measurable slice of the web — mojibakes irreparably at ingest. One
+    // variant per resolution path: header charset= param, HTML meta
+    // sniff (with the 0x93/0x94 bytes where cp1252 and Latin-1 DIFFER),
+    // UTF-8 validation, cp1252 total fallback on invalid UTF-8. The
+    // oracle rebuilds every decoded string from chr() codepoints.
+    Q("q146_charset_decode",
+      (s, dir) => graft.sources.Http.withBodyText(
+          graft.sources.Http.parseHttpResponses(
+            graft.sources.Http.synthCharsetPayloads(
+              t(s, dir, "documents"), "doc_id")))
+        .select(col("media_id"), col("http_status"), col("charset_source"),
+          col("body_text"),
+          length(col("body_text")).cast(LongType).as("n_chars"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id, ((doc_id % 4) + 4) % 4 AS m4
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, m4,
+             |    CASE m4
+             |      WHEN 0 THEN 'caf' || chr(233) || ' doc ' ||
+             |        CAST(doc_id AS VARCHAR)
+             |      WHEN 1 THEN '<html><head><meta charset=' ||
+             |        '"windows-1252"></head><body>' || chr(8220) || 'q' ||
+             |        CAST(doc_id AS VARCHAR) || chr(8221) ||
+             |        '</body></html>'
+             |      WHEN 2 THEN 'caf' || chr(233) || ' doc ' ||
+             |        CAST(doc_id AS VARCHAR)
+             |      ELSE 'raw' || chr(233) || ' doc ' ||
+             |        CAST(doc_id AS VARCHAR) END AS body_text,
+             |    CASE m4
+             |      WHEN 0 THEN 'header:iso-8859-1'
+             |      WHEN 1 THEN 'meta:windows-1252'
+             |      WHEN 2 THEN 'sniff:utf-8'
+             |      ELSE 'fallback:windows-1252' END AS charset_source
+             |  FROM m)
+             |SELECT doc_id AS media_id, CAST(200 AS INTEGER) AS http_status,
+             |  charset_source, body_text,
+             |  CAST(length(body_text) AS BIGINT) AS n_chars
              |FROM f ORDER BY media_id""".stripMargin))
   )
 }

@@ -229,6 +229,97 @@ object Http {
     })(Encoders.row(outSchema))
   }
 
+  /** Charset resolution order for [[withBodyText]] — the standard crawl
+    * heuristic: (1) the Content-Type header's `charset=` parameter;
+    * (2) an HTML `<meta charset=...>` / http-equiv declaration in the
+    * body's first `sniffBytes`; (3) validate-as-UTF-8; (4) Windows-1252
+    * (the de-facto superset of ISO-8859-1 on the web — bytes 0x80-0x9F
+    * are curly quotes/dashes there, C1 controls in true Latin-1, and
+    * every byte sequence decodes, so it is the total fallback). */
+  private val MetaCharset =
+    ("""(?is)<meta[^>]*?charset\s*=\s*["']?\s*([a-z0-9_-]+)""").r
+
+  private def resolveCharset(label: String): Option[java.nio.charset.Charset] =
+    try {
+      val l = label.trim.toLowerCase match {
+        case "latin1" | "latin-1" | "iso8859-1" => "iso-8859-1"
+        case other => other
+      }
+      if (java.nio.charset.Charset.isSupported(l))
+        Some(java.nio.charset.Charset.forName(l))
+      else None
+    } catch { case _: Exception => None }
+
+  private def validUtf8(b: Array[Byte]): Boolean =
+    try {
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(b))
+      true
+    } catch { case _: Exception => false }
+
+  private[graft] def decodeBody(body: Array[Byte], contentType: String,
+                                sniffBytes: Int): (String, String) = {
+    if (body == null) return (null, null)
+    // 1. header charset
+    val fromHeader = Option(contentType)
+      .flatMap { ct =>
+        val i = ct.toLowerCase.indexOf("charset=")
+        if (i < 0) None
+        else Some(ct.substring(i + 8).takeWhile(c =>
+          !c.isWhitespace && c != ';' && c != '"' && c != '\''))
+      }
+      .flatMap(resolveCharset).map(cs => (cs, "header"))
+    // 2. HTML meta declaration in the sniff window (ASCII-safe scan:
+    // decode the window as Latin-1, which maps every byte)
+    val fromMeta = if (fromHeader.isDefined) None else {
+      val win = new String(body, 0, math.min(sniffBytes, body.length),
+        "ISO-8859-1")
+      MetaCharset.findFirstMatchIn(win)
+        .flatMap(m => resolveCharset(m.group(1))).map(cs => (cs, "meta"))
+    }
+    fromHeader.orElse(fromMeta) match {
+      case Some((cs, src)) =>
+        (new String(body, cs), src + ":" + cs.name().toLowerCase)
+      case None =>
+        if (validUtf8(body))
+          (new String(body, java.nio.charset.StandardCharsets.UTF_8),
+            "sniff:utf-8")
+        else (new String(body, "windows-1252"), "fallback:windows-1252")
+    }
+  }
+
+  /** Append `body_text` (charset-correctly decoded) + `charset_source`
+    * to a [[parseHttpResponses]] output. The naive `CAST(body AS STRING)`
+    * is UTF-8-only — a Latin-1/Windows-1252 page (still a measurable
+    * slice of the web) turns into replacement-char mojibake that no
+    * downstream repair can undo; this decodes by the page's DECLARED or
+    * sniffed charset instead. Narrow map-side transform, passthrough
+    * columns preserved (same Encoders.row shape as the parser). */
+  def withBodyText(df: DataFrame, bodyCol: String = "body",
+                   contentTypeCol: String = "content_type",
+                   sniffBytes: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    Seq("body_text", "charset_source").foreach(c =>
+      require(!df.columns.contains(c),
+        s"Http.withBodyText: df already has a '$c' column — rename it " +
+          "first; withBodyText appends its own"))
+    val bi = df.schema.fieldIndex(bodyCol)
+    val ci = df.schema.fieldIndex(contentTypeCol)
+    require(df.schema(bi).dataType == BinaryType,
+      s"$bodyCol must be BINARY, got ${df.schema(bi).dataType}")
+    val outSchema = StructType(df.schema.fields.toSeq ++ Seq(
+      StructField("body_text", StringType),
+      StructField("charset_source", StringType)))
+    df.map({ r =>
+      val (text, src) = decodeBody(r.getAs[Array[Byte]](bi),
+        r.getAs[String](ci), sniffBytes)
+      Row.fromSeq(r.toSeq ++ Seq(text, src))
+    })(Encoders.row(outSchema))
+  }
+
   /** Deterministic HTTP response exhibits from an id column — the
     * test/demo source for [[parseHttpResponses]] (compressed variants are
     * JVM-built in HttpSpec; expressions cannot gzip): identity bodies
@@ -271,5 +362,41 @@ object Http {
       .when(m(5) === 2, notFound)
       .otherwise(identity)
     docs.select(id.as("media_id"), payload.cast(BinaryType).as("payload"))
+  }
+
+  /** Deterministic NON-UTF-8 HTTP exhibits from an id column — the
+    * test/demo source for [[withBodyText]], one variant per resolution
+    * path: header-declared ISO-8859-1 (body carries a raw 0xE9 'é'),
+    * HTML `<meta charset=windows-1252>` with 0x93/0x94 curly quotes (the
+    * bytes that differ from Latin-1 — a 8859-1 decode would yield C1
+    * controls), undeclared valid UTF-8 (sniff), and undeclared INVALID
+    * UTF-8 (the Windows-1252 total fallback). Bodies are built from
+    * unhex'd byte literals because string expressions can only emit
+    * UTF-8; the q146 oracle rebuilds each decoded string with chr()
+    * codepoints. */
+  def synthCharsetPayloads(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val m4 = pmod(id, lit(4))
+    def b(s: String) = lit(s).cast(BinaryType)
+    val idB = id.cast("string").cast(BinaryType)
+    val bodyBin =
+      when(m4 === 0, concat(b("caf"), unhex(lit("E9")), b(" doc "), idB))
+        .when(m4 === 1, concat(
+          b("<html><head><meta charset=\"windows-1252\"></head><body>"),
+          unhex(lit("93")), b("q"), idB, unhex(lit("94")),
+          b("</body></html>")))
+        .when(m4 === 2, concat(b("caf"), unhex(lit("C3A9")), b(" doc "),
+          idB))
+        .otherwise(concat(b("raw"), unhex(lit("E9")), b(" doc "), idB))
+    val ct = when(m4 === 0,
+      "Content-Type: text/html; charset=ISO-8859-1\r\n")
+      .when(m4 === 1, "Content-Type: text/html\r\n")
+      .otherwise("Content-Type: text/plain\r\n")
+    val payload = concat(
+      b("HTTP/1.1 200 OK\r\n"), ct.cast(BinaryType),
+      b("Content-Length: "),
+      octet_length(bodyBin).cast("string").cast(BinaryType),
+      b("\r\n\r\n"), bodyBin)
+    docs.select(id.as("media_id"), payload.as("payload"))
   }
 }

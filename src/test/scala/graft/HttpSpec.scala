@@ -159,6 +159,69 @@ class HttpSpec extends SparkSpec {
     assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
   }
 
+  test("withBodyText: header beats meta beats UTF-8 sniff beats cp1252 " +
+      "fallback; NULL body passes through") {
+    def m(ct: String, body: Array[Byte]) = msg(
+      "HTTP/1.1 200 OK" + crlf + (if (ct == null) "" else
+        s"Content-Type: $ct" + crlf) +
+        s"Content-Length: ${body.length}" + crlf + crlf, body)
+    val latin1 = "caf\u00e9".getBytes("ISO-8859-1")
+    val cp1252 = Array[Byte]('h', 0x93.toByte, 'q', 0x94.toByte)
+    val metaBody = ("<meta http-equiv=\"Content-Type\" content=\"text/html;" +
+      " charset=iso-8859-1\">x").getBytes(US_ASCII) ++ Array(0xE9.toByte)
+    val utf8 = "caf\u00e9".getBytes("UTF-8")
+    val rows = Seq(
+      // 1: header charset wins even over a conflicting meta
+      (1L, m("text/html; charset=ISO-8859-1",
+        ("<meta charset=\"utf-8\">".getBytes(US_ASCII) ++ latin1))),
+      // 2: meta (http-equiv form) when the header has no charset
+      (2L, m("text/html", metaBody)),
+      // 3: undeclared valid UTF-8 -> sniff
+      (3L, m("text/plain", utf8)),
+      // 4: undeclared invalid UTF-8 -> cp1252 fallback (0x93 is a curly
+      // quote there, a C1 control in real Latin-1)
+      (4L, m(null, cp1252)),
+      // 5: unparseable message -> NULL body -> NULL text
+      (5L, "junk".getBytes(US_ASCII)))
+      .toDF("media_id", "payload")
+    val got = Http.withBodyText(Http.parseHttpResponses(rows))
+      .select($"media_id", $"charset_source", $"body_text")
+      .as[(Long, Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("header:iso-8859-1"),
+        Some("<meta charset=\"utf-8\">caf\u00e9")),
+      (2L, Some("meta:iso-8859-1"), Some(
+        "<meta http-equiv=\"Content-Type\" content=\"text/html;" +
+          " charset=iso-8859-1\">x\u00e9")),
+      (3L, Some("sniff:utf-8"), Some("caf\u00e9")),
+      (4L, Some("fallback:windows-1252"), Some("h\u201Cq\u201D")),
+      (5L, None, None)))
+  }
+
+  test("synthCharsetPayloads round-trips: every resolution path decodes " +
+      "to its id-arithmetic text") {
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .select($"doc_id")
+    val got = Http.withBodyText(Http.parseHttpResponses(
+      Http.synthCharsetPayloads(docs, "doc_id")))
+    val id = $"media_id"
+    val m4 = pmod(id, lit(4))
+    val expText = when(m4 === 0 || m4 === 2,
+      concat(lit("caf\u00e9 doc "), id.cast("string")))
+      .when(m4 === 1, concat(
+        lit("<html><head><meta charset=\"windows-1252\"></head><body>" +
+          "\u201Cq"), id.cast("string"), lit("\u201D</body></html>")))
+      .otherwise(concat(lit("raw\u00e9 doc "), id.cast("string")))
+    val expSrc = when(m4 === 0, "header:iso-8859-1")
+      .when(m4 === 1, "meta:windows-1252")
+      .when(m4 === 2, "sniff:utf-8")
+      .otherwise("fallback:windows-1252")
+    val bad = got.where($"body_text" =!= expText ||
+      $"charset_source" =!= expSrc || $"body_truncated")
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
+  }
+
   test("HTTP parser never throws under truncation + corruption fuzz") {
     val docs = graft.sources.Sources.table(spark, sf, "documents")
       .where($"doc_id" < 48).select($"doc_id")
