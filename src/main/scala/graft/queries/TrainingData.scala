@@ -3218,6 +3218,54 @@ object TrainingData {
              |SELECT doc_id AS media_id, CAST(200 AS INTEGER) AS http_status,
              |  charset_source, body_text,
              |  CAST(length(body_text) AS BIGINT) AS n_chars
-             |FROM f ORDER BY media_id""".stripMargin))
+             |FROM f ORDER BY media_id""".stripMargin)),
+
+    // robots.txt parse + longest-prefix-match URL filtering
+    // (RobotsOps.parseRobots / isAllowed): per-domain rules parsed ONCE
+    // (one bounded fold over the file's lines), BROADCAST onto the URL
+    // table by domain, decision per path at scan speed. The synth
+    // exercises the selection semantics that actually bite: a decoy
+    // group that disallows everything for another agent, an EMPTY
+    // specific group that still shields the domain from '*', a
+    // more-specific Allow carved out of a Disallow, and the
+    // longest-match subtlety that '/p' allows '/private' under a
+    // Disallow-all. Oracle is ground-truth id arithmetic.
+    Q("q147_robots_filter",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val robots = graft.text.RobotsOps.parseRobots(
+          graft.text.RobotsOps.synthRobots(docs, "doc_id"),
+          "robots_txt", "graftbot")
+        val urls = docs.select(col("doc_id").as("url_id"),
+          pmod(col("doc_id"), lit(20)).as("domain_id"),
+          element_at(array(lit("/"), lit("/p5"), lit("/private"),
+            lit("/private/ok/x"), lit("/blocked"), lit("/q")),
+            (pmod(col("doc_id"), lit(6)) + 1).cast("int")).as("path"))
+        urls.join(
+          broadcast(robots.select(col("domain_id"), col("robots_rules"))),
+          Seq("domain_id"))
+          .select(col("url_id"), col("domain_id"), col("path"),
+            graft.text.RobotsOps.isAllowed(col("robots_rules"),
+              col("path")).as("allowed"))
+          .orderBy("url_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 20) + 20) % 20 AS domain_id,
+             |    ((doc_id % 6) + 6) % 6 AS u
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, domain_id, u,
+             |    domain_id % 3 AS d3,
+             |    CASE u WHEN 0 THEN '/' WHEN 1 THEN '/p5'
+             |      WHEN 2 THEN '/private' WHEN 3 THEN '/private/ok/x'
+             |      WHEN 4 THEN '/blocked' ELSE '/q' END AS path
+             |  FROM m)
+             |SELECT doc_id AS url_id, CAST(domain_id AS BIGINT)
+             |    AS domain_id, path,
+             |  CASE WHEN d3 = 0 THEN u <> 2
+             |       WHEN d3 = 1 THEN u IN (1, 2, 3)
+             |       ELSE TRUE END AS allowed
+             |FROM f ORDER BY url_id""".stripMargin))
   )
 }
