@@ -3266,6 +3266,38 @@ object TrainingData {
              |  CASE WHEN d3 = 0 THEN u <> 2
              |       WHEN d3 = 1 THEN u IN (1, 2, 3)
              |       ELSE TRUE END AS allowed
-             |FROM f ORDER BY url_id""".stripMargin))
+             |FROM f ORDER BY url_id""".stripMargin)),
+
+    // Main-content extraction (HtmlOps.extractMainText): block
+    // segmentation + link-density scoring — the readability-class step
+    // past naive tag stripping, because at corpus scale nav/sidebar/
+    // footer boilerplate dominates n-gram statistics and dedup keys.
+    // The synth pages carry a title and heading that die by LENGTH, a
+    // nav and a link-farm div that die by DENSITY (their text is above
+    // minChars — only the ratio removes them), and two content
+    // paragraphs that survive, one with an in-threshold inline link.
+    // Oracle rebuilds the expected text as id arithmetic.
+    Q("q148_main_content",
+      (s, dir) => graft.text.HtmlOps.extractMainText(
+          graft.text.HtmlOps.synthBoilerplatePage(
+            t(s, dir, "documents"), "doc_id"), "html")
+        .select(col("media_id"), col("main_text"),
+          length(col("main_text")).cast(LongType).as("n_chars"))
+        .orderBy("media_id"),
+      Some(("""WITH m AS (
+             |  SELECT doc_id, ((doc_id % 50) + 50) % 50 AS c50
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id,
+             |    'Main content ' || CAST(doc_id AS VARCHAR) || ' ' ||
+             |    repeat('w', 30) ||
+             |    ' alpha beta & gamma. Second part ' ||
+             |    CAST(c50 AS VARCHAR) ||
+             |    ' has one link plus ' || repeat('y', 20) ||
+             |    ' trailing words.' AS main_text
+             |  FROM m)
+             |SELECT doc_id AS media_id, main_text,
+             |  CAST(length(main_text) AS BIGINT) AS n_chars
+             |FROM f ORDER BY media_id""").stripMargin))
   )
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** HTML → text extraction — the step between WARC payloads
@@ -109,6 +109,69 @@ object HtmlOps {
       .drop("__h0", "__h_parts")
   }
 
+  /** Main-content extraction — the step PAST [[htmlToText]] a training
+    * corpus actually needs: naive tag stripping keeps nav bars, link
+    * farms, footers and cookie banners, and at corpus scale that
+    * boilerplate dominates n-gram statistics and dedup keys. The
+    * readability/trafilatura-class heuristic, expression-only: segment
+    * the page into BLOCKS at block-level tag boundaries, score each
+    * block by visible-text length and LINK DENSITY (anchor text / total
+    * text), keep the content-like blocks, then run the normal
+    * [[htmlToText]] pipeline over what survives — so entity decoding
+    * and whitespace rules stay identical to the plain extractor.
+    *
+    * A block survives when its collapsed visible text is at least
+    * `minChars` AND its link density is at most `maxLinkDensity`. Nav
+    * bars and sidebars die by density, copyright lines and bare
+    * headings by length — both documented trade-offs of every
+    * density-based extractor (a genuinely short first paragraph dies
+    * too; tune `minChars` per corpus). Comments/scripts/styles are
+    * stripped BEFORE segmentation so script text can never score as
+    * content. */
+  def extractMainText(df: DataFrame, htmlCol: String,
+                      outCol: String = "main_text",
+                      minChars: Int = 20,
+                      maxLinkDensity: Double = 0.4): DataFrame = {
+    require(minChars >= 0 && maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      s"minChars=$minChars maxLinkDensity=$maxLinkDensity")
+    Seq(outCol, "__mc_html").foreach(c =>
+      require(!df.columns.contains(c),
+        s"HtmlOps.extractMainText: df already has a '$c' column — rename " +
+          "it first; extractMainText appends its own"))
+    val h = col(htmlCol).cast("string")
+    val noScripts = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(h,
+        "(?s)<!--.*?-->", " "),
+      "(?s)<!--.*$", " "),
+      "(?is)<(script|style|noscript|template)\\b[^>]*>.*?</\\1\\s*>", " "),
+      "(?is)<(script|style|noscript|template)\\b.*$", " ")
+    val blockBoundary = "(?i)</?(?:p|div|article|section|main|li|ul|ol|" +
+      "h[1-6]|table|thead|tbody|tr|td|th|nav|header|footer|aside|" +
+      "blockquote|form|br)\\b[^>]*>"
+    // per-block score inside ONE filter lambda: anchor text vs the rest
+    val kept = filter(split(noScripts, blockBoundary), b => {
+      val linkTxt = regexp_replace(
+        array_join(expr_extract_links(b), " "),
+        "(?s)<[^>]*>", " ")
+      val nonLinkTxt = regexp_replace(regexp_replace(b,
+        "(?is)<a\\b[^>]*>.*?</a\\s*>", " "),
+        "(?s)<[^>]*>", " ")
+      val linkLen = length(trim(regexp_replace(linkTxt, "\\s+", " ")))
+      val textLen = length(trim(regexp_replace(nonLinkTxt, "\\s+", " ")))
+      val total = linkLen + textLen
+      total >= minChars &&
+        linkLen.cast("double") <= lit(maxLinkDensity) * total
+    })
+    htmlToText(
+      df.withColumn("__mc_html", array_join(kept, " ")),
+      "__mc_html", outCol)
+      .drop("__mc_html")
+  }
+
+  /** Anchor-text capture for [[extractMainText]]'s density score. */
+  private def expr_extract_links(b: Column): Column =
+    regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1))
+
   /** Deterministic HTML exhibit pages from an id column — the test/demo
     * source for [[htmlToText]], mined with every trap the extractor
     * exists for: a style and a script whose bodies contain MARKUP that
@@ -120,6 +183,35 @@ object HtmlOps {
     * UNTERMINATED comment (pmod 11 = 5) or script (pmod 13 = 7) at the
     * tail that must strip to end-of-document. The q141 oracle rebuilds
     * the expected text as ground-truth id arithmetic. */
+  /** Deterministic boilerplate-heavy pages from an id column — the
+    * test/demo source for [[extractMainText]]: a title and heading that
+    * die by LENGTH, a nav bar and a link-farm sidebar that die by
+    * DENSITY (their absolute text is above minChars — only the density
+    * rule removes them), two real content paragraphs that survive (the
+    * second with an inline link below the density threshold, proving
+    * density is a ratio, not a link ban), and a short footer. The q148
+    * oracle rebuilds the expected extracted text as id arithmetic. */
+  def synthBoilerplatePage(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    def m(k: Int) = pmod(id, lit(k))
+    val page = concat(
+      lit("<html><head><title>T"), id.cast("string"),
+      lit("</title></head><body>\n" +
+        "<nav><a href=\"/l1\">Linkone</a> <a href=\"/l2\">Linktwo</a> " +
+        "<a href=\"/l3\">Linkthree</a> menu</nav>\n" +
+        "<h1>Doc "), id.cast("string"),
+      lit("</h1>\n<p>Main content "), id.cast("string"),
+      lit(" "), lit("w" * 30),
+      lit(" alpha beta &amp; gamma.</p>\n" +
+        "<p>Second part "), m(50).cast("string"),
+      lit(" has <a href=\"/x\">one link</a> plus "), lit("y" * 20),
+      lit(" trailing words.</p>\n" +
+        "<div><a href=\"/s1\">Sideone</a> <a href=\"/s2\">Sidetwo</a> " +
+        "<a href=\"/s3\">Sidethree</a> more</div>\n" +
+        "<footer>(c) 2026</footer>\n</body></html>"))
+    docs.select(id.as("media_id"), page.as("html"))
+  }
+
   def synthHtml(docs: DataFrame, idCol: String): DataFrame = {
     val id = col(idCol)
     def m(k: Int) = pmod(id, lit(k))

@@ -68,6 +68,50 @@ class HtmlSpec extends SparkSpec {
       (6L, "&amp &#65 &#;")))
   }
 
+  test("extractMainText: boilerplate dies by density or length, content " +
+      "survives — including a paragraph with an in-threshold link") {
+    val page =
+      "<html><head><title>My Site</title>" +
+        "<script>var nav = '<p>not content</p>';</script></head><body>" +
+        "<nav><a href='/'>HomePage</a> <a href='/a'>AboutPage</a> " +
+        "<a href='/c'>ContactUs</a> menu</nav>" +
+        "<h1>Hi</h1>" +
+        "<p>This is the actual article body with plenty of real prose " +
+        "in it.</p>" +
+        "<p>A second paragraph citing <a href='/ref'>a source</a> " +
+        "within much longer surrounding text.</p>" +
+        "<div><a>L1link</a> <a>L2link</a> <a>L3link</a> <a>L4link</a> " +
+        "more</div>" +
+        "<footer>(c) me</footer></body></html>"
+    val got = graft.text.HtmlOps.extractMainText(
+      Seq((1L, page)).toDF("media_id", "html"), "html")
+      .select($"main_text").as[String].head()
+    assert(got === "This is the actual article body with plenty of real " +
+      "prose in it. A second paragraph citing a source within much " +
+      "longer surrounding text.")
+    // empty / markup-only pages degrade to empty text, never a throw
+    val empty = graft.text.HtmlOps.extractMainText(
+      Seq((1L, ""), (2L, "<div><a>x</a></div>")).toDF("media_id", "html"),
+      "html").select($"main_text").as[String].collect().toSeq
+    assert(empty === Seq("", ""))
+  }
+
+  test("synthBoilerplatePage round-trips across the corpus") {
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .select($"doc_id")
+    val got = graft.text.HtmlOps.extractMainText(
+      graft.text.HtmlOps.synthBoilerplatePage(docs, "doc_id"), "html")
+    val id = $"media_id"
+    val expected = concat(
+      lit("Main content "), id.cast("string"), lit(" " + "w" * 30 +
+        " alpha beta & gamma. Second part "),
+      pmod(id, lit(50)).cast("string"),
+      lit(" has one link plus " + "y" * 20 + " trailing words."))
+    val bad = got.where($"main_text" =!= expected)
+    assert(bad.isEmpty,
+      bad.select(id, $"main_text").limit(3).collect().mkString("; "))
+  }
+
   test("synthHtml round-trips across the corpus, CDATA and tail traps " +
       "included") {
     val docs = graft.sources.Sources.table(spark, sf, "documents")
