@@ -112,6 +112,43 @@ class HtmlSpec extends SparkSpec {
       bad.select(id, $"main_text").limit(3).collect().mkString("; "))
   }
 
+  test("htmlToText/extractMainText never throw under truncation + " +
+      "corruption fuzz") {
+    // ANSI mode: any unguarded cast/index in the entity fold or the
+    // block filter is a job-killing throw; every prefix + planted-byte
+    // mutation of every synth page must yield exactly one row out
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .where($"doc_id" < 32).select($"doc_id")
+    val fam = graft.text.HtmlOps.synthBoilerplatePage(docs, "doc_id")
+      .unionByName(
+        graft.text.HtmlOps.synthHtml(docs, "doc_id")
+          .withColumnRenamed("html", "h2")
+          .select($"media_id", $"h2".as("html")))
+    val truncated = fam.select($"media_id",
+      explode(sequence(lit(0), length($"html"), lit(7))).as("k"))
+      .join(fam, Seq("media_id"))
+      .select($"media_id", expr("substring(html, 1, k)").as("html"))
+    val corrupted = Seq("&", "<", "%").map { c =>
+      fam.select($"media_id",
+        concat(
+          expr("substring(html, 1, pmod(media_id * 31, length(html)))"),
+          lit(c),
+          expr("substring(html, pmod(media_id * 31, length(html)) + 2, " +
+            "2147483647)")).as("html"))
+    }.reduce(_ unionAll _)
+    for (mutated <- Seq(truncated, corrupted)) {
+      val nIn = mutated.count()
+      def force(df: org.apache.spark.sql.DataFrame, c: String): Long =
+        df.agg(count(lit(1)), sum(length(col(c)))).head().getLong(0)
+      assert(force(graft.text.HtmlOps.htmlToText(mutated, "html"),
+        "text_extracted") === nIn)
+      assert(force(graft.text.HtmlOps.extractMainText(mutated, "html"),
+        "main_text") === nIn)
+      assert(force(graft.text.UnicodeOps.normalizeText(mutated, "html"),
+        "text_norm") === nIn)
+    }
+  }
+
   test("synthHtml round-trips across the corpus, CDATA and tail traps " +
       "included") {
     val docs = graft.sources.Sources.table(spark, sf, "documents")

@@ -80,6 +80,39 @@ class RobotsSpec extends SparkSpec {
       === Seq(true, true, true))
   }
 
+  test("parseRobots/isAllowed never throw under truncation + corruption " +
+      "fuzz; decisions stay boolean") {
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .where($"doc_id" < 40).select($"doc_id")
+    val fam = RobotsOps.synthRobots(docs, "doc_id")
+      .withColumnRenamed("domain_id", "media_id")
+    val truncated = fam.select($"media_id",
+      explode(sequence(lit(0), length($"robots_txt"), lit(5))).as("k"))
+      .join(fam, Seq("media_id"))
+      .select($"media_id",
+        expr("substring(robots_txt, 1, k)").as("robots_txt"))
+    val corrupted = Seq(":", "#", "\n").map { c =>
+      fam.select($"media_id",
+        concat(
+          expr("substring(robots_txt, 1, " +
+            "pmod(media_id * 31, length(robots_txt)))"),
+          lit(c),
+          expr("substring(robots_txt, " +
+            "pmod(media_id * 31, length(robots_txt)) + 2, " +
+            "2147483647)")).as("robots_txt"))
+    }.reduce(_ unionAll _)
+    for (mutated <- Seq(truncated, corrupted)) {
+      val nIn = mutated.count()
+      val out = RobotsOps.parseRobots(mutated, "robots_txt", "graftbot")
+        .select($"media_id",
+          RobotsOps.isAllowed($"robots_rules", lit("/private/ok/x"))
+            .as("a1"),
+          RobotsOps.isAllowed($"robots_rules", lit("/")).as("a2"))
+      val n = out.where($"a1".isNotNull && $"a2".isNotNull).count()
+      assert(n === nIn)
+    }
+  }
+
   test("synthRobots round-trips: per-domain decisions match the " +
       "id-arithmetic contract") {
     val docs = graft.sources.Sources.table(spark, sf, "documents")
