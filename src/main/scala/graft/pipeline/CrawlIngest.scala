@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StringType}
+
+import graft.sources.{Http, Warc}
+import graft.text.{HtmlOps, UnicodeOps}
+
+/** The composed crawl-ingestion chain as ONE reusable stage: WARC blobs →
+  * records ([[Warc.explodeWarcBlobs]]) → HTTP de-framing + decompression
+  * ([[Http.parseHttpResponses]]) → charset-correct body text
+  * ([[Http.withBodyText]]) → visible text ([[HtmlOps.htmlToText]]) →
+  * Unicode normalization ([[UnicodeOps.normalizeText]]). Every stage is a
+  * narrow map-side transform, so the WHOLE chain is exchange-free and —
+  * load-bearing for the streaming twin — STATELESS per blob: the same
+  * function body runs unchanged over a batch DataFrame or a streaming
+  * one (q144 aggregates the batch output; StreamingSpec proves the
+  * stream run emits bit-identical rows). A record that fails any stage
+  * degrades to NULL text and KEEPS its row — corpus accounting needs the
+  * failure visible, not dropped. */
+object CrawlIngest {
+
+  /** One row per WARC record: (idCol, rec_idx, target_uri, http_status,
+    * content_type, charset_source, text). */
+  def crawlText(blobs: DataFrame, idCol: String = "media_id",
+                contentCol: String = "content"): DataFrame = {
+    val recs = Warc.explodeWarcBlobs(blobs, idCol, contentCol)
+      .select(col(idCol), col("rec_idx"), col("target_uri"), col("payload"))
+    val http = Http.withBodyText(Http.parseHttpResponses(recs))
+    UnicodeOps.normalizeText(
+      HtmlOps.htmlToText(http, "body_text", "text_extracted"),
+      "text_extracted", "text")
+      .select(col(idCol), col("rec_idx"), col("target_uri"),
+        col("http_status"), col("content_type"), col("charset_source"),
+        col("text"))
+  }
+
+  /** Deterministic crawl-dump exhibit blobs from an id column — one WARC
+    * response record per id whose payload is a full HTTP message
+    * (chunked framing on even ids, split at an id-derived point;
+    * Content-Length identity on odd) carrying a [[HtmlOps.synthHtml]]
+    * page. The q144 oracle needs no framing model because de-framing
+    * must reconstruct the page byte-exact. */
+  def synthCrawlBlobs(docs: DataFrame, idCol: String): DataFrame = {
+    val pages = HtmlOps.synthHtml(docs, idCol)
+    val html = col("html")
+    val id = col("media_id")
+    val cut = (pmod(id, lit(50)) + 10).cast("int")
+    val httpMsg = when(pmod(id, lit(2)) === 0,
+      concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n"),
+        lower(hex(cut)), lit("\r\n"), html.substr(lit(1), cut),
+        lit("\r\n"),
+        lower(hex(length(html) - cut)), lit("\r\n"),
+        html.substr(cut + 1, length(html)), lit("\r\n0\r\n\r\n")))
+      .otherwise(concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Content-Length: "),
+        length(html).cast(StringType), lit("\r\n\r\n"), html))
+    pages.select(id.as("media_id"),
+      concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: http://crawl"),
+        pmod(id, lit(20)).cast(StringType),
+        lit("-site.com/p\r\nContent-Length: "),
+        length(httpMsg).cast(StringType),
+        lit("\r\n\r\n"), httpMsg, lit("\r\n\r\n"))
+        .cast(BinaryType).as("content"))
+  }
+}

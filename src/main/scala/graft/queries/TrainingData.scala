@@ -3056,48 +3056,13 @@ object TrainingData {
     // domain aggregate's.
     Q("q144_crawl_ingest",
       (s, dir) => {
-        val pages = graft.text.HtmlOps.synthHtml(
-          t(s, dir, "documents"), "doc_id")
-        // the WARC payload is a full HTTP RESPONSE whose body is the
-        // page — chunked framing on even ids (split at an id-derived
-        // point), Content-Length identity on odd — so the chain must
-        // de-frame HTTP before any HTML exists. The de-framed body is
-        // byte-equal to the page, which is why the oracle needs no
-        // framing model: a de-chunking bug breaks the text census.
-        val html = col("html")
-        val cut = (pmod(col("media_id"), lit(50)) + 10).cast("int")
-        val httpMsg = when(pmod(col("media_id"), lit(2)) === 0,
-          concat(
-            lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
-              "Transfer-Encoding: chunked\r\n\r\n"),
-            lower(hex(cut)), lit("\r\n"), html.substr(lit(1), cut),
-            lit("\r\n"),
-            lower(hex(length(html) - cut)), lit("\r\n"),
-            html.substr(cut + 1, length(html)), lit("\r\n0\r\n\r\n")))
-          .otherwise(concat(
-            lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
-              "Content-Length: "),
-            length(html).cast(StringType), lit("\r\n\r\n"), html))
-        val warc = pages.select(col("media_id"),
-          concat(
-            lit("WARC/1.0\r\nWARC-Type: response\r\n" +
-              "WARC-Target-URI: http://crawl"),
-            pmod(col("media_id"), lit(20)).cast(StringType),
-            lit("-site.com/p\r\nContent-Length: "),
-            length(httpMsg).cast(StringType),
-            lit("\r\n\r\n"), httpMsg, lit("\r\n\r\n"))
-            .cast("binary").as("content"))
-        val recs = graft.sources.Http.parseHttpResponses(
-          graft.sources.Warc.explodeWarcBlobs(warc)
-            .select(col("media_id"), col("target_uri"), col("payload")))
-          .select(col("media_id"), col("target_uri"),
-            col("body").cast(StringType).as("html"))
-        val text = graft.text.UnicodeOps.normalizeText(
-          graft.text.HtmlOps.htmlToText(recs, "html"), "text_extracted")
+        val text = graft.pipeline.CrawlIngest.crawlText(
+          graft.pipeline.CrawlIngest.synthCrawlBlobs(
+            t(s, dir, "documents"), "doc_id"))
         UrlOps.canonicalizeUrls(text, "target_uri")
           .groupBy("registrable_domain")
           .agg(count(lit(1)).as("n_docs"),
-            sum(length(col("text_norm"))).cast(LongType).as("sum_chars"))
+            sum(length(col("text"))).cast(LongType).as("sum_chars"))
           .orderBy("registrable_domain")
       },
       Some("""WITH m AS (

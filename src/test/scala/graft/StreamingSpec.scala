@@ -22,6 +22,36 @@ class StreamingSpec extends SparkSpec {
     dir
   }
 
+  test("crawl-ingestion chain is streaming-safe: the streamed per-record " +
+      "rows are bit-equal to the batch run") {
+    // CrawlIngest.crawlText is stateless per blob (WARC split -> HTTP
+    // de-frame -> HTML -> normalize, all narrow map-side), so the SAME
+    // function body must run unchanged over a streaming frame in append
+    // mode — no foreachBatch wrapper, no watermark — and emit exactly
+    // the batch rows. This is the q144 code path, not a test-only twin.
+    import org.apache.spark.sql.types._
+    val docs = Sources.table(spark, sf, "documents")
+      .where(col("doc_id") < 300).select("doc_id")
+    val blobs = graft.pipeline.CrawlIngest.synthCrawlBlobs(docs, "doc_id")
+    val dir = Files.createTempDirectory("graft_warc_stream").toString
+    // several files -> several micro-batches under maxFilesPerTrigger
+    blobs.repartition(4).write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStreams.drainToMemory(
+      graft.pipeline.CrawlIngest.crawlText(stream), "crawl_text_test")
+    try {
+      val streamed = spark.table("crawl_text_test")
+      val batch = graft.pipeline.CrawlIngest.crawlText(blobs)
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "streamed crawl rows diverge from the batch run")
+    } finally q.stop()
+  }
+
   test("streaming hourly agg over AvailableNow equals the batch aggregation") {
     val dir = stagedEventsDir()
     val stream = EventStreams.readEvents(spark, dir)
