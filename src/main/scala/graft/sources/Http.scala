@@ -28,9 +28,14 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   * body (fewer bytes than Content-Length / a short final chunk) yields
   * the prefix that IS present with `body_truncated` set — crawlers store
   * truncated fetches routinely and the text is still worth extracting.
-  * Decompressed output caps at `maxBodyBytes` (decompression-bomb guard:
-  * a 10 KB gzip member can inflate to GBs; the cap bounds task memory
-  * whatever the input promises). */
+  *
+  * `maxBodyBytes` bounds BOTH sides of the codec: the de-framed
+  * (compressed) input is capped at it, and the decompressed output is
+  * capped at it again (decompression-bomb guard: a 10 KB gzip member can
+  * inflate to GBs; the cap bounds task memory whatever the input
+  * promises). A compressed body larger than the cap therefore truncates
+  * its stream and decodes to NULL — raise the cap for corpora with
+  * multi-MB compressed pages rather than trusting headers. */
 object Http {
 
   final case class HttpParsed(

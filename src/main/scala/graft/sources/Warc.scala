@@ -204,11 +204,17 @@ object Warc {
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf.value)
-    val files = fs.listStatus(root).collect {
-      case f if f.isFile &&
-        (f.getPath.getName.endsWith(".warc") ||
-          f.getPath.getName.endsWith(".warc.gz")) => f.getPath.toString
-    }.sorted.toSeq
+    // RECURSIVE listing: real dumps nest segments under date/segment
+    // subdirectories; still paths-only on the driver
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && (n.endsWith(".warc") || n.endsWith(".warc.gz")))
+        buf += f.getPath.toString
+    }
+    val files = buf.sorted.toSeq
     require(files.nonEmpty, s"no .warc/.warc.gz files under $dir")
     import spark.implicits._
     val n = if (parallelism > 0) parallelism

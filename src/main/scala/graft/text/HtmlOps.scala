@@ -125,9 +125,10 @@ object HtmlOps {
     * bars and sidebars die by density, copyright lines and bare
     * headings by length — both documented trade-offs of every
     * density-based extractor (a genuinely short first paragraph dies
-    * too; tune `minChars` per corpus). Comments/scripts/styles are
-    * stripped BEFORE segmentation so script text can never score as
-    * content. */
+    * too, and `<br>` is a boundary, so a poem of short `<br>`-separated
+    * lines fragments below `minChars`; tune per corpus). Comments/
+    * scripts/styles are stripped BEFORE segmentation so script text can
+    * never score as content. */
   def extractMainText(df: DataFrame, htmlCol: String,
                       outCol: String = "main_text",
                       minChars: Int = 20,

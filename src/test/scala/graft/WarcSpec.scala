@@ -90,12 +90,19 @@ class WarcSpec extends SparkSpec {
     }
     val go = new FileOutputStream(s"$dir/b.warc.gz")
     go.write(gz.toByteArray); go.close()
-    // a non-warc file must be ignored by the listing
+    // a non-warc file must be ignored by the listing; a NESTED segment
+    // directory must be found (real dumps nest by date/segment)
     val xo = new FileOutputStream(s"$dir/notes.txt"); xo.write(42); xo.close()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/seg0"))
+    val no = new FileOutputStream(s"$dir/seg0/c.warc")
+    no.write(recs.head.getBytes(US_ASCII)); no.close()
     val df = Warc.warcRecords(spark, dir)
     val byFile = df.groupBy($"path").count()
       .as[(String, Long)].collect().toMap
-    assert(byFile.size === 2 && byFile.values.forall(_ === 5L))
+    assert(byFile.size === 3)
+    assert(byFile.filter(!_._1.endsWith("c.warc")).values.forall(_ === 5L))
+    assert(byFile.find(_._1.endsWith("c.warc")).exists(_._2 === 1L))
     val a = df.where($"path".endsWith("a.warc"))
       .select($"rec_idx", $"offset", $"target_uri",
         $"payload".cast("string"))
