@@ -77,15 +77,19 @@ object Http {
       val hexPart = line.takeWhile(c => c != ';').trim
       if (hexPart.isEmpty || hexPart.length > 8 ||
         !hexPart.forall(c => Character.digit(c, 16) >= 0)) return (null, false)
-      val size = java.lang.Integer.parseInt(hexPart, 16)
+      // parse as LONG: 8 hex digits reach 0xFFFFFFFF, and a signed
+      // Integer.parseInt THROWS past 2^31-1 — one malicious chunk-size
+      // line must not kill the task. A huge declared size just walks off
+      // the buffer into the truncated-prefix path below.
+      val size = java.lang.Long.parseLong(hexPart, 16)
       i = j + 1
       if (size == 0) return (out.toByteArray, true) // terminal chunk
-      val avail = math.min(size, b.length - i)
+      val avail = math.min(size, (b.length - i).toLong).toInt
       val take = math.min(avail, math.max(0, maxOut - out.size()))
       out.write(b, i, take)
       if (avail < size || out.size() >= maxOut)
         return (out.toByteArray, false) // truncated / capped
-      i += size
+      i += size.toInt
       // chunk data is followed by CRLF; tolerate a missing one at EOF
       if (i + 1 < b.length && b(i) == '\r' && b(i + 1) == '\n') i += 2
       else if (i < b.length && b(i) == '\n') i += 1

@@ -62,6 +62,12 @@ class HttpSpec extends SparkSpec {
     val chunkBad = msg("HTTP/1.1 200 OK" + crlf +
       "Transfer-Encoding: chunked" + crlf + crlf,
       ("XYZ" + crlf + "Wiki").getBytes(US_ASCII))
+    // chunk size 0xFFFFFFFF: overflows a SIGNED 32-bit parse — one
+    // malicious size line must not throw; it walks off the buffer into
+    // the truncated-prefix path
+    val chunkHuge = msg("HTTP/1.1 200 OK" + crlf +
+      "Transfer-Encoding: chunked" + crlf + crlf,
+      ("ffffffff" + crlf + "data").getBytes(US_ASCII))
     val gzBody = gz("compressed content here")
     val gzipped = msg("HTTP/1.1 200 OK" + crlf +
       "Content-Type: text/html" + crlf +
@@ -89,7 +95,7 @@ class HttpSpec extends SparkSpec {
     val garbage = "<html>not an http message</html>".getBytes(US_ASCII)
     val got = parse((1L, plain), (2L, short), (3L, noLen), (4L, chunked),
       (5L, chunkCut), (6L, chunkBad), (7L, gzipped), (8L, dz), (9L, dr),
-      (10L, gzBad), (11L, gzChunked), (12L, garbage))
+      (10L, gzBad), (11L, gzChunked), (12L, garbage), (13L, chunkHuge))
     assert(got === Seq(
       (1L, Some(200), Some("text/html"), Some("hello"), false),
       (2L, Some(200), None, Some("tiny"), true),
@@ -103,7 +109,8 @@ class HttpSpec extends SparkSpec {
       (9L, Some(200), None, Some("raw dialect"), false),
       (10L, Some(200), None, None, false),
       (11L, Some(200), None, Some("chunked then gzipped"), false),
-      (12L, None, None, None, false)))
+      (12L, None, None, None, false),
+      (13L, Some(200), None, Some("data"), true)))
   }
 
   test("parseHttpResponses: passthrough columns survive, payload column " +
