@@ -47,25 +47,34 @@ object CrawlIngest {
     val html = col("html")
     val id = col("media_id")
     val cut = (pmod(id, lit(50)) + 10).cast("int")
+    // all lengths are OCTET counts: the chunk-size lines, Content-Length
+    // and WARC Content-Length frame BYTES on the wire, and while
+    // synthHtml is pure ASCII today (chars == bytes), any future
+    // non-ASCII in the synth page must not silently corrupt the framing
+    // these exhibits exist to prove. The chunk SPLIT is by characters
+    // (substr) — legal, chunk boundaries may fall anywhere — but each
+    // chunk's declared size is the byte length of that exact substring.
+    val chunk1 = html.substr(lit(1), cut)
+    val chunk2 = html.substr(cut + 1, length(html))
     val httpMsg = when(pmod(id, lit(2)) === 0,
       concat(
         lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
           "Transfer-Encoding: chunked\r\n\r\n"),
-        lower(hex(cut)), lit("\r\n"), html.substr(lit(1), cut),
+        lower(hex(octet_length(chunk1))), lit("\r\n"), chunk1,
         lit("\r\n"),
-        lower(hex(length(html) - cut)), lit("\r\n"),
-        html.substr(cut + 1, length(html)), lit("\r\n0\r\n\r\n")))
+        lower(hex(octet_length(chunk2))), lit("\r\n"),
+        chunk2, lit("\r\n0\r\n\r\n")))
       .otherwise(concat(
         lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
           "Content-Length: "),
-        length(html).cast(StringType), lit("\r\n\r\n"), html))
+        octet_length(html).cast(StringType), lit("\r\n\r\n"), html))
     pages.select(id.as("media_id"),
       concat(
         lit("WARC/1.0\r\nWARC-Type: response\r\n" +
           "WARC-Target-URI: http://crawl"),
         pmod(id, lit(20)).cast(StringType),
         lit("-site.com/p\r\nContent-Length: "),
-        length(httpMsg).cast(StringType),
+        octet_length(httpMsg).cast(StringType),
         lit("\r\n\r\n"), httpMsg, lit("\r\n\r\n"))
         .cast(BinaryType).as("content"))
   }

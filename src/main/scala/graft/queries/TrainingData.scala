@@ -3263,6 +3263,57 @@ object TrainingData {
              |  FROM m)
              |SELECT doc_id AS media_id, main_text,
              |  CAST(length(main_text) AS BIGINT) AS n_chars
-             |FROM f ORDER BY media_id""").stripMargin))
+             |FROM f ORDER BY media_id""").stripMargin)),
+
+    // RFC 9309 wildcard robots matching (RobotsPathMatch + the same
+    // parse/broadcast/decide shape as q147): `Disallow: /*.pdf$` and
+    // `Allow: /public*` are ubiquitous in real robots files and a
+    // literal-prefix matcher mis-decides both. The synth covers the
+    // anchored-extension block, the specificity tie where a LONGER
+    // wildcard Allow beats a shorter wildcard Disallow, a mid-pattern
+    // `/*/ok` carve-out under Disallow-all, an anchored exact-path
+    // `/p$` (which must NOT match '/private/p'), a double-star anchored
+    // pattern, and a BOM prefix on every file (RFC 9309 §2.3). Oracle
+    // is ground-truth id arithmetic (decisions derived by hand from the
+    // RFC semantics, not replayed through a second matcher).
+    Q("q149_robots_wildcards",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val robots = graft.text.RobotsOps.parseRobots(
+          graft.text.RobotsOps.synthWildcardRobots(docs, "doc_id"),
+          "robots_txt", "graftbot")
+        val urls = docs.select(col("doc_id").as("url_id"),
+          pmod(col("doc_id"), lit(12)).as("domain_id"),
+          element_at(array(lit("/docs/x.pdf"), lit("/docs/x.pdfy"),
+            lit("/public/file.pdf"), lit("/private/p"), lit("/x/ok"),
+            lit("/p"), lit("/aXbYc"), lit("/aXbYcZ")),
+            (pmod(col("doc_id"), lit(8)) + 1).cast("int")).as("path"))
+        urls.join(
+          broadcast(robots.select(col("domain_id"), col("robots_rules"))),
+          Seq("domain_id"))
+          .select(col("url_id"), col("domain_id"), col("path"),
+            graft.text.RobotsOps.isAllowed(col("robots_rules"),
+              col("path")).as("allowed"))
+          .orderBy("url_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 12) + 12) % 12 AS domain_id,
+             |    ((doc_id % 8) + 8) % 8 AS u
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, domain_id, u,
+             |    domain_id % 3 AS d3,
+             |    CASE u WHEN 0 THEN '/docs/x.pdf' WHEN 1 THEN '/docs/x.pdfy'
+             |      WHEN 2 THEN '/public/file.pdf' WHEN 3 THEN '/private/p'
+             |      WHEN 4 THEN '/x/ok' WHEN 5 THEN '/p'
+             |      WHEN 6 THEN '/aXbYc' ELSE '/aXbYcZ' END AS path
+             |  FROM m)
+             |SELECT doc_id AS url_id, CAST(domain_id AS BIGINT)
+             |    AS domain_id, path,
+             |  CASE WHEN d3 = 0 THEN u NOT IN (0, 3)
+             |       WHEN d3 = 1 THEN u IN (4, 5)
+             |       ELSE u <> 6 END AS allowed
+             |FROM f ORDER BY url_id""".stripMargin))
   )
 }

@@ -94,6 +94,12 @@ object Http {
       if (i + 1 < b.length && b(i) == '\r' && b(i + 1) == '\n') i += 2
       else if (i < b.length && b(i) == '\n') i += 1
       else if (i >= b.length) return (out.toByteArray, false)
+      else if (i == b.length - 1 && b(i) == '\r')
+        // payload ends on the lone '\r' of the trailing CRLF: that is a
+        // TRUNCATED message (the prefix read so far is complete chunk
+        // data), not desynced framing — honor the truncated-prefix
+        // contract rather than NULLing a fully-recovered body
+        return (out.toByteArray, false)
       else return (null, false) // desynced framing
     }
     (null, false) // unreachable
@@ -147,11 +153,24 @@ object Http {
       case _ => None
     }
     if (status.isEmpty) return none
+    // un-fold obs-fold continuations first (RFC 9112 §5.2: a line starting
+    // with SP/HTAB continues the PREVIOUS header's value) — otherwise a
+    // folded `Content-Type:` value line is misread as a new header
+    val unfolded = lines.tail.foldLeft(List.empty[String]) { (acc, l) =>
+      if (l.nonEmpty && (l.head == ' ' || l.head == '\t') && acc.nonEmpty)
+        (acc.head + " " + l.trim) :: acc.tail
+      else l :: acc
+    }.reverse
     var cType: Option[String] = None
     var cEnc: Option[String] = None
     var tEnc: Option[String] = None
     var cLen = -1L
-    lines.tail.foreach { l =>
+    // duplicate/invalid Content-Length is the request-smuggling class:
+    // two DIFFERING values (or an unparseable one) make the framing
+    // unknowable — deterministically NULL the body (headers survive)
+    // rather than silently picking one. Equal duplicates are tolerated.
+    var cLenConflict = false
+    unfolded.foreach { l =>
       val i = l.indexOf(':')
       if (i > 0) {
         val k = l.substring(0, i).trim.toLowerCase
@@ -161,7 +180,10 @@ object Http {
           case "content-encoding"  => cEnc = Some(v.toLowerCase)
           case "transfer-encoding" => tEnc = Some(v.toLowerCase)
           case "content-length" =>
-            cLen = try v.toLong catch { case _: Exception => -1L }
+            val parsed = try v.toLong catch { case _: Exception => -2L }
+            if (parsed < 0) cLenConflict = true
+            else if (cLen >= 0 && cLen != parsed) cLenConflict = true
+            else cLen = parsed
           case _ => ()
         }
       }
@@ -173,6 +195,8 @@ object Http {
         if (d == null)
           return HttpParsed(status, cType, cEnc, tEnc, null, false)
         (d, end)
+      } else if (cLenConflict) {
+        return HttpParsed(status, cType, cEnc, tEnc, null, false)
       } else {
         val avail = payload.length - he
         val want = if (cLen >= 0) math.min(cLen, Int.MaxValue.toLong).toInt
@@ -181,9 +205,21 @@ object Http {
         val out = java.util.Arrays.copyOfRange(payload, he, he + take)
         (out, take >= want || (cLen < 0 && take == avail))
       }
-    // content decoding AFTER de-framing
-    cEnc.map(_.trim) match {
-      case Some(e @ ("gzip" | "x-gzip" | "deflate")) =>
+    // content decoding AFTER de-framing. Content-Encoding is a COMMA
+    // list of codings applied in order; "identity" (and empty tokens)
+    // are no-ops. Exactly one real coding we can decode → decode it.
+    // Anything else — brotli/zstd (no JDK codec), an unknown token, or
+    // a multi-coding stack — must NOT fall through as raw compressed
+    // bytes masquerading as text: body is NULL while status/headers
+    // (INCLUDING content_encoding, the plug-in seam) survive, so a
+    // deployment with a brotli jar can route `content_encoding='br'`
+    // rows through its own decoder from the same parsed columns.
+    val codings = cEnc.toSeq.flatMap(_.split(','))
+      .map(_.trim).filter(c => c.nonEmpty && c != "identity")
+    codings match {
+      case Nil =>
+        HttpParsed(status, cType, cEnc, tEnc, framed, !framedComplete)
+      case Seq(e @ ("gzip" | "x-gzip" | "deflate")) =>
         val dec = inflate(framed, e, maxBodyBytes)
           .orElse(if (e == "deflate")
             inflate(framed, "deflate-raw", maxBodyBytes) else None)
@@ -194,8 +230,8 @@ object Http {
           case None => // codec error: framing was fine, body undecodable
             HttpParsed(status, cType, cEnc, tEnc, null, false)
         }
-      case _ =>
-        HttpParsed(status, cType, cEnc, tEnc, framed, !framedComplete)
+      case _ => // br / zstd / unknown / stacked: undecodable here
+        HttpParsed(status, cType, cEnc, tEnc, null, false)
     }
   }
 
@@ -283,8 +319,17 @@ object Http {
     // 2. HTML meta declaration in the sniff window (ASCII-safe scan:
     // decode the window as Latin-1, which maps every byte)
     val fromMeta = if (fromHeader.isDefined) None else {
-      val win = new String(body, 0, math.min(sniffBytes, body.length),
+      val raw = new String(body, 0, math.min(sniffBytes, body.length),
         "ISO-8859-1")
+      // a <meta charset> inside an HTML COMMENT must not win (the
+      // browser sniffers skip comments): drop terminated comments, then
+      // truncate at an unterminated `<!--` (everything after it is
+      // commented out as far as the sniff window can tell)
+      val noComments = raw.replaceAll("(?s)<!--.*?-->", " ")
+      val win = noComments.indexOf("<!--") match {
+        case -1 => noComments
+        case i  => noComments.substring(0, i)
+      }
       MetaCharset.findFirstMatchIn(win)
         .flatMap(m => resolveCharset(m.group(1))).map(cs => (cs, "meta"))
     }

@@ -218,6 +218,20 @@ object Sources {
         val tmpTs = fs.getFileStatus(tmpOk).getModificationTime
         val dirTs = if (fs.exists(dirOk))
           fs.getFileStatus(dirOk).getModificationTime else Long.MinValue
+        // On coarse (second-granularity) filesystem timestamps a
+        // legitimate post-crash rewrite can TIE the stranded tmp's
+        // mtime exactly; picking either side on a tie silently loses
+        // rows in one of the two crash scenarios (tie→tmp clobbers the
+        // fresh rewrite; tie→dir keeps a partially-deleted original).
+        // Equal mtimes are genuinely ambiguous — refuse, leave BOTH
+        // copies intact, and make the operator decide.
+        if (dirTs == tmpTs) sys.error(
+          s"compactParquet recovery: $dir and stranded tmp $tmp both " +
+            s"own a _SUCCESS with the SAME mtime ($tmpTs) — cannot tell " +
+            "a post-crash rewrite from the pre-crash original on this " +
+            "filesystem's timestamp resolution. Resolve manually: keep " +
+            "dir and delete tmp if dir was rewritten after the crash; " +
+            "replace dir with tmp if dir is the pre-compaction original.")
         if (dirTs > tmpTs) {
           System.err.println(
             s"compactParquet recovery: $dir has its own _SUCCESS " +

@@ -230,6 +230,16 @@ object Warc {
           val in: InputStream =
             if (p.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024)
             else raw
+          // parseStream closes `in` when it exhausts the file, but a
+          // consumer that stops EARLY (a LIMIT query, take(n)) abandons
+          // the iterator mid-file — without this listener that leaks one
+          // open Hadoop stream per unfinished file until executor GC.
+          // close() is idempotent on these streams, so the exhausted
+          // path double-closing is harmless.
+          Option(org.apache.spark.TaskContext.get()).foreach(tc =>
+            tc.addTaskCompletionListener[Unit] { _ =>
+              try in.close() catch { case _: Exception => () }
+            })
           parseStream(in, maxPayloadBytes).map(r =>
             FileRecord(p, r.recIdx, r.offset, r.warcType, r.targetUri,
               r.recordId, r.contentLength, r.payload, r.payloadTruncated))

@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   * which means allow-everything), `Allow` / `Disallow` rules with
   * path-prefix matching, `#` comments, blank-line tolerance. An empty
   * rule value (`Disallow:` alone = allow all, per spec) contributes no
-  * rule. Wildcards (`*`, `$`) inside paths are NOT interpreted — they
-  * match literally; a corpus needing full Google wildcard semantics
-  * would extend the matcher, not the parse. Unknown directives
+  * rule. Wildcards per RFC 9309 §2.2.3: `*` in a rule path matches any
+  * character sequence and a trailing `$` anchors the match to the path
+  * end (`Disallow: /&#42;.pdf$`, `Allow: /public*` — the ubiquitous real-
+  * world shapes), via the native [[graft.functions.RobotsPathMatch]]
+  * expression; rules with no wildcard keep the plain `startswith` fast
+  * path. Specificity for longest-match is the RULE PATH's length
+  * including wildcard characters (the REP-draft/Google rule). A leading
+  * UTF-8 BOM is stripped (RFC 9309 §2.3). Unknown directives
   * (Crawl-delay, Sitemap) are skipped. Malformed input degrades to
   * fewer rules, never a throw; no robots.txt at all = everything
   * allowed — the crawl default. */
@@ -44,9 +49,15 @@ object RobotsOps {
     // User-agent header (consecutive headers share a group), in_s/in_g =
     // the CURRENT group names our agent / '*', sf = a specific group was
     // ever seen, spec/star = the accumulated rule arrays
+    // UTF-8 BOM strip: a robots.txt stored with a leading BOM (common —
+    // Windows editors) would otherwise glue U+FEFF onto the first
+    // directive and make `User-agent:` unmatchable (RFC 9309 §2.3 says
+    // to tolerate the BOM)
+    val bom = "\uFEFF"
     val fold = expr(s"""
       aggregate(
-        slice(split(CAST(`$robotsCol` AS STRING), '\\r?\\n'),
+        slice(split(trim(LEADING '$bom' FROM
+            CAST(`$robotsCol` AS STRING)), '\\r?\\n'),
           1, $maxLines),
         named_struct('open', false, 'in_s', false, 'in_g', false,
           'sf', false,
@@ -90,17 +101,29 @@ object RobotsOps {
     df.withColumn(outCol, fold)
   }
 
-  /** Longest-prefix-match decision for `path` against a
-    * [[parseRobots]] rules array: the matching rule with the longest
-    * prefix wins; allow wins exact-length ties; no match (or a NULL /
-    * absent rule set) = allowed. */
+  /** Longest-match decision for `path` against a [[parseRobots]] rules
+    * array: the matching rule with the longest rule path (wildcards
+    * counted as written — the REP specificity rule) wins; allow wins
+    * exact-length ties; no match (or a NULL / absent rule set) =
+    * allowed. A rule containing `*` (or anchored with a trailing `$`)
+    * matches per RFC 9309 §2.2.3 via [[graft.functions.RobotsPathMatch]];
+    * wildcard-free rules — the overwhelming majority in real robots
+    * files — stay on the codegen'd `startswith` fast path. */
   def isAllowed(rules: Column, path: Column): Column = {
+    graft.functions.RobotsPathMatch.register(
+      org.apache.spark.sql.SparkSession.active)
+    def ruleMatches(r: Column): Column = {
+      val p = r.getField("prefix")
+      when(p.contains("*") || p.endsWith("$"),
+        call_function("robots_path_match", path, p))
+        .otherwise(startswith(path, p))
+    }
     val dec = aggregate(
       coalesce(rules, expr(
         "CAST(array() AS ARRAY<STRUCT<allow: BOOLEAN, prefix: STRING>>)")),
       struct(lit(-1).as("len"), lit(true).as("allow")),
       (st, r) => when(
-        startswith(path, r.getField("prefix")) &&
+        ruleMatches(r) &&
           (length(r.getField("prefix")) > st.getField("len") ||
             (length(r.getField("prefix")) === st.getField("len") &&
               r.getField("allow"))),
@@ -133,6 +156,34 @@ object RobotsOps {
         .when(d3 === 1, "Disallow: /\nAllow: /p\n")
         .otherwise("Disallow:\n"), // empty value: allow-everything group
       lit("\nUser-agent: *\nDisallow: /blocked\n"))
+    doms.select(col("domain_id"), body.as("robots_txt"))
+  }
+
+  /** Deterministic WILDCARD robots.txt exhibits per domain (one row per
+    * distinct pmod-12 domain of the id column) — the test/demo source
+    * for the RFC 9309 `*`/`$` semantics, BOM-prefixed (every file) so
+    * the BOM-tolerance path is exercised on the whole corpus. Three
+    * rule-set shapes by domain: (0) an anchored extension block
+    * `Disallow: /&#42;.pdf$` beaten by a LONGER `Allow: /public*` on paths
+    * matching both (the specificity tie-break that bites in practice),
+    * plus a literal `/private` disallow; (1) Disallow-all with a
+    * mid-pattern wildcard carve-out `Allow: /&#42;/ok` and an ANCHORED
+    * exact-path allow `Allow: /p$`; (2) a double-star anchored
+    * `Disallow: /a*b*c$` over a short literal `Allow: /a`. A decoy
+    * `otherbot` group disallows everything and must never apply. */
+  def synthWildcardRobots(docs: DataFrame, idCol: String): DataFrame = {
+    val doms = docs.select(pmod(col(idCol), lit(12)).as("domain_id"))
+      .distinct()
+    val d3 = pmod(col("domain_id"), lit(3))
+    val body = concat(
+      lit("\uFEFF# wildcard robots\n"),
+      lit("User-agent: otherbot\nDisallow: /\n\n"),
+      lit("User-agent: GraftBot\n"),
+      when(d3 === 0,
+        "Disallow: /*.pdf$\nAllow: /public*\nDisallow: /private\n")
+        .when(d3 === 1, "Disallow: /\nAllow: /*/ok\nAllow: /p$\n")
+        .otherwise("Disallow: /a*b*c$\nAllow: /a\n"),
+      lit("\nUser-agent: *\nDisallow: /\n"))
     doms.select(col("domain_id"), body.as("robots_txt"))
   }
 }

@@ -229,6 +229,134 @@ class HttpSpec extends SparkSpec {
     assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
   }
 
+  test("obs-fold continuations, duplicate Content-Length, chunked " +
+      "trailers, and a mid-trailing-CRLF cut parse per contract") {
+    // obs-fold (RFC 9112 §5.2): a line starting with SP/HTAB continues
+    // the PREVIOUS header — the folded charset parameter must reach
+    // content_type (and therefore drive the body decode)
+    val foldedHdr = "HTTP/1.1 200 OK" + crlf +
+      "Content-Type: text/html;" + crlf +
+      "\tcharset=iso-8859-1" + crlf +
+      "Content-Length: 1" + crlf + crlf
+    val folded = msg(foldedHdr, "e".getBytes(US_ASCII))
+    // duplicate IDENTICAL Content-Length: tolerated
+    val dupSame = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Length: 2" + crlf + "Content-Length: 2" + crlf + crlf,
+      "okX".getBytes(US_ASCII))
+    // duplicate DIFFERING Content-Length: smuggling-class ambiguity —
+    // body must be NULL (deterministically), headers survive
+    val dupDiff = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Type: text/a" + crlf +
+      "Content-Length: 2" + crlf + "Content-Length: 5" + crlf + crlf,
+      "okxxx".getBytes(US_ASCII))
+    // unparseable Content-Length: same ambiguity, same contract
+    val badLen = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Length: abc" + crlf + crlf, "ok".getBytes(US_ASCII))
+    // trailer headers after the 0-chunk (RFC 9112 §7.1.2) are ignored:
+    // the body is exactly the chunk data, complete, trailer invisible
+    val trailer = msg("HTTP/1.1 200 OK" + crlf +
+      "Transfer-Encoding: chunked" + crlf + crlf,
+      ("4" + crlf + "Wiki" + crlf + "0" + crlf +
+        "X-Checksum: abc123" + crlf + crlf).getBytes(US_ASCII))
+    // payload cut on the LONE '\r' of a chunk's trailing CRLF: that is
+    // TRUNCATION (the chunk data itself was fully recovered), not
+    // desynced framing — prefix + truncated, never NULL
+    val midCrlf = msg("HTTP/1.1 200 OK" + crlf +
+      "Transfer-Encoding: chunked" + crlf + crlf,
+      ("4" + crlf + "Wiki" + "\r").getBytes(US_ASCII))
+    val got = Http.parseHttpResponses(
+      Seq((1L, folded), (2L, dupSame), (3L, dupDiff), (4L, badLen),
+        (5L, trailer), (6L, midCrlf)).toDF("media_id", "payload"))
+      .select($"media_id", $"http_status", $"content_type",
+        $"body".cast("string"), $"body_truncated")
+      .as[(Long, Option[Int], Option[String], Option[String], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some(200), Some("text/html; charset=iso-8859-1"),
+        Some("e"), false),
+      (2L, Some(200), None, Some("ok"), false),
+      (3L, Some(200), Some("text/a"), None, false),
+      (4L, Some(200), None, None, false),
+      (5L, Some(200), None, Some("Wiki"), false),
+      (6L, Some(200), None, Some("Wiki"), true)))
+    // the folded charset actually drives the decode: a raw 0xE9 body
+    // byte (invalid UTF-8, 'é' in Latin-1) decodes via the UNFOLDED
+    // header parameter
+    val foldedLatin = msg(foldedHdr, Array(0xE9.toByte))
+    val txt = Http.withBodyText(Http.parseHttpResponses(
+      Seq((1L, foldedLatin)).toDF("media_id", "payload")))
+      .select($"charset_source", $"body_text")
+      .as[(String, String)].head()
+    assert(txt === (("header:iso-8859-1", "é")))
+  }
+
+  test("content-coding tokens: identity no-ops decode through; br/" +
+      "unknown/stacked codings NULL the body but keep the plug-in seam") {
+    val gzBody = gz("zipped payload")
+    // 'gzip, identity': identity is a no-op token — still decodes
+    val gzId = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Encoding: gzip, identity" + crlf + crlf, gzBody)
+    // 'identity' alone: passthrough
+    val idOnly = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Encoding: identity" + crlf + crlf,
+      "plain".getBytes(US_ASCII))
+    // brotli: no JDK codec — body NULL, but status/headers (INCLUDING
+    // content_encoding='br') survive so a deployment with a brotli jar
+    // can route these rows through its own decoder. Passing the raw
+    // compressed bytes through as "text" would be silent corruption.
+    val br = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Type: text/html" + crlf +
+      "Content-Encoding: br" + crlf + crlf,
+      Array[Byte](0x1b, 0x3f, 0x00, 0x44, 0x22))
+    // unknown coding: same contract
+    val zstd = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Encoding: zstd" + crlf + crlf, "xxxx".getBytes(US_ASCII))
+    // a STACKED pair of real codings: undecodable here, NULL
+    val stacked = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Encoding: gzip, deflate" + crlf + crlf, gzBody)
+    val got = Http.parseHttpResponses(
+      Seq((1L, gzId), (2L, idOnly), (3L, br), (4L, zstd), (5L, stacked))
+        .toDF("media_id", "payload"))
+      .select($"media_id", $"http_status", $"content_encoding",
+        $"body".cast("string"), $"body_truncated")
+      .as[(Long, Option[Int], Option[String], Option[String], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some(200), Some("gzip, identity"), Some("zipped payload"), false),
+      (2L, Some(200), Some("identity"), Some("plain"), false),
+      (3L, Some(200), Some("br"), None, false),
+      (4L, Some(200), Some("zstd"), None, false),
+      (5L, Some(200), Some("gzip, deflate"), None, false)))
+  }
+
+  test("meta charset inside an HTML comment must NOT win the sniff") {
+    val utf8Tail = "café".getBytes("UTF-8")
+    // terminated comment hiding a meta: the sniff must skip it and land
+    // on UTF-8 validation (an iso-8859-1 decode would read 0xC3A9 as
+    // 'Ã©' — mojibake)
+    val commented = msg("HTTP/1.1 200 OK" + crlf + crlf,
+      "<!-- <meta charset=\"iso-8859-1\"> -->".getBytes(US_ASCII) ++
+        utf8Tail)
+    // unterminated comment: everything after `<!--` in the window is
+    // commented out as far as the sniffer can tell
+    val unterminated = msg("HTTP/1.1 200 OK" + crlf + crlf,
+      "<!-- <meta charset=\"iso-8859-1\"> ".getBytes(US_ASCII) ++ utf8Tail)
+    // control: the SAME meta outside a comment still wins
+    val live = msg("HTTP/1.1 200 OK" + crlf + crlf,
+      "<meta charset=\"iso-8859-1\">".getBytes(US_ASCII) ++
+        Array(0xE9.toByte))
+    val got = Http.withBodyText(Http.parseHttpResponses(
+      Seq((1L, commented), (2L, unterminated), (3L, live))
+        .toDF("media_id", "payload")))
+      .select($"media_id", $"charset_source", $"body_text")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(got(0)._2 === "sniff:utf-8")
+    assert(got(0)._3.endsWith("café"))
+    assert(got(1)._2 === "sniff:utf-8")
+    assert(got(2)._2 === "meta:iso-8859-1")
+    assert(got(2)._3.endsWith("é"))
+  }
+
   test("HTTP parser never throws under truncation + corruption fuzz") {
     val docs = graft.sources.Sources.table(spark, sf, "documents")
       .where($"doc_id" < 48).select($"doc_id")

@@ -113,6 +113,129 @@ class RobotsSpec extends SparkSpec {
     }
   }
 
+  test("RobotsPathMatch: RFC 9309 wildcard goldens") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def m(path: String, pat: String) =
+      graft.functions.RobotsPathMatch.matches(u(path), u(pat))
+    // the RFC 9309 §2.2.3 / Google reference examples
+    assert(m("/fish.pdf", "/*.pdf$"))
+    assert(m("/a/b/c.pdf", "/*.pdf$"))
+    assert(!m("/a.pdfx", "/*.pdf$"))   // anchored: nothing after .pdf
+    assert(!m("/a.pdf/b", "/*.pdf$"))
+    assert(m("/publications", "/public*"))
+    assert(m("/public", "/public*"))   // * matches empty
+    assert(!m("/pub", "/public*"))
+    assert(m("/fish", "/fish$"))
+    assert(!m("/fishing", "/fish$"))
+    assert(m("/fish/salmon", "/fish")) // plain prefix
+    assert(m("/x/ok/deep", "/*/ok"))   // unanchored wildcard = prefix
+    assert(m("/aXbYc", "/a*b*c$"))     // two stars, anchored
+    assert(!m("/aXbYcZ", "/a*b*c$"))
+    assert(m("/aXbYcZc", "/a*b*c$"))   // last star re-expands to 2nd c
+    assert(m("/ab$x", "/ab$x"))        // mid-pattern $ is literal
+    assert(m("anything", ""))          // empty pattern matches all
+    assert(!m("/x", "$"))              // bare $ matches only the empty path
+    assert(m("", "$"))
+    assert(m("/abc", "/a**c$"))        // adjacent stars collapse
+    assert(m("/ab", "/a*$"))           // trailing star then anchor
+    assert(m("/a", "/a*$"))
+    assert(m("/a*b", "/a*b"))          // literal * in the PATH still matches
+  }
+
+  test("RobotsPathMatch agrees with a regex reference on random " +
+      "path/pattern pairs") {
+    // reference: translate the rule to an anchored-prefix regex exactly
+    // per the RFC reading ('*' -> '.*', trailing '$' -> end anchor)
+    def ref(path: String, pat: String): Boolean = {
+      val anchored = pat.endsWith("$")
+      val core = (if (anchored) pat.dropRight(1) else pat)
+        .map {
+          case '*' => ".*"
+          case c if "\\.[]{}()+-?^$|".contains(c) => "\\" + c
+          case c => c.toString
+        }.mkString
+      val rx = ("^" + core + (if (anchored) "$" else ".*")).r
+      rx.pattern.matcher(path).matches()
+    }
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val rnd = new scala.util.Random(9309)
+    val alphabet = "ab/.p$*"
+    def randStr(maxLen: Int): String =
+      (0 until rnd.nextInt(maxLen + 1))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    var checked = 0
+    for (_ <- 0 until 20000) {
+      val path = randStr(10)
+      val pat = randStr(8)
+      // the reference regex treats mid-pattern '$' as literal only if
+      // we escape it — which the translation above does — so ALL pairs
+      // are comparable
+      val got = graft.functions.RobotsPathMatch.matches(u(path), u(pat))
+      assert(got === ref(path, pat),
+        s"path='$path' pattern='$pat' got=$got expected=${ref(path, pat)}")
+      checked += 1
+    }
+    assert(checked === 20000)
+  }
+
+  test("wildcard rules end-to-end: specificity counts the pattern as " +
+      "written; BOM-prefixed files parse; tie goes to allow") {
+    val robots = "\uFEFF" +
+      """User-agent: graftbot
+        |Disallow: /*.pdf$
+        |Allow: /public*
+        |Disallow: /private
+        |""".stripMargin
+    assert(decide(robots, Seq(
+      "/docs/x.pdf",      // anchored wildcard disallow
+      "/docs/x.pdfy",     // anchor fails -> no rule -> allow
+      "/public/file.pdf", // Allow len 8 beats Disallow len 7
+      "/private/p",       // literal disallow
+      "/x")) === Seq(false, true, true, false, true))
+    // the BOM must not break the FIRST directive: without the strip the
+    // whole specific group would vanish and '*'-group/empty rules apply
+    val bomOnly = "\uFEFF" +
+      """User-agent: graftbot
+        |Disallow: /
+        |""".stripMargin
+    assert(decide(bomOnly, Seq("/x")) === Seq(false))
+    // wildcard-vs-literal exact-length tie: allow wins
+    val tie =
+      """User-agent: graftbot
+        |Disallow: /a*c
+        |Allow: /abcd
+        |""".stripMargin
+    // '/abcd': Disallow /a*c matches (len 4), Allow /abcd matches
+    // (len 5) -> allow by length; '/aXc' only the wildcard -> disallow
+    assert(decide(tie, Seq("/abcd", "/aXc")) === Seq(true, false))
+  }
+
+  test("synthWildcardRobots round-trips: per-domain wildcard decisions " +
+      "match the hand-derived RFC contract") {
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .select($"doc_id")
+    val robots = RobotsOps.parseRobots(
+      RobotsOps.synthWildcardRobots(docs, "doc_id"), "robots_txt",
+      "graftbot")
+    val urls = docs.select($"doc_id",
+      pmod($"doc_id", lit(12)).as("domain_id"),
+      element_at(array(lit("/docs/x.pdf"), lit("/docs/x.pdfy"),
+        lit("/public/file.pdf"), lit("/private/p"), lit("/x/ok"),
+        lit("/p"), lit("/aXbYc"), lit("/aXbYcZ")),
+        (pmod($"doc_id", lit(8)) + 1).cast("int")).as("path"))
+    val got = urls.join(broadcast(robots), Seq("domain_id"))
+      .select($"doc_id", $"domain_id", $"path",
+        RobotsOps.isAllowed($"robots_rules", $"path").as("allowed"))
+    val d3 = pmod($"domain_id", lit(3))
+    val u = pmod($"doc_id", lit(8))
+    val expected =
+      when(d3 === 0, u =!= 0 && u =!= 3)
+        .when(d3 === 1, u === 4 || u === 5)
+        .otherwise(u =!= 6)
+    val bad = got.where($"allowed" =!= expected)
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
+  }
+
   test("synthRobots round-trips: per-domain decisions match the " +
       "id-arithmetic contract") {
     val docs = graft.sources.Sources.table(spark, sf, "documents")

@@ -94,6 +94,11 @@ class SourcesSpec extends SparkSpec {
     // deleting the tmp, as the pre-marker code did) loses rows.
     spark.read.parquet(dir).repartition(1).write.parquet(tmp.toString)
     assert(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+    // pin the real ordering (dir written before tmp) explicitly — on a
+    // coarse-mtime filesystem the two _SUCCESS stamps could tie, and a
+    // tie is the refuse-and-ask path, not this scenario
+    fs.setTimes(new org.apache.hadoop.fs.Path(qdir, "_SUCCESS"),
+      System.currentTimeMillis() - 60000L, -1)
     val victim = fs.listStatus(qdir)
       .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
     assert(fs.delete(victim, false))
@@ -129,6 +134,29 @@ class SourcesSpec extends SparkSpec {
       "fresh rewrite was replaced by the stale compacted tmp")
     assert(after.exceptAll(fresh).isEmpty && fresh.exceptAll(after).isEmpty)
     assert(!fs.exists(tmp), "stale tmp must be discarded")
+  }
+
+  test("compactParquet recovery: an exact _SUCCESS mtime TIE refuses and " +
+      "leaves both copies intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_tie")
+      .toString + "/t"
+    val nation = Sources.table(spark, sf, "nation")
+    nation.repartition(2).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qdir = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val tmp = Sources.compactingTmp(qdir)
+    spark.read.parquet(dir).repartition(1).write.parquet(tmp.toString)
+    // force the ambiguous case: both _SUCCESS files stamp the same mtime
+    val ts = 1700000000000L
+    fs.setTimes(new org.apache.hadoop.fs.Path(qdir, "_SUCCESS"), ts, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), ts, -1)
+    val e = intercept[RuntimeException](Sources.compactParquet(spark, dir))
+    assert(e.getMessage.contains("SAME mtime"))
+    assert(fs.exists(qdir) && fs.exists(tmp),
+      "refusal must not delete either copy")
+    assert(spark.read.parquet(dir).count() == nation.count())
+    fs.delete(tmp, true)
   }
 
   test("compactParquet refuses partitioned and streaming-sink directories") {
