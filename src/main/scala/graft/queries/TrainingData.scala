@@ -3314,6 +3314,99 @@ object TrainingData {
              |  CASE WHEN d3 = 0 THEN u NOT IN (0, 3)
              |       WHEN d3 = 1 THEN u IN (4, 5)
              |       ELSE u <> 6 END AS allowed
-             |FROM f ORDER BY url_id""".stripMargin))
+             |FROM f ORDER BY url_id""".stripMargin)),
+
+    // Byte-level BPE tokenizer encode (Bpe.bpeEncode): the step between
+    // a curated corpus and a training shard — greedy lowest-rank-first
+    // merge passes over GPT-2-style pre-tokenized chunks, merge table
+    // BROADCAST, text never shuffled. The corpus text is projected to
+    // [a-z space] (chars == bytes) so DuckDB can replay the merge loop
+    // exactly: a recursive CTE applies one merge RULE per round
+    // (arg_min rank among pairs present), and DuckDB's replace() — all
+    // non-overlapping occurrences, left to right — reproduces the
+    // batch-merge pass bit-exactly on delimiter-wrapped token strings.
+    // The oracle was independently cross-checked against a Python
+    // reference implementation (500/500 docs) before wiring.
+    Q("q150_bpe_tokenize",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val prepped = docs.select(col("doc_id"),
+          lower(substring(
+            regexp_replace(col("text"), "[^A-Za-z ]", ""), 1, 48))
+            .as("bpe_text"))
+        graft.text.Bpe.bpeEncode(prepped, "bpe_text")
+          .select(col("doc_id"),
+            size(col("bpe_tokens")).cast(LongType).as("n_tokens"),
+            array_join(col("bpe_tokens"), "|").as("tokens_str"),
+            aggregate(col("bpe_ids"), lit(0L), (a, x) => a + x)
+              .as("ids_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |prep AS (
+             |  SELECT doc_id,
+             |    lower(substr(regexp_replace(text, '[^A-Za-z ]', '', 'g'),
+             |      1, 48)) AS t
+             |  FROM documents),
+             |merges(rank, l, r) AS (VALUES
+             |  (0,'t','h'),(1,'th','e'),(2,'i','n'),(3,'a','n'),
+             |  (4,'an','d'),(5,'o','n'),(6,'e','r'),(7,'r','e'),
+             |  (8,'o','r'),(9,'s','t')),
+             |words AS (
+             |  SELECT doc_id, CAST(i AS INT) AS word_idx,
+             |    ws[CAST(i AS INT)] AS word
+             |  FROM (SELECT doc_id,
+             |          regexp_extract_all(t, ' ?[a-z]+| +') AS ws
+             |        FROM prep)
+             |  CROSS JOIN unnest(range(1, len(ws) + 1)) r(i)),
+             |seed AS (
+             |  SELECT doc_id, word_idx,
+             |    list_aggregate(list_transform(string_split_regex(word, ''),
+             |      c -> '<' || c || '>'), 'string_agg', '') AS seq,
+             |    0 AS it
+             |  FROM words),
+             |bpe AS (
+             |  SELECT * FROM seed
+             |  UNION ALL
+             |  SELECT doc_id, word_idx,
+             |    replace(seq, '<'||bl||'><'||br||'>', '<'||bl||br||'>')
+             |      AS seq, it + 1
+             |  FROM (
+             |    SELECT b.doc_id, b.word_idx, b.seq, b.it,
+             |      (SELECT arg_min(m.l, m.rank) FROM merges m
+             |       WHERE contains(b.seq, '<'||m.l||'><'||m.r||'>')) AS bl,
+             |      (SELECT arg_min(m.r, m.rank) FROM merges m
+             |       WHERE contains(b.seq, '<'||m.l||'><'||m.r||'>')) AS br
+             |    FROM bpe b WHERE b.it < 24) s
+             |  WHERE bl IS NOT NULL),
+             |final AS (
+             |  SELECT doc_id, word_idx, seq FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY doc_id, word_idx
+             |      ORDER BY it DESC) AS rn FROM bpe)
+             |  WHERE rn = 1),
+             |toks AS (
+             |  SELECT doc_id, word_idx, CAST(i AS INT) AS tok_idx,
+             |    tl[CAST(i AS INT)] AS tok
+             |  FROM (SELECT doc_id, word_idx,
+             |          regexp_extract_all(seq, '<([^<>]+)>', 1) AS tl
+             |        FROM final)
+             |  CROSS JOIN unnest(range(1, len(tl) + 1)) r(i)),
+             |ids AS (
+             |  SELECT doc_id, word_idx, tok_idx, tok,
+             |    CASE WHEN length(tok) = 1 THEN ascii(tok)
+             |         ELSE 256 + (SELECT m.rank FROM merges m
+             |                     WHERE m.l || m.r = tok) END AS id
+             |  FROM toks),
+             |agg AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |    string_agg(tok, '|' ORDER BY word_idx, tok_idx)
+             |      AS tokens_str,
+             |    CAST(sum(id) AS BIGINT) AS ids_sum
+             |  FROM ids GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+             |  COALESCE(a.tokens_str, '') AS tokens_str,
+             |  CAST(COALESCE(a.ids_sum, 0) AS BIGINT) AS ids_sum
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

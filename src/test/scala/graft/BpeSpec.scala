@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val demoRanks =
+    Bpe.demoMerges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+
+  test("encode goldens: cascades, leading-space chunks, unknown chars") {
+    def e(s: String) = Bpe.encode(s, demoRanks)
+    assert(e("the") === List("the"))           // th -> the cascade
+    assert(e(" and the") === List(" ", "and", " ", "the"))
+    assert(e("than") === List("th", "an"))     // two independent merges
+    assert(e("instr") === List("in", "st", "r"))
+    assert(e("xyz") === List("x", "y", "z"))   // nothing merges
+    assert(e("") === Nil)
+    assert(e(null) === Nil)
+    // multiple spaces NOT followed by a letter stay a space-run chunk
+    assert(e("ab  cd") === List("a", "b", " ", " ", "c", "d"))
+    // punctuation is its own chunk (partition totality)
+    assert(e("a.b") === List("a", ".", "b"))
+  }
+
+  test("a merge pass replaces ALL non-overlapping occurrences left to " +
+      "right (the GPT-2 batch semantics)") {
+    val ranks = Map(("a", "a") -> 0)
+    assert(Bpe.encodeChunk("aaa", ranks) === List("aa", "a"))
+    assert(Bpe.encodeChunk("aaaa", ranks) === List("aa", "aa"))
+    // lowest rank is chosen ACROSS the chunk even when a higher-rank
+    // pair appears first
+    val ranks2 = Map(("e", "r") -> 0, ("r", "e") -> 1)
+    assert(Bpe.encodeChunk("rere", ranks2) === List("r", "er", "e"))
+    // a merge can create the input of a LOWER-rank rule seen next round
+    val ranks3 = Map(("b", "c") -> 0, ("a", "bc") -> 1)
+    assert(Bpe.encodeChunk("abc", ranks3) === List("abc"))
+  }
+
+  test("decode(encode(x)) == x for arbitrary strings, non-ASCII included") {
+    val rnd = new scala.util.Random(150)
+    // sample whole CODE POINTS (the emoji is a surrogate pair — sampling
+    // UTF-16 units would fabricate invalid strings no codec round-trips)
+    val pool = Seq("a", "b", "t", "h", "e", "r", "i", "n", "s", " ",
+      ".", "!", "é", "中", "😀")
+    for (_ <- 0 until 2000) {
+      val s = (0 until rnd.nextInt(30))
+        .map(_ => pool(rnd.nextInt(pool.length))).mkString
+      val toks = Bpe.encode(s, demoRanks)
+      assert(Bpe.decode(toks) === s, s"round-trip broke on '$s'")
+      // preTokenize is a PARTITION of the input
+      assert(Bpe.preTokenize(s).mkString === s)
+    }
+  }
+
+  test("token ids: bytes 0-255 for single-byte tokens, 256+rank for " +
+      "merges; multi-byte UTF-8 splits into byte tokens") {
+    val out = Bpe.bpeEncode(
+      Seq((1L, "the café")).toDF("id", "txt"), "txt")
+      .select($"bpe_tokens", $"bpe_ids")
+      .as[(Seq[String], Seq[Int])].head()
+    // 'the' -> merged id 257 (rank 1); é -> UTF-8 0xC3 0xA9 byte tokens
+    assert(out._1 === Seq("the", " ", "c", "a", "f", "Ã", "©"))
+    assert(out._2 === Seq(257, 32, 'c'.toInt, 'a'.toInt, 'f'.toInt,
+      0xC3, 0xA9))
+    assert(Bpe.decode(out._1) === "the café")
+  }
+
+  test("bpeEncode: passthrough columns survive, reserved names refused, " +
+      "NULL text yields empty arrays, plan is exchange-free") {
+    val df = Seq((1L, "the", "x"), (2L, null.asInstanceOf[String], "y"))
+      .toDF("id", "txt", "note")
+    val out = Bpe.bpeEncode(df, "txt")
+    assert(out.columns.toSeq ===
+      Seq("id", "txt", "note", "bpe_tokens", "bpe_ids"))
+    val got = out.select($"id", $"note", size($"bpe_tokens"))
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "x", 1), (2L, "y", 0)))
+    intercept[IllegalArgumentException] {
+      Bpe.bpeEncode(df.withColumnRenamed("note", "bpe_ids"), "txt")
+    }
+    // the tokenizer is a narrow map: no exchange anywhere in its plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("duplicate or colliding merge tables are refused") {
+    val df = Seq((1L, "ab")).toDF("id", "txt")
+    intercept[IllegalArgumentException] {
+      Bpe.bpeEncode(df, "txt", Seq(("a", "b"), ("a", "b")))
+    }
+    intercept[IllegalArgumentException] {
+      // ('t','he') and ('th','e') both produce token 'the'
+      Bpe.bpeEncode(df, "txt",
+        Seq(("t", "h"), ("h", "e"), ("t", "he"), ("th", "e")))
+    }
+  }
+}
