@@ -3407,6 +3407,49 @@ object TrainingData {
              |  COALESCE(a.tokens_str, '') AS tokens_str,
              |  CAST(COALESCE(a.ids_sum, 0) AS BIGINT) AS ids_sum
              |FROM documents d LEFT JOIN agg a USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // PDF text extraction (Pdf.extractPdfText): content streams walked
+    // in byte order — FlateDecode inflates via the JDK Inflater,
+    // unfiltered streams read raw — and BT..ET show operators (Tj, ',
+    // ", TJ arrays) collected with full literal-escape + hex-string
+    // decoding. Turns q143's triage keep-pile into a TEXT SOURCE. The
+    // synth exercises escapes, TJ kerning arrays, hex shows, a decoy
+    // literal OUTSIDE any text object (must not extract), and a
+    // garbage FlateDecode stream (must contribute nothing); compressed
+    // happy paths are JVM-built goldens in PdfSpec (expressions cannot
+    // deflate). Oracle is ground-truth id arithmetic.
+    Q("q151_pdf_text",
+      (s, dir) => graft.multimodal.Pdf.extractPdfText(
+          graft.multimodal.Pdf.synthTextPdfBytes(
+            t(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("pdf_text"), col("n_show_ops"),
+          col("pdf_text_truncated"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 3) + 3) % 3 AS m3,
+             |    ((doc_id % 5) + 5) % 5 AS m5,
+             |    ((doc_id % 11) + 11) % 11 AS m11,
+             |    ((doc_id % 50) + 50) % 50 AS m50
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, m11,
+             |    'Doc ' || CAST(doc_id AS VARCHAR) || ' alpha' ||
+             |    CASE WHEN m3 = 1 THEN ' esc ( ) \ fin' ELSE '' END ||
+             |    CASE WHEN m3 = 2 THEN ' kern pair ' ||
+             |      CAST(m50 AS VARCHAR) ELSE '' END ||
+             |    CASE WHEN m5 = 3 THEN ' Hi!' ELSE '' END AS pdf_text,
+             |    CAST(1 + CASE WHEN m3 IN (1, 2) THEN 1 ELSE 0 END +
+             |         CASE WHEN m5 = 3 THEN 1 ELSE 0 END AS BIGINT)
+             |      AS n_show_ops
+             |  FROM m)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN m11 = 6 THEN NULL ELSE pdf_text END AS pdf_text,
+             |  CASE WHEN m11 = 6 THEN NULL ELSE n_show_ops END
+             |    AS n_show_ops,
+             |  CASE WHEN m11 = 6 THEN NULL ELSE FALSE END
+             |    AS pdf_text_truncated
+             |FROM f ORDER BY media_id""".stripMargin))
   )
 }

@@ -64,6 +64,175 @@ class PdfSpec extends SparkSpec {
       (7L, None, None, None, None, None, None)))
   }
 
+  // ---- text extraction -------------------------------------------------
+
+  private def zlib(s: String): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(s.getBytes("ISO-8859-1")); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def pdfWith(streams: (String, Option[Array[Byte]])*)
+      : Array[Byte] = {
+    // streams: (dictExtras, data) — data None means raw from dictExtras'
+    // second element... build: header + each stream object + trailer
+    val bo = new java.io.ByteArrayOutputStream()
+    bo.write("%PDF-1.7\n".getBytes("ISO-8859-1"))
+    streams.zipWithIndex.foreach { case ((dict, data), i) =>
+      val bytes = data.get
+      bo.write((s"${i + 4} 0 obj\n<< $dict /Length ${bytes.length} >>" +
+        "\nstream\n").getBytes("ISO-8859-1"))
+      bo.write(bytes)
+      bo.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+    }
+    bo.write("trailer << /Size 9 >>\nstartxref\n1\n%%EOF\n"
+      .getBytes("ISO-8859-1"))
+    bo.toByteArray
+  }
+
+  private def extract(rows: (Long, Array[Byte])*) =
+    Pdf.extractPdfText(rows.toDF("media_id", "content"))
+      .select($"media_id", $"pdf_text", $"n_show_ops",
+        $"pdf_text_truncated")
+      .as[(Long, Option[String], Option[Long], Option[Boolean])]
+      .collect().sortBy(_._1).toSeq
+
+  test("extractPdfText: REAL FlateDecode streams inflate and extract; " +
+      "raw streams extract; image filters and non-PDF skip") {
+    val flate = pdfWith(
+      ("/Filter /FlateDecode",
+        Some(zlib("BT /F1 12 Tf (Compressed hello) Tj ET"))))
+    val two = pdfWith(
+      ("/Filter /FlateDecode", Some(zlib("BT (part one) Tj ET"))),
+      ("", Some("BT [(part ) -200 (two)] TJ ET".getBytes("ISO-8859-1"))))
+    // DCTDecode (a JPEG) must be skipped even if its bytes contain
+    // paren-like noise
+    val img = pdfWith(
+      ("/Filter /DCTDecode", Some("(fake jpeg) Tj BT ET".getBytes)),
+      ("", Some("BT (after image) Tj ET".getBytes("ISO-8859-1"))))
+    val notPdf = "plain text, no header".getBytes("ISO-8859-1")
+    val got = extract((1L, flate), (2L, two), (3L, img), (4L, notPdf))
+    assert(got === Seq(
+      (1L, Some("Compressed hello"), Some(1L), Some(false)),
+      (2L, Some("part one part two"), Some(2L), Some(false)),
+      (3L, Some("after image"), Some(1L), Some(false)),
+      (4L, None, None, None)))
+  }
+
+  test("extractPdfText: a LYING /Length falls back to the endstream " +
+      "search; compressed bytes containing 'endstream' do not cut " +
+      "the stream short") {
+    // /Length far larger than reality: search fallback still finds it
+    val lying = ("%PDF-1.7\n4 0 obj\n<< /Length 99999 >>\nstream\n" +
+      "BT (survived the lie) Tj ET\nendstream\nendobj\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    // honest /Length where the DATA contains the literal 'endstream'
+    val tricky = "BT (real) Tj ET % endstream inside a comment\nBT (tail) Tj ET"
+    val honest = pdfWith(("", Some(tricky.getBytes("ISO-8859-1"))))
+    val got = extract((1L, lying), (2L, honest))
+    assert(got === Seq(
+      (1L, Some("survived the lie"), Some(1L), Some(false)),
+      (2L, Some("real tail"), Some(2L), Some(false))))
+  }
+
+  test("extractPdfText: truncation marks, caps bound output, garbage " +
+      "flate contributes nothing") {
+    // cut mid-stream (no endstream): prefix still walks, truncated set
+    val cut = ("%PDF-1.7\n4 0 obj\n<< /Length 999 >>\nstream\n" +
+      "BT (kept before the cut) Tj ET").getBytes("ISO-8859-1")
+    // text cap: output bounded, flag set
+    val big = pdfWith(("", Some(
+      ("BT (" + "x" * 5000 + ") Tj ET").getBytes("ISO-8859-1"))))
+    val gotCut = extract((1L, cut))
+    assert(gotCut === Seq(
+      (1L, Some("kept before the cut"), Some(1L), Some(true))))
+    val gotBig = Pdf.extractPdfText(
+      Seq((1L, big)).toDF("media_id", "content"), maxTextChars = 100)
+      .select(length($"pdf_text"), $"pdf_text_truncated")
+      .as[(Int, Boolean)].head()
+    assert(gotBig === ((100, true)))
+    val badFlate = pdfWith(
+      ("/Filter /FlateDecode", Some("THIS IS NOT ZLIB".getBytes)),
+      ("", Some("BT (good) Tj ET".getBytes("ISO-8859-1"))))
+    assert(extract((1L, badFlate)) ===
+      Seq((1L, Some("good"), Some(1L), Some(false))))
+  }
+
+  test("extractPdfText: escape decoding, octal, nesting, hex odd-pad, " +
+      "shows outside BT..ET ignored") {
+    val content =
+      "(decoy before text object) Tj\n" +
+        "BT (nest(ed) parens) Tj (oct \\101\\102\\7) Tj " +
+        "(esc \\( \\) \\\\ \\n fin) Tj <48692> Tj ET\n" +
+        "(decoy after) Tj"
+    val pdf = pdfWith(("", Some(content.getBytes("ISO-8859-1"))))
+    val got = extract((1L, pdf))
+    // octal: \101\102 = AB, \7 = BEL(0x07); hex <48692> has an odd
+    // trailing digit, padded to 0x20 -> "Hi "
+    val expected = "nest(ed) parens" + " " + "oct AB\u0007" + " " +
+      "esc ( ) \\ \n fin" + " " + "Hi "
+    assert(got.head._2.get === expected)
+    assert(got.head._3.get === 4L)
+    assert(got.head._4.get === false)
+  }
+
+  test("synthTextPdfBytes round-trips across the corpus, negative ids " +
+      "too; extraction matches the q151 id arithmetic") {
+    for (docs <- Seq(
+      graft.sources.Sources.table(spark, sf, "documents").select($"doc_id"),
+      spark.range(-64, 0).toDF("doc_id"))) {
+      val got = Pdf.extractPdfText(Pdf.synthTextPdfBytes(docs, "doc_id"))
+      val id = $"media_id"
+      def m(k: Int) = pmod(id, lit(k))
+      val expText = concat(
+        lit("Doc "), id.cast("string"), lit(" alpha"),
+        when(m(3) === 1, " esc ( ) \\ fin").otherwise(""),
+        when(m(3) === 2,
+          concat(lit(" kern pair "), m(50).cast("string"))).otherwise(""),
+        when(m(5) === 3, " Hi!").otherwise(""))
+      val expOps = lit(1) +
+        when(m(3) === 1 || m(3) === 2, 1).otherwise(0) +
+        when(m(5) === 3, 1).otherwise(0)
+      val bad = got.where(
+        when(m(11) === 6,
+          $"pdf_text".isNotNull || $"n_show_ops".isNotNull ||
+            $"pdf_text_truncated".isNotNull)
+          .otherwise($"pdf_text" =!= expText ||
+            $"n_show_ops" =!= expOps || $"pdf_text_truncated"))
+      assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
+    }
+  }
+
+  test("PDF text extractor never throws under truncation + corruption " +
+      "fuzz; caps hold") {
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .where($"doc_id" < 48).select($"doc_id")
+    val fam = Pdf.synthTextPdfBytes(docs, "doc_id")
+    val truncated = fam.select($"media_id",
+      explode(sequence(lit(0), octet_length($"content"), lit(7))).as("k"))
+      .join(fam, Seq("media_id"))
+      .select($"media_id", expr("substring(content, 1, k)").as("content"))
+    val corrupted = Seq("00", "28", "5C").map { b => // NUL, '(', '\'
+      fam.select($"media_id",
+        concat(
+          expr("substring(content, 1, " +
+            "pmod(media_id * 31, octet_length(content)))"),
+          unhex(lit(b)),
+          expr("substring(content, " +
+            "pmod(media_id * 31, octet_length(content)) + 2, " +
+            "2147483647)")).as("content"))
+    }.reduce(_ unionAll _)
+    for (mutated <- Seq(truncated, corrupted)) {
+      val n = Pdf.extractPdfText(mutated, maxTextChars = 64)
+        .where(length($"pdf_text") > 64).count()
+      assert(n === 0)
+    }
+  }
+
   test("synthPdfBytes round-trips across the corpus, negative ids too") {
     for (docs <- Seq(
       graft.sources.Sources.table(spark, sf, "documents").select($"doc_id"),
