@@ -21,20 +21,32 @@ import graft.text.{HtmlOps, UnicodeOps}
   * failure visible, not dropped. */
 object CrawlIngest {
 
-  /** One row per WARC record: (idCol, rec_idx, target_uri, http_status,
-    * content_type, charset_source, text). */
-  def crawlText(blobs: DataFrame, idCol: String = "media_id",
-                contentCol: String = "content"): DataFrame = {
-    val recs = Warc.explodeWarcBlobs(blobs, idCol, contentCol)
-      .select(col(idCol), col("rec_idx"), col("target_uri"), col("payload"))
-    val http = Http.withBodyText(Http.parseHttpResponses(recs))
+  /** The record-level chain: takes an already-split WARC record frame
+    * (any key columns + target_uri + payload) and yields per-record
+    * text — shared by the blob path ([[crawlText]]) and the FILE path
+    * ([[graft.sources.Warc.warcRecords]] output, the shape a real
+    * multi-segment dump ingests through; ScaleRehearsal measures its
+    * MB/s on generated segments). */
+  def crawlTextFromRecords(records: DataFrame,
+                           keyCols: Seq[String]): DataFrame = {
+    val base = records.select(
+      (keyCols.map(col) :+ col("target_uri") :+ col("payload")): _*)
+    val http = Http.withBodyText(Http.parseHttpResponses(base))
     UnicodeOps.normalizeText(
       HtmlOps.htmlToText(http, "body_text", "text_extracted"),
       "text_extracted", "text")
-      .select(col(idCol), col("rec_idx"), col("target_uri"),
+      .select((keyCols.map(col) ++ Seq(col("target_uri"),
         col("http_status"), col("content_type"), col("charset_source"),
-        col("text"))
+        col("text"))): _*)
   }
+
+  /** One row per WARC record: (idCol, rec_idx, target_uri, http_status,
+    * content_type, charset_source, text). */
+  def crawlText(blobs: DataFrame, idCol: String = "media_id",
+                contentCol: String = "content"): DataFrame =
+    crawlTextFromRecords(
+      Warc.explodeWarcBlobs(blobs, idCol, contentCol),
+      Seq(idCol, "rec_idx"))
 
   /** Deterministic crawl-dump exhibit blobs from an id column — one WARC
     * response record per id whose payload is a full HTTP message

@@ -422,6 +422,83 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._2) === Set("train", "val", "test"))
   }
 
+  test("streaming crawl-to-admission composition: WARC blobs stream " +
+      "through crawlText into dedupAdmissionSink; multi-batch redelivery " +
+      "is bit-equal") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    import graft.pipeline.CrawlIngest
+    import org.apache.spark.sql.types._
+    // the full loop a crawl pipeline runs: new segments land -> text
+    // extracted (WARC -> HTTP -> charset -> HTML -> normalize) -> dedup
+    // admission decided against everything admitted before
+    val docs = Sources.table(spark, sf, "documents")
+      .where(col("doc_id") < 200).select("doc_id")
+    val blobs = CrawlIngest.synthCrawlBlobs(docs, "doc_id")
+    val srcDir = Files.createTempDirectory("graft_crawl_adm").toString
+    blobs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    def crawlDocs(df: org.apache.spark.sql.DataFrame) =
+      CrawlIngest.crawlText(df)
+        .where(col("text").isNotNull)
+        .select(col("media_id").as("doc_id"), col("text"))
+    // 1) single AvailableNow batch: composed streaming decisions must
+    //    equal the BATCH incremental-dedup twin over the same texts
+    val root1 = Files.createTempDirectory("graft_crawl_adm_out").toString
+    val q1 = EventStreams.dedupAdmissionSink(
+      crawlDocs(spark.readStream.schema(schema).parquet(srcDir)),
+      root1 + "/index", root1 + "/decisions")
+    try q1.processAllAvailable() finally q1.stop()
+    val streamed = spark.read.parquet(root1 + "/decisions")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toSet
+    val empty = Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "sig")
+    val want = Dedup.incrementalLshDedup(empty, crawlDocs(blobs),
+      "doc_id", "text")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toSet
+    assert(streamed === want,
+      "composed crawl->admission diverges from the batch twin")
+    // 2) multi-batch (maxFilesPerTrigger=1) run, then a FULL REDELIVERY
+    //    of the same stream over the same index/decisions (fresh
+    //    checkpoint): per-batch_id dynamic overwrite must make the
+    //    replay bit-equal, decisions AND index
+    def runMulti(root: String, checkpoint: String) = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = crawlDocs(stream).writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                         batchId: Long) =>
+          EventStreams.processDedupAdmissionBatch(batch, batchId,
+            root + "/index", root + "/decisions", "doc_id", "text",
+            3, 16, 4, true, -1, 0)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val root2 = Files.createTempDirectory("graft_crawl_adm_mb").toString
+    runMulti(root2, root2 + "/cp1")
+    val firstRun = spark.read.parquet(root2 + "/decisions")
+      .select($"doc_id", $"dup_of_index", $"dup_of_batch", $"keep",
+        $"batch_id")
+      .as[(Long, Option[Long], Option[Long], Boolean, Long)]
+      .collect().toSet
+    assert(firstRun.map(_._5).size > 1,
+      "exhibit too weak: multi-batch run produced a single micro-batch")
+    runMulti(root2, root2 + "/cp2") // redelivery from scratch
+    val replay = spark.read.parquet(root2 + "/decisions")
+      .select($"doc_id", $"dup_of_index", $"dup_of_batch", $"keep",
+        $"batch_id")
+      .as[(Long, Option[Long], Option[Long], Boolean, Long)]
+      .collect().toSet
+    assert(replay === firstRun,
+      "redelivered crawl->admission decisions diverge")
+    // and every doc received exactly ONE verdict across all batches
+    assert(replay.groupBy(_._1).forall(_._2.size == 1),
+      "a doc received conflicting verdicts across batches")
+  }
+
   test("dedupAdmissionSink wires the admission batch through foreachBatch") {
     import spark.implicits._
     import graft.dedup.Dedup
