@@ -3450,6 +3450,96 @@ object TrainingData {
              |    AS n_show_ops,
              |  CASE WHEN m11 = 6 THEN NULL ELSE FALSE END
              |    AS pdf_text_truncated
-             |FROM f ORDER BY media_id""".stripMargin))
+             |FROM f ORDER BY media_id""".stripMargin)),
+
+    // Tokenize -> pack capstone: the LAST two steps between a curated
+    // corpus and a training shard, COMPOSED — BPE token counts
+    // (Bpe.bpeEncode, q150's exact tokenizer) feed fixed-budget
+    // sequence packing (Packing.packSequences, q92's exact arithmetic:
+    // hash-sharded running-sum offsets, no global window). The oracle
+    // is the q150 recursive-CTE tokenizer truncated at token COUNTS,
+    // joined into the q92 packing replay — so any divergence in either
+    // stage, or in their composition, hash-fails.
+    Q("q152_tokenize_pack",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val prepped = docs.select(col("doc_id"),
+          lower(substring(
+            regexp_replace(col("text"), "[^A-Za-z ]", ""), 1, 48))
+            .as("bpe_text"))
+        val toks = graft.text.Bpe.bpeEncode(prepped, "bpe_text")
+          .select(col("doc_id"),
+            size(col("bpe_tokens")).cast(LongType).as("n_tokens"))
+        graft.operators.Packing.packSequences(
+            toks, "doc_id", "n_tokens", 256L, 4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |prep AS (
+             |  SELECT doc_id,
+             |    lower(substr(regexp_replace(text, '[^A-Za-z ]', '', 'g'),
+             |      1, 48)) AS t
+             |  FROM documents),
+             |merges(rank, l, r) AS (VALUES
+             |  (0,'t','h'),(1,'th','e'),(2,'i','n'),(3,'a','n'),
+             |  (4,'an','d'),(5,'o','n'),(6,'e','r'),(7,'r','e'),
+             |  (8,'o','r'),(9,'s','t')),
+             |words AS (
+             |  SELECT doc_id, CAST(i AS INT) AS word_idx,
+             |    ws[CAST(i AS INT)] AS word
+             |  FROM (SELECT doc_id,
+             |          regexp_extract_all(t, ' ?[a-z]+| +') AS ws
+             |        FROM prep)
+             |  CROSS JOIN unnest(range(1, len(ws) + 1)) r(i)),
+             |seed AS (
+             |  SELECT doc_id, word_idx,
+             |    list_aggregate(list_transform(string_split_regex(word, ''),
+             |      c -> '<' || c || '>'), 'string_agg', '') AS seq,
+             |    0 AS it
+             |  FROM words),
+             |bpe AS (
+             |  SELECT * FROM seed
+             |  UNION ALL
+             |  SELECT doc_id, word_idx,
+             |    replace(seq, '<'||bl||'><'||br||'>', '<'||bl||br||'>')
+             |      AS seq, it + 1
+             |  FROM (
+             |    SELECT b.doc_id, b.word_idx, b.seq, b.it,
+             |      (SELECT arg_min(m.l, m.rank) FROM merges m
+             |       WHERE contains(b.seq, '<'||m.l||'><'||m.r||'>')) AS bl,
+             |      (SELECT arg_min(m.r, m.rank) FROM merges m
+             |       WHERE contains(b.seq, '<'||m.l||'><'||m.r||'>')) AS br
+             |    FROM bpe b WHERE b.it < 24) s
+             |  WHERE bl IS NOT NULL),
+             |final AS (
+             |  SELECT doc_id, word_idx, seq FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY doc_id, word_idx
+             |      ORDER BY it DESC) AS rn FROM bpe)
+             |  WHERE rn = 1),
+             |ntok AS (
+             |  SELECT doc_id, CAST(sum(len(regexp_extract_all(seq,
+             |    '<([^<>]+)>', 1))) AS BIGINT) AS n_tokens
+             |  FROM final GROUP BY doc_id),
+             |alltok AS (
+             |  SELECT d.doc_id, COALESCE(nt.n_tokens, 0) AS n_tokens
+             |  FROM documents d LEFT JOIN ntok nt USING (doc_id)),
+             |h AS (
+             |  SELECT doc_id, n_tokens,
+             |    ('0x'||substr(md5('pack#' || doc_id::VARCHAR),1,15))::BIGINT
+             |      AS hv
+             |  FROM alltok),
+             |sh AS (SELECT doc_id, n_tokens, hv, hv % 4 AS shard FROM h),
+             |rr AS (SELECT doc_id, n_tokens, shard,
+             |  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY shard
+             |    ORDER BY hv, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS BIGINT) AS st
+             |  FROM sh)
+             |SELECT doc_id, n_tokens, shard,
+             |  st // 256 AS seq_idx,
+             |  st % 256 AS seq_offset,
+             |  CAST(greatest(1, (st + n_tokens - 1) // 256 - st // 256 + 1)
+             |    AS BIGINT) AS n_spanned
+             |FROM rr ORDER BY doc_id""".stripMargin))
   )
 }
