@@ -45,9 +45,10 @@ object Http {
 
   private val Crlf = "\r\n".getBytes("ISO-8859-1")
 
-  /** Find the header/body split: the first CRLFCRLF (tolerates LFLF). */
-  private def headerEnd(b: Array[Byte]): Int = {
-    var i = 0
+  /** Find the header/body split: the first CRLFCRLF (tolerates LFLF)
+    * at or after `from`. */
+  private def headerEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
     while (i < b.length - 1) {
       if (b(i) == '\n') {
         if (i + 2 < b.length && b(i + 1) == '\r' && b(i + 2) == '\n')
@@ -135,14 +136,23 @@ object Http {
       case _: Exception => None
     }
 
-  /** Parse ONE HTTP response message. */
+  /** Parse ONE HTTP response message. Interim 1xx responses (100
+    * Continue, 103 Early Hints — servers send them before the final
+    * response and crawlers store the whole exchange) have no body by
+    * RFC 9110 §15.2: skip each interim head and parse the response that
+    * follows, bounded at 4 hops so a malicious all-1xx payload cannot
+    * loop. */
   private[graft] def parseResponse(payload: Array[Byte],
-                                   maxBodyBytes: Int): HttpParsed = {
+                                   maxBodyBytes: Int): HttpParsed =
+    parseFrom(payload, 0, maxBodyBytes, interimHops = 4)
+
+  private def parseFrom(payload: Array[Byte], from: Int,
+                        maxBodyBytes: Int, interimHops: Int): HttpParsed = {
     val none = HttpParsed(None, None, None, None, null, false)
-    if (payload == null || payload.length < 12) return none
-    val he = headerEnd(payload)
+    if (payload == null || payload.length - from < 12) return none
+    val he = headerEnd(payload, from)
     if (he < 0) return none
-    val head = new String(payload, 0, he, "ISO-8859-1")
+    val head = new String(payload, from, he - from, "ISO-8859-1")
     val lines = head.split("\r?\n")
     if (lines.isEmpty) return none
     val status = lines.head match {
@@ -153,6 +163,12 @@ object Http {
       case _ => None
     }
     if (status.isEmpty) return none
+    if (status.exists(s => s >= 100 && s < 200)) {
+      // interim response: bodiless by spec; the REAL response follows
+      return if (interimHops > 0)
+        parseFrom(payload, he, maxBodyBytes, interimHops - 1)
+      else none
+    }
     // un-fold obs-fold continuations first (RFC 9112 §5.2: a line starting
     // with SP/HTAB continues the PREVIOUS header's value) — otherwise a
     // folded `Content-Type:` value line is misread as a new header
@@ -188,6 +204,12 @@ object Http {
         }
       }
     }
+    // 204 No Content / 304 Not Modified are bodiless by RFC 9110
+    // §15.3.5/§15.4.5 regardless of any Content-Length they carry (304s
+    // routinely echo the would-be entity's length): empty body, complete
+    if (status.exists(s => s == 204 || s == 304))
+      return HttpParsed(status, cType, cEnc, tEnc, Array.emptyByteArray,
+        false)
     // framing: chunked beats Content-Length (RFC 9112 §6.3)
     val (framed, framedComplete): (Array[Byte], Boolean) =
       if (tEnc.exists(_.contains("chunked"))) {

@@ -120,11 +120,41 @@ object Bpe {
     toks.toList
   }
 
+  /** The merge loop is O(chunk²): a pathological unbroken letter run
+    * (a 100 KB base64 blob that survived text extraction, a DNA
+    * sequence) would cost ~10^10 comparisons in ONE task. Chunks longer
+    * than this are split into cap-sized pieces before encoding — merges
+    * cannot cross the split (same contract as the word boundary), and
+    * the cap bounds per-row CPU at cap² regardless of input. Real
+    * tokenizers face the same input and make the same trade (HF
+    * tokenizers' max_input_chars_per_word). Decode still round-trips:
+    * splitting only refuses merges, never drops bytes. */
+  val MaxChunkChars = 1024
+
+  /** Cap-split that never lands between a surrogate pair. (Today only
+    * ASCII letter/space runs can exceed the cap — "other" chunks are
+    * single code points — but that is an invariant of preTokenize, not
+    * of this function's input, so guard it here.) */
+  private def splitChunk(s: String, cap: Int): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      var j = math.min(i + cap, s.length)
+      if (j < s.length && Character.isHighSurrogate(s.charAt(j - 1)) &&
+        Character.isLowSurrogate(s.charAt(j))) j -= 1
+      out += s.substring(i, j); i = j
+    }
+    out.toList
+  }
+
   private[graft] def encode(text: String,
                             ranks: Map[(String, String), Int])
       : List[String] =
     if (text == null) Nil
-    else preTokenize(text).flatMap(encodeChunk(_, ranks))
+    else preTokenize(text).flatMap { chunk =>
+      if (chunk.length <= MaxChunkChars) encodeChunk(chunk, ranks)
+      else splitChunk(chunk, MaxChunkChars).flatMap(encodeChunk(_, ranks))
+    }
 
   /** Inverse: token strings are byte strings; concatenation IS the
     * original byte sequence. */

@@ -55,6 +55,24 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("pathological unbroken runs are cap-split: bounded CPU, decode " +
+      "still round-trips, merges apply within each piece") {
+    // a 100k-letter run (the base64-blob / DNA-sequence shape) must
+    // encode in bounded time — the O(chunk²) merge loop is capped at
+    // MaxChunkChars² per piece
+    val run = "th" * 50000 // 100k chars, every 'th' mergeable
+    val t0 = System.nanoTime()
+    val toks = Bpe.encode(run, demoRanks)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(Bpe.decode(toks) === run)
+    assert(toks.forall(_ == "th"), "merges must still fire inside pieces")
+    assert(ms < 30000, s"cap failed to bound the merge loop: $ms ms")
+    // boundary behavior: a merge CAN be refused at a piece boundary
+    // (same contract as a word boundary) but bytes are never lost
+    val odd = "t" + ("ht" * 70000) // boundaries fall mid-'th'
+    assert(Bpe.decode(Bpe.encode(odd, demoRanks)) === odd)
+  }
+
   test("token ids: bytes 0-255 for single-byte tokens, 256+rank for " +
       "merges; multi-byte UTF-8 splits into byte tokens") {
     val out = Bpe.bpeEncode(

@@ -329,6 +329,38 @@ class HttpSpec extends SparkSpec {
       (5L, Some(200), Some("gzip, deflate"), None, false)))
   }
 
+  test("interim 1xx heads are skipped to the real response; 204/304 " +
+      "are bodiless regardless of Content-Length") {
+    // crawlers store the WHOLE exchange: 100 Continue / 103 Early Hints
+    // heads precede the final response; reporting status=100 with the
+    // real response as 'body text' would corrupt every downstream stage
+    val cont = msg("HTTP/1.1 100 Continue" + crlf + crlf +
+      "HTTP/1.1 200 OK" + crlf +
+      "Content-Type: text/html" + crlf +
+      "Content-Length: 4" + crlf + crlf, "real".getBytes(US_ASCII))
+    val hints = msg("HTTP/1.1 103 Early Hints" + crlf +
+      "Link: </style.css>; rel=preload" + crlf + crlf +
+      "HTTP/1.1 200 OK" + crlf +
+      "Content-Length: 2" + crlf + crlf, "ok".getBytes(US_ASCII))
+    // a malicious all-interim chain must terminate (hop bound), not loop
+    val allInterim = msg(
+      ("HTTP/1.1 100 Continue" + crlf + crlf) * 6, Array.emptyByteArray)
+    // 304 routinely echoes the entity's Content-Length; the body is
+    // EMPTY by spec — not 'truncated'
+    val notModified = msg("HTTP/1.1 304 Not Modified" + crlf +
+      "Content-Length: 9999" + crlf + crlf, Array.emptyByteArray)
+    val noContent = msg("HTTP/1.1 204 No Content" + crlf +
+      "Content-Length: 5" + crlf + crlf, Array.emptyByteArray)
+    val got = parse((1L, cont), (2L, hints), (3L, allInterim),
+      (4L, notModified), (5L, noContent))
+    assert(got === Seq(
+      (1L, Some(200), Some("text/html"), Some("real"), false),
+      (2L, Some(200), None, Some("ok"), false),
+      (3L, None, None, None, false),
+      (4L, Some(304), None, Some(""), false),
+      (5L, Some(204), None, Some(""), false)))
+  }
+
   test("meta charset inside an HTML comment must NOT win the sniff") {
     val utf8Tail = "café".getBytes("UTF-8")
     // terminated comment hiding a meta: the sniff must skip it and land
