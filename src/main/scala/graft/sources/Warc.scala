@@ -111,8 +111,26 @@ object Warc {
         Some((out, clen > keep))
       }
 
+      /** One parse step. IO exceptions are a DATA property here, not a
+        * code failure: the JDK gzip stream THROWS (rather than
+        * returning EOF) on a truncated member mid-read, a corrupt CRC
+        * trailer, or a damaged next-member header — and one damaged
+        * .warc.gz segment must cost its own tail, not the Spark task
+        * (with retries, the whole job). Records fully parsed before
+        * the throw are kept: deflate output is self-terminating, so
+        * bytes already delivered are sound even when the trailer
+        * check later fails. */
       private def advance(): Unit = {
         if (finished) return
+        try advanceUnsafe()
+        catch {
+          case _: java.io.IOException =>
+            finished = true
+            try buf.close() catch { case _: Exception => () }
+        }
+      }
+
+      private def advanceUnsafe(): Unit = {
         val offset = pos
         readLine() match {
           case Some(v) if v.startsWith("WARC/") => ()
@@ -180,11 +198,16 @@ object Warc {
   private def open(bytes: Array[Byte], maxPayloadBytes: Int)
       : Iterator[Parsed] = {
     val raw = new ByteArrayInputStream(bytes)
-    val in: InputStream =
+    // the GZIPInputStream CONSTRUCTOR throws on a damaged post-magic
+    // header (unsupported method byte, bad flags) — a blob that sniffs
+    // as gzip but isn't yields zero records, never a dead task
+    val in: Option[InputStream] =
       if (bytes.length >= 2 && bytes(0) == 0x1f.toByte &&
-        bytes(1) == 0x8b.toByte) new GZIPInputStream(raw, 64 * 1024)
-      else raw
-    parseStream(in, maxPayloadBytes)
+        bytes(1) == 0x8b.toByte)
+        try Some(new GZIPInputStream(raw, 64 * 1024))
+        catch { case _: java.io.IOException => None }
+      else Some(raw)
+    in.map(parseStream(_, maxPayloadBytes)).getOrElse(Iterator.empty)
   }
 
   /** Split a directory of `.warc` / `.warc.gz` segment files into record
@@ -228,7 +251,15 @@ object Warc {
           val path = new org.apache.hadoop.fs.Path(p)
           val raw = path.getFileSystem(hc).open(path)
           val in: InputStream =
-            if (p.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024)
+            if (p.endsWith(".gz"))
+              try new GZIPInputStream(raw, 64 * 1024)
+              catch { case e: java.io.IOException =>
+                // damaged gzip header: this FILE is lost (zero records,
+                // same contract as a bad blob), not the task
+                try raw.close() catch { case _: Exception => () }
+                System.err.println(s"[warc] skipping damaged gzip $p: $e")
+                new ByteArrayInputStream(Array.emptyByteArray)
+              }
             else raw
           // parseStream closes `in` when it exhausts the file, but a
           // consumer that stops EARLY (a LIMIT query, take(n)) abandons

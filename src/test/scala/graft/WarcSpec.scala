@@ -152,6 +152,50 @@ class WarcSpec extends SparkSpec {
     assert(first === Seq("alpha"))
   }
 
+  test("damaged gzip costs its own tail, never the task: truncated " +
+      "member, corrupt CRC trailer, corrupt post-magic header") {
+    val r0 = record("response", "http://gz.com/0", "<urn:uuid:g0>", "alpha")
+    val r1 = record("response", "http://gz.com/1", "<urn:uuid:g1>", "beta")
+    val gz = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(gz)
+    g.write((r0 + r1).getBytes(US_ASCII)); g.close()
+    val full = gz.toByteArray
+    // (a) truncated mid-member: the JDK stream THROWS EOFException on
+    // the read — records fully parsed before the cut must survive
+    val cut = java.util.Arrays.copyOfRange(full, 0, full.length / 2)
+    // (b) corrupt CRC trailer: deflate data delivers fine, the trailer
+    // check throws on the LAST read — both records must survive
+    val crc = full.clone(); crc(crc.length - 5) = (crc(crc.length - 5) ^ 0x55).toByte
+    // (c) gzip magic + damaged header: the CONSTRUCTOR throws
+    val badHdr = Array[Byte](0x1f, 0x8b.toByte, 0x01, 0x02, 0x03)
+    val got = Warc.explodeWarcBlobs(
+      Seq((1L, cut), (2L, crc), (3L, badHdr))
+        .toDF("media_id", "content"))
+      .groupBy($"media_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got.getOrElse(3L, 0L) === 0L, "bad header must yield 0 records")
+    assert(got(2L) === 2L, "CRC corruption must not lose delivered records")
+    assert(got.getOrElse(1L, 0L) <= 2L) // prefix records only, no throw
+    // file path: same three, plus a healthy file — the damaged ones
+    // must not take the healthy one (or the task) down
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_warc_dmg").toString
+    Seq(("a_cut.warc.gz", cut), ("b_crc.warc.gz", crc),
+      ("c_hdr.warc.gz", badHdr)).foreach { case (n, b) =>
+      val fo = new FileOutputStream(s"$dir/$n"); fo.write(b); fo.close()
+    }
+    val ho = new FileOutputStream(s"$dir/d_ok.warc")
+    ho.write(r0.getBytes(US_ASCII)); ho.close()
+    val byFile = Warc.warcRecords(spark, dir)
+      .groupBy($"path").count().as[(String, Long)].collect()
+      .map { case (p, n) => p.split('/').last -> n }.toMap
+    assert(byFile.getOrElse("d_ok.warc", 0L) === 1L,
+      "healthy file lost to a damaged neighbor")
+    assert(byFile.getOrElse("b_crc.warc.gz", 0L) === 2L)
+    assert(!byFile.contains("c_hdr.warc.gz") ||
+      byFile("c_hdr.warc.gz") === 0L)
+  }
+
   test("synthWarcBytes round-trips across the corpus, traps included") {
     val docs = graft.sources.Sources.table(spark, sf, "documents")
       .select($"doc_id")
