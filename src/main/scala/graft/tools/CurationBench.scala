@@ -139,6 +139,29 @@ object CurationBench {
     println(s"[curation] in=$docsIn scored=$nScored exact=$nExact " +
       s"near=$nNear clean=$nClean out=$docsOut tokens_out=$toksOut " +
       f"shard_skew=$shardSkew%.2f")
+
+    // 7. EXTRA stage, timed separately so the e2e number above stays
+    // comparable with earlier rounds' recorded table: tokenizer-true
+    // shard layout — BPE-encode the SELECTED docs (full text, arbitrary
+    // UTF-8; the chunk cap bounds the merge loop) and pack real token
+    // counts into 2048-token training sequences. The id set is
+    // curation-output-sized, so the text fetch is a broadcast semi-join
+    // against the corpus — the one place the pipeline re-reads text,
+    // exactly where production would read it from storage.
+    val t7 = System.nanoTime()
+    val toTokenize = docs
+      .join(broadcast(selected.select("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val enc = graft.text.Bpe.bpeEncode(toTokenize, "text")
+      .select(col("doc_id"), size(col("bpe_ids")).cast("long").as("bpe_n"))
+    val packed = Packing.packSequences(enc, "doc_id", "bpe_n", 2048L, 64)
+    val pStats = packed
+      .agg(count(lit(1)).as("n"), sum("bpe_n").as("toks"),
+        max("seq_idx").as("mx")).head()
+    println(f"[curation] stage bpe+pack (extra): " +
+      f"${(System.nanoTime() - t7) / 1e9}%.2f s " +
+      s"docs=${pStats.getLong(0)} bpe_tokens=${pStats.getLong(1)} " +
+      s"max_seq_idx=${pStats.getLong(2)}")
     val d3 = (v: Double) =>
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"metric":"curation_e2e","docs_in":$docsIn,""" +
