@@ -350,6 +350,111 @@ class OracleFuzzSpec extends SparkSpec {
            |ORDER BY stratum_a, stratum_b""".stripMargin)
     }
 
+    // --- q152 shape: packSequences at random budget/shards (n_chars
+    // stands in for the token count — same arithmetic, cheaper oracle)
+    for (v <- 0 until 3) {
+      val budget = 64L + rnd.nextInt(4096)
+      val shards = 2 + rnd.nextInt(14)
+      info(s"v$v pack: budget=$budget shards=$shards")
+      dump(s"fz_pack_$v",
+        graft.operators.Packing.packSequences(
+          docs.select("doc_id", "n_chars"), "doc_id", "n_chars",
+          budget, shards).orderBy("doc_id"),
+        s"""WITH h AS (
+           |  SELECT doc_id, n_chars,
+           |    ('0x'||substr(md5('pack#' || doc_id::VARCHAR),1,15))::BIGINT AS hv
+           |  FROM documents),
+           |s AS (SELECT doc_id, n_chars, hv, hv % $shards AS shard FROM h),
+           |r AS (SELECT doc_id, n_chars, shard,
+           |  CAST(coalesce(SUM(n_chars) OVER (PARTITION BY shard
+           |    ORDER BY hv, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS BIGINT) AS st
+           |  FROM s)
+           |SELECT doc_id, n_chars, shard,
+           |  st // $budget AS seq_idx, st % $budget AS seq_offset,
+           |  greatest(1, (st + n_chars - 1) // $budget - st // $budget + 1)
+           |    AS n_spanned
+           |FROM r ORDER BY doc_id""".stripMargin)
+    }
+
+    // --- q150 shape: BPE under RANDOM merge tables — distinct
+    // single-char pairs over frequent letters plus one cascade built on
+    // the first merge's output, so multi-level merges vary per run. The
+    // DuckDB replay interpolates the same table into the recursive CTE.
+    for (v <- 0 until 2) {
+      val alpha = "etaoinshr"
+      val base = rnd.shuffle(
+        (for (a <- alpha; b <- alpha) yield (a.toString, b.toString))
+          .toVector).take(7).toList
+      val cascade = (base.head._1 + base.head._2,
+        alpha(rnd.nextInt(alpha.length)).toString)
+      val merges = base :+ cascade
+      info(s"v$v bpe: merges=$merges")
+      val valuesSql = merges.zipWithIndex
+        .map { case ((l, r), i) => s"($i,'$l','$r')" }.mkString(",")
+      val prepped = docs.select(col("doc_id"),
+        lower(substring(
+          regexp_replace(col("text"), "[^A-Za-z ]", ""), 1, 40))
+          .as("bpe_text"))
+      dump(s"fz_bpe_$v",
+        graft.text.Bpe.bpeEncode(prepped, "bpe_text", merges)
+          .select(col("doc_id"),
+            size(col("bpe_tokens")).cast("long").as("n_tokens"),
+            array_join(col("bpe_tokens"), "|").as("tokens_str"))
+          .orderBy("doc_id"),
+        s"""WITH RECURSIVE
+           |prep AS (
+           |  SELECT doc_id,
+           |    lower(substr(regexp_replace(text, '[^A-Za-z ]', '', 'g'),
+           |      1, 40)) AS t
+           |  FROM documents),
+           |merges(rank, l, r) AS (VALUES $valuesSql),
+           |words AS (
+           |  SELECT doc_id, CAST(i AS INT) AS word_idx,
+           |    ws[CAST(i AS INT)] AS word
+           |  FROM (SELECT doc_id,
+           |          regexp_extract_all(t, ' ?[a-z]+| +') AS ws
+           |        FROM prep)
+           |  CROSS JOIN unnest(range(1, len(ws) + 1)) r(i)),
+           |seed AS (
+           |  SELECT doc_id, word_idx,
+           |    list_aggregate(list_transform(string_split_regex(word, ''),
+           |      c -> '<' || c || '>'), 'string_agg', '') AS seq, 0 AS it
+           |  FROM words),
+           |bpe AS (
+           |  SELECT * FROM seed
+           |  UNION ALL
+           |  SELECT doc_id, word_idx,
+           |    replace(seq, '<'||bl||'><'||br||'>', '<'||bl||br||'>')
+           |      AS seq, it + 1
+           |  FROM (
+           |    SELECT b.doc_id, b.word_idx, b.seq, b.it,
+           |      (SELECT arg_min(m.l, m.rank) FROM merges m
+           |       WHERE contains(b.seq, '<'||m.l||'><'||m.r||'>')) AS bl,
+           |      (SELECT arg_min(m.r, m.rank) FROM merges m
+           |       WHERE contains(b.seq, '<'||m.l||'><'||m.r||'>')) AS br
+           |    FROM bpe b WHERE b.it < 24) s
+           |  WHERE bl IS NOT NULL),
+           |final AS (
+           |  SELECT doc_id, word_idx, seq FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY doc_id, word_idx
+           |      ORDER BY it DESC) AS rn FROM bpe)
+           |  WHERE rn = 1),
+           |agg AS (
+           |  SELECT doc_id,
+           |    CAST(sum(len(regexp_extract_all(seq, '<([^<>]+)>', 1)))
+           |      AS BIGINT) AS n_tokens,
+           |    string_agg(array_to_string(regexp_extract_all(seq,
+           |      '<([^<>]+)>', 1), '|'), '|' ORDER BY word_idx)
+           |      AS tokens_str
+           |  FROM final GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+           |  COALESCE(a.tokens_str, '') AS tokens_str
+           |FROM documents d LEFT JOIN agg a USING (doc_id)
+           |ORDER BY doc_id""".stripMargin)
+    }
+
     Files.writeString(Paths.get(s"$out/oracle_sql.json"),
       oracles.map { case (k, s) => s"${jq(k)}: ${jq(s)}" }
         .mkString("{", ",", "}"))
