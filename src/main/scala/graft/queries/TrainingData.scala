@@ -3540,6 +3540,67 @@ object TrainingData {
              |  st % 256 AS seq_offset,
              |  CAST(greatest(1, (st + n_tokens - 1) // 256 - st // 256 + 1)
              |    AS BIGINT) AS n_spanned
-             |FROM rr ORDER BY doc_id""".stripMargin))
+             |FROM rr ORDER BY doc_id""".stripMargin)),
+
+    // Sitemap XML explode (SitemapOps.explodeSitemap): the URL-frontier
+    // side of crawl politeness — urlset entries (loc + optional
+    // lastmod) and sitemapindex children, block-wise regexp extraction
+    // with the XML entity decode sitemap URLs legally REQUIRE (&amp;
+    // in every query-string URL). The synth covers both shapes, an
+    // empty-but-recognized urlset (kept as a NULL-loc accounting row),
+    // whitespace-padded loc values, and non-XML garbage. Oracle is
+    // ground-truth id arithmetic.
+    Q("q153_sitemap_explode",
+      (s, dir) => graft.text.SitemapOps.explodeSitemap(
+          graft.text.SitemapOps.synthSitemaps(
+            t(s, dir, "documents"), "doc_id"), "sitemap_xml")
+        .select(col("media_id"), col("sm_kind"), col("sm_loc"),
+          col("sm_lastmod"))
+        .orderBy("media_id", "sm_loc"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 3) + 3) % 3 AS m3,
+             |    ((doc_id % 4) + 4) % 4 AS m4,
+             |    ((doc_id % 5) + 5) % 5 AS m5,
+             |    ((doc_id % 7) + 7) % 7 AS m7,
+             |    ((doc_id % 8) + 8) % 8 AS m8,
+             |    ((doc_id % 11) + 11) % 11 AS m11,
+             |    ((doc_id % 20) + 20) % 20 AS m20
+             |  FROM documents),
+             |cls AS (
+             |  SELECT *, CASE WHEN m11 = 4 THEN 'garbage'
+             |                 WHEN m5 = 2 THEN 'index'
+             |                 WHEN m7 = 3 THEN 'empty'
+             |                 ELSE 'urlset' END AS v
+             |  FROM m),
+             |rows_ AS (
+             |  SELECT doc_id AS media_id, CAST(NULL AS VARCHAR) AS sm_kind,
+             |    CAST(NULL AS VARCHAR) AS sm_loc,
+             |    CAST(NULL AS VARCHAR) AS sm_lastmod
+             |  FROM cls WHERE v = 'garbage'
+             |  UNION ALL
+             |  SELECT doc_id, 'sitemapindex',
+             |    'https://s' || m20 || '.com/sitemap1.xml', '2026-01-15'
+             |  FROM cls WHERE v = 'index'
+             |  UNION ALL
+             |  SELECT doc_id, 'sitemapindex',
+             |    'https://s' || m20 || '.com/sitemap2.xml',
+             |    CAST(NULL AS VARCHAR)
+             |  FROM cls WHERE v = 'index'
+             |  UNION ALL
+             |  SELECT doc_id, 'urlset', CAST(NULL AS VARCHAR),
+             |    CAST(NULL AS VARCHAR)
+             |  FROM cls WHERE v = 'empty'
+             |  UNION ALL
+             |  SELECT doc_id, 'urlset',
+             |    'https://s' || m20 || '.com/p' || k ||
+             |      CASE WHEN m4 = 1 AND k = 1 THEN '?a=1&b=2' ELSE '' END,
+             |    CASE WHEN m3 = 0 AND k = 1
+             |      THEN '2026-0' || (m8 + 1) || '-0' || k END
+             |  FROM cls CROSS JOIN (VALUES (1), (2), (3)) t(k)
+             |  WHERE v = 'urlset' AND
+             |    k <= CASE m3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END)
+             |SELECT media_id, sm_kind, sm_loc, sm_lastmod
+             |FROM rows_ ORDER BY media_id, sm_loc""".stripMargin))
   )
 }
