@@ -3601,6 +3601,53 @@ object TrainingData {
              |  WHERE v = 'urlset' AND
              |    k <= CASE m3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END)
              |SELECT media_id, sm_kind, sm_loc, sm_lastmod
-             |FROM rows_ ORDER BY media_id, sm_loc""".stripMargin))
+             |FROM rows_ ORDER BY media_id, sm_loc""".stripMargin)),
+
+    // fastText-shaped linear classifier scoring (HashClassifier): the
+    // corpus-scale model-filter stage — broadcast vocab of integer
+    // milli-weights, md5-derived OOV hash buckets, BIGINT accumulator
+    // (order-free, no float drift) divided ONCE at the end so both
+    // engines agree bit-for-bit. The oracle inlines the same vocab as
+    // a VALUES table and replays the OOV arithmetic.
+    Q("q154_classifier_score",
+      (s, dir) => graft.text.HashClassifier.scoreText(
+          t(s, dir, "documents").select("doc_id", "text"), "text",
+          graft.text.HashClassifier.demoVocab)
+        .select(col("doc_id"), col("n_tokens"), col("milli_sum"),
+          col("cls_score"), col("cls_label"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)),
+             |      '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |tok AS (
+             |  SELECT d.doc_id, u.t AS tok
+             |  FROM d CROSS JOIN unnest(d.toks) u(t)
+             |  WHERE len(d.toks) > 0),
+             |vocab(tok, w) AS (VALUES
+             |  ('fast',800),('slow',-800),('small',-200),('big',350),
+             |  ('query',400),('table',150),('join',300),('window',250),
+             |  ('stream',450),('batch',100),('data',50),('value',-50),
+             |  ('row',-100),('scan',-300),('filter',200),('merge',275),
+             |  ('spark',600),('hash',125),('column',175),('agg',-150),
+             |  ('key',25),('part',-75),('order',90),('the',0)),
+             |wt AS (
+             |  SELECT tok.doc_id,
+             |    COALESCE(v.w,
+             |      ('0x'||substr(md5(tok.tok),1,15))::BIGINT % 201 - 100)
+             |      AS w
+             |  FROM tok LEFT JOIN vocab v USING (tok)),
+             |agg AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(w) AS BIGINT) AS s
+             |  FROM wt GROUP BY doc_id)
+             |SELECT d2.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT)
+             |    AS n_tokens,
+             |  a.s AS milli_sum,
+             |  CAST(a.s AS DOUBLE) / (1000 * a.n) AS cls_score,
+             |  (CAST(a.s AS DOUBLE) / (1000 * a.n)) > 0 AS cls_label
+             |FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id
+             |ORDER BY d2.doc_id""".stripMargin))
   )
 }
