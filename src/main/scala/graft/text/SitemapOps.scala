@@ -96,10 +96,21 @@ object SitemapOps {
     val exploded = withBlocks.select(col("*"),
       explode(when(size(col("__sm_blocks")) > 0, col("__sm_blocks"))
         .otherwise(array(lit(null).cast("string")))).as("__sm_block"))
+    // CDATA-wrapped loc values (some sitemap generators emit
+    // <loc><![CDATA[url]]></loc>) carry the URL VERBATIM — unwrap
+    // first, and skip entity decoding for them (CDATA content is not
+    // entity-encoded; decoding would corrupt a literal '&amp;' the
+    // URL legitimately contains)
+    val rawLoc = expr(
+      """nullif(regexp_extract(__sm_block,
+        |'(?s)<loc\\s*>\\s*(.*?)\\s*</loc>', 1), '')""".stripMargin)
+    val cdata = expr(
+      """nullif(regexp_extract(__sm_block,
+        |'(?s)<loc\\s*>\\s*<!\\[CDATA\\[(.*?)\\]\\]>\\s*</loc>', 1),
+        |'')""".stripMargin)
     exploded
-      .withColumn("sm_loc", xmlUnescape(expr(
-        """nullif(regexp_extract(__sm_block,
-          |'(?s)<loc\\s*>\\s*(.*?)\\s*</loc>', 1), '')""".stripMargin)))
+      .withColumn("sm_loc",
+        coalesce(cdata, xmlUnescape(rawLoc)))
       .withColumn("sm_lastmod", expr(
         """nullif(regexp_extract(__sm_block,
           |'(?s)<lastmod\\s*>\\s*(.*?)\\s*</lastmod>', 1), '')""".stripMargin))

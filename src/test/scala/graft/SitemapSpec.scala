@@ -71,6 +71,19 @@ class SitemapSpec extends SparkSpec {
       (4L, None, None, None)))
   }
 
+  test("CDATA-wrapped loc values unwrap VERBATIM — no entity decode " +
+      "inside CDATA") {
+    val cdata = "<urlset><url><loc><![CDATA[https://e.com/?q=a&amp;b]]>" +
+      "</loc></url>" +
+      "<url><loc> <![CDATA[https://e.com/plain]]> </loc></url>" +
+      "</urlset>"
+    val got = explodeRows((1L, cdata))
+    // the &amp; inside CDATA is LITERAL text of the URL — decoding it
+    // would corrupt the query string
+    assert(got.map(_._3) === Seq(Some("https://e.com/?q=a&amp;b"),
+      Some("https://e.com/plain")))
+  }
+
   test("entity decode is one-pass: &amp;lt; stays literal '&lt;'; " +
       "maxEntries caps the explode") {
     val tricky = "<urlset><url><loc>https://e.com/?q=&amp;lt;tag" +
