@@ -3648,6 +3648,61 @@ object TrainingData {
              |  CAST(a.s AS DOUBLE) / (1000 * a.n) AS cls_score,
              |  (CAST(a.s AS DOUBLE) / (1000 * a.n)) > 0 AS cls_label
              |FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id
-             |ORDER BY d2.doc_id""".stripMargin))
+             |ORDER BY d2.doc_id""".stripMargin)),
+
+    // Sitemap freshness report: the recrawl-decision aggregate a
+    // frontier scheduler runs over parsed sitemaps — per domain, how
+    // many advertised URLs, how many carry lastmod, the newest lastmod,
+    // and how many are fresher than the fleet's last-fetch watermark.
+    // Exercises the W3C-datetime-to-DATE parse both engines must agree
+    // on (first 10 chars cast to DATE) and composes q153's explode into
+    // a groupBy — the discover -> parse -> decide loop end to end.
+    Q("q155_sitemap_freshness",
+      (s, dir) => {
+        val ex = graft.text.SitemapOps.explodeSitemap(
+          graft.text.SitemapOps.synthSitemaps(
+            t(s, dir, "documents"), "doc_id"), "sitemap_xml")
+        ex.where(col("sm_kind") === "urlset" && col("sm_loc").isNotNull)
+          .select(pmod(col("media_id"), lit(20)).as("domain_id"),
+            to_date(substring(col("sm_lastmod"), 1, 10)).as("lm"))
+          .groupBy("domain_id")
+          .agg(count(lit(1)).as("n_urls"),
+            count(col("lm")).as("n_lastmod"),
+            max(col("lm")).as("max_lastmod"),
+            sum(when(col("lm") > to_date(lit("2026-04-15")), 1L)
+              .otherwise(0L)).as("n_fresh"))
+          .orderBy("domain_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 3) + 3) % 3 AS m3,
+             |    ((doc_id % 5) + 5) % 5 AS m5,
+             |    ((doc_id % 7) + 7) % 7 AS m7,
+             |    ((doc_id % 8) + 8) % 8 AS m8,
+             |    ((doc_id % 11) + 11) % 11 AS m11,
+             |    ((doc_id % 20) + 20) % 20 AS m20
+             |  FROM documents),
+             |cls AS (
+             |  SELECT *, CASE WHEN m11 = 4 THEN 'garbage'
+             |                 WHEN m5 = 2 THEN 'index'
+             |                 WHEN m7 = 3 THEN 'empty'
+             |                 ELSE 'urlset' END AS v
+             |  FROM m),
+             |urls AS (
+             |  SELECT doc_id, m20 AS domain_id,
+             |    CASE WHEN m3 = 0 AND k = 1
+             |      THEN CAST('2026-0' || (m8 + 1) || '-01' AS DATE)
+             |    END AS lm
+             |  FROM cls CROSS JOIN (VALUES (1), (2), (3)) t(k)
+             |  WHERE v = 'urlset' AND
+             |    k <= CASE m3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END)
+             |SELECT CAST(domain_id AS BIGINT) AS domain_id,
+             |  CAST(count(*) AS BIGINT) AS n_urls,
+             |  CAST(count(lm) AS BIGINT) AS n_lastmod,
+             |  max(lm) AS max_lastmod,
+             |  CAST(sum(CASE WHEN lm > DATE '2026-04-15' THEN 1 ELSE 0
+             |    END) AS BIGINT) AS n_fresh
+             |FROM urls GROUP BY domain_id
+             |ORDER BY domain_id""".stripMargin))
   )
 }

@@ -36,7 +36,14 @@ object RobotsOps {
     * — the rule set governing `agent` (lowercase) per the group-selection
     * semantics above. */
   def parseRobots(df: DataFrame, robotsCol: String, agent: String,
-                  maxLines: Int = 512,
+                  // RFC 9309 §2.4 requires parsers to process at least
+                  // 500 KiB; real Disallow lists run thousands of lines
+                  // and a low cap silently DROPS rules — i.e. wrong
+                  // allow decisions, not just missing metadata. 16384
+                  // lines ≈ the 500 KiB mark at typical rule lengths;
+                  // the fold runs once per DOMAIN, so the cap is not a
+                  // per-URL cost.
+                  maxLines: Int = 16384,
                   outCol: String = "robots_rules"): DataFrame = {
     require(agent.nonEmpty && agent == agent.toLowerCase,
       s"agent must be non-empty lowercase, got '$agent'")

@@ -31,7 +31,11 @@ object SitemapOps {
     * directive match, `#` comments stripped, BOM tolerated. */
   def robotsSitemaps(df: DataFrame, robotsCol: String,
                      outCol: String = "sitemap_urls",
-                     maxLines: Int = 512): DataFrame = {
+                     // same RFC 9309 §2.4 sizing rationale as
+                     // RobotsOps.parseRobots: Sitemap directives often
+                     // sit at the END of a long file, where a low line
+                     // cap silently loses them
+                     maxLines: Int = 16384): DataFrame = {
     require(maxLines >= 1 && maxLines <= 100000, s"maxLines: $maxLines")
     require(!df.columns.contains(outCol),
       s"SitemapOps.robotsSitemaps: df already has a '$outCol' column")
