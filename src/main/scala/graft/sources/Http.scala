@@ -41,7 +41,7 @@ object Http {
   final case class HttpParsed(
       http_status: Option[Int], content_type: Option[String],
       content_encoding: Option[String], transfer_encoding: Option[String],
-      body: Array[Byte], body_truncated: Boolean)
+      location: Option[String], body: Array[Byte], body_truncated: Boolean)
 
   private val Crlf = "\r\n".getBytes("ISO-8859-1")
 
@@ -148,7 +148,7 @@ object Http {
 
   private def parseFrom(payload: Array[Byte], from: Int,
                         maxBodyBytes: Int, interimHops: Int): HttpParsed = {
-    val none = HttpParsed(None, None, None, None, null, false)
+    val none = HttpParsed(None, None, None, None, None, null, false)
     if (payload == null || payload.length - from < 12) return none
     val he = headerEnd(payload, from)
     if (he < 0) return none
@@ -180,6 +180,7 @@ object Http {
     var cType: Option[String] = None
     var cEnc: Option[String] = None
     var tEnc: Option[String] = None
+    var loc: Option[String] = None
     var cLen = -1L
     // duplicate/invalid Content-Length is the request-smuggling class:
     // two DIFFERING values (or an unparseable one) make the framing
@@ -195,6 +196,7 @@ object Http {
           case "content-type"      => cType = Some(v)
           case "content-encoding"  => cEnc = Some(v.toLowerCase)
           case "transfer-encoding" => tEnc = Some(v.toLowerCase)
+          case "location"          => loc = Some(v)
           case "content-length" =>
             val parsed = try v.toLong catch { case _: Exception => -2L }
             if (parsed < 0) cLenConflict = true
@@ -208,17 +210,17 @@ object Http {
     // §15.3.5/§15.4.5 regardless of any Content-Length they carry (304s
     // routinely echo the would-be entity's length): empty body, complete
     if (status.exists(s => s == 204 || s == 304))
-      return HttpParsed(status, cType, cEnc, tEnc, Array.emptyByteArray,
-        false)
+      return HttpParsed(status, cType, cEnc, tEnc, loc,
+        Array.emptyByteArray, false)
     // framing: chunked beats Content-Length (RFC 9112 §6.3)
     val (framed, framedComplete): (Array[Byte], Boolean) =
       if (tEnc.exists(_.contains("chunked"))) {
         val (d, end) = dechunk(payload, he, maxBodyBytes)
         if (d == null)
-          return HttpParsed(status, cType, cEnc, tEnc, null, false)
+          return HttpParsed(status, cType, cEnc, tEnc, loc, null, false)
         (d, end)
       } else if (cLenConflict) {
-        return HttpParsed(status, cType, cEnc, tEnc, null, false)
+        return HttpParsed(status, cType, cEnc, tEnc, loc, null, false)
       } else {
         val avail = payload.length - he
         val want = if (cLen >= 0) math.min(cLen, Int.MaxValue.toLong).toInt
@@ -240,20 +242,21 @@ object Http {
       .map(_.trim).filter(c => c.nonEmpty && c != "identity")
     codings match {
       case Nil =>
-        HttpParsed(status, cType, cEnc, tEnc, framed, !framedComplete)
+        HttpParsed(status, cType, cEnc, tEnc, loc, framed,
+          !framedComplete)
       case Seq(e @ ("gzip" | "x-gzip" | "deflate")) =>
         val dec = inflate(framed, e, maxBodyBytes)
           .orElse(if (e == "deflate")
             inflate(framed, "deflate-raw", maxBodyBytes) else None)
         dec match {
           case Some((b, trunc)) =>
-            HttpParsed(status, cType, cEnc, tEnc, b,
+            HttpParsed(status, cType, cEnc, tEnc, loc, b,
               trunc || !framedComplete)
           case None => // codec error: framing was fine, body undecodable
-            HttpParsed(status, cType, cEnc, tEnc, null, false)
+            HttpParsed(status, cType, cEnc, tEnc, loc, null, false)
         }
       case _ => // br / zstd / unknown / stacked: undecodable here
-        HttpParsed(status, cType, cEnc, tEnc, null, false)
+        HttpParsed(status, cType, cEnc, tEnc, loc, null, false)
     }
   }
 
@@ -272,7 +275,8 @@ object Http {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     Seq("http_status", "content_type", "content_encoding",
-      "transfer_encoding", "body", "body_truncated").foreach(c =>
+      "transfer_encoding", "location", "body", "body_truncated")
+      .foreach(c =>
       require(!df.columns.contains(c),
         s"Http.parseHttpResponses: df already has a '$c' column — rename " +
           "it first; parseHttpResponses appends its own"))
@@ -285,6 +289,7 @@ object Http {
         StructField("content_type", StringType),
         StructField("content_encoding", StringType),
         StructField("transfer_encoding", StringType),
+        StructField("location", StringType),
         StructField("body", BinaryType),
         StructField("body_truncated", BooleanType, nullable = false)))
     df.map({ r =>
@@ -292,7 +297,7 @@ object Http {
       Row.fromSeq(r.toSeq.patch(pi, Nil, 1) ++ Seq(
         p.http_status.map(Int.box).orNull, p.content_type.orNull,
         p.content_encoding.orNull, p.transfer_encoding.orNull,
-        p.body, p.body_truncated))
+        p.location.orNull, p.body, p.body_truncated))
     })(Encoders.row(outSchema))
   }
 
@@ -329,6 +334,23 @@ object Http {
   private[graft] def decodeBody(body: Array[Byte], contentType: String,
                                 sniffBytes: Int): (String, String) = {
     if (body == null) return (null, null)
+    // 0. byte-order mark — per the WHATWG encoding standard's decode
+    // algorithm the BOM outranks EVERYTHING, including the Content-Type
+    // header charset (browsers do exactly this): a UTF-16 body whose
+    // header still says iso-8859-1 is common misconfiguration, and
+    // header-first would decode it to alternating NUL mojibake
+    if (body.length >= 3 && body(0) == 0xEF.toByte &&
+      body(1) == 0xBB.toByte && body(2) == 0xBF.toByte)
+      return (new String(body, 3, body.length - 3,
+        java.nio.charset.StandardCharsets.UTF_8), "bom:utf-8")
+    if (body.length >= 2 && body(0) == 0xFF.toByte &&
+      body(1) == 0xFE.toByte)
+      return (new String(body, 2, body.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16LE), "bom:utf-16le")
+    if (body.length >= 2 && body(0) == 0xFE.toByte &&
+      body(1) == 0xFF.toByte)
+      return (new String(body, 2, body.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16BE), "bom:utf-16be")
     // 1. header charset
     val fromHeader = Option(contentType)
       .flatMap { ct =>

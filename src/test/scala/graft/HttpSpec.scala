@@ -122,7 +122,7 @@ class HttpSpec extends SparkSpec {
     val out = Http.parseHttpResponses(in)
     assert(out.columns.toSeq === Seq("media_id", "target_uri", "note",
       "http_status", "content_type", "content_encoding",
-      "transfer_encoding", "body", "body_truncated"))
+      "transfer_encoding", "location", "body", "body_truncated"))
     val r = out.select($"target_uri", $"note", $"http_status",
       $"body".cast("string")).as[(String, String, Int, String)].head()
     assert(r === (("http://a.com/", "extra", 200, "ok")))
@@ -359,6 +359,37 @@ class HttpSpec extends SparkSpec {
       (3L, None, None, None, false),
       (4L, Some(304), None, Some(""), false),
       (5L, Some(204), None, Some(""), false)))
+  }
+
+  test("a body BOM outranks even the header charset (WHATWG decode " +
+      "order); Location header surfaces for redirect analysis") {
+    // UTF-8 BOM + UTF-8 bytes, header LYING iso-8859-1: header-first
+    // would decode the é as 'Ã©' mojibake — the BOM must win
+    val utf8Bom = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Type: text/html; charset=iso-8859-1" + crlf + crlf,
+      Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        "café".getBytes("UTF-8"))
+    val utf16le = msg("HTTP/1.1 200 OK" + crlf + crlf,
+      Array(0xFF.toByte, 0xFE.toByte) ++ "hi".getBytes("UTF-16LE"))
+    val utf16be = msg("HTTP/1.1 200 OK" + crlf + crlf,
+      Array(0xFE.toByte, 0xFF.toByte) ++ "hi".getBytes("UTF-16BE"))
+    val got = Http.withBodyText(Http.parseHttpResponses(
+      Seq((1L, utf8Bom), (2L, utf16le), (3L, utf16be))
+        .toDF("media_id", "payload")))
+      .select($"media_id", $"charset_source", $"body_text")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "bom:utf-8", "café"),
+      (2L, "bom:utf-16le", "hi"),
+      (3L, "bom:utf-16be", "hi")))
+    // Location: the 3xx redirect target a chain analysis joins on
+    val redir = msg("HTTP/1.1 301 Moved Permanently" + crlf +
+      "Location: https://new.example/path" + crlf +
+      "Content-Length: 0" + crlf + crlf, Array.emptyByteArray)
+    val r = Http.parseHttpResponses(
+      Seq((1L, redir)).toDF("media_id", "payload"))
+      .select($"http_status", $"location").as[(Int, String)].head()
+    assert(r === ((301, "https://new.example/path")))
   }
 
   test("meta charset inside an HTML comment must NOT win the sniff") {
