@@ -3703,6 +3703,45 @@ object TrainingData {
              |  CAST(sum(CASE WHEN lm > DATE '2026-04-15' THEN 1 ELSE 0
              |    END) AS BIGINT) AS n_fresh
              |FROM urls GROUP BY domain_id
-             |ORDER BY domain_id""".stripMargin))
+             |ORDER BY domain_id""".stripMargin)),
+
+    // Redirect-chain resolution (RedirectResolve): successor-pointer
+    // DOUBLING over the (url -> Location) edges parseHttpResponses
+    // surfaces — chains collapse to their final destination in
+    // ceil(log2(maxHops)) keyed self-joins (URLs only on the wire),
+    // redirect LOOPS are flagged unresolved rather than followed
+    // forever. The synth builds length-0..3 chains by id arithmetic
+    // plus a planted 2-cycle (37<->38 in every 40-block) with a chain
+    // that ENTERS the cycle (39 -> 38) — the three poisoned residues
+    // per block must flag, everyone else resolves with exact hop
+    // counts. Oracle is ground-truth id arithmetic.
+    Q("q156_redirect_resolve",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val m4 = pmod(col("doc_id"), lit(4))
+        val r40 = pmod(col("doc_id"), lit(40))
+        def u(c: org.apache.spark.sql.Column) =
+          concat(lit("http://g.com/p"), c.cast("string"))
+        val edges = docs.where(m4 =!= 0)
+          .select(u(col("doc_id")).as("src"),
+            u(when(r40 === 37, col("doc_id") + 1)
+              .otherwise(col("doc_id") - 1)).as("dst"))
+        graft.operators.RedirectResolve
+          .resolveRedirects(edges, "src", "dst", maxHops = 8,
+            universe = Some(docs.select(u(col("doc_id")).as("url"))))
+          .orderBy("url")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 4) + 4) % 4 AS m4,
+             |    ((doc_id % 40) + 40) % 40 AS r40
+             |  FROM documents)
+             |SELECT 'http://g.com/p' || doc_id AS url,
+             |  CASE WHEN r40 IN (37, 38, 39) THEN NULL
+             |       ELSE 'http://g.com/p' || (doc_id - m4) END AS final_url,
+             |  CAST(CASE WHEN r40 IN (37, 38, 39) THEN NULL
+             |       ELSE m4 END AS BIGINT) AS n_hops,
+             |  r40 IN (37, 38, 39) AS unresolved
+             |FROM m ORDER BY url""".stripMargin))
   )
 }
