@@ -3742,6 +3742,124 @@ object TrainingData {
              |  CAST(CASE WHEN r40 IN (37, 38, 39) THEN NULL
              |       ELSE m4 END AS BIGINT) AS n_hops,
              |  r40 IN (37, 38, 39) AS unresolved
-             |FROM m ORDER BY url""".stripMargin))
+             |FROM m ORDER BY url""".stripMargin)),
+
+    // BPE TRAINING (Bpe.learnMerges): learn the merge table FROM the
+    // corpus — the classic Sennrich algorithm in its scale-true form:
+    // train on the word-TYPE histogram (vocab-bounded state at any
+    // corpus size), one (l,r)-keyed groupBy per round, the per-round
+    // argmax is the one justified driver-side row, ties break
+    // lexicographically for cross-engine determinism. The oracle
+    // UNROLLS six training rounds as chained CTEs over the same
+    // delimiter-wrapped sequences (validated against an independent
+    // Python reference before wiring). The learned table feeds
+    // straight into q150's encoder.
+    Q("q157_bpe_train",
+      (s, dir) => graft.text.Bpe.learnMerges(
+          t(s, dir, "documents").select(
+            lower(substring(regexp_replace(col("text"), "[^A-Za-z ]", ""),
+              1, 48)).as("bpe_text")),
+          "bpe_text", 6)
+        .orderBy("rank"),
+      Some("""
+             |WITH prep AS (
+             |  SELECT doc_id, lower(substr(regexp_replace(text, '[^A-Za-z ]', '', 'g'),
+             |    1, 48)) AS t
+             |  FROM documents),
+             |words AS (
+             |  SELECT ws[CAST(i AS INT)] AS word
+             |  FROM (SELECT regexp_extract_all(t, ' ?[a-z]+| +') AS ws FROM prep)
+             |  CROSS JOIN unnest(range(1, len(ws) + 1)) r(i)),
+             |hist AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM words
+             |  GROUP BY word),
+             |s0 AS (
+             |  SELECT cnt, list_aggregate(list_transform(string_split_regex(word, ''),
+             |    c -> '<' || c || '>'), 'string_agg', '') AS seq
+             |  FROM hist),
+             |p1 AS (
+             |  SELECT tl[CAST(j AS INT)] AS l, tl[CAST(j AS INT) + 1] AS r,
+             |    CAST(sum(cnt) AS BIGINT) AS c
+             |  FROM (SELECT cnt, regexp_extract_all(seq, '<([^<>]+)>', 1) AS tl
+             |        FROM s0)
+             |  CROSS JOIN unnest(range(1, len(tl))) u(j)
+             |  GROUP BY 1, 2),
+             |b1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+             |s1 AS (
+             |  SELECT s.cnt,
+             |    replace(s.seq, '<'||b.l||'><'||b.r||'>', '<'||b.l||b.r||'>') AS seq
+             |  FROM s0 s CROSS JOIN b1 b),
+             |p2 AS (
+             |  SELECT tl[CAST(j AS INT)] AS l, tl[CAST(j AS INT) + 1] AS r,
+             |    CAST(sum(cnt) AS BIGINT) AS c
+             |  FROM (SELECT cnt, regexp_extract_all(seq, '<([^<>]+)>', 1) AS tl
+             |        FROM s1)
+             |  CROSS JOIN unnest(range(1, len(tl))) u(j)
+             |  GROUP BY 1, 2),
+             |b2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+             |s2 AS (
+             |  SELECT s.cnt,
+             |    replace(s.seq, '<'||b.l||'><'||b.r||'>', '<'||b.l||b.r||'>') AS seq
+             |  FROM s1 s CROSS JOIN b2 b),
+             |p3 AS (
+             |  SELECT tl[CAST(j AS INT)] AS l, tl[CAST(j AS INT) + 1] AS r,
+             |    CAST(sum(cnt) AS BIGINT) AS c
+             |  FROM (SELECT cnt, regexp_extract_all(seq, '<([^<>]+)>', 1) AS tl
+             |        FROM s2)
+             |  CROSS JOIN unnest(range(1, len(tl))) u(j)
+             |  GROUP BY 1, 2),
+             |b3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1),
+             |s3 AS (
+             |  SELECT s.cnt,
+             |    replace(s.seq, '<'||b.l||'><'||b.r||'>', '<'||b.l||b.r||'>') AS seq
+             |  FROM s2 s CROSS JOIN b3 b),
+             |p4 AS (
+             |  SELECT tl[CAST(j AS INT)] AS l, tl[CAST(j AS INT) + 1] AS r,
+             |    CAST(sum(cnt) AS BIGINT) AS c
+             |  FROM (SELECT cnt, regexp_extract_all(seq, '<([^<>]+)>', 1) AS tl
+             |        FROM s3)
+             |  CROSS JOIN unnest(range(1, len(tl))) u(j)
+             |  GROUP BY 1, 2),
+             |b4 AS (SELECT l, r, c FROM p4 ORDER BY c DESC, l, r LIMIT 1),
+             |s4 AS (
+             |  SELECT s.cnt,
+             |    replace(s.seq, '<'||b.l||'><'||b.r||'>', '<'||b.l||b.r||'>') AS seq
+             |  FROM s3 s CROSS JOIN b4 b),
+             |p5 AS (
+             |  SELECT tl[CAST(j AS INT)] AS l, tl[CAST(j AS INT) + 1] AS r,
+             |    CAST(sum(cnt) AS BIGINT) AS c
+             |  FROM (SELECT cnt, regexp_extract_all(seq, '<([^<>]+)>', 1) AS tl
+             |        FROM s4)
+             |  CROSS JOIN unnest(range(1, len(tl))) u(j)
+             |  GROUP BY 1, 2),
+             |b5 AS (SELECT l, r, c FROM p5 ORDER BY c DESC, l, r LIMIT 1),
+             |s5 AS (
+             |  SELECT s.cnt,
+             |    replace(s.seq, '<'||b.l||'><'||b.r||'>', '<'||b.l||b.r||'>') AS seq
+             |  FROM s4 s CROSS JOIN b5 b),
+             |p6 AS (
+             |  SELECT tl[CAST(j AS INT)] AS l, tl[CAST(j AS INT) + 1] AS r,
+             |    CAST(sum(cnt) AS BIGINT) AS c
+             |  FROM (SELECT cnt, regexp_extract_all(seq, '<([^<>]+)>', 1) AS tl
+             |        FROM s5)
+             |  CROSS JOIN unnest(range(1, len(tl))) u(j)
+             |  GROUP BY 1, 2),
+             |b6 AS (SELECT l, r, c FROM p6 ORDER BY c DESC, l, r LIMIT 1),
+             |s6 AS (
+             |  SELECT s.cnt,
+             |    replace(s.seq, '<'||b.l||'><'||b.r||'>', '<'||b.l||b.r||'>') AS seq
+             |  FROM s5 s CROSS JOIN b6 b)
+             |SELECT * FROM (SELECT CAST(0 AS INT) AS rank, l AS left_tok, r AS right_tok,
+             |    c AS pair_count FROM b1
+             |  UNION ALL SELECT CAST(1 AS INT) AS rank, l AS left_tok, r AS right_tok,
+             |    c AS pair_count FROM b2
+             |  UNION ALL SELECT CAST(2 AS INT) AS rank, l AS left_tok, r AS right_tok,
+             |    c AS pair_count FROM b3
+             |  UNION ALL SELECT CAST(3 AS INT) AS rank, l AS left_tok, r AS right_tok,
+             |    c AS pair_count FROM b4
+             |  UNION ALL SELECT CAST(4 AS INT) AS rank, l AS left_tok, r AS right_tok,
+             |    c AS pair_count FROM b5
+             |  UNION ALL SELECT CAST(5 AS INT) AS rank, l AS left_tok, r AS right_tok,
+             |    c AS pair_count FROM b6)
+             |ORDER BY rank""".stripMargin))
   )
 }

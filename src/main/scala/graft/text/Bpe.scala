@@ -163,6 +163,87 @@ object Bpe {
     new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** One non-overlapping left-to-right merge pass for a SPECIFIC pair
+    * — the training-side application step (the encoder's pass selects
+    * by rank; the trainer applies exactly the pair it just learned). */
+  private[graft] def applyPair(toks: Array[String], l: String,
+                               r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** LEARN a merge table from a corpus — BPE training, the step that
+    * makes [[bpeEncode]]'s input table derivable from YOUR data rather
+    * than shipped from elsewhere. Classic algorithm (Sennrich et al.,
+    * public), in its scale-true form: train on the WORD-TYPE HISTOGRAM,
+    * not the corpus — a 100 TB corpus has a vocab-sized distinct-word
+    * table, so after the first groupBy every round's state is
+    * vocab-bounded regardless of corpus size. Each round: count
+    * adjacent token pairs weighted by word frequency (one groupBy on
+    * (l, r) — the only exchange, carrying token pairs), pick the most
+    * frequent pair (ties break lexicographically for cross-engine
+    * determinism; the argmax is the round's ONE justified driver-side
+    * row, the centroid-collect category), apply it non-overlapping
+    * left-to-right to every word, repeat. The histogram persists and
+    * rolls forward round to round.
+    *
+    * Returns (rank, left_tok, right_tok, pair_count) — feed straight
+    * into `bpeEncode(df, col, merges)`. Stops early if the corpus runs
+    * out of repeated pairs. */
+  def learnMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 65536, s"k: $k")
+    val ti = df.schema.fieldIndex(textCol)
+    require(df.schema(ti).dataType == StringType,
+      s"$textCol must be STRING, got ${df.schema(ti).dataType}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var cur = df.select(col(textCol)).as[String]
+      .flatMap(t => if (t == null) Nil else preTokenize(t))
+      .groupBy("value").count()
+      .as[(String, Long)]
+      .map { case (w, c) => (c, w.map(_.toString).toArray) }
+      .toDF("cnt", "toks")
+      .persist(lvl)
+    cur.count()
+    val learned =
+      scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (rank <- 0 until k if !exhausted) {
+      val best = cur.as[(Long, Array[String])]
+        .flatMap { case (c, toks) =>
+          (0 until toks.length - 1).iterator
+            .map(i => (toks(i), toks(i + 1), c))
+        }
+        .toDF("l", "r", "c")
+        .groupBy("l", "r").agg(sum("c").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect() // ONE row per round, by construction
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (best.head.getString(0), best.head.getString(1),
+            best.head.getLong(2))
+        learned += ((rank, l, r, c))
+        val next = cur.as[(Long, Array[String])]
+          .map { case (cn, toks) => (cn, applyPair(toks, l, r)) }
+          .toDF("cnt", "toks").persist(lvl)
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    learned.toSeq
+      .toDF("rank", "left_tok", "right_tok", "pair_count")
+  }
+
   /** Append `bpe_tokens: array<string>` + `bpe_ids: array<int>` for
     * `textCol`, encoding with `merges` (order = rank). Merge ranks are
     * BROADCAST (one copy per executor); the encode is a narrow map —

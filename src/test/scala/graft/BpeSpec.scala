@@ -104,6 +104,41 @@ class BpeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("learnMerges: frequency-ordered merges with lexicographic " +
+      "tie-break, early stop when pairs run out, train->encode " +
+      "composition") {
+    val corpus = Seq("aaab", "aaab", "ab").toDF("txt")
+    val learned = Bpe.learnMerges(corpus, "txt", 6)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    // round 0: (a,a) 4 weighted adjacencies beats (a,b) 3;
+    // round 1: after [aa,a,b]/[a,b], (a,b) has 3;
+    // round 2: (aa,ab) 2; then no repeated pairs remain -> early stop
+    assert(learned === Seq((0, "a", "a", 4L), (1, "a", "b", 3L),
+      (2, "aa", "ab", 2L)))
+    // the learned table drives the encoder directly: all three merges
+    // cascade, collapsing the whole word to one learned token
+    val merges = learned.map(m => (m._2, m._3))
+    val enc = Bpe.bpeEncode(Seq((1L, "aaab")).toDF("id", "txt"), "txt",
+      merges).select($"bpe_tokens").as[Seq[String]].head()
+    assert(enc === Seq("aaab"))
+    assert(Bpe.decode(enc) === "aaab")
+    // a partial word still uses the intermediate merges
+    val enc2 = Bpe.bpeEncode(Seq((1L, "aabx")).toDF("id", "txt"), "txt",
+      merges).select($"bpe_tokens").as[Seq[String]].head()
+    assert(enc2 === Seq("aa", "b", "x"))
+  }
+
+  test("learnMerges is deterministic across repartitionings") {
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .select(lower(substring(regexp_replace($"text", "[^A-Za-z ]", ""),
+        1, 48)).as("txt"))
+      .where(length($"txt") > 0)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Bpe.learnMerges(df, "txt", 4)
+        .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(run(docs.where(lit(true))) === run(docs.repartition(17)))
+  }
+
   test("duplicate or colliding merge tables are refused") {
     val df = Seq((1L, "ab")).toDF("id", "txt")
     intercept[IllegalArgumentException] {
