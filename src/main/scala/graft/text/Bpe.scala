@@ -231,10 +231,16 @@ object Bpe {
           (best.head.getString(0), best.head.getString(1),
             best.head.getLong(2))
         learned += ((rank, l, r, c))
-        val next = cur.as[(Long, Array[String])]
+        var next = cur.as[(Long, Array[String])]
           .map { case (cn, toks) => (cn, applyPair(toks, l, r)) }
           .toDF("cnt", "toks").persist(lvl)
         next.count()
+        // the per-round map chains lineage linearly in k; at production
+        // merge counts (tens of thousands) an uncut chain kills the
+        // planner long before the data does — same discipline as the
+        // CC loop's per-round checkpoint, amortized here because BPE
+        // rounds are much cheaper than CC rounds
+        if (rank % 16 == 15) next = next.localCheckpoint()
         cur.unpersist()
         cur = next
       }
