@@ -442,15 +442,20 @@ object Http {
     val identity = concat(
       lit("HTTP/1.1 200 OK" + crlf),
       lit("Content-Type: text/html; charset=utf-8" + crlf),
-      lit("Content-Length: "), length(body).cast("string"), lit(crlf),
+      // octet counts, not chars — ASCII today, but framing must stay
+      // byte-correct if the synth ever grows non-ASCII (the
+      // synthCrawlBlobs lesson)
+      lit("Content-Length: "), octet_length(body).cast("string"),
+      lit(crlf),
       lit(crlf), body)
     val chunked = concat(
       lit("HTTP/1.1 200 OK" + crlf),
       lit("Content-Type: text/plain" + crlf),
       lit("Transfer-Encoding: chunked" + crlf),
       lit(crlf),
-      lower(hex(c1)), lit(";ext=1" + crlf), chunk1, lit(crlf),
-      lower(hex(length(chunk2))), lit(crlf), chunk2, lit(crlf),
+      lower(hex(octet_length(chunk1))), lit(";ext=1" + crlf), chunk1,
+      lit(crlf),
+      lower(hex(octet_length(chunk2))), lit(crlf), chunk2, lit(crlf),
       lit("0" + crlf + crlf))
     val notFound = lit("HTTP/1.1 404 Not Found" + crlf +
       "Content-Type: text/plain" + crlf +

@@ -330,7 +330,8 @@ object Warc {
         lit("-" + k + ">" + crlf),
         lit("WARC-Target-URI: http://site"), m(100).cast(StringType),
         lit(".com/p" + k + crlf),
-        clName, lit(": "), length(payload).cast(StringType), lit(crlf),
+        clName, lit(": "), octet_length(payload).cast(StringType),
+        lit(crlf),
         lit(crlf), payload, lit(crlf + crlf))
     }
     val body = concat(
