@@ -163,8 +163,13 @@ object Http {
       case _ => None
     }
     if (status.isEmpty) return none
-    if (status.exists(s => s >= 100 && s < 200)) {
-      // interim response: bodiless by spec; the REAL response follows
+    if (status.exists(s => s >= 100 && s < 200 && s != 101)) {
+      // interim response (100 Continue, 103 Early Hints): bodiless by
+      // spec; the REAL response follows. 101 Switching Protocols is
+      // NOT interim — after a 101 the remaining payload is the
+      // upgraded protocol, not HTTP, so 101 is handled below as a
+      // FINAL bodiless response (status + headers survive; skipping
+      // it would discard them and parse non-HTTP bytes as a head).
       return if (interimHops > 0)
         parseFrom(payload, he, maxBodyBytes, interimHops - 1)
       else none
@@ -208,8 +213,11 @@ object Http {
     }
     // 204 No Content / 304 Not Modified are bodiless by RFC 9110
     // §15.3.5/§15.4.5 regardless of any Content-Length they carry (304s
-    // routinely echo the would-be entity's length): empty body, complete
-    if (status.exists(s => s == 204 || s == 304))
+    // routinely echo the would-be entity's length); 101 Switching
+    // Protocols ends the HTTP exchange (RFC 9110 §15.2.2 — what follows
+    // is the upgraded protocol's bytes, never an HTTP body): empty
+    // body, complete
+    if (status.exists(s => s == 204 || s == 304 || s == 101))
       return HttpParsed(status, cType, cEnc, tEnc, loc,
         Array.emptyByteArray, false)
     // framing: chunked beats Content-Length (RFC 9112 §6.3)

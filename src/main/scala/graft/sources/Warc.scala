@@ -111,21 +111,31 @@ object Warc {
         Some((out, clen > keep))
       }
 
-      /** One parse step. IO exceptions are a DATA property here, not a
-        * code failure: the JDK gzip stream THROWS (rather than
-        * returning EOF) on a truncated member mid-read, a corrupt CRC
-        * trailer, or a damaged next-member header — and one damaged
-        * .warc.gz segment must cost its own tail, not the Spark task
-        * (with retries, the whole job). Records fully parsed before
-        * the throw are kept: deflate output is self-terminating, so
-        * bytes already delivered are sound even when the trailer
-        * check later fails. */
+      /** One parse step. DECOMPRESSION exceptions are a DATA property
+        * here, not a code failure: the JDK gzip stream throws
+        * ZipException (rather than returning EOF) on a corrupt CRC
+        * trailer / damaged next-member header and EOFException on a
+        * truncated member mid-read — and one damaged .warc.gz segment
+        * must cost its own tail, not the Spark task (with retries, the
+        * whole job). Records fully parsed before the throw are kept:
+        * deflate output is self-terminating, so bytes already delivered
+        * are sound even when the trailer check later fails. Any OTHER
+        * IOException — a transient storage-layer read failure on the
+        * Hadoop file path — PROPAGATES and fails the task: a flaky
+        * HDFS/S3 read must trigger a retry, not silently truncate a
+        * segment's tail as if it were EOF. Skips are logged so a
+        * damaged segment is visible in executor logs, same as the
+        * warcRecords gzip-header path. */
       private def advance(): Unit = {
         if (finished) return
         try advanceUnsafe()
         catch {
-          case _: java.io.IOException =>
+          case e @ (_: java.util.zip.ZipException |
+                    _: java.io.EOFException) =>
             finished = true
+            System.err.println(
+              s"[warc] damaged gzip data at uncompressed offset $pos: " +
+                s"$e — keeping $idx records, dropping the stream tail")
             try buf.close() catch { case _: Exception => () }
         }
       }

@@ -48,14 +48,30 @@ object Bpe {
     ("o", "n"), ("e", "r"), ("r", "e"), ("o", "r"), ("s", "t"))
 
   /** Pre-tokenize: partition `s` into chunks, each either (optional
-    * leading space + maximal letter run) or a maximal space run that is
-    * NOT followed by a letter — i.e. the regex ` ?[A-Za-z]+| +|[^ ]`
-    * applied left to right (a non-letter, non-space byte becomes its
-    * own chunk so the partition is total and decode round-trips). */
+    * leading space + maximal letter run), (optional leading space +
+    * maximal DIGIT run — the GPT-2 ` ?\p{N}+` shape: "2026" merges as
+    * a unit instead of four singletons), or a maximal space run that
+    * is NOT followed by a letter/digit — i.e. the regex
+    * ` ?[A-Za-z]+| ?[0-9]+| +|[^ ]` applied left to right (any other
+    * byte becomes its own chunk so the partition is total and decode
+    * round-trips).
+    *
+    * Documented divergences from the exact GPT-2 regex (` ?\p{L}+|
+    * ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+` plus contraction
+    * special-cases): (a) letters/digits are ASCII classes, so accented
+    * letters chunk as singletons — merges never form across them,
+    * which costs compression, never correctness (decode still
+    * round-trips byte-exact); (b) punctuation runs are singletons,
+    * not ` ?[^\s\p{L}\p{N}]+` groups — same compression-only effect;
+    * (c) no `'s|'t|'re|…` contraction cases; (d) a space run keeps ALL
+    * its spaces (GPT-2's `\s+(?!\S)` donates the last one to the next
+    * word). Every divergence only changes WHERE merges may form, never
+    * the byte stream, so `decode∘encode == id` holds regardless. */
   private[graft] def preTokenize(s: String): List[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     def isLetter(c: Char) =
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    def isDigit(c: Char) = c >= '0' && c <= '9'
     var i = 0
     val n = s.length
     while (i < n) {
@@ -64,9 +80,17 @@ object Bpe {
         var j = i + 1
         while (j < n && isLetter(s.charAt(j))) j += 1
         out += s.substring(i, j); i = j
+      } else if (c == ' ' && i + 1 < n && isDigit(s.charAt(i + 1))) {
+        var j = i + 1
+        while (j < n && isDigit(s.charAt(j))) j += 1
+        out += s.substring(i, j); i = j
       } else if (isLetter(c)) {
         var j = i
         while (j < n && isLetter(s.charAt(j))) j += 1
+        out += s.substring(i, j); i = j
+      } else if (isDigit(c)) {
+        var j = i
+        while (j < n && isDigit(s.charAt(j))) j += 1
         out += s.substring(i, j); i = j
       } else if (c == ' ') {
         var j = i
@@ -188,15 +212,34 @@ object Bpe {
     * adjacent token pairs weighted by word frequency (one groupBy on
     * (l, r) — the only exchange, carrying token pairs), pick the most
     * frequent pair (ties break lexicographically for cross-engine
-    * determinism; the argmax is the round's ONE justified driver-side
-    * row, the centroid-collect category), apply it non-overlapping
-    * left-to-right to every word, repeat. The histogram persists and
-    * rolls forward round to round.
+    * determinism), apply it non-overlapping left-to-right to every
+    * word, repeat. Word types seed with their UTF-8 BYTES rendered as
+    * ISO-8859-1 chars — the SAME byte alphabet [[encodeChunk]] seeds
+    * with, so learned merges apply at encode time on non-ASCII corpora
+    * too (code-point seeding would learn tokens the encoder never
+    * forms). A candidate pair whose concatenation equals an
+    * already-learned token string is SKIPPED (('a','bc') after
+    * ('ab','c') both spell "abc"): [[bpeEncode]]'s contiguous
+    * 256+rank id scheme requires token strings to be unique, and
+    * skipping costs at most one lower-frequency rule.
+    *
+    * Two execution paths, bit-identical by construction (same
+    * tie-break, same collision guard; BpeSpec asserts equality):
+    * after the first groupBy the histogram is vocab-bounded, so when
+    * it has ≤ `maxDriverTypes` word types it is collected ONCE and the
+    * merge loop runs driver-side (the centroid-collect category — each
+    * distributed round costs two vocab-sized Spark jobs, pure
+    * orchestration overhead at any realistic k; see SCALING.md's
+    * k-curve). Corpora whose type histogram exceeds the cap keep the
+    * fully distributed loop. Token strings here only contain chars
+    * 0-255, where Java String ordering == Spark's UTF8String binary
+    * ordering, so the two paths tie-break identically.
     *
     * Returns (rank, left_tok, right_tok, pair_count) — feed straight
     * into `bpeEncode(df, col, merges)`. Stops early if the corpus runs
     * out of repeated pairs. */
-  def learnMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+  def learnMerges(df: DataFrame, textCol: String, k: Int,
+                  maxDriverTypes: Long = 1L << 19): DataFrame = {
     require(k >= 1 && k <= 65536, s"k: $k")
     val ti = df.schema.fieldIndex(textCol)
     require(df.schema(ti).dataType == StringType,
@@ -204,25 +247,93 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var cur = df.select(col(textCol)).as[String]
+    val hist = df.select(col(textCol)).as[String]
       .flatMap(t => if (t == null) Nil else preTokenize(t))
       .groupBy("value").count()
       .as[(String, Long)]
-      .map { case (w, c) => (c, w.map(_.toString).toArray) }
+      .map { case (w, c) =>
+        (c, w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => String.valueOf((b & 0xff).toChar)))
+      }
       .toDF("cnt", "toks")
       .persist(lvl)
-    cur.count()
+    val nTypes = hist.count()
+    val learned =
+      if (nTypes <= maxDriverTypes)
+        learnMergesLocal(
+          hist.as[(Long, Array[String])].collect(), k)
+      else learnMergesDistributed(hist, k)
+    hist.unpersist()
+    learned.toDF("rank", "left_tok", "right_tok", "pair_count")
+  }
+
+  /** Driver-side merge loop over the collected word-type histogram —
+    * semantics identical to [[learnMergesDistributed]]. */
+  private[graft] def learnMergesLocal(
+      histogram: Array[(Long, Array[String])], k: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var words = histogram
     val learned =
       scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    val seen = scala.collection.mutable.HashSet.empty[String]
     var exhausted = false
     for (rank <- 0 until k if !exhausted) {
-      val best = cur.as[(Long, Array[String])]
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (c, toks) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val key = (toks(i), toks(i + 1))
+          if (!seen.contains(toks(i) + toks(i + 1)))
+            counts.update(key, counts.getOrElse(key, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // argmax by (count desc, l asc, r asc) — chars are all < 256 so
+        // Java ordering == UTF8 binary ordering == the distributed sort
+        val ((l, r), c) = counts.minBy { case ((pl, pr), pc) =>
+          (-pc, pl, pr)
+        }
+        learned += ((rank, l, r, c))
+        seen += (l + r)
+        words = words.map { case (cn, toks) =>
+          (cn, applyPair(toks, l, r))
+        }
+      }
+    }
+    learned.toSeq
+  }
+
+  /** Distributed merge loop — one pair-count groupBy + one argmax row
+    * per round over the persisted vocab-bounded histogram.
+    * private[graft] so BpeSpec can drive it with engineered token
+    * histograms (the collision guard's trigger states are unreachable
+    * from char-seeded corpora). */
+  private[graft] def learnMergesDistributed(hist: DataFrame, k: Int)
+      : Seq[(Int, String, String, Long)] = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var cur = hist
+    var curOwned = false // `hist` is caller-persisted; rounds own theirs
+    val learned =
+      scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    var exhausted = false
+    for (rank <- 0 until k if !exhausted) {
+      var cand = cur.as[(Long, Array[String])]
         .flatMap { case (c, toks) =>
           (0 until toks.length - 1).iterator
             .map(i => (toks(i), toks(i + 1), c))
         }
         .toDF("l", "r", "c")
         .groupBy("l", "r").agg(sum("c").as("c"))
+      if (seen.nonEmpty)
+        cand = cand.where(!concat(col("l"), col("r"))
+          .isin(seen.toSeq: _*))
+      val best = cand
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1).collect() // ONE row per round, by construction
       if (best.isEmpty) exhausted = true
@@ -231,6 +342,7 @@ object Bpe {
           (best.head.getString(0), best.head.getString(1),
             best.head.getLong(2))
         learned += ((rank, l, r, c))
+        seen += (l + r)
         var next = cur.as[(Long, Array[String])]
           .map { case (cn, toks) => (cn, applyPair(toks, l, r)) }
           .toDF("cnt", "toks").persist(lvl)
@@ -239,15 +351,21 @@ object Bpe {
         // merge counts (tens of thousands) an uncut chain kills the
         // planner long before the data does — same discipline as the
         // CC loop's per-round checkpoint, amortized here because BPE
-        // rounds are much cheaper than CC rounds
-        if (rank % 16 == 15) next = next.localCheckpoint()
-        cur.unpersist()
+        // rounds are much cheaper than CC rounds. The pre-checkpoint
+        // frame is unpersisted (the checkpoint HOLDS the data) — else
+        // one MEMORY_AND_DISK entry leaks every 16 rounds.
+        if (rank % 16 == 15) {
+          val chk = next.localCheckpoint()
+          next.unpersist()
+          next = chk
+        }
+        if (curOwned) cur.unpersist()
         cur = next
+        curOwned = true
       }
     }
-    cur.unpersist()
+    if (curOwned) cur.unpersist()
     learned.toSeq
-      .toDF("rank", "left_tok", "right_tok", "pair_count")
   }
 
   /** Append `bpe_tokens: array<string>` + `bpe_ids: array<int>` for

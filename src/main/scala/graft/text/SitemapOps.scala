@@ -54,17 +54,22 @@ object SitemapOps {
   }
 
   private def xmlUnescape(c: Column): Column = {
-    // the five XML predefined entities plus numeric &#NN; in the ASCII
-    // range — the forms sitemap URLs legally carry. &amp; LAST so
-    // '&amp;lt;' decodes to the literal '&lt;' (same one-pass
-    // correctness rule as HtmlOps' entity decode)
+    // single-pass decode of the five XML predefined entities plus the
+    // numeric &#38;/&#x26; ampersand forms — the forms sitemap URLs
+    // legally carry. Sequential replaces alone DOUBLE-decode
+    // ('&#38;amp;' → '&amp;' → '&', where the correct single-pass
+    // result is the literal '&amp;'), so every rule that PRODUCES an
+    // ampersand emits a \u0001 sentinel first and the sentinel is
+    // rewritten to '&' only after all entity rules have run — no
+    // produced '&' can re-trigger a rule. (A URL that itself contains
+    // U+0001 would corrupt — a C0 control char is not legal in XML
+    // content at all, so nothing real is lost.)
     val steps: Column => Column = s =>
       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         s, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&apos;", "'")
-    // numeric entities 32..126 via a fold is overkill for URLs; handle
-    // the common &#38; / &#x26; ampersand forms explicitly
-    regexp_replace(regexp_replace(regexp_replace(
-      steps(c), "&#38;", "&"), "&#x26;", "&"), "&amp;", "&")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      steps(c), "&amp;", "\u0001"), "&#38;", "\u0001"),
+      "&#x26;", "\u0001"), "\u0001", "&")
   }
 
   /** Explode one sitemap XML document into entry rows. Output appends:

@@ -25,6 +25,17 @@ class BpeSpec extends SparkSpec {
     assert(e("a.b") === List("a", ".", "b"))
   }
 
+  test("preTokenize groups digit runs (GPT-2 ' ?\\p{N}+' shape) with " +
+      "optional leading space; mixed runs split at class boundaries") {
+    assert(Bpe.preTokenize("a 2026 b") === List("a", " 2026", " b"))
+    assert(Bpe.preTokenize("abc123") === List("abc", "123"))
+    assert(Bpe.preTokenize("1,234") === List("1", ",", "234"))
+    assert(Bpe.preTokenize("  42") === List("  ", "42"))
+    // a merge table over digits now applies within the run
+    val ranks = Map(("2", "0") -> 0, ("20", "2") -> 1, ("202", "6") -> 2)
+    assert(Bpe.encode("in 2026", ranks) === List("i", "n", " ", "2026"))
+  }
+
   test("a merge pass replaces ALL non-overlapping occurrences left to " +
       "right (the GPT-2 batch semantics)") {
     val ranks = Map(("a", "a") -> 0)
@@ -128,15 +139,59 @@ class BpeSpec extends SparkSpec {
     assert(enc2 === Seq("aa", "b", "x"))
   }
 
-  test("learnMerges is deterministic across repartitionings") {
+  test("learnMerges is deterministic across repartitionings, and the " +
+      "driver-side fast path is bit-identical to the distributed loop") {
     val docs = graft.sources.Sources.table(spark, sf, "documents")
       .select(lower(substring(regexp_replace($"text", "[^A-Za-z ]", ""),
         1, 48)).as("txt"))
       .where(length($"txt") > 0)
-    def run(df: org.apache.spark.sql.DataFrame) =
-      Bpe.learnMerges(df, "txt", 4)
+    def run(df: org.apache.spark.sql.DataFrame, cap: Long) =
+      Bpe.learnMerges(df, "txt", 4, maxDriverTypes = cap)
         .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
-    assert(run(docs.where(lit(true))) === run(docs.repartition(17)))
+    val local = run(docs.where(lit(true)), 1L << 19)
+    assert(local === run(docs.repartition(17), 1L << 19))
+    // maxDriverTypes = 0 forces the distributed loop on the same corpus
+    assert(local === run(docs.where(lit(true)), 0L))
+  }
+
+  test("learnMerges trains on the byte alphabet encodeChunk uses: " +
+      "non-ASCII merges apply at encode time (train->encode identity)") {
+    // 'é' is UTF-8 0xC3 0xA9: training must learn the BYTE pair
+    // (Ã, ©), not the code-point singleton 'é' no encoder seed forms
+    val corpus = Seq("ééé", "éé").toDF("txt")
+    val learned = Bpe.learnMerges(corpus, "txt", 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(learned.head._2 === "Ã" && learned.head._3 === "©",
+      s"first merge must be the UTF-8 byte pair of 'é': $learned")
+    val merges = learned.map(m => (m._2, m._3))
+    val enc = Bpe.bpeEncode(Seq((1L, "éé")).toDF("id", "txt"), "txt",
+      merges).select($"bpe_tokens").as[Seq[String]].head()
+    assert(enc.length < 4, s"learned merges must APPLY at encode: $enc")
+    assert(Bpe.decode(enc) === "éé")
+    // distributed path agrees on the byte alphabet too
+    val dist = Bpe.learnMerges(corpus, "txt", 2, maxDriverTypes = 0L)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(dist === learned)
+  }
+
+  test("training skips a candidate pair whose concatenation collides " +
+      "with an already-learned token string, on both paths") {
+    // the trigger state is (arguably) unreachable from char-seeded
+    // corpora, so drive both loops with an ENGINEERED histogram:
+    // ('ab','c') wins round 0 making token 'abc'; round 1's raw argmax
+    // ('a','bc') spells the same string and must be skipped (bpeEncode's
+    // contiguous 256+rank ids need unique token strings), leaving
+    // ('x','y') as the round-1 winner
+    val hist = Array(
+      (10L, Array("ab", "c")),
+      (9L, Array("a", "bc")),
+      (3L, Array("x", "y")))
+    val local = Bpe.learnMergesLocal(hist, 4)
+    assert(local === Seq((0, "ab", "c", 10L), (1, "x", "y", 3L)),
+      s"collision not skipped: $local")
+    val histDf = hist.toSeq.toDF("cnt", "toks")
+    val dist = Bpe.learnMergesDistributed(histDf, 4)
+    assert(dist === local, "distributed path diverged on the guard")
   }
 
   test("duplicate or colliding merge tables are refused") {

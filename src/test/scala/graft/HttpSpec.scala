@@ -351,14 +351,23 @@ class HttpSpec extends SparkSpec {
       "Content-Length: 9999" + crlf + crlf, Array.emptyByteArray)
     val noContent = msg("HTTP/1.1 204 No Content" + crlf +
       "Content-Length: 5" + crlf + crlf, Array.emptyByteArray)
+    // 101 Switching Protocols is FINAL, not interim: what follows is
+    // the UPGRADED protocol's bytes (here a fake websocket frame), not
+    // HTTP — the stored status/headers must survive with an empty body
+    // instead of being skipped and the frame bytes misread as a head
+    val upgraded = msg("HTTP/1.1 101 Switching Protocols" + crlf +
+      "Upgrade: websocket" + crlf +
+      "Connection: Upgrade" + crlf + crlf,
+      Array[Byte](0x81.toByte, 0x05, 'h', 'e', 'l', 'l', 'o'))
     val got = parse((1L, cont), (2L, hints), (3L, allInterim),
-      (4L, notModified), (5L, noContent))
+      (4L, notModified), (5L, noContent), (6L, upgraded))
     assert(got === Seq(
       (1L, Some(200), Some("text/html"), Some("real"), false),
       (2L, Some(200), None, Some("ok"), false),
       (3L, None, None, None, false),
       (4L, Some(304), None, Some(""), false),
-      (5L, Some(204), None, Some(""), false)))
+      (5L, Some(204), None, Some(""), false),
+      (6L, Some(101), None, Some(""), false)))
   }
 
   test("a body BOM outranks even the header charset (WHATWG decode " +

@@ -90,6 +90,19 @@ class SitemapSpec extends SparkSpec {
       "</loc></url></urlset>"
     val got = explodeRows((1L, tricky))
     assert(got.head._3 === Some("https://e.com/?q=&lt;tag"))
+    // the numeric form must not DOUBLE-decode either: '&#38;amp;'
+    // decodes to the literal 5-char '&amp;' (sequential replaces would
+    // cascade it all the way to '&'), and '&amp;#38;' to '&#38;'
+    val numeric = "<urlset>" +
+      "<url><loc>https://e.com/?a=&#38;amp;</loc></url>" +
+      "<url><loc>https://e.com/?b=&amp;#38;</loc></url>" +
+      "<url><loc>https://e.com/?c=&#x26;d=1</loc></url>" +
+      "</urlset>"
+    val got2 = explodeRows((1L, numeric))
+    assert(got2.map(_._3) === Seq(
+      Some("https://e.com/?a=&amp;"),
+      Some("https://e.com/?b=&#38;"),
+      Some("https://e.com/?c=&d=1")))
     val many = "<urlset>" + (1 to 10)
       .map(i => s"<url><loc>https://e.com/$i</loc></url>").mkString +
       "</urlset>"
