@@ -102,7 +102,8 @@ object Pdf {
 
   /** One extracted document: NULLs when the blob is not a PDF. */
   private final case class PdfText(
-      text: String, nShowOps: Option[Long], truncated: Option[Boolean])
+      text: String, nShowOps: Option[Long], truncated: Option[Boolean],
+      composite: Option[Boolean])
 
   private def isDelim(c: Char): Boolean =
     c <= ' ' || c == '(' || c == ')' || c == '<' || c == '>' ||
@@ -182,14 +183,20 @@ object Pdf {
   /** Walk ONE decoded content stream for text-show operators. Shows are
     * collected only inside BT..ET text objects (a raw stream's stray
     * parens must not fabricate text). Appends to `out` (bounded by
-    * `maxChars` TOTAL across the document), returns shows appended. */
+    * `maxChars` TOTAL across the document), returns (shows appended,
+    * truncated, sawGlyphIdShow) — the last true when any show string
+    * contains a NUL byte, the signature of 2-byte glyph ids from an
+    * Identity-H/Type0 composite font (Latin-1 TEXT never carries NUL;
+    * glyph ids for ASCII-range text give 0x00 high bytes). */
   private def walkContent(s: String, out: java.lang.StringBuilder,
-                          maxChars: Int): (Int, Boolean) = {
+                          maxChars: Int): (Int, Boolean, Boolean) = {
     var i = 0
     var inBT = false
     var shows = 0
     var truncated = false
+    var glyphIds = false
     def append(t: String): Boolean = {
+      if (t.indexOf('\u0000') >= 0) glyphIds = true
       if (out.length() >= maxChars) { truncated = true; return false }
       if (out.length() > 0) out.append(' ')
       val room = maxChars - out.length()
@@ -246,7 +253,7 @@ object Pdf {
         }
       } else i += 1
     }
-    (shows, truncated)
+    (shows, truncated, glyphIds)
   }
 
   /** Bounded raw-deflate/zlib inflate; None on codec error. */
@@ -293,10 +300,16 @@ object Pdf {
     if (bytes == null || bytes.length < 8 ||
       bytes(0) != '%' || bytes(1) != 'P' || bytes(2) != 'D' ||
       bytes(3) != 'F' || bytes(4) != '-')
-      return PdfText(null, None, None)
+      return PdfText(null, None, None, None)
     val out = new java.lang.StringBuilder
     var shows = 0L
     var truncated = false
+    // composite-font (Type0 / Identity-H) detection, two signals:
+    // declared font dicts in the raw bytes, and glyph-id-shaped show
+    // strings (NUL bytes) caught per-show in walkContent — the latter
+    // covers docs whose font dicts hide inside object streams this
+    // walker does not unpack
+    var composite = hasCompositeFontMarker(bytes)
     var pos = 0
     var scanning = true
     while (scanning) {
@@ -365,9 +378,14 @@ object Pdf {
                   "ISO-8859-1"))
               else None
             content.foreach { cs =>
-              val (n, t) = walkContent(cs, out, maxTextChars)
+              // a font dict living inside this (possibly Flate'd)
+              // stream counts as a declaration too
+              if (!composite && containsCompositeFontMarker(cs))
+                composite = true
+              val (n, t, g) = walkContent(cs, out, maxTextChars)
               shows += n
               truncated ||= t
+              composite ||= g
             }
           }
           pos = if (end >= 0) end + EndstreamKw.length else bytes.length
@@ -375,29 +393,61 @@ object Pdf {
         }
       }
     }
-    PdfText(if (shows > 0) out.toString else null, Some(shows),
-      Some(truncated))
+    // the honest contract: glyph-id shows are NOT text — without the
+    // font's CMap the byte codes are meaningless, and emitting them
+    // would poison every downstream text stage with mojibake. The doc
+    // is flagged and its text NULLed (show accounting survives), the
+    // same malformed→NULL discipline as the HTTP br/zstd seam.
+    PdfText(
+      if (shows > 0 && !composite) out.toString else null,
+      Some(shows), Some(truncated), Some(composite))
   }
 
-  /** Append `pdf_text` (space-joined show strings), `n_show_ops`, and
-    * `pdf_text_truncated` for each PDF blob — the step that turns
-    * [[pdfTriage]]'s keep-pile into a TEXT SOURCE feeding the same
-    * funnel as HTML. JVM per-row parser (record-IO over binary, the
-    * Warc/Http category); passthrough columns survive via the
-    * Encoders.row shape. Fidelity contract (documented, honest): bytes
-    * decode as Latin-1 — custom font encodings / ToUnicode CMaps are
-    * NOT resolved (that needs font tables; the dominant
-    * WinAnsi/Standard-encoded Latin text extracts correctly, symbolic
-    * fonts extract as their byte codes); text in image-filtered
-    * (DCTDecode etc.) streams is skipped; non-PDF rows keep all three
-    * columns NULL. Both caps bound task memory per blob. */
+  /** Does the RAW pdf carry a composite-font declaration? Checks
+    * `/Identity-H` / `/Identity-V` (CMap names used only by Type0
+    * fonts) and `/Type0` followed by a delimiter (so a custom name
+    * like /Type01 cannot false-positive). */
+  private def hasCompositeFontMarker(bytes: Array[Byte]): Boolean =
+    containsCompositeFontMarker(new String(bytes, "ISO-8859-1"))
+
+  private def containsCompositeFontMarker(s: String): Boolean = {
+    if (s.contains("/Identity-H") || s.contains("/Identity-V")) return true
+    var from = s.indexOf("/Type0")
+    while (from >= 0) {
+      val after = from + 6
+      if (after >= s.length || isDelim(s.charAt(after))) return true
+      from = s.indexOf("/Type0", after)
+    }
+    false
+  }
+
+  /** Append `pdf_text` (space-joined show strings), `n_show_ops`,
+    * `pdf_text_truncated`, and `pdf_composite_font` for each PDF blob —
+    * the step that turns [[pdfTriage]]'s keep-pile into a TEXT SOURCE
+    * feeding the same funnel as HTML. JVM per-row parser (record-IO
+    * over binary, the Warc/Http category); passthrough columns survive
+    * via the Encoders.row shape. Fidelity contract (documented,
+    * honest): bytes decode as Latin-1 — custom font encodings /
+    * ToUnicode CMaps are NOT resolved (that needs font tables; the
+    * dominant WinAnsi/Standard-encoded Latin text extracts correctly,
+    * symbolic single-byte fonts extract as their byte codes). A doc
+    * using COMPOSITE fonts (Type0/Identity-H — 2-byte glyph ids,
+    * detected by declaration or by NUL bytes in a show string) gets
+    * `pdf_text` NULL and `pdf_composite_font` true instead of glyph-id
+    * mojibake: the shows are byte-meaningless without the font's CMap,
+    * and the malformed→NULL contract every parser here keeps beats a
+    * poisoned text column (show counts still report, so corpus
+    * accounting sees the doc). Text in image-filtered (DCTDecode etc.)
+    * streams is skipped; non-PDF rows keep all four columns NULL. Both
+    * caps bound task memory per blob. */
   def extractPdfText(df: DataFrame, contentCol: String = "content",
                      maxStreamBytes: Int = 1 << 20,
                      maxTextChars: Int = 1 << 20): DataFrame = {
     require(maxStreamBytes > 0 && maxTextChars > 0, "caps must be positive")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    Seq("pdf_text", "n_show_ops", "pdf_text_truncated").foreach(c =>
+    Seq("pdf_text", "n_show_ops", "pdf_text_truncated",
+      "pdf_composite_font").foreach(c =>
       require(!df.columns.contains(c),
         s"Pdf.extractPdfText: df already has a '$c' column — rename it " +
           "first; extractPdfText appends its own"))
@@ -408,13 +458,15 @@ object Pdf {
     val outSchema = StructType(df.schema.fields.toSeq ++ Seq(
       StructField("pdf_text", StringType),
       StructField("n_show_ops", LongType),
-      StructField("pdf_text_truncated", BooleanType)))
+      StructField("pdf_text_truncated", BooleanType),
+      StructField("pdf_composite_font", BooleanType)))
     df.map({ r =>
       val p = extractOne(r.getAs[Array[Byte]](ci), maxStreamBytes,
         maxTextChars)
       Row.fromSeq(r.toSeq ++ Seq(p.text,
         p.nShowOps.map(Long.box).orNull,
-        p.truncated.map(Boolean.box).orNull))
+        p.truncated.map(Boolean.box).orNull,
+        p.composite.map(Boolean.box).orNull))
     })(Encoders.row(outSchema))
   }
 
@@ -461,6 +513,45 @@ object Pdf {
       contentObj, badFlate,
       lit("trailer << /Size 9 >>" + nl + "startxref" + nl + "9999" + nl +
         "%%EOF" + nl))
+    val body = when(m(11) === 6, lit("GARBAGE NOT A PDF")).otherwise(full)
+    docs.select(id.as("media_id"), body.cast("binary").as("content"))
+  }
+
+  /** Deterministic composite-font PDF exhibits from an id column — the
+    * test/demo source for [[extractPdfText]]'s composite-font contract
+    * (q158): a plain simple-font doc (text extracts, flag false); a doc
+    * DECLARING `/Subtype /Type0` + `/Identity-H` (pmod 4 = 1 — text
+    * NULL, flag true, even though its simple show would otherwise
+    * extract: without per-show font attribution the whole doc's text is
+    * untrustworthy); a doc with an UNDECLARED glyph-id hex show
+    * carrying NUL high bytes (pmod 4 = 2 — the per-show NUL signal must
+    * flag it, the object-stream-hidden-font case); and a non-PDF
+    * garbage row (pmod 11 = 6) keeping every column NULL. The q158
+    * oracle rebuilds all fields as id arithmetic. */
+  def synthCompositePdfBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    def m(k: Int) = pmod(id, lit(k))
+    val nl = "\n"
+    val show1 = concat(lit("BT /F1 12 Tf (Doc "), id.cast("string"),
+      lit(" plain) Tj ET" + nl))
+    val glyphShow = when(m(4) === 2,
+      "BT /F2 10 Tf <00480069> Tj ET" + nl).otherwise("")
+    val content = concat(show1, glyphShow)
+    val contentObj = concat(
+      lit("4 0 obj" + nl + "<< /Length "),
+      octet_length(content).cast("string"),
+      lit(" >>" + nl + "stream" + nl), content,
+      lit("endstream" + nl + "endobj" + nl))
+    val fontObj = when(m(4) === 1,
+      "6 0 obj" + nl + "<< /Type /Font /Subtype /Type0 /BaseFont " +
+        "/Fake /Encoding /Identity-H >>" + nl + "endobj" + nl)
+      .otherwise("")
+    val full = concat(
+      lit("%PDF-1.6" + nl),
+      lit("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj" + nl),
+      fontObj, contentObj,
+      lit("trailer << /Size 9 >>" + nl + "startxref" + nl + "9999" +
+        nl + "%%EOF" + nl))
     val body = when(m(11) === 6, lit("GARBAGE NOT A PDF")).otherwise(full)
     docs.select(id.as("media_id"), body.cast("binary").as("content"))
   }

@@ -3860,6 +3860,40 @@ object TrainingData {
              |    c AS pair_count FROM b5
              |  UNION ALL SELECT CAST(5 AS INT) AS rank, l AS left_tok, r AS right_tok,
              |    c AS pair_count FROM b6)
-             |ORDER BY rank""".stripMargin))
+             |ORDER BY rank""".stripMargin)),
+
+    // PDF composite-font honesty (Pdf.extractPdfText): Type0/Identity-H
+    // fonts show 2-byte GLYPH IDS, not character codes — extracting
+    // them as Latin-1 would emit mojibake into every downstream text
+    // stage. Detection is two-signal (declared /Type0|/Identity-H
+    // dicts; NUL bytes inside a show string — Latin-1 text never
+    // carries NUL, glyph ids for ASCII-range text always do) and the
+    // contract is the parser family's malformed→NULL: text NULL, flag
+    // true, show accounting survives. Oracle is ground-truth id
+    // arithmetic over the synth exhibits.
+    Q("q158_pdf_composite_font",
+      (s, dir) => graft.multimodal.Pdf.extractPdfText(
+          graft.multimodal.Pdf.synthCompositePdfBytes(
+            t(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("pdf_text"), col("n_show_ops"),
+          col("pdf_text_truncated"), col("pdf_composite_font"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 4) + 4) % 4 AS m4,
+             |    ((doc_id % 11) + 11) % 11 AS m11
+             |  FROM documents)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN m11 = 6 OR m4 IN (1, 2) THEN NULL
+             |       ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' plain'
+             |       END AS pdf_text,
+             |  CASE WHEN m11 = 6 THEN NULL
+             |       WHEN m4 = 2 THEN CAST(2 AS BIGINT)
+             |       ELSE CAST(1 AS BIGINT) END AS n_show_ops,
+             |  CASE WHEN m11 = 6 THEN NULL ELSE FALSE
+             |       END AS pdf_text_truncated,
+             |  CASE WHEN m11 = 6 THEN NULL ELSE m4 IN (1, 2)
+             |       END AS pdf_composite_font
+             |FROM m ORDER BY media_id""".stripMargin))
   )
 }

@@ -81,7 +81,8 @@ object SitemapOps {
   def explodeSitemap(df: DataFrame, xmlCol: String,
                      maxEntries: Int = 50000): DataFrame = {
     require(maxEntries >= 1, s"maxEntries: $maxEntries")
-    Seq("sm_kind", "sm_loc", "sm_lastmod", "__sm_blocks").foreach(c =>
+    Seq("sm_kind", "sm_loc", "sm_lastmod", "__sm_blocks",
+      "__sm_clean").foreach(c =>
       require(!df.columns.contains(c),
         s"SitemapOps.explodeSitemap: df already has a '$c' column"))
     val x = s"CAST(`$xmlCol` AS STRING)"
@@ -105,25 +106,38 @@ object SitemapOps {
     val exploded = withBlocks.select(col("*"),
       explode(when(size(col("__sm_blocks")) > 0, col("__sm_blocks"))
         .otherwise(array(lit(null).cast("string")))).as("__sm_block"))
+    // a FOREIGN block nested inside this one (a stray <sitemap> inside
+    // a <url>, or vice versa — malformed, but real generators emit it)
+    // carries its own <loc>/<lastmod> that must not shadow THIS block's
+    // values: strip the opposite-kind spans before field extraction
+    // (valid sitemaps never nest, so this only fires on noise)
+    val cleaned = when(col("sm_kind") === "urlset", expr(
+      """regexp_replace(__sm_block,
+        |'(?s)<sitemap[\\s>].*?</sitemap>', '')""".stripMargin))
+      .when(col("sm_kind") === "sitemapindex", expr(
+        """regexp_replace(__sm_block,
+          |'(?s)<url[\\s>].*?</url>', '')""".stripMargin))
+      .otherwise(col("__sm_block"))
     // CDATA-wrapped loc values (some sitemap generators emit
     // <loc><![CDATA[url]]></loc>) carry the URL VERBATIM — unwrap
     // first, and skip entity decoding for them (CDATA content is not
     // entity-encoded; decoding would corrupt a literal '&amp;' the
     // URL legitimately contains)
     val rawLoc = expr(
-      """nullif(regexp_extract(__sm_block,
+      """nullif(regexp_extract(__sm_clean,
         |'(?s)<loc\\s*>\\s*(.*?)\\s*</loc>', 1), '')""".stripMargin)
     val cdata = expr(
-      """nullif(regexp_extract(__sm_block,
+      """nullif(regexp_extract(__sm_clean,
         |'(?s)<loc\\s*>\\s*<!\\[CDATA\\[(.*?)\\]\\]>\\s*</loc>', 1),
         |'')""".stripMargin)
     exploded
+      .withColumn("__sm_clean", cleaned)
       .withColumn("sm_loc",
         coalesce(cdata, xmlUnescape(rawLoc)))
       .withColumn("sm_lastmod", expr(
-        """nullif(regexp_extract(__sm_block,
+        """nullif(regexp_extract(__sm_clean,
           |'(?s)<lastmod\\s*>\\s*(.*?)\\s*</lastmod>', 1), '')""".stripMargin))
-      .drop("__sm_blocks", "__sm_block")
+      .drop("__sm_blocks", "__sm_block", "__sm_clean")
   }
 
   /** Deterministic sitemap exhibits from an id column — the test/demo

@@ -180,6 +180,75 @@ class PdfSpec extends SparkSpec {
     assert(got.head._4.get === false)
   }
 
+  test("composite fonts (Type0/Identity-H) NULL the text and set the " +
+      "flag — declared dicts, Flate-hidden dicts, and NUL glyph shows") {
+    def extractC(rows: (Long, Array[Byte])*) =
+      Pdf.extractPdfText(rows.toDF("media_id", "content"))
+        .select($"media_id", $"pdf_text", $"n_show_ops",
+          $"pdf_composite_font")
+        .as[(Long, Option[String], Option[Long], Option[Boolean])]
+        .collect().sortBy(_._1).toSeq
+    val simple = pdfWith(
+      ("", Some("BT (plain text) Tj ET".getBytes("ISO-8859-1"))))
+    // declared Identity-H font dict in the raw bytes: whole doc flagged
+    val declared = {
+      val bo = new java.io.ByteArrayOutputStream()
+      bo.write("%PDF-1.6\n6 0 obj\n<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>\nendobj\n"
+        .getBytes("ISO-8859-1"))
+      val c = "BT (looks fine) Tj ET"
+      bo.write((s"4 0 obj\n<< /Length ${c.length} >>\nstream\n" + c +
+        "\nendstream\nendobj\n%%EOF\n").getBytes("ISO-8859-1"))
+      bo.toByteArray
+    }
+    // the font dict hides inside a FlateDecode'd stream (the object-
+    // stream case): the marker scan over INFLATED content must catch it
+    val hidden = pdfWith(
+      ("/Filter /FlateDecode",
+        Some(zlib("<< /Subtype /Type0 /Encoding /Identity-H >>"))),
+      ("", Some("BT (also fine) Tj ET".getBytes("ISO-8859-1"))))
+    // no declaration anywhere, but a hex show carries 2-byte glyph ids
+    // (NUL high bytes): the per-show signal must flag it
+    val glyphs = pdfWith(
+      ("", Some("BT <00480069006D006F006A0069> Tj ET"
+        .getBytes("ISO-8859-1"))))
+    // /Type01 is a CUSTOM NAME, not the Type0 subtype: must NOT flag
+    val decoy = pdfWith(
+      ("", Some("BT /Type01 (legit) Tj ET".getBytes("ISO-8859-1"))))
+    val got = extractC((1L, simple), (2L, declared), (3L, hidden),
+      (4L, glyphs), (5L, decoy))
+    assert(got === Seq(
+      (1L, Some("plain text"), Some(1L), Some(false)),
+      (2L, None, Some(1L), Some(true)),
+      (3L, None, Some(1L), Some(true)),
+      (4L, None, Some(1L), Some(true)),
+      (5L, Some("legit"), Some(1L), Some(false))))
+  }
+
+  test("synthCompositePdfBytes round-trips across the corpus, negative " +
+      "ids too; extraction matches the q158 id arithmetic") {
+    for (docs <- Seq(
+      graft.sources.Sources.table(spark, sf, "documents").select($"doc_id"),
+      spark.range(-64, 0).toDF("doc_id"))) {
+      val got = Pdf.extractPdfText(Pdf.synthCompositePdfBytes(docs, "doc_id"))
+      val id = $"media_id"
+      def m(k: Int) = pmod(id, lit(k))
+      val isComposite = m(4) === 1 || m(4) === 2
+      val expText = concat(lit("Doc "), id.cast("string"), lit(" plain"))
+      val expOps = when(m(4) === 2, 2L).otherwise(1L)
+      val bad = got.where(
+        when(m(11) === 6,
+          $"pdf_text".isNotNull || $"n_show_ops".isNotNull ||
+            $"pdf_text_truncated".isNotNull ||
+            $"pdf_composite_font".isNotNull)
+          .otherwise(
+            $"pdf_composite_font" =!= isComposite ||
+            $"n_show_ops" =!= expOps || $"pdf_text_truncated" ||
+            when(isComposite, $"pdf_text".isNotNull)
+              .otherwise($"pdf_text" =!= expText)))
+      assert(bad.isEmpty, bad.limit(5).collect().mkString("; "))
+    }
+  }
+
   test("synthTextPdfBytes round-trips across the corpus, negative ids " +
       "too; extraction matches the q151 id arithmetic") {
     for (docs <- Seq(

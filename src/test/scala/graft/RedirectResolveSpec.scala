@@ -39,6 +39,11 @@ class RedirectResolveSpec extends SparkSpec {
       universe = Some(Seq("a", "lonely")))
     assert(got("a") === ((Some("c"), Some(2L), false))) // b < z
     assert(got("lonely") === ((Some("lonely"), Some(0L), false)))
+    // a universe that OMITS edge-interior nodes cannot lose them: the
+    // node set is universe ∪ edge endpoints, so b/c/z still report
+    assert(got("b") === ((Some("c"), Some(1L), false)))
+    assert(got("c") === ((Some("c"), Some(0L), false)))
+    assert(got("z") === ((Some("z"), Some(0L), false)))
   }
 
   test("a chain of exactly maxHops resolves; far longer ones flag; " +

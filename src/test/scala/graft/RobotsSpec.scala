@@ -139,6 +139,9 @@ class RobotsSpec extends SparkSpec {
     assert(m("/abc", "/a**c$"))        // adjacent stars collapse
     assert(m("/ab", "/a*$"))           // trailing star then anchor
     assert(m("/a", "/a*$"))
+    assert(m("/", "/*$"))              // bare '/*$': any path under /
+    assert(m("/any/depth", "/*$"))
+    assert(!m("x", "/*$"))             // ...but it must START with /
     assert(m("/a*b", "/a*b"))          // literal * in the PATH still matches
   }
 

@@ -112,6 +112,24 @@ class SitemapSpec extends SparkSpec {
     assert(capped.count() === 3)
   }
 
+  test("foreign nested blocks are noise, not fields: a <sitemap> inside " +
+      "a <url> (and vice versa) cannot shadow the block's own loc/lastmod") {
+    val nestedInUrl = "<urlset><url>" +
+      "<sitemap><loc>https://bad.example/shadow.xml</loc>" +
+      "<lastmod>1999-01-01</lastmod></sitemap>" +
+      "<loc>https://e.com/real</loc><lastmod>2026-02-03</lastmod>" +
+      "</url></urlset>"
+    val nestedInIndex = "<sitemapindex><sitemap>" +
+      "<url><loc>https://bad.example/page</loc></url>" +
+      "<loc>https://e.com/child.xml</loc>" +
+      "</sitemap></sitemapindex>"
+    val got = explodeRows((1L, nestedInUrl), (2L, nestedInIndex))
+    assert(got === Seq(
+      (1L, Some("urlset"), Some("https://e.com/real"),
+        Some("2026-02-03")),
+      (2L, Some("sitemapindex"), Some("https://e.com/child.xml"), None)))
+  }
+
   test("synthSitemaps round-trips across the corpus (negative ids too): " +
       "explode output matches the q153 id arithmetic") {
     for (docs <- Seq(
