@@ -58,6 +58,83 @@ object Packing {
       .drop("pack_hv", "pack_start", "__pack_n")
   }
 
+  /** EMIT the packed sequences [[packSequences]] only positions — the
+    * final materialization step that turns per-doc token-id arrays into
+    * the fixed-`budget` training sequences a shard file stores. Output:
+    * one row per (shard, seq_idx) with
+    *  - `seq_tokens`   — the sequence's token ids, exactly `budget`
+    *                     long except each shard's tail sequence
+    *  - `doc_ids`      — the docs contributing, in stream order
+    *  - `doc_offsets`  — where each doc's PIECE starts inside the
+    *                     sequence (a straddler continues in the next
+    *                     sequence at offset 0) — the boundary table a
+    *                     loader needs to mask cross-doc attention
+    *  - `n_tokens`     — size(seq_tokens)
+    * Stream order is [[packSequences]]'s exact (hash, id) order, so the
+    * positions q152 reports and the sequences emitted here agree
+    * row-for-row (PackingSpec asserts the concat identity:
+    * per shard, concat(sequences) == concat(docs in stream order)).
+    *
+    * Scale shape: ONE exchange. The running-sum window hash-partitions
+    * on `shard`; the per-doc explode into spanned-sequence PIECES is
+    * narrow (each doc yields n_spanned slices — no data amplification,
+    * the slices partition the doc); and the (shard, seq_idx) assembly
+    * aggregation reuses the window's shard partitioning (shard ⊆ the
+    * grouping key satisfies the clustered distribution, so Catalyst
+    * plans NO second shuffle — spec-pinned). Per-group state is
+    * budget-bounded (≤ budget tokens per sequence), so no task ever
+    * holds more than one sequence's tokens per group: safe at any
+    * corpus size, exactly the property a single global collect_list
+    * would lack. Zero-token docs emit nothing (they hold no tokens;
+    * their POSITION still reports via packSequences). */
+  def emitPackedSequences(df: DataFrame, idCol: String, tokCol: String,
+                          budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0)
+    require(df.schema(df.schema.fieldIndex(tokCol)).dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      s"$tokCol must be an ARRAY column")
+    val w = Window.partitionBy("shard")
+      .orderBy(col("__pk_hv"), col("__pk_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df
+      .select(col(idCol).cast(LongType).as("__pk_id"),
+        col(tokCol).as("__pk_toks"))
+      .withColumn("__pk_n", size(col("__pk_toks")).cast(LongType))
+      .withColumn("__pk_hv",
+        TextOps.hash64(concat(lit("pack#"),
+          col("__pk_id").cast(StringType))))
+      .withColumn("shard", pmod(col("__pk_hv"), lit(shards.toLong)))
+      .withColumn("__pk_start",
+        coalesce(sum(col("__pk_n")).over(w), lit(0L)))
+      // a zero-token doc contributes 0 to every later running sum, so
+      // dropping it here changes no other doc's position
+      .where(col("__pk_n") > 0)
+      .withColumn("__pk_seq", explode(expr(
+        s"sequence(__pk_start div ${budget}L, " +
+          s"(__pk_start + __pk_n - 1) div ${budget}L)")))
+      .withColumn("__pk_from",
+        greatest(lit(0L), col("__pk_seq") * budget - col("__pk_start")))
+      .withColumn("__pk_until",
+        least(col("__pk_n"),
+          (col("__pk_seq") + 1) * budget - col("__pk_start")))
+      .withColumn("__pk_piece", expr(
+        "slice(__pk_toks, CAST(__pk_from + 1 AS INT), " +
+          "CAST(__pk_until - __pk_from AS INT))"))
+      .withColumn("__pk_off",
+        col("__pk_start") + col("__pk_from") - col("__pk_seq") * budget)
+      .groupBy(col("shard"), col("__pk_seq"))
+      .agg(sort_array(collect_list(struct(
+        col("__pk_hv").as("hv"), col("__pk_id").as("id"),
+        col("__pk_off").as("off"), col("__pk_piece").as("piece"))))
+        .as("__pk_parts"))
+      .select(col("shard"), col("__pk_seq").as("seq_idx"),
+        expr("flatten(transform(__pk_parts, p -> p.piece))")
+          .as("seq_tokens"),
+        expr("transform(__pk_parts, p -> p.id)").as("doc_ids"),
+        expr("transform(__pk_parts, p -> p.off)").as("doc_offsets"))
+      .withColumn("n_tokens", size(col("seq_tokens")).cast(LongType))
+  }
+
   /** Deterministic global shuffle: a reproducible random TOTAL ORDER over
     * the corpus — `shuffle_rank` (dense, 0-based) and `shard_id`
     * (`rank % shards`, the round-robin training-shard assignment that

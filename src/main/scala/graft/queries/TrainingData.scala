@@ -3894,6 +3894,153 @@ object TrainingData {
              |       END AS pdf_text_truncated,
              |  CASE WHEN m11 = 6 THEN NULL ELSE m4 IN (1, 2)
              |       END AS pdf_composite_font
-             |FROM m ORDER BY media_id""".stripMargin))
+             |FROM m ORDER BY media_id""".stripMargin)),
+
+    // Classifier TRAINING (HashClassifier.fitLogistic): full-batch
+    // logistic fit with a hard-sigmoid link in integer milli-units —
+    // no exp(), so DuckDB replays every epoch bit-exactly (the q157
+    // training-loop discipline applied to classification). Per epoch:
+    // weights broadcast, one narrow flatMap computes per-doc error and
+    // emits (token, err) instances, ONE token-keyed groupBy carries the
+    // gradient, the vocab-bounded sum collects for the driver-side
+    // update w' = w + floorDiv(64·G, 1000·N). Labels are id parity
+    // (training mechanics are what is under test, not label quality).
+    // floorDiv in SQL uses the positive-shift trick because DuckDB's
+    // // truncates toward zero while Java's floorDiv floors.
+    Q("q159_classifier_fit",
+      (s, dir) => graft.text.HashClassifier.fitLogistic(
+          t(s, dir, "documents").select(
+            (pmod(col("doc_id"), lit(2)) === 0).as("label"),
+            col("text")),
+          "text", "label", epochs = 3)
+        .orderBy("token"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN 1000
+             |         ELSE 0 END AS y,
+             |    list_filter(regexp_split_to_array(lower(trim(text)),
+             |      '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |tok AS (
+             |  SELECT d.doc_id, u.t AS tok
+             |  FROM d CROSS JOIN unnest(d.toks) u(t)
+             |  WHERE len(d.toks) > 0),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d
+             |      WHERE len(toks) > 0),
+             |e1 AS (SELECT doc_id, CAST(y - 500 AS BIGINT) AS err
+             |       FROM d WHERE len(toks) > 0),
+             |g1 AS (SELECT t.tok, CAST(sum(e.err) AS BIGINT) AS g
+             |       FROM tok t JOIN e1 e USING (doc_id) GROUP BY t.tok),
+             |w1 AS (SELECT g1.tok,
+             |         (64 * g1.g + 1000000000 * n.n) // (1000 * n.n)
+             |           - 1000000 AS w
+             |       FROM g1, n),
+             |z2 AS (SELECT t.doc_id,
+             |         CAST(sum(COALESCE(w1.w, 0)) AS BIGINT) AS z
+             |       FROM tok t LEFT JOIN w1 ON t.tok = w1.tok
+             |       GROUP BY t.doc_id),
+             |e2 AS (SELECT d.doc_id,
+             |         d.y - LEAST(1000, GREATEST(0,
+             |           500 + ((z2.z + 4000000) // 4 - 1000000))) AS err
+             |       FROM d JOIN z2 USING (doc_id)),
+             |g2 AS (SELECT t.tok, CAST(sum(e.err) AS BIGINT) AS g
+             |       FROM tok t JOIN e2 e USING (doc_id) GROUP BY t.tok),
+             |w2 AS (SELECT g2.tok,
+             |         COALESCE(w1.w, 0) +
+             |           ((64 * g2.g + 1000000000 * n.n) // (1000 * n.n)
+             |             - 1000000) AS w
+             |       FROM g2 LEFT JOIN w1 ON g2.tok = w1.tok, n),
+             |z3 AS (SELECT t.doc_id,
+             |         CAST(sum(COALESCE(w2.w, 0)) AS BIGINT) AS z
+             |       FROM tok t LEFT JOIN w2 ON t.tok = w2.tok
+             |       GROUP BY t.doc_id),
+             |e3 AS (SELECT d.doc_id,
+             |         d.y - LEAST(1000, GREATEST(0,
+             |           500 + ((z3.z + 4000000) // 4 - 1000000))) AS err
+             |       FROM d JOIN z3 USING (doc_id)),
+             |g3 AS (SELECT t.tok, CAST(sum(e.err) AS BIGINT) AS g
+             |       FROM tok t JOIN e3 e USING (doc_id) GROUP BY t.tok),
+             |w3 AS (SELECT g3.tok,
+             |         COALESCE(w2.w, 0) +
+             |           ((64 * g3.g + 1000000000 * n.n) // (1000 * n.n)
+             |             - 1000000) AS w
+             |       FROM g3 LEFT JOIN w2 ON g3.tok = w2.tok, n)
+             |SELECT tok AS token, CAST(w AS BIGINT) AS milli_weight
+             |FROM w3 ORDER BY token""".stripMargin)),
+
+    // Packed-shard EMISSION (Packing.emitPackedSequences): q152 reports
+    // where each doc LANDS; this materializes the actual fixed-budget
+    // sequences a shard file stores — token ids, contributing doc ids,
+    // and the intra-sequence doc offsets a loader needs for attention
+    // masking. One exchange total: the assembly groupBy reuses the
+    // running-sum window's shard partitioning (spec-pinned). Token
+    // arrays here are id arithmetic (n = id mod 13, tok_i = (31·id+i)
+    // mod 997) so the oracle rebuilds sequences without the BPE CTE;
+    // the real-BPE composition is PackingSpec's concat-identity
+    // property test.
+    Q("q160_pack_emit",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) > 0, expr(
+            """transform(sequence(CAST(1 AS BIGINT), pmod(doc_id, 13)),
+              |  i -> CAST(pmod(doc_id * 31 + i, 997) AS INT))"""
+              .stripMargin))
+            .otherwise(expr("CAST(array() AS ARRAY<INT>)")).as("toks"))
+        graft.operators.Packing.emitPackedSequences(
+            docs, "doc_id", "toks", 32L, 4)
+          .select(col("shard"), col("seq_idx"), col("n_tokens"),
+            array_join(col("seq_tokens"), ",").as("tokens_str"),
+            array_join(col("doc_ids"), ",").as("doc_ids_str"),
+            array_join(col("doc_offsets"), ",").as("doc_offs_str"))
+          .orderBy("shard", "seq_idx")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, ((doc_id % 13) + 13) % 13 AS n
+             |  FROM documents),
+             |toks AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    CAST(((doc_id * 31 + i) % 997 + 997) % 997 AS BIGINT)
+             |      AS tok
+             |  FROM d CROSS JOIN unnest(range(1, n + 1)) r(i)),
+             |h AS (
+             |  SELECT doc_id, n,
+             |    ('0x'||substr(md5('pack#' || doc_id::VARCHAR),1,15))
+             |      ::BIGINT AS hv
+             |  FROM d),
+             |rr AS (
+             |  SELECT doc_id, n, hv, hv % 4 AS shard,
+             |    CAST(coalesce(SUM(n) OVER (PARTITION BY hv % 4
+             |      ORDER BY hv, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS st
+             |  FROM h),
+             |pieces AS (
+             |  SELECT r.shard, r.hv, r.doc_id, CAST(s.s AS BIGINT)
+             |      AS seq_idx,
+             |    greatest(0, s.s * 32 - r.st) AS frm,
+             |    least(r.n, (s.s + 1) * 32 - r.st) AS unt,
+             |    r.st + greatest(0, s.s * 32 - r.st) - s.s * 32 AS off
+             |  FROM rr r
+             |  CROSS JOIN unnest(range(r.st // 32,
+             |    (r.st + r.n - 1) // 32 + 1)) s(s)
+             |  WHERE r.n > 0),
+             |ptoks AS (
+             |  SELECT p.shard, p.seq_idx, p.hv, p.doc_id, p.off,
+             |    list(t.tok ORDER BY t.pos) AS piece
+             |  FROM pieces p JOIN toks t ON p.doc_id = t.doc_id
+             |    AND t.pos > p.frm AND t.pos <= p.unt
+             |  GROUP BY p.shard, p.seq_idx, p.hv, p.doc_id, p.off),
+             |seqs AS (
+             |  SELECT shard, seq_idx,
+             |    flatten(list(piece ORDER BY hv, doc_id)) AS seq_tokens,
+             |    list(doc_id ORDER BY hv, doc_id) AS dids,
+             |    list(off ORDER BY hv, doc_id) AS doffs
+             |  FROM ptoks GROUP BY shard, seq_idx)
+             |SELECT shard, seq_idx,
+             |  CAST(len(seq_tokens) AS BIGINT) AS n_tokens,
+             |  array_to_string(seq_tokens, ',') AS tokens_str,
+             |  array_to_string(dids, ',') AS doc_ids_str,
+             |  array_to_string(doffs, ',') AS doc_offs_str
+             |FROM seqs ORDER BY shard, seq_idx""".stripMargin))
   )
 }

@@ -89,6 +89,85 @@ object HashClassifier {
     })(Encoders.row(outSchema))
   }
 
+  /** TRAIN the linear classifier [[scoreText]] scores — distributed
+    * logistic fit over labeled documents, closing the loop so the
+    * weight table is derivable from YOUR corpus rather than shipped
+    * from elsewhere (the learnMerges-for-classification analogue).
+    *
+    * Model and numerics, all INTEGER milli-units for cross-engine
+    * replayability (the repo's double-determinism discipline — no
+    * transcendental exp() whose last ULP differs between engines):
+    * per-doc logit `z_milli = Σ w[t]` over token INSTANCES; prediction
+    * by the HARD sigmoid `p_milli = clamp(500 + floorDiv(z_milli, 4),
+    * 0, 1000)` (the piecewise-linear σ̂(x) = clip(0.5 + x/4, 0, 1)
+    * quantized trainers use); error `err = y·1000 − p_milli`; per-epoch
+    * full-batch update `w'[t] = w[t] + floorDiv(lrNum·G_t, 1000·N)`
+    * with `G_t = Σ_docs err·count_t` and N the non-empty doc count.
+    *
+    * Scale shape, per epoch: weights BROADCAST (vocab-bounded, the
+    * scoreText shape); ONE narrow flatMap computes each doc's error
+    * under the current weights and emits (token, err) instances; ONE
+    * groupBy(token) exchange with map-side combine carries the
+    * gradient; the summed gradient is vocab-bounded and collects to
+    * the driver for the update (the justified centroid-collect, same
+    * category as learnMerges' argmax). Text never shuffles; epochs are
+    * round-bounded like the BPE/CC loops.
+    *
+    * Returns (token, milli_weight) for every token seen in the corpus
+    * — collect to a Map[String, Int] and it feeds [[scoreText]]
+    * UNCHANGED (tokenization here matches scoreText's exactly). */
+  def fitLogistic(df: DataFrame, textCol: String, labelCol: String,
+                  epochs: Int = 3, lrNum: Long = 64): DataFrame = {
+    require(epochs >= 1 && epochs <= 64, s"epochs: $epochs")
+    require(lrNum >= 1 && lrNum <= 100000, s"lrNum: $lrNum")
+    val ti = df.schema.fieldIndex(textCol)
+    require(df.schema(ti).dataType == StringType,
+      s"$textCol must be STRING, got ${df.schema(ti).dataType}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df
+      .select(col(labelCol).cast(BooleanType).as("y"),
+        col(textCol).cast(StringType).as("text"))
+      .as[(Boolean, String)]
+      .map { case (y, text) =>
+        val toks =
+          if (text == null) Array.empty[String]
+          else text.trim.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+        (if (y) 1000L else 0L, toks.toSeq)
+      }
+      .toDF("y", "toks")
+      .where(size(col("toks")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = docs.count()
+    require(n > 0, "fitLogistic: no non-empty documents to train on")
+    var w = Map.empty[String, Long]
+    for (_ <- 1 to epochs) {
+      val bc = spark.sparkContext.broadcast(w)
+      val grad = docs.as[(Long, Seq[String])]
+        .flatMap { case (y, toks) =>
+          val wm = bc.value
+          var z = 0L
+          toks.foreach(t => z += wm.getOrElse(t, 0L))
+          val p = math.max(0L,
+            math.min(1000L, 500L + Math.floorDiv(z, 4L)))
+          val err = y - p
+          toks.iterator.map(t => (t, err))
+        }
+        .toDF("tok", "err")
+        .groupBy("tok").agg(sum("err").as("g"))
+        .as[(String, Long)]
+        .collect() // vocab-bounded by construction
+      w = grad.map { case (t, gt) =>
+        t -> (w.getOrElse(t, 0L) +
+          Math.floorDiv(lrNum * gt, 1000L * n))
+      }.toMap
+      bc.destroy()
+    }
+    docs.unpersist()
+    w.toSeq.toDF("token", "milli_weight").orderBy("token")
+  }
+
   /** The demo vocabulary over the synth corpus's actual token space —
     * the weights q154's oracle inlines as a VALUES table. */
   val demoVocab: Map[String, Int] = Map(

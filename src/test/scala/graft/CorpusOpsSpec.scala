@@ -532,6 +532,81 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("emitPackedSequences: per shard concat(sequences) == concat(docs " +
+      "in stream order) on real BPE ids; non-tail sequences are exactly " +
+      "budget; offsets are contiguous; plan has ONE exchange") {
+    import spark.implicits._
+    val prepped = graft.sources.Sources.table(spark, sf, "documents")
+      .where(col("doc_id") < 300)
+      .select(col("doc_id"), lower(substring(
+        regexp_replace(col("text"), "[^A-Za-z ]", ""), 1, 48))
+        .as("bpe_text"))
+    val toks = graft.text.Bpe.bpeEncode(prepped, "bpe_text")
+      .select(col("doc_id"), col("bpe_ids"))
+    val budget = 64L
+    val out = graft.operators.Packing.emitPackedSequences(
+      toks, "doc_id", "bpe_ids", budget, 4)
+    val seqs = out
+      .select($"shard", $"seq_idx", $"seq_tokens", $"doc_offsets",
+        $"n_tokens")
+      .as[(Long, Long, Seq[Int], Seq[Long], Long)].collect()
+    seqs.groupBy(_._1).values.foreach { sh =>
+      val maxIdx = sh.map(_._2).max
+      assert(sh.map(_._2).sorted.toSeq === (0L to maxIdx).toSeq,
+        "sequence indices must be contiguous per shard")
+      sh.foreach { case (_, idx, ts, offs, n) =>
+        assert(n === ts.length)
+        if (idx < maxIdx) assert(n === budget,
+          s"non-tail sequence $idx holds $n != $budget tokens")
+        // the stream is gap-free: first piece starts the sequence,
+        // offsets strictly increase inside it
+        assert(offs.head === 0L)
+        assert(offs === offs.sorted && offs.distinct === offs)
+        assert(offs.last < n)
+      }
+    }
+    // concat identity against an independent driver-side stream rebuild
+    val ref = toks
+      .withColumn("hv", graft.text.TextOps.hash64(
+        concat(lit("pack#"), $"doc_id".cast("string"))))
+      .select($"doc_id", $"hv", $"bpe_ids")
+      .as[(Long, Long, Seq[Int])].collect()
+    ref.groupBy(r => r._2 % 4).foreach { case (shard, rows) =>
+      val stream = rows.sortBy(r => (r._2, r._1)).flatMap(_._3).toSeq
+      val got = seqs.filter(_._1 == shard).sortBy(_._2)
+        .flatMap(_._3).toSeq
+      assert(got === stream, s"shard $shard stream diverged")
+    }
+    // scale pin: the assembly groupBy must REUSE the window's shard
+    // partitioning — exactly one exchange in the whole emission plan
+    val plan = out.queryExecution.executedPlan.toString
+    val nEx = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(nEx === 1, s"expected 1 exchange, saw $nEx:\n$plan")
+  }
+
+  test("emitPackedSequences is stable across repartitionings and drops " +
+      "zero-token docs from emission only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq.empty[Int]), (3L, Seq(4, 5)),
+      (4L, Seq(6)), (5L, (7 to 20).toSeq))
+      .toDF("doc_id", "toks")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Packing.emitPackedSequences(
+          df, "doc_id", "toks", 8L, 2)
+        .select($"shard", $"seq_idx",
+          array_join($"seq_tokens", ",") as "t",
+          array_join($"doc_ids", ",") as "d")
+        .as[(Long, Long, String, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val base = run(docs)
+    assert(base === run(docs.repartition(3)))
+    // doc 2 holds no tokens: it must appear in NO sequence
+    assert(!base.exists(_._4.split(",").contains("2")))
+    // every token lands exactly once
+    assert(base.flatMap(_._3.split(",")).map(_.toInt).sorted ===
+      ((1 to 6) ++ (7 to 20)).sorted)
+  }
+
   test("deterministicShuffle is a seed-keyed permutation, stable across partitionings") {
     import spark.implicits._
     val docs = graft.sources.Sources.table(spark, sf, "documents")

@@ -53,4 +53,45 @@ class HashClassifierSpec extends SparkSpec {
         .as[(Long, Option[Long], Option[Double])].collect().toSet
     assert(run(docs) === run(docs.repartition(13)))
   }
+
+  test("fitLogistic: hand-replayed epochs on a tiny corpus; trained " +
+      "weights separate the classes and feed scoreText unchanged") {
+    // two docs, one token each, N=2, labels by parity:
+    //   'good' labeled 1 (y=1000), 'bad' labeled 0 (y=0)
+    // epoch 1: z=0 -> p=500; err(good)=+500, err(bad)=-500
+    //   G(good)=+500, G(bad)=-500; Δ = floorDiv(64·±500, 2000) = ±16
+    // epoch 2: z=±16 -> p = 500 + floorDiv(±16,4) = 504/496
+    //   err = ±496 -> Δ = floorDiv(64·±496, 2000) = 15 / -16 (floor!)
+    //   w = 31 / -32 — the asymmetry IS floor division, pinned here
+    // epoch 3: z=31/-32 -> p = 507 / 500+floorDiv(-32,4)=492
+    //   err = 493/-492 -> Δ = floorDiv(64·493,2000)=15 /
+    //     floorDiv(64·-492,2000)=floorDiv(-31488,2000)=-16
+    //   w = 46 / -48
+    val tiny = Seq((0L, "good"), (1L, "bad")).toDF("doc_id", "text")
+      .select((pmod($"doc_id", lit(2)) === 0).as("label"), $"text")
+    val w = HashClassifier.fitLogistic(tiny, "text", "label", epochs = 3)
+      .as[(String, Long)].collect().toMap
+    assert(w === Map("good" -> 46L, "bad" -> -48L))
+    // the trained table feeds scoreText UNCHANGED and separates classes
+    val vocab = w.map { case (t, v) => t -> v.toInt }
+    val scored = HashClassifier.scoreText(
+      Seq((1L, "good good"), (2L, "bad")).toDF("id", "text"),
+      "text", vocab)
+      .select($"id", $"cls_label").as[(Long, Boolean)]
+      .collect().toMap
+    assert(scored === Map(1L -> true, 2L -> false))
+  }
+
+  test("fitLogistic is deterministic across repartitionings and " +
+      "epoch-monotone on a separable corpus") {
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .select((pmod($"doc_id", lit(2)) === 0).as("label"), $"text")
+      .where(length(trim($"text")) > 0)
+    def run(df: org.apache.spark.sql.DataFrame, e: Int) =
+      HashClassifier.fitLogistic(df, "text", "label", epochs = e)
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val base = run(docs, 2)
+    assert(base === run(docs.repartition(17), 2))
+    assert(base.nonEmpty)
+  }
 }
