@@ -4041,6 +4041,143 @@ object TrainingData {
              |  array_to_string(seq_tokens, ',') AS tokens_str,
              |  array_to_string(dids, ',') AS doc_ids_str,
              |  array_to_string(doffs, ',') AS doc_offs_str
-             |FROM seqs ORDER BY shard, seq_idx""".stripMargin))
+             |FROM seqs ORDER BY shard, seq_idx""".stripMargin)),
+
+    // FRONTIER-BUILD capstone — the crawl-side q85: compose the r15/r16
+    // pieces into one admission funnel. Candidate URLs (sitemap-
+    // advertised ∪ crawl-seen, distinct) → RFC 9309 wildcard robots
+    // filter (rules BROADCAST per domain, q149's parser+matcher over
+    // paths WITH query strings — note anchored '$' rules stop matching
+    // once '?v=' is appended, so the per-(d3,u) truth table here is
+    // derived fresh, not copied from q149) → redirect resolution
+    // (q156's pointer-doubling, log-bounded rounds, loops dropped) →
+    // per-domain cap (capPerKey's hash order, replayed in the oracle)
+    // → per-domain funnel report. candidates/allowed count by SOURCE
+    // domain; final/admitted by the FINAL url's domain.
+    Q("q161_frontier_build",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val id = col("doc_id")
+        def m(c: org.apache.spark.sql.Column, k: Int) = pmod(c, lit(k))
+        val paths = array(lit("/docs/x.pdf"), lit("/docs/x.pdfy"),
+          lit("/public/file.pdf"), lit("/private/p"), lit("/x/ok"),
+          lit("/p"), lit("/aXbYc"), lit("/aXbYcZ"))
+        def pathOf(c: org.apache.spark.sql.Column) = concat(
+          element_at(paths, (m(c, 8) + 1).cast("int")),
+          lit("?v="), c.cast("string"))
+        def urlOf(c: org.apache.spark.sql.Column) = concat(
+          lit("https://d"), m(c, 12).cast("string"), lit(".com"),
+          pathOf(c))
+        // 1. candidates: sitemap-advertised ∪ crawl-seen (urlOf is
+        // injective in the id, so the distinct on uid IS the distinct
+        // on url, without shuffling strings)
+        val cand = docs.where(m(id, 3) =!= 0).select(id.as("uid"))
+          .unionByName(docs.where(m(id, 2) === 0).select(id.as("uid")))
+          .distinct()
+          .select(col("uid"), m(col("uid"), 12).as("domain_id"),
+            pathOf(col("uid")).as("path"), urlOf(col("uid")).as("url"))
+        // 2. robots wildcard gate, rules broadcast per domain
+        val robots = graft.text.RobotsOps.parseRobots(
+          graft.text.RobotsOps.synthWildcardRobots(docs, "doc_id"),
+          "robots_txt", "graftbot")
+          .select(col("domain_id"), col("robots_rules"))
+        val allowed = cand
+          .join(broadcast(robots), Seq("domain_id"))
+          .where(graft.text.RobotsOps.isAllowed(col("robots_rules"),
+            col("path")))
+          .select(col("uid"), col("domain_id"), col("url"))
+        // 3. redirect resolution over the crawl's edge set (q156 shape)
+        val edges = docs.where(m(id, 4) =!= 0).select(
+          urlOf(id).as("src"),
+          urlOf(when(m(id, 40) === 37, id + 1).otherwise(id - 1))
+            .as("dst"))
+        val res = graft.operators.RedirectResolve.resolveRedirects(
+          edges, "src", "dst", maxHops = 8,
+          universe = Some(allowed.select(col("url"))))
+        val finals = allowed.join(res, Seq("url"))
+          .where(!col("unresolved"))
+          .select(col("final_url")).distinct()
+          .withColumn("final_domain", regexp_extract(col("final_url"),
+            "^https://d([0-9]+)\\.", 1).cast(LongType))
+          .withColumn("final_id", regexp_extract(col("final_url"),
+            "v=([0-9]+)$", 1).cast(LongType))
+        // 4. politeness cap: at most 5 admitted per destination domain
+        val admitted = graft.operators.Downsample.capPerKey(
+          finals, "final_domain", "final_url", 5)
+        // 5. the funnel report
+        val c1 = cand.groupBy("domain_id")
+          .agg(count(lit(1)).as("n_candidates"))
+        val c2 = allowed.groupBy("domain_id")
+          .agg(count(lit(1)).as("n_allowed"))
+        val c3 = finals.groupBy(col("final_domain").as("domain_id"))
+          .agg(count(lit(1)).as("n_final"))
+        val c4 = admitted.groupBy(col("final_domain").as("domain_id"))
+          .agg(count(lit(1)).as("n_admitted"),
+            sum(col("final_id")).as("admitted_id_sum"))
+        c1.join(c2, Seq("domain_id"), "full_outer")
+          .join(c3, Seq("domain_id"), "full_outer")
+          .join(c4, Seq("domain_id"), "full_outer")
+          .select(col("domain_id"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_allowed"), lit(0L)).as("n_allowed"),
+            coalesce(col("n_final"), lit(0L)).as("n_final"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            coalesce(col("admitted_id_sum"), lit(0L))
+              .as("admitted_id_sum"))
+          .orderBy("domain_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id AS i,
+             |    ((doc_id % 12)+12)%12 AS dom,
+             |    ((doc_id % 8)+8)%8 AS u,
+             |    ((doc_id % 4)+4)%4 AS m4,
+             |    ((doc_id % 40)+40)%40 AS r40
+             |  FROM documents
+             |  WHERE ((doc_id % 3)+3)%3 <> 0 OR ((doc_id % 2)+2)%2 = 0),
+             |alw AS (
+             |  SELECT * FROM base WHERE
+             |    CASE dom % 3 WHEN 0 THEN u <> 3
+             |         WHEN 1 THEN u = 4 ELSE TRUE END),
+             |fin AS (SELECT DISTINCT i - m4 AS j FROM alw
+             |        WHERE r40 NOT IN (37, 38, 39)),
+             |finu AS (
+             |  SELECT j, ((j % 12)+12)%12 AS fdom,
+             |    'https://d' || CAST(((j % 12)+12)%12 AS VARCHAR) ||
+             |    '.com' ||
+             |    CASE ((j % 8)+8)%8 WHEN 0 THEN '/docs/x.pdf'
+             |      WHEN 1 THEN '/docs/x.pdfy' WHEN 2 THEN '/public/file.pdf'
+             |      WHEN 3 THEN '/private/p' WHEN 4 THEN '/x/ok'
+             |      WHEN 5 THEN '/p' WHEN 6 THEN '/aXbYc'
+             |      ELSE '/aXbYcZ' END ||
+             |    '?v=' || CAST(j AS VARCHAR) AS url
+             |  FROM fin),
+             |adm AS (
+             |  SELECT j, fdom, row_number() OVER (PARTITION BY fdom
+             |    ORDER BY ('0x'||substr(md5('cap#'||url),1,15))::BIGINT,
+             |      url) AS rn
+             |  FROM finu),
+             |c1 AS (SELECT dom, CAST(count(*) AS BIGINT) AS n_candidates
+             |       FROM base GROUP BY dom),
+             |c2 AS (SELECT dom, CAST(count(*) AS BIGINT) AS n_allowed
+             |       FROM alw GROUP BY dom),
+             |c3 AS (SELECT fdom AS dom, CAST(count(*) AS BIGINT)
+             |         AS n_final FROM finu GROUP BY fdom),
+             |c4 AS (SELECT fdom AS dom, CAST(count(*) AS BIGINT)
+             |         AS n_admitted, CAST(sum(j) AS BIGINT)
+             |         AS admitted_id_sum
+             |       FROM adm WHERE rn <= 5 GROUP BY fdom),
+             |doms AS (SELECT dom FROM c1 UNION SELECT dom FROM c3)
+             |SELECT CAST(d.dom AS BIGINT) AS domain_id,
+             |  COALESCE(c1.n_candidates, 0) AS n_candidates,
+             |  COALESCE(c2.n_allowed, 0) AS n_allowed,
+             |  COALESCE(c3.n_final, 0) AS n_final,
+             |  COALESCE(c4.n_admitted, 0) AS n_admitted,
+             |  COALESCE(c4.admitted_id_sum, 0) AS admitted_id_sum
+             |FROM doms d
+             |LEFT JOIN c1 ON d.dom = c1.dom
+             |LEFT JOIN c2 ON d.dom = c2.dom
+             |LEFT JOIN c3 ON d.dom = c3.dom
+             |LEFT JOIN c4 ON d.dom = c4.dom
+             |ORDER BY domain_id""".stripMargin))
   )
 }

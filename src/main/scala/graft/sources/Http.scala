@@ -136,6 +136,13 @@ object Http {
       case _: Exception => None
     }
 
+  /** An optional content-coding decoder: full coded bytes in, decoded
+    * bytes out (None = codec error → body NULLs, headers survive).
+    * Implementations must be SERIALIZABLE — the map ships to executors
+    * inside the task closure. Output is capped at maxBodyBytes by the
+    * caller afterward; a decoder may also self-bound. */
+  type BodyDecoder = Array[Byte] => Option[Array[Byte]]
+
   /** Parse ONE HTTP response message. Interim 1xx responses (100
     * Continue, 103 Early Hints — servers send them before the final
     * response and crawlers store the whole exchange) have no body by
@@ -143,11 +150,14 @@ object Http {
     * follows, bounded at 4 hops so a malicious all-1xx payload cannot
     * loop. */
   private[graft] def parseResponse(payload: Array[Byte],
-                                   maxBodyBytes: Int): HttpParsed =
-    parseFrom(payload, 0, maxBodyBytes, interimHops = 4)
+                                   maxBodyBytes: Int,
+                                   extraDecoders: Map[String, BodyDecoder] =
+                                     Map.empty): HttpParsed =
+    parseFrom(payload, 0, maxBodyBytes, interimHops = 4, extraDecoders)
 
   private def parseFrom(payload: Array[Byte], from: Int,
-                        maxBodyBytes: Int, interimHops: Int): HttpParsed = {
+                        maxBodyBytes: Int, interimHops: Int,
+                        extra: Map[String, BodyDecoder]): HttpParsed = {
     val none = HttpParsed(None, None, None, None, None, null, false)
     if (payload == null || payload.length - from < 12) return none
     val he = headerEnd(payload, from)
@@ -171,7 +181,7 @@ object Http {
       // FINAL bodiless response (status + headers survive; skipping
       // it would discard them and parse non-HTTP bytes as a head).
       return if (interimHops > 0)
-        parseFrom(payload, he, maxBodyBytes, interimHops - 1)
+        parseFrom(payload, he, maxBodyBytes, interimHops - 1, extra)
       else none
     }
     // un-fold obs-fold continuations first (RFC 9112 §5.2: a line starting
@@ -239,13 +249,15 @@ object Http {
       }
     // content decoding AFTER de-framing. Content-Encoding is a COMMA
     // list of codings applied in order; "identity" (and empty tokens)
-    // are no-ops. Exactly one real coding we can decode → decode it.
-    // Anything else — brotli/zstd (no JDK codec), an unknown token, or
-    // a multi-coding stack — must NOT fall through as raw compressed
+    // are no-ops. Exactly one real coding we can decode → decode it:
+    // built-in gzip/x-gzip/deflate, or a caller-registered decoder
+    // from `extraDecoders` (the RESOLVED brotli/zstd seam — a
+    // deployment with a brotli jar passes Map("br" -> brotliFn) to
+    // parseHttpResponses and 'br' rows decode in-line; built-ins win a
+    // name clash). Anything else — an unregistered token or a
+    // multi-coding stack — must NOT fall through as raw compressed
     // bytes masquerading as text: body is NULL while status/headers
-    // (INCLUDING content_encoding, the plug-in seam) survive, so a
-    // deployment with a brotli jar can route `content_encoding='br'`
-    // rows through its own decoder from the same parsed columns.
+    // (INCLUDING content_encoding) survive, so the rows stay routable.
     val codings = cEnc.toSeq.flatMap(_.split(','))
       .map(_.trim).filter(c => c.nonEmpty && c != "identity")
     codings match {
@@ -263,7 +275,18 @@ object Http {
           case None => // codec error: framing was fine, body undecodable
             HttpParsed(status, cType, cEnc, tEnc, loc, null, false)
         }
-      case _ => // br / zstd / unknown / stacked: undecodable here
+      case Seq(e) if extra.contains(e) =>
+        (try extra(e)(framed) catch { case _: Exception => None }) match {
+          case Some(b) =>
+            val trunc = b.length > maxBodyBytes
+            val out = if (trunc) java.util.Arrays.copyOf(b, maxBodyBytes)
+              else b
+            HttpParsed(status, cType, cEnc, tEnc, loc, out,
+              trunc || !framedComplete)
+          case None =>
+            HttpParsed(status, cType, cEnc, tEnc, loc, null, false)
+        }
+      case _ => // unregistered coding / stacked: undecodable here
         HttpParsed(status, cType, cEnc, tEnc, loc, null, false)
     }
   }
@@ -275,10 +298,20 @@ object Http {
     * exchange in the middle of an otherwise narrow map-side chain.
     * Implemented as a Row→Row map with explicit Encoders.row schemas
     * (the one Dataset shape that carries arbitrary passthrough columns
-    * through JVM parsing code without boxing into case classes). */
+    * through JVM parsing code without boxing into case classes).
+    *
+    * `extraDecoders` plugs in content-codings the JDK lacks (brotli,
+    * zstd): coding token → [[BodyDecoder]]. The map is captured in the
+    * task closure (so it serializes to executors — a mutable global
+    * registry would silently be EMPTY on a real cluster's executors,
+    * which is why this is a parameter, not a register() call);
+    * built-in gzip/deflate win a name clash; a coding with no decoder
+    * keeps the NULL-body/headers-survive contract. */
   def parseHttpResponses(df: DataFrame,
                          payloadCol: String = "payload",
-                         maxBodyBytes: Int = 1 << 20): DataFrame = {
+                         maxBodyBytes: Int = 1 << 20,
+                         extraDecoders: Map[String, BodyDecoder] =
+                           Map.empty): DataFrame = {
     require(maxBodyBytes > 0, s"maxBodyBytes: $maxBodyBytes")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
@@ -301,7 +334,8 @@ object Http {
         StructField("body", BinaryType),
         StructField("body_truncated", BooleanType, nullable = false)))
     df.map({ r =>
-      val p = parseResponse(r.getAs[Array[Byte]](pi), maxBodyBytes)
+      val p = parseResponse(r.getAs[Array[Byte]](pi), maxBodyBytes,
+        extraDecoders)
       Row.fromSeq(r.toSeq.patch(pi, Nil, 1) ++ Seq(
         p.http_status.map(Int.box).orNull, p.content_type.orNull,
         p.content_encoding.orNull, p.transfer_encoding.orNull,

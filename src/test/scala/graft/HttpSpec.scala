@@ -329,6 +329,41 @@ class HttpSpec extends SparkSpec {
       (5L, Some(200), Some("gzip, deflate"), None, false)))
   }
 
+  test("extraDecoders: a registered codec routes its coding end-to-end " +
+      "through withBodyText; unregistered/stacked stay NULL; a throwing " +
+      "decoder NULLs the body, never the task") {
+    val text = "brotli body é fin"
+    def xor(b: Array[Byte]) = b.map(x => (x ^ 0x2A).toByte)
+    val fake = xor(text.getBytes("UTF-8")) // stand-in for real brotli
+    val brMsg = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Type: text/html; charset=utf-8" + crlf +
+      "Content-Encoding: br" + crlf +
+      s"Content-Length: ${fake.length}" + crlf + crlf, fake)
+    val zstdMsg = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Encoding: zstd" + crlf +
+      "Content-Length: 4" + crlf + crlf, Array[Byte](1, 2, 3, 4))
+    val stacked = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Encoding: br, gzip" + crlf + crlf, fake)
+    val dec: Http.BodyDecoder = bytes => Some(xor(bytes))
+    val out = Http.withBodyText(Http.parseHttpResponses(
+      Seq((1L, brMsg), (2L, zstdMsg), (3L, stacked))
+        .toDF("media_id", "payload"),
+      extraDecoders = Map("br" -> dec)))
+      .select($"media_id", $"content_encoding", $"body_text")
+      .as[(Long, Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, Some("br"), Some(text)),
+      (2L, Some("zstd"), None),       // no decoder registered
+      (3L, Some("br, gzip"), None)))  // stacks stay the documented seam
+    val boom: Http.BodyDecoder = _ => throw new RuntimeException("boom")
+    val row = Http.parseHttpResponses(
+      Seq((1L, brMsg)).toDF("media_id", "payload"),
+      extraDecoders = Map("br" -> boom))
+      .select($"http_status", $"body").head()
+    assert(row.getInt(0) === 200 && row.isNullAt(1))
+  }
+
   test("interim 1xx heads are skipped to the real response; 204/304 " +
       "are bodiless regardless of Content-Length") {
     // crawlers store the WHOLE exchange: 100 Continue / 103 Early Hints
