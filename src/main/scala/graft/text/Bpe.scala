@@ -315,9 +315,7 @@ object Bpe {
       : Seq[(Int, String, String, Long)] = {
     val spark = hist.sparkSession
     import spark.implicits._
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var cur = hist
-    var curOwned = false // `hist` is caller-persisted; rounds own theirs
     val learned =
       scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     val seen = scala.collection.mutable.HashSet.empty[String]
@@ -343,28 +341,21 @@ object Bpe {
             best.head.getLong(2))
         learned += ((rank, l, r, c))
         seen += (l + r)
-        var next = cur.as[(Long, Array[String])]
+        // per-round EAGER localCheckpoint, the CC-loop discipline: it
+        // cuts the logical plan (LogicalRDD over materialized blocks),
+        // so every round plans against a depth-1 input. The previous
+        // persist-per-round + checkpoint-every-16 variant was measured
+        // QUADRATIC in wall (k=64 cost 140× k=6 at sf0.1): Spark's
+        // non-cascading unpersist of round r's cache RECOMPILES the
+        // dependent round-(r+1) cache entry without it, so late rounds
+        // in each window re-derived ever-deeper typed-map chains.
+        // Checkpointed RDD blocks are released by the ContextCleaner
+        // when the previous round's frame goes unreferenced.
+        cur = cur.as[(Long, Array[String])]
           .map { case (cn, toks) => (cn, applyPair(toks, l, r)) }
-          .toDF("cnt", "toks").persist(lvl)
-        next.count()
-        // the per-round map chains lineage linearly in k; at production
-        // merge counts (tens of thousands) an uncut chain kills the
-        // planner long before the data does — same discipline as the
-        // CC loop's per-round checkpoint, amortized here because BPE
-        // rounds are much cheaper than CC rounds. The pre-checkpoint
-        // frame is unpersisted (the checkpoint HOLDS the data) — else
-        // one MEMORY_AND_DISK entry leaks every 16 rounds.
-        if (rank % 16 == 15) {
-          val chk = next.localCheckpoint()
-          next.unpersist()
-          next = chk
-        }
-        if (curOwned) cur.unpersist()
-        cur = next
-        curOwned = true
+          .toDF("cnt", "toks").localCheckpoint()
       }
     }
-    if (curOwned) cur.unpersist()
     learned.toSeq
   }
 
