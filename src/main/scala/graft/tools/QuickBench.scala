@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Focused A/B query timer — the attribution tool behind BASELINE.md's
+  * "code-attributable vs window-attributable" calls: run a handful of
+  * named SparkEntry queries min-of-N with per-query clearCache, so two
+  * BUILDS (e.g. the previous round's HEAD in a scratch `git worktree`
+  * vs the current HEAD) can be measured back-to-back in the SAME
+  * ambient window. The full Bench harness answers "how fast is the
+  * suite"; this answers "did THIS diff move THIS query" without paying
+  * for 157 queries per build. Absolute values are NOT comparable to
+  * Bench's (no suite-wide JIT warmup); only same-harness ratios are.
+  *
+  * Usage: runMain graft.tools.QuickBench [sfDir] [q1,q2,...] [runs]
+  */
+object QuickBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names =
+      if (args.length > 1) args(1).split(',').toSeq
+      else Seq("q122_top_fraction_per_source",
+        "q124_decontaminated_train", "q127_web_image_dims",
+        "q67_simhash_pairs", "q72_pivot", "q15_agg_groupby",
+        "q46_deep_join_tree")
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder().appName("graft-quickbench")
+      .master("local[32]").config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- names) {
+      val fn = graft.SparkEntry.queries(n)
+      val times = (1 to runs).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[quick] $n min=${times.min}%.3f " +
+        s"runs=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
