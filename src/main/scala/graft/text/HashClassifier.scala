@@ -128,6 +128,11 @@ object HashClassifier {
     val docs = df
       .select(col(labelCol).cast(BooleanType).as("y"),
         col(textCol).cast(StringType).as("text"))
+      // an UNLABELED row cannot contribute a gradient — drop it here
+      // (the non-nullable Boolean decode below would otherwise fail
+      // the task on the first NULL label, the opposite of the
+      // malformed-input contract every operator here keeps)
+      .where(col("y").isNotNull)
       .as[(Boolean, String)]
       .map { case (y, text) =>
         val toks =

@@ -589,7 +589,8 @@ class CorpusOpsSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq(
       (1L, Seq(1, 2, 3)), (2L, Seq.empty[Int]), (3L, Seq(4, 5)),
-      (4L, Seq(6)), (5L, (7 to 20).toSeq))
+      (4L, Seq(6)), (5L, (7 to 20).toSeq),
+      (6L, null.asInstanceOf[Seq[Int]])) // NULL array == zero tokens
       .toDF("doc_id", "toks")
     def run(df: org.apache.spark.sql.DataFrame) =
       graft.operators.Packing.emitPackedSequences(
@@ -600,8 +601,10 @@ class CorpusOpsSpec extends SparkSpec {
         .as[(Long, Long, String, String)].collect().sortBy(r => (r._1, r._2)).toSeq
     val base = run(docs)
     assert(base === run(docs.repartition(3)))
-    // doc 2 holds no tokens: it must appear in NO sequence
-    assert(!base.exists(_._4.split(",").contains("2")))
+    // docs 2 (empty) and 6 (NULL array) hold no tokens: neither may
+    // appear in any sequence, and neither may fail the job
+    assert(!base.exists(r => r._4.split(",").contains("2") ||
+      r._4.split(",").contains("6")))
     // every token lands exactly once
     assert(base.flatMap(_._3.split(",")).map(_.toInt).sorted ===
       ((1 to 6) ++ (7 to 20)).sorted)

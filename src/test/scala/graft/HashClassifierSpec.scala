@@ -72,6 +72,15 @@ class HashClassifierSpec extends SparkSpec {
     val w = HashClassifier.fitLogistic(tiny, "text", "label", epochs = 3)
       .as[(String, Long)].collect().toMap
     assert(w === Map("good" -> 46L, "bad" -> -48L))
+    // NULL labels are unlabeled rows: dropped from training, never a
+    // task failure, and never silently treated as the negative class
+    val withNull = Seq((0L, "good"), (1L, "bad")).toDF("doc_id", "text")
+      .select((pmod($"doc_id", lit(2)) === 0).as("label"), $"text")
+      .unionByName(Seq("unlabeled noise").toDF("text")
+        .select(lit(null).cast("boolean").as("label"), $"text"))
+    val w2 = HashClassifier.fitLogistic(withNull, "text", "label",
+      epochs = 3).as[(String, Long)].collect().toMap
+    assert(w2 === w, "a NULL-label row must not change the fit")
     // the trained table feeds scoreText UNCHANGED and separates classes
     val vocab = w.map { case (t, v) => t -> v.toInt }
     val scored = HashClassifier.scoreText(
