@@ -455,6 +455,142 @@ class OracleFuzzSpec extends SparkSpec {
            |ORDER BY doc_id""".stripMargin)
     }
 
+    // --- q160 shape: emitPackedSequences at random budget/shards/token
+    // arithmetic — the full sequence REBUILD (tokens, doc ids, offsets)
+    // must agree at every parameter point, not just q160's committed one
+    for (v <- 0 until 3) {
+      val budget = 8L + rnd.nextInt(120)
+      val shards = 2 + rnd.nextInt(7)
+      val tokMod = 5 + rnd.nextInt(12)
+      val mult = 7 + rnd.nextInt(90)
+      info(s"v$v emit: budget=$budget shards=$shards tokMod=$tokMod mult=$mult")
+      val toksDf = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(tokMod)) > 0, expr(
+          s"""transform(sequence(CAST(1 AS BIGINT), pmod(doc_id, $tokMod)),
+             |  i -> CAST(pmod(doc_id * $mult + i, 997) AS INT))"""
+            .stripMargin))
+          .otherwise(expr("CAST(array() AS ARRAY<INT>)")).as("toks"))
+      dump(s"fz_emit_$v",
+        graft.operators.Packing.emitPackedSequences(
+            toksDf, "doc_id", "toks", budget, shards)
+          .select(col("shard"), col("seq_idx"), col("n_tokens"),
+            array_join(col("seq_tokens"), ",").as("tokens_str"),
+            array_join(col("doc_ids"), ",").as("doc_ids_str"),
+            array_join(col("doc_offsets"), ",").as("doc_offs_str"))
+          .orderBy("shard", "seq_idx"),
+        s"""WITH d AS (
+           |  SELECT doc_id, ((doc_id % $tokMod) + $tokMod) % $tokMod AS n
+           |  FROM documents),
+           |toks AS (
+           |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           |    CAST(((doc_id * $mult + i) % 997 + 997) % 997 AS BIGINT)
+           |      AS tok
+           |  FROM d CROSS JOIN unnest(range(1, n + 1)) r(i)),
+           |h AS (
+           |  SELECT doc_id, n,
+           |    ('0x'||substr(md5('pack#' || doc_id::VARCHAR),1,15))
+           |      ::BIGINT AS hv
+           |  FROM d),
+           |rr AS (
+           |  SELECT doc_id, n, hv, hv % $shards AS shard,
+           |    CAST(coalesce(SUM(n) OVER (PARTITION BY hv % $shards
+           |      ORDER BY hv, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS st
+           |  FROM h),
+           |pieces AS (
+           |  SELECT r.shard, r.hv, r.doc_id, CAST(s.s AS BIGINT) AS seq_idx,
+           |    greatest(0, s.s * $budget - r.st) AS frm,
+           |    least(r.n, (s.s + 1) * $budget - r.st) AS unt,
+           |    r.st + greatest(0, s.s * $budget - r.st) - s.s * $budget
+           |      AS off
+           |  FROM rr r
+           |  CROSS JOIN unnest(range(r.st // $budget,
+           |    (r.st + r.n - 1) // $budget + 1)) s(s)
+           |  WHERE r.n > 0),
+           |ptoks AS (
+           |  SELECT p.shard, p.seq_idx, p.hv, p.doc_id, p.off,
+           |    list(t.tok ORDER BY t.pos) AS piece
+           |  FROM pieces p JOIN toks t ON p.doc_id = t.doc_id
+           |    AND t.pos > p.frm AND t.pos <= p.unt
+           |  GROUP BY p.shard, p.seq_idx, p.hv, p.doc_id, p.off),
+           |seqs AS (
+           |  SELECT shard, seq_idx,
+           |    flatten(list(piece ORDER BY hv, doc_id)) AS seq_tokens,
+           |    list(doc_id ORDER BY hv, doc_id) AS dids,
+           |    list(off ORDER BY hv, doc_id) AS doffs
+           |  FROM ptoks GROUP BY shard, seq_idx)
+           |SELECT shard, seq_idx,
+           |  CAST(len(seq_tokens) AS BIGINT) AS n_tokens,
+           |  array_to_string(seq_tokens, ',') AS tokens_str,
+           |  array_to_string(dids, ',') AS doc_ids_str,
+           |  array_to_string(doffs, ',') AS doc_offs_str
+           |FROM seqs ORDER BY shard, seq_idx""".stripMargin)
+    }
+
+    // --- q159 shape: fitLogistic at random epochs/learning-rate/label
+    // modulus — the epoch CTEs are generated programmatically so the
+    // integer-gradient replay holds across the parameter space (the
+    // floor-division shift must be right for EVERY lr, not just 64)
+    for (v <- 0 until 2) {
+      val epochs = 1 + rnd.nextInt(3)
+      val lr = 16L + rnd.nextInt(241)
+      val labelMod = 2 + rnd.nextInt(4)
+      info(s"v$v fit: epochs=$epochs lr=$lr labelMod=$labelMod")
+      val head =
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN ((doc_id % $labelMod) + $labelMod) % $labelMod
+           |      = 0 THEN 1000 ELSE 0 END AS y,
+           |    list_filter(regexp_split_to_array(lower(trim(text)),
+           |      '\\s+'), x -> x <> '') AS toks
+           |  FROM documents),
+           |tok AS (
+           |  SELECT d.doc_id, u.t AS tok
+           |  FROM d CROSS JOIN unnest(d.toks) u(t)
+           |  WHERE len(d.toks) > 0),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d
+           |      WHERE len(toks) > 0),
+           |e1 AS (SELECT doc_id, CAST(y - 500 AS BIGINT) AS err
+           |       FROM d WHERE len(toks) > 0),
+           |g1 AS (SELECT t.tok, CAST(sum(e.err) AS BIGINT) AS g
+           |       FROM tok t JOIN e1 e USING (doc_id) GROUP BY t.tok),
+           |w1 AS (SELECT g1.tok,
+           |         ($lr * g1.g + 1000000000 * n.n) // (1000 * n.n)
+           |           - 1000000 AS w
+           |       FROM g1, n)""".stripMargin
+      val later = (2 to epochs).map { k =>
+        s"""z$k AS (SELECT t.doc_id,
+           |         CAST(sum(COALESCE(w${k - 1}.w, 0)) AS BIGINT) AS z
+           |       FROM tok t LEFT JOIN w${k - 1}
+           |         ON t.tok = w${k - 1}.tok
+           |       GROUP BY t.doc_id),
+           |e$k AS (SELECT d.doc_id,
+           |         d.y - LEAST(1000, GREATEST(0,
+           |           500 + ((z$k.z + 4000000) // 4 - 1000000))) AS err
+           |       FROM d JOIN z$k USING (doc_id)),
+           |g$k AS (SELECT t.tok, CAST(sum(e.err) AS BIGINT) AS g
+           |       FROM tok t JOIN e$k e USING (doc_id) GROUP BY t.tok),
+           |w$k AS (SELECT g$k.tok,
+           |         COALESCE(w${k - 1}.w, 0) +
+           |           (($lr * g$k.g + 1000000000 * n.n) // (1000 * n.n)
+           |             - 1000000) AS w
+           |       FROM g$k LEFT JOIN w${k - 1}
+           |         ON g$k.tok = w${k - 1}.tok, n)""".stripMargin
+      }
+      val sql = (Seq(head) ++ later).mkString(",\n") +
+        s"\nSELECT tok AS token, CAST(w AS BIGINT) AS milli_weight" +
+        s"\nFROM w$epochs ORDER BY token"
+      dump(s"fz_fit_$v",
+        graft.text.HashClassifier.fitLogistic(
+          docs.select(
+            (pmod(col("doc_id"), lit(labelMod)) === 0).as("label"),
+            col("text")),
+          "text", "label", epochs = epochs, lrNum = lr)
+          .orderBy("token"),
+        sql)
+    }
+
     Files.writeString(Paths.get(s"$out/oracle_sql.json"),
       oracles.map { case (k, s) => s"${jq(k)}: ${jq(s)}" }
         .mkString("{", ",", "}"))
