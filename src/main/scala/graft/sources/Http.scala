@@ -276,14 +276,17 @@ object Http {
             HttpParsed(status, cType, cEnc, tEnc, loc, null, false)
         }
       case Seq(e) if extra.contains(e) =>
+        // a decoder that throws, returns None, or returns Some(null)
+        // (Java-interop hazard) all mean "undecodable": NULL body,
+        // headers survive, task never fails
         (try extra(e)(framed) catch { case _: Exception => None }) match {
-          case Some(b) =>
+          case Some(b) if b != null =>
             val trunc = b.length > maxBodyBytes
             val out = if (trunc) java.util.Arrays.copyOf(b, maxBodyBytes)
               else b
             HttpParsed(status, cType, cEnc, tEnc, loc, out,
               trunc || !framedComplete)
-          case None =>
+          case _ => // None or Some(null)
             HttpParsed(status, cType, cEnc, tEnc, loc, null, false)
         }
       case _ => // unregistered coding / stacked: undecodable here

@@ -23,13 +23,19 @@ object QuickBench {
         "q124_decontaminated_train", "q127_web_image_dims",
         "q67_simhash_pairs", "q72_pivot", "q15_agg_groupby",
         "q46_deep_join_tree")
-    val runs = if (args.length > 2) args(2).toInt else 3
+    val runs = if (args.length > 2 && args(2) != "explain")
+      args(2).toInt else 3
+    val explain = args.length > 2 && args(2) == "explain"
     val spark = SparkSession.builder().appName("graft-quickbench")
       .master("local[32]").config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)
+      if (explain) {
+        println(s"=== $n ===")
+        fn(spark, sfDir).explain("formatted")
+      } else {
       val times = (1 to runs).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -38,6 +44,7 @@ object QuickBench {
       }
       println(f"[quick] $n min=${times.min}%.3f " +
         s"runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      }
     }
     spark.stop()
   }

@@ -362,6 +362,13 @@ class HttpSpec extends SparkSpec {
       extraDecoders = Map("br" -> boom))
       .select($"http_status", $"body").head()
     assert(row.getInt(0) === 200 && row.isNullAt(1))
+    // Some(null) — the Java-interop hazard — is "undecodable", not an NPE
+    val javaNull: Http.BodyDecoder = _ => Some(null)
+    val row2 = Http.parseHttpResponses(
+      Seq((1L, brMsg)).toDF("media_id", "payload"),
+      extraDecoders = Map("br" -> javaNull))
+      .select($"http_status", $"body").head()
+    assert(row2.getInt(0) === 200 && row2.isNullAt(1))
   }
 
   test("interim 1xx heads are skipped to the real response; 204/304 " +

@@ -499,6 +499,56 @@ class StreamingSpec extends SparkSpec {
       "a doc received conflicting verdicts across batches")
   }
 
+  test("model-gated streaming admission: classifier scoring rides the " +
+      "stream between crawlText and the dedup sink; batch twin agrees") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    import graft.pipeline.CrawlIngest
+    import graft.text.HashClassifier
+    import org.apache.spark.sql.types._
+    // the r16 composition: extracted text -> broadcast-vocab classifier
+    // gate (the corpus-scale quality filter) -> dedup admission. The
+    // scorer is a stateless narrow map, so it rides a stream unchanged.
+    val docs = Sources.table(spark, sf, "documents")
+      .where(col("doc_id") < 160).select("doc_id")
+    val blobs = CrawlIngest.synthCrawlBlobs(docs, "doc_id")
+    val srcDir = Files.createTempDirectory("graft_gated_adm").toString
+    blobs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    def crawlDocs(df: org.apache.spark.sql.DataFrame) =
+      CrawlIngest.crawlText(df)
+        .where(col("text").isNotNull)
+        .select(col("media_id").as("doc_id"), col("text"))
+    // pick the corpus median score as the gate so the split is REAL
+    // (both sides non-empty) whatever the synth text distribution is
+    val thr = HashClassifier
+      .scoreText(crawlDocs(blobs), "text", HashClassifier.demoVocab)
+      .stat.approxQuantile("cls_score", Array(0.5), 0.0).head
+    def gated(df: org.apache.spark.sql.DataFrame) =
+      HashClassifier.scoreText(df, "text", HashClassifier.demoVocab,
+        threshold = thr)
+        .where(col("cls_label"))
+        .select("doc_id", "text")
+    val root = Files.createTempDirectory("graft_gated_out").toString
+    val q = EventStreams.dedupAdmissionSink(
+      gated(crawlDocs(
+        spark.readStream.schema(schema).parquet(srcDir))),
+      root + "/index", root + "/decisions")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(root + "/decisions")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toSet
+    val empty = Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "sig")
+    val want = Dedup.incrementalLshDedup(empty,
+        gated(crawlDocs(blobs)), "doc_id", "text")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toSet
+    assert(streamed === want,
+      "gated streaming admission diverges from the batch twin")
+    val total = crawlDocs(blobs).count()
+    assert(streamed.nonEmpty && streamed.size < total,
+      s"gate degenerate: ${streamed.size} of $total passed")
+  }
+
   test("dedupAdmissionSink wires the admission batch through foreachBatch") {
     import spark.implicits._
     import graft.dedup.Dedup
