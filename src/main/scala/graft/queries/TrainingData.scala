@@ -4178,6 +4178,84 @@ object TrainingData {
              |LEFT JOIN c2 ON d.dom = c2.dom
              |LEFT JOIN c3 ON d.dom = c3.dom
              |LEFT JOIN c4 ON d.dom = c4.dom
-             |ORDER BY domain_id""".stripMargin))
+             |ORDER BY domain_id""".stripMargin)),
+
+    // Product-quantization ANN (Similarity.pqEncode/pqAdcTopK): the
+    // MEMORY side of planet-scale vector search — each 64-float vector
+    // becomes m=4 codes, and ADC ranks candidates from a per-query
+    // lookup table without touching the original floats. Codebooks are
+    // FIXED (subvectors of vec_id < 4 — the q104 fixed-centroid
+    // pattern: mechanics under test, not clustering quality; pqTrain
+    // is the production path, PqSpec-verified). Distances are
+    // squared-L2 with the per-query constant dropped (<c,c> - 2<v,c>),
+    // so only sequential-fold dot products ride the comparison —
+    // DuckDB's list_inner_product is bit-identical to Spark's fold
+    // (verified at dims 16/64 on full-precision doubles). The oracle
+    // pivots the m=4 LUT terms into an EXPLICIT ((d0+d1)+d2)+d3 sum so
+    // the double accumulation order matches Spark's fold exactly.
+    Q("q162_ann_pq_adc",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cb = graft.similarity.Similarity.pqCodebooks(
+          e.where(col("id") < 4), 4)
+        val codes = graft.similarity.Similarity.pqEncode(e, cb, 4)
+        graft.similarity.Similarity.pqAdcTopK(
+          e.where(col("id").between(100, 104)), codes, cb, 3, 4)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH cents AS (
+             |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id < 4),
+             |subcents AS (
+             |  SELECT CAST(s.s AS INT) AS sub, cid,
+             |    cv[CAST(s.s*16+1 AS INT):CAST((s.s+1)*16 AS INT)] AS cvec
+             |  FROM cents CROSS JOIN unnest([0,1,2,3]) s(s)),
+             |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |         FROM embeddings),
+             |enc AS (
+             |  SELECT vec_id, sub, cid AS code FROM (
+             |    SELECT v.vec_id, sc.sub, sc.cid,
+             |      row_number() OVER (PARTITION BY v.vec_id, sc.sub
+             |        ORDER BY list_inner_product(sc.cvec, sc.cvec)
+             |          - 2 * list_inner_product(
+             |              v.v[CAST(sc.sub*16+1 AS INT):
+             |                  CAST((sc.sub+1)*16 AS INT)],
+             |              sc.cvec) ASC,
+             |          sc.cid ASC) AS rn
+             |    FROM vecs v CROSS JOIN subcents sc) t
+             |  WHERE rn = 1),
+             |lut AS (
+             |  SELECT q.vec_id AS qid, sc.sub, sc.cid,
+             |    list_inner_product(sc.cvec, sc.cvec)
+             |      - 2 * list_inner_product(
+             |          q.v[CAST(sc.sub*16+1 AS INT):
+             |              CAST((sc.sub+1)*16 AS INT)],
+             |          sc.cvec) AS d
+             |  FROM vecs q CROSS JOIN subcents sc
+             |  WHERE q.vec_id BETWEEN 100 AND 104),
+             |scored AS (
+             |  SELECT l0.qid AS query_id, e0.vec_id AS neighbor_id,
+             |    ((l0.d + l1.d) + l2.d) + l3.d AS dist
+             |  FROM (SELECT * FROM enc WHERE sub = 0) e0
+             |  JOIN (SELECT * FROM enc WHERE sub = 1) e1 USING (vec_id)
+             |  JOIN (SELECT * FROM enc WHERE sub = 2) e2 USING (vec_id)
+             |  JOIN (SELECT * FROM enc WHERE sub = 3) e3 USING (vec_id)
+             |  JOIN lut l0 ON l0.sub = 0 AND l0.cid = e0.code
+             |  JOIN lut l1 ON l1.sub = 1 AND l1.cid = e1.code
+             |    AND l1.qid = l0.qid
+             |  JOIN lut l2 ON l2.sub = 2 AND l2.cid = e2.code
+             |    AND l2.qid = l0.qid
+             |  JOIN lut l3 ON l3.sub = 3 AND l3.cid = e3.code
+             |    AND l3.qid = l0.qid
+             |  WHERE e0.vec_id <> l0.qid),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, dist,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, dist
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""
+        .stripMargin))
   )
 }

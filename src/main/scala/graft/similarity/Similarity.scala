@@ -324,4 +324,221 @@ object Similarity {
       .where(col("sim") > threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the MEMORY side of planet-scale ANN.
+  // IVF (above) bounds which vectors a query SCANS; PQ bounds what each
+  // vector COSTS: a dims-float vector becomes m small codes (one per
+  // subspace), a 32-64x compression, and search ranks candidates from a
+  // per-query lookup table without ever touching the original floats —
+  // the faiss IVF+PQ layout every billion-vector deployment runs.
+  // Distances are squared-L2 with the per-query constant dropped:
+  // d(v, c) = <c,c> - 2<v,c> preserves every argmin/ranking of
+  // |v - c|^2 and needs only [[dot]] folds, the primitive verified
+  // bit-identical against DuckDB's list_inner_product (a sequential
+  // loop — checked at dims 16/64 on full-precision doubles; the naive
+  // literal test diverges only through SQL's DECIMAL literal type).
+  // ------------------------------------------------------------------
+
+  /** d/m-dim subvector `sub` (0-based) of `vec`, where `subd` is the
+    * subspace width. */
+  private def subVecCol(vec: Column, sub: Column, subd: Column): Column =
+    slice(vec, (sub.cast(IntegerType) * subd) + 1, subd)
+
+  private def subdOf(vec: Column, m: Int): Column =
+    floor(size(vec) / lit(m)).cast(IntegerType)
+
+  /** Squared-L2 to a centroid, per-query/vector constant dropped:
+    * `<c,c> - 2<v,c>` — same argmin and same ranking as `|v-c|^2`. */
+  private def pqDist(v: Column, c: Column): Column =
+    dot(c, c) - lit(2.0) * dot(v, c)
+
+  /** FIXED codebooks from a small (id, vec) frame: entry `id` of
+    * subspace `s` is that vector's s-th subvector. The exhibit/oracle
+    * codebook source (the q104 fixed-centroid pattern — mechanics under
+    * test, not clustering quality); production trains with
+    * [[pqTrain]]. Output: (sub, cid, cvec). */
+  def pqCodebooks(vecs: DataFrame, m: Int): DataFrame = {
+    require(m >= 1 && m <= 256, s"m: $m")
+    val subd = subdOf(col("vec"), m)
+    vecs
+      .where(pmod(size(col("vec")), lit(m)) === 0)
+      .select(col("id").as("cid"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => subVecCol(transform(col("vec"),
+            x => x.cast(DoubleType)), s, subd)))
+          .as(Seq("sub", "cvec")))
+      .select(col("sub"), col("cid"), col("cvec"))
+  }
+
+  /** One broadcastable row: array over subs (asc) of cid-sorted
+    * (cid, cvec) entries. Codebooks are m x k x (dims/m) doubles —
+    * driver-size by definition (the POINT of PQ is that this table is
+    * tiny while the corpus is not). */
+  private def packCodebooks(codebooks: DataFrame): DataFrame =
+    codebooks
+      .groupBy(col("sub"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
+        .as("cbs"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("sub"), col("cbs"))))
+        .as("__pq_all"))
+
+  /** Append `pq_codes`: array<int> (one code per subspace, in subspace
+    * order) — each code is the POSITION of the argmin-distance entry in
+    * that subspace's cid-sorted codebook (ties to the lowest cid, the
+    * first strict minimum of a left-to-right fold). A vector whose
+    * length is not divisible by m gets NULL codes (malformed→NULL, the
+    * parser-family contract). Narrow map against ONE broadcast packed
+    * row — zero shuffle (spec-pinned): text-book PQ encode cost,
+    * O(k·dims) per vector. */
+  def pqEncode(vecs: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
+    require(m >= 1 && m <= 256, s"m: $m")
+    require(!vecs.columns.contains("pq_codes"),
+      "Similarity.pqEncode: vecs already has a 'pq_codes' column")
+    val subd = subdOf(col("vec"), m)
+    val argminPos = (sv: Column, cbs: Column) =>
+      aggregate(cbs,
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("pos"),
+          lit(0).as("i")),
+        (acc, cb) => {
+          val dn = pqDist(sv, cb.getField("cvec"))
+          when(dn < acc.getField("d"),
+            struct(dn.as("d"), acc.getField("i").as("pos"),
+              (acc.getField("i") + 1).as("i")))
+            .otherwise(struct(acc.getField("d").as("d"),
+              acc.getField("pos").as("pos"),
+              (acc.getField("i") + 1).as("i")))
+        },
+        acc => acc.getField("pos"))
+    vecs
+      .crossJoin(broadcast(packCodebooks(codebooks)))
+      .withColumn("pq_codes",
+        when(pmod(size(col("vec")), lit(m)) === 0,
+          transform(col("__pq_all"), sc =>
+            argminPos(
+              subVecCol(transform(col("vec"), x => x.cast(DoubleType)),
+                sc.getField("sub"), subd),
+              sc.getField("cbs")))))
+      .drop("__pq_all")
+  }
+
+  /** ADC (asymmetric distance computation) top-k: rank every encoded
+    * corpus vector against each FULL-PRECISION query by summing, per
+    * subspace, the query's precomputed distance to the candidate's
+    * assigned codebook entry — the candidate's floats are never read.
+    * dist = Σ_s (<c_s,c_s> - 2<q_s,c_s>) = |recon(codes)|² - 2<q,recon>,
+    * i.e. exactly squared-L2 to the candidate's RECONSTRUCTION minus
+    * the per-query constant |q|² — so the ranking equals exact-L2
+    * search against reconstructions (PqSpec asserts that identity).
+    * The LUT is |queries| x m x k doubles, broadcast; the corpus side
+    * reads (id, pq_codes) only. Ranking is the [[bruteForceTopK]]
+    * window shape (asc distance, ties to the lower id). */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame,
+                codebooks: DataFrame, k: Int, m: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val subd = subdOf(col("qv"), m)
+    val lut = queries
+      .select(col("id").as("query_id"),
+        transform(col("vec"), x => x.cast(DoubleType)).as("qv"))
+      .crossJoin(broadcast(
+        codebooks.groupBy(col("sub"))
+          .agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
+            .as("cbs"))))
+      .select(col("query_id"), col("sub"),
+        transform(col("cbs"), cb =>
+          pqDist(subVecCol(col("qv"), col("sub"), subd),
+            cb.getField("cvec"))).as("lut"))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("lut"))))
+        .as("luts"))
+    val scored = codes
+      .where(col("pq_codes").isNotNull)
+      .select(col("id").as("neighbor_id"), col("pq_codes"))
+      .join(broadcast(lut), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist",
+        aggregate(col("luts"), lit(0.0), (acc, sl) =>
+          acc + element_at(sl.getField("lut"),
+            element_at(col("pq_codes"),
+              sl.getField("sub").cast(IntegerType) + 1) + 1)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
+
+  /** TRAIN PQ codebooks — per-subspace L2 Lloyd over the corpus, the
+    * production path [[pqCodebooks]]'s fixed exhibits stand in for.
+    * All m subspaces train in the SAME jobs: one posexplode puts
+    * (id, sub, svec) rows on the wire once (cached), each round is one
+    * broadcast-assign narrow pass plus one (sub, pos, dim) recenter
+    * aggregate whose output is m·k·(dims/m) rows — codebook-sized, so
+    * the per-round exchange is corpus-independent after map-side
+    * partials, the kmeansLite discipline. Seeds per subspace are the k
+    * subvectors with the smallest id-hash (deterministic,
+    * partition-independent). Empty cells drop out (that subspace's k
+    * shrinks; codes stay positions in the cid-sorted survivor list).
+    * Returns (sub, cid, cvec) ready for [[pqEncode]]/[[pqAdcTopK]]. */
+  def pqTrain(vecs: DataFrame, m: Int, k: Int, iters: Int = 3): DataFrame = {
+    import graft.text.TextOps
+    require(m >= 1 && m <= 256, s"m: $m")
+    require(k >= 1 && k <= 65536, s"k: $k")
+    require(iters >= 1 && iters <= 64, s"iters: $iters")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val subd = subdOf(col("vec"), m)
+    val subs = vecs
+      .where(pmod(size(col("vec")), lit(m)) === 0)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => subVecCol(transform(col("vec"),
+            x => x.cast(DoubleType)), s, subd)))
+          .as(Seq("sub", "svec")))
+      .cache()
+    def materialize(df: DataFrame): DataFrame =
+      df.as[(Int, Long, Seq[Double])].collect().toSeq
+        .toDF("sub", "cid", "cvec")
+    try {
+      val seedW = Window.partitionBy("sub")
+        .orderBy(col("h").asc, col("id").asc)
+      var cents = materialize(subs
+        .withColumn("h", TextOps.hash64(
+          concat(lit("pq#"), col("id").cast(StringType))))
+        .withColumn("rn", row_number().over(seedW))
+        .where(col("rn") <= k)
+        .select(col("sub"), col("id").cast(LongType).as("cid"),
+          col("svec").as("cvec")))
+      for (_ <- 1 to iters) {
+        val packed = cents.groupBy(col("sub"))
+          .agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
+            .as("cbs"))
+        val assigned = subs
+          .join(broadcast(packed), Seq("sub"))
+          .withColumn("best",
+            aggregate(col("cbs"),
+              struct(lit(Double.MaxValue).as("d"),
+                lit(-1L).as("cid")),
+              (acc, cb) => {
+                val dn = pqDist(col("svec"), cb.getField("cvec"))
+                when(dn < acc.getField("d"),
+                  struct(dn.as("d"), cb.getField("cid").as("cid")))
+                  .otherwise(acc)
+              }))
+          .select(col("sub"), col("best").getField("cid").as("cid"),
+            col("svec"))
+        cents = materialize(assigned
+          .select(col("sub"), col("cid"),
+            posexplode(col("svec")).as(Seq("pos", "x")))
+          .groupBy("sub", "cid", "pos").agg(avg(col("x")).as("mu"))
+          .groupBy("sub", "cid")
+          .agg(array_sort(collect_list(struct(col("pos"), col("mu"))))
+            .as("pm"))
+          .select(col("sub"), col("cid"),
+            transform(col("pm"), p => p.getField("mu")).as("cvec")))
+      }
+      cents
+    } finally subs.unpersist()
+  }
 }
