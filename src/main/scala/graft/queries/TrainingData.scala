@@ -4256,6 +4256,109 @@ object TrainingData {
              |  FROM scored)
              |SELECT query_id, rank, neighbor_id, dist
              |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""
+        .stripMargin)),
+
+    // IVF + PQ composed — the faiss IndexIVFPQ layout, the full
+    // billion-vector search shape: IVF probes bound which lists a
+    // query SCANS (q104's multi-probe assignment, nprobe=2), PQ codes
+    // bound what each candidate COSTS (q162's ADC), so scored pairs
+    // drop from |corpus|x|queries| to the probed-list sizes and the
+    // candidate floats are never read. Oracle = q104's cosine
+    // assignment CTE joined into q162's encode/LUT replay.
+    Q("q163_ann_ivf_pq",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cents = e.where(col("id") < 8)
+          .select(col("id").as("cid"), col("vec"))
+        val cb = graft.similarity.Similarity.pqCodebooks(
+          e.where(col("id") < 4), 4)
+        val codes = graft.similarity.Similarity.pqEncode(e, cb, 4)
+        val queries = e.where(col("id").between(100, 104))
+        val cand = graft.similarity.Similarity
+          .ivfAssignN(queries, cents, 2)
+          .select(col("id").as("query_id"), col("cid"))
+          .join(graft.similarity.Similarity.ivfAssign(e, cents)
+            .select(col("id").as("neighbor_id"), col("cid")),
+            Seq("cid"))
+          .select("query_id", "neighbor_id")
+        graft.similarity.Similarity.pqAdcTopK(
+          queries, codes, cb, 3, 4, Some(cand))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH icents AS (
+             |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id < 8),
+             |ranked_assign AS (
+             |  SELECT e.vec_id, c.cid,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY list_cosine_similarity(
+             |        CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+             |        c.cid) AS rn
+             |  FROM embeddings e CROSS JOIN icents c),
+             |pqcents AS (
+             |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id < 4),
+             |subcents AS (
+             |  SELECT CAST(s.s AS INT) AS sub, cid,
+             |    cv[CAST(s.s*16+1 AS INT):CAST((s.s+1)*16 AS INT)] AS cvec
+             |  FROM pqcents CROSS JOIN unnest([0,1,2,3]) s(s)),
+             |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |         FROM embeddings),
+             |enc AS (
+             |  SELECT vec_id, sub, cid AS code FROM (
+             |    SELECT v.vec_id, sc.sub, sc.cid,
+             |      row_number() OVER (PARTITION BY v.vec_id, sc.sub
+             |        ORDER BY list_inner_product(sc.cvec, sc.cvec)
+             |          - 2 * list_inner_product(
+             |              v.v[CAST(sc.sub*16+1 AS INT):
+             |                  CAST((sc.sub+1)*16 AS INT)],
+             |              sc.cvec) ASC,
+             |          sc.cid ASC) AS rn
+             |    FROM vecs v CROSS JOIN subcents sc) t
+             |  WHERE rn = 1),
+             |lut AS (
+             |  SELECT q.vec_id AS qid, sc.sub, sc.cid,
+             |    list_inner_product(sc.cvec, sc.cvec)
+             |      - 2 * list_inner_product(
+             |          q.v[CAST(sc.sub*16+1 AS INT):
+             |              CAST((sc.sub+1)*16 AS INT)],
+             |          sc.cvec) AS d
+             |  FROM vecs q CROSS JOIN subcents sc
+             |  WHERE q.vec_id BETWEEN 100 AND 104),
+             |cand AS (
+             |  SELECT qa.vec_id AS qid, ca.vec_id AS nid
+             |  FROM ranked_assign qa
+             |  JOIN ranked_assign ca ON ca.cid = qa.cid AND ca.rn = 1
+             |  WHERE qa.rn <= 2 AND qa.vec_id BETWEEN 100 AND 104
+             |    AND ca.vec_id <> qa.vec_id),
+             |scored AS (
+             |  SELECT c.qid AS query_id, c.nid AS neighbor_id,
+             |    ((l0.d + l1.d) + l2.d) + l3.d AS dist
+             |  FROM cand c
+             |  JOIN (SELECT * FROM enc WHERE sub = 0) e0
+             |    ON e0.vec_id = c.nid
+             |  JOIN (SELECT * FROM enc WHERE sub = 1) e1
+             |    ON e1.vec_id = c.nid
+             |  JOIN (SELECT * FROM enc WHERE sub = 2) e2
+             |    ON e2.vec_id = c.nid
+             |  JOIN (SELECT * FROM enc WHERE sub = 3) e3
+             |    ON e3.vec_id = c.nid
+             |  JOIN lut l0 ON l0.qid = c.qid AND l0.sub = 0
+             |    AND l0.cid = e0.code
+             |  JOIN lut l1 ON l1.qid = c.qid AND l1.sub = 1
+             |    AND l1.cid = e1.code
+             |  JOIN lut l2 ON l2.qid = c.qid AND l2.sub = 2
+             |    AND l2.cid = e2.code
+             |  JOIN lut l3 ON l3.qid = c.qid AND l3.sub = 3
+             |    AND l3.cid = e3.code),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, dist,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, dist
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""
         .stripMargin))
   )
 }

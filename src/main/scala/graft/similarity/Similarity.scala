@@ -433,9 +433,16 @@ object Similarity {
     * search against reconstructions (PqSpec asserts that identity).
     * The LUT is |queries| x m x k doubles, broadcast; the corpus side
     * reads (id, pq_codes) only. Ranking is the [[bruteForceTopK]]
-    * window shape (asc distance, ties to the lower id). */
+    * window shape (asc distance, ties to the lower id).
+    *
+    * `candidates` (query_id, neighbor_id) restricts which pairs are
+    * scored — the IVF+PQ composition: [[ivfAssignN]] probes pick the
+    * lists, ADC ranks inside them, and the scored row count drops from
+    * |corpus|·|queries| to the probed-list sizes (the faiss IndexIVFPQ
+    * layout). None scores every pair (exhaustive ADC). */
   def pqAdcTopK(queries: DataFrame, codes: DataFrame,
-                codebooks: DataFrame, k: Int, m: Int): DataFrame = {
+                codebooks: DataFrame, k: Int, m: Int,
+                candidates: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k: $k")
     val subd = subdOf(col("qv"), m)
     val lut = queries
@@ -452,10 +459,21 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(sort_array(collect_list(struct(col("sub"), col("lut"))))
         .as("luts"))
-    val scored = codes
+    val encoded = codes
       .where(col("pq_codes").isNotNull)
       .select(col("id").as("neighbor_id"), col("pq_codes"))
-      .join(broadcast(lut), col("neighbor_id") =!= col("query_id"))
+    val paired = candidates match {
+      case None =>
+        encoded.join(broadcast(lut),
+          col("neighbor_id") =!= col("query_id"))
+      case Some(cand) =>
+        cand
+          .select(col("query_id"), col("neighbor_id"))
+          .where(col("neighbor_id") =!= col("query_id"))
+          .join(encoded, Seq("neighbor_id"))
+          .join(broadcast(lut), Seq("query_id"))
+    }
+    val scored = paired
       .withColumn("dist",
         aggregate(col("luts"), lit(0.0), (acc, sl) =>
           acc + element_at(sl.getField("lut"),

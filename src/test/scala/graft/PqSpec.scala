@@ -77,6 +77,39 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF+PQ composition: probing ALL lists equals exhaustive ADC " +
+      "(identity), and probed search only scores probed-list pairs") {
+    val m = 4
+    val cb = Similarity.pqCodebooks(emb.where($"id" < 4), m)
+    val codes = Similarity.pqEncode(emb, cb, m)
+    val cents = emb.where($"id" < 8)
+      .select($"id".as("cid"), $"vec")
+    val queries = emb.where($"id".between(100, 102))
+    def cand(nprobe: Int) =
+      Similarity.ivfAssignN(queries, cents, nprobe)
+        .select($"id".as("query_id"), $"cid")
+        .join(Similarity.ivfAssign(emb, cents)
+          .select($"id".as("neighbor_id"), $"cid"), Seq("cid"))
+        .select("query_id", "neighbor_id")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"neighbor_id", $"dist")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+    val exhaustive = collect(
+      Similarity.pqAdcTopK(queries, codes, cb, 5, m))
+    val allProbes = collect(
+      Similarity.pqAdcTopK(queries, codes, cb, 5, m, Some(cand(8))))
+    assert(allProbes === exhaustive,
+      "probing every list must reduce to exhaustive ADC")
+    // nprobe=1: every returned neighbor lives in its query's top list
+    val one = Similarity.pqAdcTopK(queries, codes, cb, 5, m,
+      Some(cand(1)))
+    val probed = cand(1).as[(Long, Long)].collect().toSet
+    val got = one.select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(probed), "a result escaped the probed lists")
+  }
+
   test("pqTrain: per-subspace Lloyd reduces quantization distortion " +
       "round over round and is deterministic across repartitionings") {
     val m = 4
