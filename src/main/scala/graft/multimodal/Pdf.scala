@@ -410,13 +410,54 @@ object Pdf {
   private def hasCompositeFontMarker(bytes: Array[Byte]): Boolean =
     containsCompositeFontMarker(new String(bytes, "ISO-8859-1"))
 
+  /** Marker scan that SKIPS string literals `(...)` and hex strings
+    * `<...>`: a font declaration is a NAME in a dict, never string
+    * content, so a simple-font doc whose visible TEXT merely mentions
+    * '/Type0' or '/Identity-H' (documentation about PDF fonts) must
+    * not get its whole pdf_text NULLed as a false-positive composite.
+    * Skips are capped (4096 chars) so a stray '(' / '<' inside
+    * compressed binary cannot swallow a genuine declaration further
+    * on; '<<' opens a dict, not a hex string, and is scanned through.
+    * The per-show NUL-byte signal in walkContent stays the behavioral
+    * detector for docs whose dicts hide in unpacked object streams. */
   private def containsCompositeFontMarker(s: String): Boolean = {
-    if (s.contains("/Identity-H") || s.contains("/Identity-V")) return true
-    var from = s.indexOf("/Type0")
-    while (from >= 0) {
-      val after = from + 6
-      if (after >= s.length || isDelim(s.charAt(after))) return true
-      from = s.indexOf("/Type0", after)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '(') {
+        // literal string: balanced parens, backslash escapes
+        var depth = 1
+        var j = i + 1
+        val cap = math.min(n, i + 1 + 4096)
+        while (j < cap && depth > 0) {
+          val cj = s.charAt(j)
+          if (cj == '\\') j += 2
+          else {
+            if (cj == '(') depth += 1
+            else if (cj == ')') depth -= 1
+            j += 1
+          }
+        }
+        i = if (depth == 0) j else i + 1
+      } else if (c == '<') {
+        if (i + 1 < n && s.charAt(i + 1) == '<') i += 2 // dict open
+        else {
+          val e = s.indexOf('>', i + 1)
+          i = if (e >= 0 && e <= i + 1 + 4096) e + 1 else i + 1
+        }
+      } else if (c == '/') {
+        if (s.startsWith("/Identity-H", i) ||
+          s.startsWith("/Identity-V", i)) {
+          val after = i + 11
+          if (after >= n || isDelim(s.charAt(after))) return true
+          i = after
+        } else if (s.startsWith("/Type0", i)) {
+          val after = i + 6
+          if (after >= n || isDelim(s.charAt(after))) return true
+          i = after
+        } else i += 1
+      } else i += 1
     }
     false
   }

@@ -3965,7 +3965,7 @@ object TrainingData {
              |           ((64 * g3.g + 1000000000 * n.n) // (1000 * n.n)
              |             - 1000000) AS w
              |       FROM g3 LEFT JOIN w2 ON g3.tok = w2.tok, n)
-             |SELECT tok AS token, CAST(w AS BIGINT) AS milli_weight
+             |SELECT tok AS token, CAST(w AS INTEGER) AS milli_weight
              |FROM w3 ORDER BY token""".stripMargin)),
 
     // Packed-shard EMISSION (Packing.emitPackedSequences): q152 reports
@@ -4352,6 +4352,161 @@ object TrainingData {
              |    AND l2.cid = e2.code
              |  JOIN lut l3 ON l3.qid = c.qid AND l3.sub = 3
              |    AND l3.cid = e3.code),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, dist,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, dist
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""
+        .stripMargin)),
+
+    // Exact squared-L2 top-k (Similarity.bruteForceTopKL2): the
+    // ground-truth referee for PQ recall — ADC approximates L2, not
+    // cosine, so PqRecall measures against this. dist folds
+    // per-element squared differences sequentially; DuckDB replays as
+    // list_inner_product(d, d) over the same difference list (the
+    // verified-bit-identical sequential sum).
+    Q("q164_ann_l2_exact",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        graft.similarity.Similarity.bruteForceTopKL2(
+          e.where(col("id").between(100, 104)),
+          e.where(col("id") < 400), 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM v
+             |      WHERE vec_id BETWEEN 100 AND 104),
+             |c AS (SELECT vec_id AS nid, v AS cv FROM v
+             |      WHERE vec_id < 400),
+             |scored AS (
+             |  SELECT q.qid AS query_id, c.nid AS neighbor_id,
+             |    list_inner_product(
+             |      list_transform(range(1, len(q.qv) + 1),
+             |        i -> q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]),
+             |      list_transform(range(1, len(q.qv) + 1),
+             |        i -> q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))
+             |      AS dist
+             |  FROM q JOIN c ON c.nid <> q.qid),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, dist,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, dist
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+        .stripMargin)),
+
+    // RESIDUAL IVF+PQ (ivfResidualize → pqEncode → pqAdcTopKResidual):
+    // the true IndexIVFPQ layout — codes quantize v − centroid, so one
+    // codebook serves every list at much higher precision than raw-
+    // vector PQ (q163), the measured-recall win in SCALING.md "PQ
+    // recall". Search forms a per-(query, probed-list) residual and
+    // LUT; dist = |qres|² + Σ_s lut (the |qres|² term must STAY —
+    // candidates from different lists compete under different
+    // residuals). Codebooks here are fixed residual exhibits (the
+    // q104/q162 pattern: ids 10..13's residuals — ids < 8 ARE the
+    // centroids, so their residuals would be zero vectors); pqTrain
+    // over residuals is the production path. The oracle replays the
+    // whole composition: cosine assignment → residual lists →
+    // per-subspace argmin encode → probed-list ADC with the explicit
+    // qn2 + (((d0+d1)+d2)+d3) double-accumulation order.
+    Q("q165_ann_ivf_pq_residual",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cents = e.where(col("id") < 8)
+          .select(col("id").as("cid"), col("vec"))
+        val res = graft.similarity.Similarity.ivfResidualize(e, cents)
+        val cb = graft.similarity.Similarity.pqCodebooks(
+          res.where(col("id").between(10, 13)).select("id", "vec"), 4)
+        val codes = graft.similarity.Similarity.pqEncode(res, cb, 4)
+        graft.similarity.Similarity.pqAdcTopKResidual(
+          e.where(col("id").between(100, 104)), codes, cb, cents,
+          3, 4, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH icents AS (
+             |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id < 8),
+             |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |         FROM embeddings),
+             |ranked_assign AS (
+             |  SELECT e.vec_id, c.cid,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY list_cosine_similarity(
+             |        CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+             |        c.cid) AS rn
+             |  FROM embeddings e CROSS JOIN icents c),
+             |resid AS (
+             |  SELECT v.vec_id, ra.cid,
+             |    list_transform(range(1, len(v.v) + 1),
+             |      i -> v.v[CAST(i AS INT)] - ic.cv[CAST(i AS INT)])
+             |      AS rv
+             |  FROM vecs v
+             |  JOIN ranked_assign ra ON ra.vec_id = v.vec_id
+             |    AND ra.rn = 1
+             |  JOIN icents ic ON ic.cid = ra.cid),
+             |pqres AS (SELECT vec_id AS cid, rv AS cv FROM resid
+             |          WHERE vec_id BETWEEN 10 AND 13),
+             |subcents AS (
+             |  SELECT CAST(s.s AS INT) AS sub, cid,
+             |    cv[CAST(s.s*16+1 AS INT):CAST((s.s+1)*16 AS INT)] AS cvec
+             |  FROM pqres CROSS JOIN unnest([0,1,2,3]) s(s)),
+             |enc AS (
+             |  SELECT vec_id, home, sub, code FROM (
+             |    SELECT r.vec_id, r.cid AS home, sc.sub,
+             |      sc.cid AS code,
+             |      row_number() OVER (PARTITION BY r.vec_id, sc.sub
+             |        ORDER BY list_inner_product(sc.cvec, sc.cvec)
+             |          - 2 * list_inner_product(
+             |              r.rv[CAST(sc.sub*16+1 AS INT):
+             |                  CAST((sc.sub+1)*16 AS INT)],
+             |              sc.cvec) ASC,
+             |          sc.cid ASC) AS rn
+             |    FROM resid r CROSS JOIN subcents sc) t
+             |  WHERE rn = 1),
+             |qres AS (
+             |  SELECT ra.vec_id AS qid, ra.cid,
+             |    list_transform(range(1, len(v.v) + 1),
+             |      i -> v.v[CAST(i AS INT)] - ic.cv[CAST(i AS INT)])
+             |      AS rv
+             |  FROM ranked_assign ra
+             |  JOIN vecs v ON v.vec_id = ra.vec_id
+             |  JOIN icents ic ON ic.cid = ra.cid
+             |  WHERE ra.rn <= 2 AND ra.vec_id BETWEEN 100 AND 104),
+             |lut AS (
+             |  SELECT q.qid, q.cid AS pcid, sc.sub, sc.cid AS code,
+             |    list_inner_product(sc.cvec, sc.cvec)
+             |      - 2 * list_inner_product(
+             |          q.rv[CAST(sc.sub*16+1 AS INT):
+             |              CAST((sc.sub+1)*16 AS INT)],
+             |          sc.cvec) AS d
+             |  FROM qres q CROSS JOIN subcents sc),
+             |qn AS (SELECT qid, cid AS pcid,
+             |         list_inner_product(rv, rv) AS qn2
+             |       FROM qres),
+             |scored AS (
+             |  SELECT q.qid AS query_id, r.vec_id AS neighbor_id,
+             |    qn.qn2 + (((l0.d + l1.d) + l2.d) + l3.d) AS dist
+             |  FROM resid r
+             |  JOIN qres q ON q.cid = r.cid AND r.vec_id <> q.qid
+             |  JOIN enc e0 ON e0.vec_id = r.vec_id AND e0.sub = 0
+             |  JOIN enc e1 ON e1.vec_id = r.vec_id AND e1.sub = 1
+             |  JOIN enc e2 ON e2.vec_id = r.vec_id AND e2.sub = 2
+             |  JOIN enc e3 ON e3.vec_id = r.vec_id AND e3.sub = 3
+             |  JOIN lut l0 ON l0.qid = q.qid AND l0.pcid = q.cid
+             |    AND l0.sub = 0 AND l0.code = e0.code
+             |  JOIN lut l1 ON l1.qid = q.qid AND l1.pcid = q.cid
+             |    AND l1.sub = 1 AND l1.code = e1.code
+             |  JOIN lut l2 ON l2.qid = q.qid AND l2.pcid = q.cid
+             |    AND l2.sub = 2 AND l2.code = e2.code
+             |  JOIN lut l3 ON l3.qid = q.qid AND l3.pcid = q.cid
+             |    AND l3.sub = 3 AND l3.code = e3.code
+             |  JOIN qn ON qn.qid = q.qid AND qn.pcid = q.cid),
              |ranked AS (
              |  SELECT query_id, neighbor_id, dist,
              |    CAST(row_number() OVER (PARTITION BY query_id

@@ -389,9 +389,14 @@ object Similarity {
     * that subspace's cid-sorted codebook (ties to the lowest cid, the
     * first strict minimum of a left-to-right fold). A vector whose
     * length is not divisible by m gets NULL codes (malformed→NULL, the
-    * parser-family contract). Narrow map against ONE broadcast packed
-    * row — zero shuffle (spec-pinned): text-book PQ encode cost,
-    * O(k·dims) per vector. */
+    * parser-family contract) — and so does a vector whose argmin never
+    * resolves (a NaN in any subspace makes every `<` comparison false,
+    * leaving that subspace's position at -1; emitting it would make
+    * [[pqAdcTopK]]'s `element_at(lut, code+1)` hit index 0, which
+    * THROWS in Spark — array indices start at 1 — failing the whole
+    * job on one malformed vector). Narrow map against ONE broadcast
+    * packed row — zero shuffle (spec-pinned): text-book PQ encode
+    * cost, O(k·dims) per vector. */
   def pqEncode(vecs: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
     require(m >= 1 && m <= 256, s"m: $m")
     require(!vecs.columns.contains("pq_codes"),
@@ -413,14 +418,21 @@ object Similarity {
         acc => acc.getField("pos"))
     vecs
       .crossJoin(broadcast(packCodebooks(codebooks)))
-      .withColumn("pq_codes",
+      .withColumn("__pq_raw",
         when(pmod(size(col("vec")), lit(m)) === 0,
           transform(col("__pq_all"), sc =>
             argminPos(
               subVecCol(transform(col("vec"), x => x.cast(DoubleType)),
                 sc.getField("sub"), subd),
               sc.getField("cbs")))))
-      .drop("__pq_all")
+      // unresolved argmin (NaN subspace / all-Infinity distances) →
+      // NULL codes, never a -1 that would crash downstream ADC
+      .withColumn("pq_codes",
+        when(col("__pq_raw").isNull
+          .or(array_contains(col("__pq_raw"), -1)),
+          lit(null).cast(ArrayType(IntegerType)))
+          .otherwise(col("__pq_raw")))
+      .drop("__pq_all", "__pq_raw")
   }
 
   /** ADC (asymmetric distance computation) top-k: rank every encoded
@@ -448,6 +460,11 @@ object Similarity {
     val lut = queries
       .select(col("id").as("query_id"),
         transform(col("vec"), x => x.cast(DoubleType)).as("qv"))
+      // mirror pqEncode's divisibility contract on the QUERY side: a
+      // query whose length m doesn't divide would build its LUT from a
+      // floor(size/m)-wide subvector — NULL dists that rank FIRST under
+      // the asc window and return garbage neighbors at ranks 1..k
+      .where(pmod(size(col("qv")), lit(m)) === 0)
       .crossJoin(broadcast(
         codebooks.groupBy(col("sub"))
           .agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
@@ -460,7 +477,11 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("sub"), col("lut"))))
         .as("luts"))
     val encoded = codes
-      .where(col("pq_codes").isNotNull)
+      // isNotNull covers pqEncode's contract; the -1 filter is the
+      // defensive twin for codes tables built elsewhere (a negative
+      // code would index lut position 0 — a runtime throw under ANSI)
+      .where(col("pq_codes").isNotNull
+        .and(!array_contains(col("pq_codes"), -1)))
       .select(col("id").as("neighbor_id"), col("pq_codes"))
     val paired = candidates match {
       case None =>
@@ -476,6 +497,127 @@ object Similarity {
     val scored = paired
       .withColumn("dist",
         aggregate(col("luts"), lit(0.0), (acc, sl) =>
+          acc + element_at(sl.getField("lut"),
+            element_at(col("pq_codes"),
+              sl.getField("sub").cast(IntegerType) + 1) + 1)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
+
+  /** Exact squared-L2 top-k — the ground-truth baseline PQ recall is
+    * measured against (ADC distances approximate L2, not cosine, so
+    * the cosine [[bruteForceTopK]] is the wrong referee for them).
+    * Same shape: broadcast queries × one corpus scan, rank-window
+    * top-k, asc distance, ties to the lower id. dist folds the
+    * per-element squared differences sequentially — DuckDB replays it
+    * as `list_inner_product(d, d)` over the difference list. */
+  def bruteForceTopKL2(queries: DataFrame, corpus: DataFrame,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val sqDist = (a: Column, b: Column) =>
+      aggregate(
+        zip_with(a, b, (x, y) => {
+          val d = x.cast(DoubleType) - y.cast(DoubleType)
+          d * d
+        }),
+        lit(0.0), (acc, x) => acc + x)
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("vec").as("qv")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", sqDist(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
+
+  /** RESIDUALIZE for IVF+PQ: subtract each vector's rank-1 IVF
+    * centroid, returning (id, cid, vec := v − centroid[cid]) in
+    * doubles. A true IndexIVFPQ encodes residuals, not raw vectors:
+    * within a list, vectors share their centroid's offset, so the
+    * residual cloud is centered near zero and ONE codebook quantizes
+    * it far more precisely than the same codebook spread over the raw
+    * corpus — the standard faiss layout, and the measured-recall win
+    * ([[graft.PqRecall]] / SCALING.md "PQ recall"). Cost: the same
+    * broadcast-assign pass [[ivfAssign]] runs, plus one broadcast
+    * centroid join and a narrow zip_with — no extra shuffle beyond
+    * the assignment's rank-window. Feed the output straight to
+    * [[pqEncode]] (the cid passthrough keeps each code's home list —
+    * [[pqAdcTopKResidual]] joins on it). Subtraction of doubles is
+    * correctly rounded and order-free, so replay engines agree
+    * bit-for-bit. */
+  def ivfResidualize(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids.select(col("cid"),
+      transform(col("vec"), x => x.cast(DoubleType)).as("__cv")))
+    vecs.join(ivfAssign(vecs, centroids), Seq("id"))
+      .join(c, Seq("cid"))
+      .select(col("id"), col("cid"),
+        zip_with(col("vec"), col("__cv"),
+          (x, y) => x.cast(DoubleType) - y).as("vec"))
+  }
+
+  /** IVF+PQ search over RESIDUAL codes — the full IndexIVFPQ query
+    * path. For each query: take its `nprobe` nearest centroids
+    * ([[ivfAssignN]]), form the per-list query residual
+    * `qres = q − centroid`, and build a per-(query, list) LUT of
+    * per-subspace terms `<c,c> − 2<qres_s,c>`; candidates are the
+    * codes whose HOME list (the `cid` [[ivfResidualize]] stamped) is
+    * probed, and their distance is the full squared-L2 to the residual
+    * reconstruction: `|qres|² + Σ_s lut_s[code_s]` — the |qres|² term
+    * must stay (unlike [[pqAdcTopK]]'s droppable per-query constant)
+    * because candidates from DIFFERENT lists compete under different
+    * residuals. Ranking: asc distance, ties to the lower id.
+    *
+    * Scale shape: the LUT frame is |queries|·nprobe rows, broadcast;
+    * the corpus side reads (cid, id, pq_codes) only and the join on
+    * cid IS the probe — with the codes table partitioned by cid, a
+    * probe is a partition-pruned scan. Each (query, neighbor) pair
+    * appears at most once: a vector has exactly one home list. The
+    * malformed-input guards mirror [[pqAdcTopK]]: non-divisible
+    * queries drop, NULL/negative code rows drop. */
+  def pqAdcTopKResidual(queries: DataFrame, codes: DataFrame,
+                        codebooks: DataFrame, centroids: DataFrame,
+                        k: Int, m: Int, nprobe: Int = 1): DataFrame = {
+    require(k >= 1, s"k: $k")
+    require(nprobe >= 1, s"nprobe: $nprobe")
+    val subd = subdOf(col("qres"), m)
+    val cents = broadcast(centroids.select(col("cid"),
+      transform(col("vec"), x => x.cast(DoubleType)).as("__cv")))
+    val qres = queries
+      .join(ivfAssignN(queries, centroids, nprobe)
+        .select(col("id"), col("cid")), Seq("id"))
+      .join(cents, Seq("cid"))
+      .select(col("id").as("query_id"), col("cid"),
+        zip_with(col("vec"), col("__cv"),
+          (x, y) => x.cast(DoubleType) - y).as("qres"))
+      .where(pmod(size(col("qres")), lit(m)) === 0)
+    val lut = qres
+      .crossJoin(broadcast(
+        codebooks.groupBy(col("sub"))
+          .agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
+            .as("cbs"))))
+      .select(col("query_id"), col("cid"), col("sub"),
+        transform(col("cbs"), cb =>
+          pqDist(subVecCol(col("qres"), col("sub"), subd),
+            cb.getField("cvec"))).as("lut"),
+        dot(col("qres"), col("qres")).as("qn2"))
+      .groupBy(col("query_id"), col("cid"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("lut"))))
+        .as("luts"), first(col("qn2")).as("qn2"))
+    val encoded = codes
+      .where(col("pq_codes").isNotNull
+        .and(!array_contains(col("pq_codes"), -1)))
+      .select(col("cid"), col("id").as("neighbor_id"), col("pq_codes"))
+    val scored = encoded.join(broadcast(lut), Seq("cid"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist",
+        col("qn2") + aggregate(col("luts"), lit(0.0), (acc, sl) =>
           acc + element_at(sl.getField("lut"),
             element_at(col("pq_codes"),
               sl.getField("sub").cast(IntegerType) + 1) + 1)))

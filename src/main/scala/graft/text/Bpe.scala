@@ -328,9 +328,15 @@ object Bpe {
         }
         .toDF("l", "r", "c")
         .groupBy("l", "r").agg(sum("c").as("c"))
-      if (seen.nonEmpty)
-        cand = cand.where(!concat(col("l"), col("r"))
-          .isin(seen.toSeq: _*))
+      if (seen.nonEmpty) {
+        // typed filter over an immutable snapshot — an isin(...) here
+        // would inline up to k (≤65536) string LITERALS into the plan,
+        // O(k²) plan growth across the loop on exactly the large-k
+        // path this method exists for; the closure ships one hash set
+        val seenNow: Set[String] = seen.toSet
+        cand = cand.filter((r: org.apache.spark.sql.Row) =>
+          !seenNow.contains(r.getString(0) + r.getString(1)))
+      }
       val best = cand
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1).collect() // ONE row per round, by construction
@@ -357,6 +363,130 @@ object Bpe {
       }
     }
     learned.toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // Tokenizer artifact round-trip — the standard GPT-2 merges.txt /
+  // vocab.json FILE SHAPE, so a table learned here can drive other
+  // toolchains and vice versa. Internal tokens are raw-byte chars
+  // (0-255); files use the GPT-2 byte→unicode remap (every byte gets a
+  // PRINTABLE char, so merges.txt survives editors, whitespace splits,
+  // and JSON keys). Id semantics stay OURS (byte value = id 0-255,
+  // merge rank r = 256+r — the layout bpeEncode emits and the scaladoc
+  // at the top documents); GPT-2 proper numbers its byte tokens in
+  // bytes_to_unicode iteration order instead, which is why vocab.json
+  // ships the explicit token→id map at all.
+  // ------------------------------------------------------------------
+
+  /** GPT-2 `bytes_to_unicode`: printable Latin-1 bytes map to
+    * themselves; the other 68 bytes map to 256+n in byte order (so
+    * space = 'Ġ' U+0120, newline = 'Ċ' U+010A — the famous ones). */
+  private[graft] val byteToUnicode: Array[Char] = {
+    val direct = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
+      .map(_.toInt).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (direct(b)) b.toChar
+      else { val c = (256 + n).toChar; n += 1; c }
+    }.toArray
+  }
+
+  private[graft] val unicodeToByte: Map[Char, Int] =
+    byteToUnicode.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  private def mapToken(rawTok: String): String =
+    rawTok.map(c => byteToUnicode(c.toInt)).mkString
+
+  private def unmapToken(fileTok: String): String =
+    fileTok.map { c =>
+      unicodeToByte.getOrElse(c, throw new IllegalArgumentException(
+        s"not a byte-remap char: U+${c.toInt.toHexString} in '$fileTok'"))
+        .toChar
+    }.mkString
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Write a learned merge table ([[learnMerges]] output shape:
+    * rank, left_tok, right_tok, pair_count) as `<dir>/merges.txt` +
+    * `<dir>/vocab.json`. merges.txt: `#version: 0.2` header, one
+    * `left right` line per rank (remapped alphabet — no raw spaces or
+    * control bytes, so the single-space separator is unambiguous).
+    * vocab.json: token → id for the 256 byte tokens (id = byte value)
+    * and every merged token (id = 256 + rank). Paths go through the
+    * Hadoop FileSystem API, so `dir` may be local, HDFS, or s3a —
+    * the artifact is vocab-bounded (a 50k-merge table is ~1 MB), a
+    * driver-side write by nature. */
+  def exportTokenizer(merges: DataFrame, dir: String): Unit = {
+    val spark = merges.sparkSession
+    import spark.implicits._
+    val rows = merges.select("rank", "left_tok", "right_tok")
+      .as[(Int, String, String)].collect().sortBy(_._1)
+    rows.zipWithIndex.foreach { case ((r, _, _), i) =>
+      require(r == i, s"merge ranks must be contiguous from 0: " +
+        s"saw rank $r at position $i")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(conf)
+    fs.mkdirs(base)
+    def write(name: String, content: String): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(base, name), true)
+      try out.write(content.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    write("merges.txt",
+      "#version: 0.2\n" + rows.map { case (_, l, r) =>
+        s"${mapToken(l)} ${mapToken(r)}"
+      }.mkString("", "\n", "\n"))
+    val vocab =
+      (0 until 256).map(b =>
+        s""""${jsonEscape(byteToUnicode(b).toString)}": $b""") ++
+      rows.map { case (rank, l, r) =>
+        s""""${jsonEscape(mapToken(l + r))}": ${256 + rank}""" }
+    write("vocab.json", vocab.mkString("{", ", ", "}"))
+  }
+
+  /** Read `<dir>/merges.txt` back into the rank-ordered pair list
+    * [[bpeEncode]] takes — the inverse of [[exportTokenizer]], so
+    * `importMerges(export(learn(df)))` encodes bit-identically to the
+    * learned table (BpeSpec pins the round-trip, non-ASCII included).
+    * Blank lines and `#`-prefixed headers are skipped; each line is
+    * `left right` in the remapped alphabet. A line that is not two
+    * space-separated remap tokens fails fast — a tokenizer artifact
+    * is config, not corpus data, and a silently dropped merge rule
+    * would corrupt every id downstream. */
+  def importMerges(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Seq[(String, String)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir, "merges.txt")
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val text =
+      try {
+        val bo = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n > 0) { bo.write(buf, 0, n); n = in.read(buf) }
+        new String(bo.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    text.split("\n", -1).iterator
+      .map(_.stripSuffix("\r"))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        val parts = line.split(" ", -1)
+        require(parts.length == 2,
+          s"malformed merges.txt line (want 'left right'): '$line'")
+        (unmapToken(parts(0)), unmapToken(parts(1)))
+      }
+      .toSeq
   }
 
   /** Append `bpe_tokens: array<string>` + `bpe_ids: array<int>` for

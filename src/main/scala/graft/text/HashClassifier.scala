@@ -113,9 +113,13 @@ object HashClassifier {
     * category as learnMerges' argmax). Text never shuffles; epochs are
     * round-bounded like the BPE/CC loops.
     *
-    * Returns (token, milli_weight) for every token seen in the corpus
-    * — collect to a Map[String, Int] and it feeds [[scoreText]]
-    * UNCHANGED (tokenization here matches scoreText's exactly). */
+    * Returns (token, milli_weight: INT) for every token seen in the
+    * corpus — collect to a Map[String, Int] and it feeds [[scoreText]]
+    * UNCHANGED (tokenization here matches scoreText's exactly). Each
+    * epoch moves a weight by at most lrNum·max_per_doc_count(t) — Int
+    * overflows only past ~2.1e9 accumulated milli-units, unreachable
+    * for sane (epochs, lrNum); `toIntExact` asserts the bound loudly
+    * rather than narrowing silently. */
   def fitLogistic(df: DataFrame, textCol: String, labelCol: String,
                   epochs: Int = 3, lrNum: Long = 64): DataFrame = {
     require(epochs >= 1 && epochs <= 64, s"epochs: $epochs")
@@ -170,7 +174,8 @@ object HashClassifier {
       bc.destroy()
     }
     docs.unpersist()
-    w.toSeq.toDF("token", "milli_weight").orderBy("token")
+    w.toSeq.map { case (t, v) => (t, Math.toIntExact(v)) }
+      .toDF("token", "milli_weight").orderBy("token")
   }
 
   /** The demo vocabulary over the synth corpus's actual token space —

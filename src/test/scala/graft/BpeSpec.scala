@@ -205,4 +205,66 @@ class BpeSpec extends SparkSpec {
         Seq(("t", "h"), ("h", "e"), ("t", "he"), ("th", "e")))
     }
   }
+
+  test("tokenizer artifact round-trip: learn → export → import → " +
+      "encode bit-equals learn → encode; a corpus-trained table " +
+      "drives bpeEncode from disk") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "bpe_io")
+      .toString
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .select(lower(substring(regexp_replace(col("text"),
+        "[^A-Za-z ]", ""), 1, 48)).as("t"))
+    val learned = Bpe.learnMerges(docs, "t", 6)
+    val pairs = learned.select("left_tok", "right_tok")
+      .orderBy("rank").as[(String, String)].collect().toSeq
+    Bpe.exportTokenizer(learned, dir)
+    val imported = Bpe.importMerges(spark, dir)
+    assert(imported === pairs, "merge table must round-trip exactly")
+    // the imported table drives bpeEncode identically
+    def ids(merges: Seq[(String, String)]) =
+      Bpe.bpeEncode(docs.limit(50), "t", merges)
+        .select(array_join(col("bpe_ids"), ",")).as[String]
+        .collect().toSeq
+    assert(ids(imported) === ids(pairs))
+  }
+
+  test("exported files are the GPT-2 shape: Ġ for space, remapped " +
+      "non-ASCII, #version header, vocab ids = byte/256+rank") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "bpe_gold")
+      .toString
+    // ' t'+'h' exercises the space remap; the 0xC3/0xA9 pair is the
+    // UTF-8 bytes of 'é' — a non-ASCII merge learned from real text
+    val merges = Seq((0, " t", "h", 9L), (1, 0xC3.toChar.toString,
+      0xA9.toChar.toString, 7L))
+      .toDF("rank", "left_tok", "right_tok", "pair_count")
+    Bpe.exportTokenizer(merges, dir)
+    val mergesTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "merges.txt")), "UTF-8")
+    assert(mergesTxt === "#version: 0.2\nĠt h\nÃ ©\n")
+    val vocabJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "vocab.json")), "UTF-8")
+    assert(vocabJson.startsWith("{"))
+    assert(vocabJson.contains("\"a\": 97"))        // byte id = value
+    assert(vocabJson.contains("\"Ġth\": 256")) // merged id = 256+rank
+    assert(vocabJson.contains("\"Ã©\": 257"))
+    assert(vocabJson.contains("\"\\\"\": 34"))      // quote escaped
+    // import round-trips back to raw-byte tokens
+    val back = Bpe.importMerges(spark, dir)
+    assert(back === Seq((" t", "h"),
+      (0xC3.toChar.toString, 0xA9.toChar.toString)))
+    // a malformed line fails fast — config, not corpus data (fresh
+    // dir: overwriting the Hadoop-written file with java.nio would
+    // leave a stale .crc behind and fail on checksum, not content)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "bpe_bad")
+      .toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir2, "merges.txt"),
+      "#version: 0.2\nonetoken\n")
+    intercept[IllegalArgumentException] {
+      Bpe.importMerges(spark, dir2)
+    }
+  }
 }

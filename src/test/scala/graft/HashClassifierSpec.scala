@@ -70,8 +70,8 @@ class HashClassifierSpec extends SparkSpec {
     val tiny = Seq((0L, "good"), (1L, "bad")).toDF("doc_id", "text")
       .select((pmod($"doc_id", lit(2)) === 0).as("label"), $"text")
     val w = HashClassifier.fitLogistic(tiny, "text", "label", epochs = 3)
-      .as[(String, Long)].collect().toMap
-    assert(w === Map("good" -> 46L, "bad" -> -48L))
+      .as[(String, Int)].collect().toMap
+    assert(w === Map("good" -> 46, "bad" -> -48))
     // NULL labels are unlabeled rows: dropped from training, never a
     // task failure, and never silently treated as the negative class
     val withNull = Seq((0L, "good"), (1L, "bad")).toDF("doc_id", "text")
@@ -79,7 +79,7 @@ class HashClassifierSpec extends SparkSpec {
       .unionByName(Seq("unlabeled noise").toDF("text")
         .select(lit(null).cast("boolean").as("label"), $"text"))
     val w2 = HashClassifier.fitLogistic(withNull, "text", "label",
-      epochs = 3).as[(String, Long)].collect().toMap
+      epochs = 3).as[(String, Int)].collect().toMap
     assert(w2 === w, "a NULL-label row must not change the fit")
     // the trained table feeds scoreText UNCHANGED and separates classes
     val vocab = w.map { case (t, v) => t -> v.toInt }
@@ -98,7 +98,7 @@ class HashClassifierSpec extends SparkSpec {
       .where(length(trim($"text")) > 0)
     def run(df: org.apache.spark.sql.DataFrame, e: Int) =
       HashClassifier.fitLogistic(df, "text", "label", epochs = e)
-        .as[(String, Long)].collect().sortBy(_._1).toSeq
+        .as[(String, Int)].collect().sortBy(_._1).toSeq
     val base = run(docs, 2)
     assert(base === run(docs.repartition(17), 2))
     assert(base.nonEmpty)

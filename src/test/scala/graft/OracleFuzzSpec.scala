@@ -579,7 +579,7 @@ class OracleFuzzSpec extends SparkSpec {
            |         ON g$k.tok = w${k - 1}.tok, n)""".stripMargin
       }
       val sql = (Seq(head) ++ later).mkString(",\n") +
-        s"\nSELECT tok AS token, CAST(w AS BIGINT) AS milli_weight" +
+        s"\nSELECT tok AS token, CAST(w AS INTEGER) AS milli_weight" +
         s"\nFROM w$epochs ORDER BY token"
       dump(s"fz_fit_$v",
         graft.text.HashClassifier.fitLogistic(

@@ -214,14 +214,29 @@ class PdfSpec extends SparkSpec {
     // /Type01 is a CUSTOM NAME, not the Type0 subtype: must NOT flag
     val decoy = pdfWith(
       ("", Some("BT /Type01 (legit) Tj ET".getBytes("ISO-8859-1"))))
+    // a simple-font doc whose visible TEXT documents PDF fonts: the
+    // markers sit INSIDE show strings and must not flag the doc —
+    // declarations are dict names, never string content
+    val docDoc = pdfWith(
+      ("", Some(("BT (Use /Type0 with /Identity-H encoding) Tj ET"
+        ).getBytes("ISO-8859-1"))))
+    // same markers in a HEX-adjacent literal plus a real parenthesized
+    // aside — still string content, still not a declaration
+    val docDoc2 = pdfWith(
+      ("", Some(("BT (fonts \\(see /Type0 spec\\) are fun) Tj ET"
+        ).getBytes("ISO-8859-1"))))
     val got = extractC((1L, simple), (2L, declared), (3L, hidden),
-      (4L, glyphs), (5L, decoy))
+      (4L, glyphs), (5L, decoy), (6L, docDoc), (7L, docDoc2))
     assert(got === Seq(
       (1L, Some("plain text"), Some(1L), Some(false)),
       (2L, None, Some(1L), Some(true)),
       (3L, None, Some(1L), Some(true)),
       (4L, None, Some(1L), Some(true)),
-      (5L, Some("legit"), Some(1L), Some(false))))
+      (5L, Some("legit"), Some(1L), Some(false)),
+      (6L, Some("Use /Type0 with /Identity-H encoding"), Some(1L),
+        Some(false)),
+      (7L, Some("fonts (see /Type0 spec) are fun"), Some(1L),
+        Some(false))))
   }
 
   test("synthCompositePdfBytes round-trips across the corpus, negative " +

@@ -110,6 +110,114 @@ class PqSpec extends SparkSpec {
     assert(got.subsetOf(probed), "a result escaped the probed lists")
   }
 
+  test("malformed-input guards: NaN vectors encode to NULL codes, " +
+      "non-divisible queries drop from ADC, -1 codes are filtered — " +
+      "never a task failure") {
+    val m = 4
+    val cb = Similarity.pqCodebooks(emb.where($"id" < 4), m)
+    // a NaN in one subspace makes every strict-< comparison false:
+    // the argmin stays -1 and the whole codes array must go NULL
+    // (emitting -1 would make ADC's element_at hit index 0 — a throw)
+    val poisoned = emb.where($"id" < 50).unionByName(
+      Seq((901L, Seq.fill(63)(1f) :+ Float.NaN)).toDF("id", "vec"))
+    val codes = Similarity.pqEncode(poisoned, cb, m)
+    val nanRow = codes.where($"id" === 901L)
+      .select($"pq_codes").collect().head
+    assert(nanRow.isNullAt(0), "NaN vector must yield NULL codes")
+    assert(codes.where($"id" =!= 901L && $"pq_codes".isNull).count() === 0)
+    // the poisoned corpus still searches: the NULL row is skipped
+    val q = emb.where($"id" === 100L)
+    val res = Similarity.pqAdcTopK(q, codes, cb, 3, m)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(res.nonEmpty && !res.contains(901L))
+    // non-divisible QUERY (63 dims under m=4): dropped, not garbage
+    // NULL-dist rows at ranks 1..k
+    val oddQ = Seq((902L, Seq.fill(63)(1f))).toDF("id", "vec")
+    assert(Similarity.pqAdcTopK(oddQ, codes, cb, 3, m).count() === 0)
+    val mixed = q.unionByName(oddQ)
+    val mixedOut = Similarity.pqAdcTopK(mixed, codes, cb, 3, m)
+      .select($"query_id", $"dist").as[(Long, Double)].collect()
+    assert(mixedOut.map(_._1).toSet === Set(100L),
+      "the malformed query must not appear in the output")
+    assert(mixedOut.forall(r => !r._2.isNaN))
+    // a foreign codes table carrying -1 entries is filtered, not a
+    // runtime element_at(., 0) throw
+    val foreign = Seq((903L, Seq(-1, 0, 0, 0)),
+      (904L, Seq(1, 1, 1, 1))).toDF("id", "pq_codes")
+    val out = Similarity.pqAdcTopK(q, foreign, cb, 3, m)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(out === Set(904L))
+  }
+
+  test("residual IVF+PQ: dist equals exact |qres - recon|^2 per probed " +
+      "list (the |qres|^2 term INCLUDED so cross-list ranks compare), " +
+      "results stay in probed lists, and bruteForceTopKL2 is exact") {
+    val m = 4
+    val cents = emb.where($"id" < 8).select($"id".as("cid"), $"vec")
+    val res = Similarity.ivfResidualize(emb, cents)
+    val cb = Similarity.pqCodebooks(
+      res.where($"id".between(10, 13)).select("id", "vec"), m)
+    val codes = Similarity.pqEncode(res, cb, m)
+    val queries = emb.where($"id".between(100, 102))
+    val got = Similarity.pqAdcTopKResidual(
+      queries, codes, cb, cents, 5, m, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    // driver-side reference over the SAME residual frame
+    val cbMap = cb.as[(Int, Long, Seq[Double])].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3.toArray).toArray).toMap
+    val resMap = res.select($"id", $"cid", $"vec")
+      .as[(Long, Long, Seq[Double])].collect()
+      .map { case (id, cid, v) => id -> ((cid, v.toArray)) }.toMap
+    val codeMap = codes.select($"id", $"pq_codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    val vecs = emb.as[(Long, Seq[Float])].collect().toMap
+    val centMap = cents.as[(Long, Seq[Float])].collect()
+      .map { case (c, v) => c -> v.map(_.toDouble).toArray }.toMap
+    // probe sets per query (top-2 centroids by cosine, cid tiebreak)
+    val probes = Similarity.ivfAssignN(queries, cents, 2)
+      .select($"id", $"cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recon(id: Long): Array[Double] =
+      codeMap(id).zipWithIndex.flatMap { case (c, s) => cbMap(s)(c) }
+        .toArray
+    val want = (for {
+      q <- Seq(100L, 101L, 102L)
+      qv = vecs(q).map(_.toDouble).toArray
+      cand <- resMap.keys if cand != q
+      (home, _) = resMap(cand) if probes(q).contains(home)
+    } yield {
+      val qres = qv.zip(centMap(home)).map { case (a, b) => a - b }
+      val r = recon(cand)
+      val d = qres.zip(r).map { case (a, b) =>
+        val t = a - b; t * t
+      }.sum
+      (q, cand, d)
+    }).groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, c, d) => (d, c) }.take(5).map(_._2).toSeq)
+      .toMap
+    val gotByQ = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for (q <- Seq(100L, 101L, 102L))
+      assert(gotByQ(q) === want(q), s"residual ADC diverged for $q")
+    // every result's neighbor lives in a probed list
+    assert(got.forall { case (q, _, n, _) =>
+      probes(q).contains(resMap(n)._1) })
+    // bruteForceTopKL2 is the exact referee
+    val l2 = Similarity.bruteForceTopKL2(
+      emb.where($"id" === 100L), emb.where($"id" < 50), 3)
+      .select($"rank", $"neighbor_id").as[(Int, Long)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    val qv = vecs(100L).map(_.toDouble)
+    val wantL2 = vecs.keys.filter(_ < 50).toSeq.map { c =>
+      val d = qv.zip(vecs(c).map(_.toDouble)).map { case (a, b) =>
+        val t = a - b; t * t
+      }.sum
+      (c, d)
+    }.sortBy { case (c, d) => (d, c) }.take(3).map(_._1)
+    assert(l2 === wantL2)
+  }
+
   test("pqTrain: per-subspace Lloyd reduces quantization distortion " +
       "round over round and is deterministic across repartitionings") {
     val m = 4
