@@ -445,15 +445,21 @@ object Dedup {
                         maxHamming: Int, probeParts: Int = -1,
                         saltBuckets: Int = 0): DataFrame = {
     val chunks = maxHamming + 1
-    require(bits > 0 && bits <= 60 && chunks <= bits,
+    require(bits > 0 && bits <= 64 && chunks <= bits,
       "need at least one signature bit per chunk")
+    require(bits < 64 || chunks >= 2,
+      "a full-64-bit signature needs >= 2 chunks (one 64-wide mask " +
+        "does not fit a signed long)")
     val widths = Array.tabulate(chunks)(i =>
       bits / chunks + (if (i < bits % chunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    // UNSIGNED shift: a 64-bit signature (imageDhash) is a signed long
+    // whose top bit is data — `>>` would smear the sign across every
+    // high chunk; for the <= 60-bit callers the two shifts agree
     val chunkCols = (0 until chunks).map { i =>
       struct(lit(i).as("ci"),
-        expr(s"(simhash >> ${offsets(i)}) & ${(1L << widths(i)) - 1}")
-          .as("cv"))
+        expr(s"shiftrightunsigned(simhash, ${offsets(i)}) " +
+          s"& ${(1L << widths(i)) - 1}").as("cv"))
     }
     // Pin the signature frame's parallelism with an explicit-count
     // repartition on the id (REPARTITION_BY_NUM — AQE honors

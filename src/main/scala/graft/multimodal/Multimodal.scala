@@ -759,6 +759,201 @@ object Multimodal {
         .otherwise(ico)).as("content"))
   }
 
+  /** Append `dhash: bigint` — a 64-bit PERCEPTUAL difference hash over
+    * uncompressed-pixel images, the content-level cousin of the exact
+    * byte dedup q30 runs: two images whose pixels differ slightly
+    * (recompression, a one-pixel watermark, metadata-stripped copies)
+    * hash to small Hamming distance, so near-duplicate IMAGES reduce to
+    * the [[graft.dedup.Dedup.simhashBandedDups]] banding plumbing the
+    * text side already runs (q166/q167).
+    *
+    * Decodable formats are the ones whose pixels are expression-
+    * reachable without a codec: BMP (BITMAPINFOHEADER-family, 24/32
+    * bpp, BI_RGB, bottom-up or top-down) and single-image ICO whose
+    * embedded DIB is the same shape (height stored DOUBLED for the
+    * AND mask, rows bottom-up). Compressed formats (PNG/JPEG/...)
+    * keep NULL — decoding them is the mapInPandas stub seam, not an
+    * expression.
+    *
+    * The hash is standard dHash: nearest-neighbor-sample a 9x8
+    * luminance grid (srcX = floor(gx·w/9), srcY = floor(gy·h/8) — the
+    * identity when the image IS 9x8, which is what the oracle
+    * exhibits use), then bit gy·8+gx = 1 iff grid(gx+1, gy) brighter
+    * than grid(gx, gy). "Luminance" is the unweighted channel sum —
+    * dHash only COMPARES adjacent values, so any monotone transform
+    * gives the same bits and integer sums replay exactly in SQL.
+    * Malformed/undecodable/truncated bytes → NULL, never a throw (the
+    * parser-family contract). Expression-only: one hex pass, 72
+    * bounded substr reads — codegen'd, no UDF, a narrow map at any
+    * corpus size. `maxBytes` bounds the hexed prefix; an image whose
+    * pixel array ends past it reads as truncated → NULL. */
+  def imageDhash(media: DataFrame, contentCol: String = "content",
+                 maxBytes: Int = 1 << 20): DataFrame = {
+    require(maxBytes >= 128, s"maxBytes too small: $maxBytes")
+    Seq("dhash", "__dh_hx", "__dh_st", "__dh_g").foreach(c =>
+      require(!media.columns.contains(c),
+        s"Multimodal.imageDhash: media already has a '$c' column — " +
+          "rename it first; imageDhash appends its own"))
+    val hx = col("__dh_hx")
+    // fixed-offset little-endian reads (0-based BYTE offsets)
+    def leAt(at: Int, n: Int): Column =
+      conv(concat((n - 1 to 0 by -1).map(i =>
+        substring(hx, (at + i) * 2 + 1, 2)): _*), 16, 10).cast(LongType)
+    // data-dependent-offset reads (ICO entry payload)
+    def leAtC(p: Column, n: Int): Column =
+      conv(concat((n - 1 to 0 by -1).map(i =>
+        hx.substr(((p + i) * 2 + 1).cast(IntegerType), lit(2))): _*),
+        16, 10).cast(LongType)
+    def mag(c: Column): Column = // i32 two's-complement magnitude
+      when(c >= 2147483648L, lit(4294967296L) - c).otherwise(c)
+    // --- BMP: pixel offset from the file header, dims from the DIB
+    val bmpBpp = leAt(28, 2)
+    val bmpHRaw = leAt(22, 4)
+    val bmpSt = struct(
+      leAt(10, 4).as("pixoff"), leAt(18, 4).as("w"),
+      mag(bmpHRaw).as("h"), (bmpHRaw >= 2147483648L).as("topdown"),
+      (bmpBpp / 8).cast(LongType).as("bpc"))
+    val bmpOk = hx.startsWith("424D") && length(hx) >= 108 &&
+      leAt(14, 4) >= 40 && (bmpBpp === 24 || bmpBpp === 32) &&
+      leAt(30, 4) === 0 && leAt(18, 4).between(1L, 2147483647L) &&
+      mag(bmpHRaw) >= 1
+    // --- single-image ICO: entry 0's embedded DIB, height doubled
+    val icoOff = leAt(18, 4)
+    val icoBpp = leAtC(icoOff + 14, 2)
+    val icoHD = leAtC(icoOff + 8, 4)
+    val icoSt = struct(
+      (icoOff + 40).as("pixoff"), leAtC(icoOff + 4, 4).as("w"),
+      floor(icoHD / 2).cast(LongType).as("h"), lit(false).as("topdown"),
+      (icoBpp / 8).cast(LongType).as("bpc"))
+    val icoOk = hx.startsWith("00000100") && length(hx) >= 44 &&
+      leAt(4, 2) >= 1 && leAtC(icoOff, 4) === 40 &&
+      (icoBpp === 24 || icoBpp === 32) && leAtC(icoOff + 16, 4) === 0 &&
+      leAtC(icoOff + 4, 4).between(1L, 2147483647L) && icoHD >= 2
+    val st = col("__dh_st")
+    val wC = st.getField("w"); val hC = st.getField("h")
+    val bpcC = st.getField("bpc")
+    val stride =
+      floor((wC * bpcC * 8 + 31) / lit(32)).cast(LongType) * 4
+    val covered = st.isNotNull &&
+      length(hx) >= (st.getField("pixoff") + stride * hC) * 2
+    // 9x8 nearest-neighbor luminance grid, row-major index gy*9+gx.
+    // HIGHER-ORDER transform, not 72 unrolled expressions: the unrolled
+    // form (x3 conv/substr each, duplicated again through any self-join
+    // downstream) was measured to blow the driver heap at plan time in
+    // q167's banded self-join — the q133 plan-size lesson; one lambda
+    // body keeps the plan O(1) in grid size.
+    val grays = transform(sequence(lit(0), lit(71)), i => {
+      val gy = floor(i / 9).cast(LongType)
+      val gx = pmod(i, lit(9)).cast(LongType)
+      val srcX = floor(gx * wC / 9).cast(LongType)
+      val srcY = floor(gy * hC / 8).cast(LongType)
+      val row = when(st.getField("topdown"), srcY)
+        .otherwise(hC - 1 - srcY)
+      val base = st.getField("pixoff") + row * stride + srcX * bpcC
+      (0 to 2).map(j =>
+        conv(hx.substr(((base + j) * 2 + 1).cast(IntegerType), lit(2)),
+          16, 10).cast(LongType)).reduce(_ + _)
+    })
+    val g = col("__dh_g")
+    // bit b (0..63): right neighbor brighter; shiftleft needs a COLUMN
+    // shift amount, which only the SQL form exposes
+    val dhashBits = expr(
+      """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
+        |  acc + CASE WHEN
+        |    element_at(__dh_g,
+        |      CAST((b div 8) * 9 + pmod(b, 8) + 2 AS INT)) >
+        |    element_at(__dh_g,
+        |      CAST((b div 8) * 9 + pmod(b, 8) + 1 AS INT))
+        |  THEN shiftleft(CAST(1 AS BIGINT), b)
+        |  ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+    media
+      .withColumn("__dh_hx", hex(substring(col(contentCol), 1, maxBytes)))
+      .withColumn("__dh_st",
+        when(bmpOk, bmpSt).when(icoOk, icoSt))
+      .withColumn("__dh_g", when(covered, grays))
+      // + ndZero (the imageDims family's pushdown barrier): without it,
+      // a downstream filter like `dhash IS NOT NULL` — q167's shape —
+      // substitutes the WHOLE parse tree into the predicate and the
+      // optimizer's alias-trimming walks the multiplied expression for
+      // minutes (measured: q167 never finished; the r13 q137 incident
+      // class). The nondeterministic alias pins predicates above the
+      // parse and stops project collapse from inlining it downstream.
+      .withColumn("dhash", when(g.isNotNull, dhashBits) + ndZero)
+      .drop("__dh_hx", "__dh_st", "__dh_g")
+  }
+
+  /** Deterministic PIXEL-BEARING image exhibit bytes for [[imageDhash]]
+    * — 9x8 images (the dHash grid exactly, so sampling is identity and
+    * the q166 oracle recomputes every bit as id arithmetic) whose
+    * luminance is g(id, x, y) = pmod((id·31 + x·17 + y·53) ·
+    * (id + x + y + 7), 256), equal across channels (ids congruent mod
+    * 256 still render identical pixels — g depends on id mod 256). Storage cycles pmod(id, 3) over the THREE layouts
+    * the parser must normalize to the same hash: 0 = 24 bpp bottom-up
+    * BMP (padded 28-byte rows), 1 = 32 bpp TOP-DOWN BMP (negative
+    * stored height), 2 = single-image ICO (DIB height doubled, rows
+    * bottom-up, zeroed AND mask). pmod(id, 10) = 1 plants a NEAR-DUP of
+    * id−1: identical pixels except luminance(0,0) bumped +1 — Hamming
+    * distance <= 1 from id−1's hash, the pair q166's banding must find;
+    * everything else is a true negative (~32-bit expected distance).
+    * pmod(id, 11) = 6 is non-image garbage → NULL dhash. */
+  def synthDhashImageBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val eid = when(pmod(id, lit(10)) === 1, id - 1).otherwise(id)
+    // per-pixel hex via HOF lambdas (one body, not 72 unrolled copies —
+    // the same plan-size discipline as imageDhash's grid read)
+    def pxHex(x: Column, y: Column, bpc: Int): Column = {
+      val bump = when(pmod(id, lit(10)) === 1 && x === 0 && y === 0,
+        lit(1L)).otherwise(lit(0L))
+      // the multiplicative (eid + x + y + 7) mix DECORRELATES ids: a
+      // purely linear g would shift every pixel of two ids by the same
+      // constant, leaving their adjacent-pixel comparisons — hence
+      // their dHashes — nearly equal (measured Hamming ~6 between
+      // unrelated ids), a broken true-negative exhibit
+      val b = lpad(hex(pmod(
+        (eid * 31 + x * 17 + y * 53) * (eid + x + y + 7) + bump,
+        lit(256))), 2, "0")
+      if (bpc == 3) concat(b, b, b) else concat(b, b, b, lit("FF"))
+    }
+    def rows(topdown: Boolean, bpc: Int, pad: String): Column = {
+      val ys =
+        if (topdown) sequence(lit(0), lit(7))
+        else sequence(lit(7), lit(0), lit(-1))
+      array_join(transform(ys, y => concat(
+        array_join(transform(sequence(lit(0), lit(8)),
+          x => pxHex(x, y, bpc)), ""),
+        lit(pad))), "")
+    }
+    // 24 bpp bottom-up: 27 pixel bytes + 1 pad = 28/row, 224 total
+    val bmp24 = concat(lit("424D" + leHexLit(278, 4) + "00000000" +
+      leHexLit(54, 4) + leHexLit(40, 4) + leHexLit(9, 4) +
+      leHexLit(8, 4) + "0100" + "1800" + leHexLit(0, 4) +
+      leHexLit(224, 4) + leHexLit(2835, 4) + leHexLit(2835, 4) +
+      leHexLit(0, 4) + leHexLit(0, 4)),
+      rows(topdown = false, bpc = 3, pad = "00"))
+    // 32 bpp TOP-DOWN: stored height = -8 two's-complement, 36/row
+    val bmp32 = concat(lit("424D" + leHexLit(342, 4) + "00000000" +
+      leHexLit(54, 4) + leHexLit(40, 4) + leHexLit(9, 4) +
+      "F8FFFFFF" + "0100" + "2000" + leHexLit(0, 4) +
+      leHexLit(288, 4) + leHexLit(2835, 4) + leHexLit(2835, 4) +
+      leHexLit(0, 4) + leHexLit(0, 4)),
+      rows(topdown = true, bpc = 4, pad = ""))
+    // single-image ICO: 22-byte header+entry, DIB h DOUBLED (16),
+    // bottom-up 32 bpp XOR rows, then the 1-bpp AND mask (8 x 4 zeros)
+    val ico = concat(lit("00000100" + leHexLit(1, 2) +
+      "09" + "08" + "00" + "00" + "0100" + "2000" +
+      leHexLit(360, 4) + leHexLit(22, 4) +
+      leHexLit(40, 4) + leHexLit(9, 4) + leHexLit(16, 4) +
+      "0100" + "2000" + leHexLit(0, 4) + leHexLit(288, 4) +
+      leHexLit(0, 4) + leHexLit(0, 4) + leHexLit(0, 4) + leHexLit(0, 4)),
+      rows(topdown = false, bpc = 4, pad = ""), lit("00" * 32))
+    docs.select(
+      id.as("media_id"),
+      unhex(when(pmod(id, lit(11)) === 6, lit("DEADBEEF00FF"))
+        .when(pmod(id, lit(3)) === 0, bmp24)
+        .when(pmod(id, lit(3)) === 1, bmp32)
+        .otherwise(ico)).as("content"))
+  }
+
   /** Deterministic VALID TIFF exhibit bytes — the test/demo source for
     * [[imageDims]]'s TIFF branch. Even ids are little-endian ('II'), odd
     * big-endian ('MM') — every multi-byte field byte-swaps with the

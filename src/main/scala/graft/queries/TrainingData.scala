@@ -4514,6 +4514,211 @@ object TrainingData {
              |  FROM scored)
              |SELECT query_id, rank, neighbor_id, dist
              |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""
-        .stripMargin))
+        .stripMargin)),
+
+    // Perceptual image hash (Multimodal.imageDhash): 64-bit dHash over
+    // the expression-decodable pixel formats — 9x8 nearest-neighbor
+    // luminance grid, bit gy*8+gx = right-neighbor-brighter. The synth
+    // corpus stores the SAME 9x8 pixel formula in three layouts the
+    // parser must normalize identically (24bpp bottom-up BMP, 32bpp
+    // top-down BMP, single-image ICO with doubled DIB height); ids
+    // congruent mod 256 render identical pixels ACROSS layouts, so
+    // cross-container content dups exist by construction. pmod 10 = 1
+    // plants a one-pixel near-dup of id-1; pmod 11 = 6 is garbage →
+    // NULL. Oracle recomputes every bit as id arithmetic; the signed-
+    // long combine goes through HUGEINT because bit 63 is data.
+    // dhash compares as STRING: the driver's pandas-side harness
+    // degrades a NULLABLE BIGINT to float64, which cannot round-trip a
+    // 64-bit hash magnitude (> 2^53) — the decimal-vs-float lesson.
+    Q("q166_image_dhash",
+      (s, dir) => graft.multimodal.Multimodal.imageDhash(
+          graft.multimodal.Multimodal.synthDhashImageBytes(
+            t(s, dir, "documents").select("doc_id"), "doc_id"))
+        .select(col("media_id"), col("dhash").cast("string").as("dhash"))
+        .orderBy("media_id"),
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+             |g AS (
+             |  SELECT i.doc_id, x.x AS x, y.y AS y,
+             |    ((CASE WHEN ((i.doc_id % 10) + 10) % 10 = 1
+             |       THEN ((i.doc_id - 1) * 31 + x.x * 17 + y.y * 53)
+             |         * ((i.doc_id - 1) + x.x + y.y + 7) +
+             |         (CASE WHEN x.x = 0 AND y.y = 0 THEN 1 ELSE 0 END)
+             |       ELSE (i.doc_id * 31 + x.x * 17 + y.y * 53)
+             |         * (i.doc_id + x.x + y.y + 7)
+             |     END) % 256 + 256) % 256 AS gv
+             |  FROM ids i
+             |  CROSS JOIN unnest(range(0, 9)) x(x)
+             |  CROSS JOIN unnest(range(0, 8)) y(y)),
+             |bits AS (
+             |  SELECT a.doc_id, CAST(a.y * 8 + a.x AS INT) AS b,
+             |    CASE WHEN n.gv > a.gv THEN 1 ELSE 0 END AS bit
+             |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y
+             |    AND n.x = a.x + 1
+             |  WHERE a.x < 8),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN b >= 32
+             |      THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END)
+             |      AS BIGINT) AS hi,
+             |    CAST(sum(CASE WHEN b < 32
+             |      THEN CAST(bit AS BIGINT) << b ELSE 0 END)
+             |      AS BIGINT) AS lo
+             |  FROM bits GROUP BY doc_id)
+             |SELECT i.doc_id AS media_id,
+             |  CASE WHEN ((i.doc_id % 11) + 11) % 11 = 6 THEN NULL
+             |    ELSE CAST(CAST(CAST(h.hi AS HUGEINT) * 4294967296 + h.lo
+             |      - CASE WHEN h.hi >= 2147483648
+             |          THEN CAST('18446744073709551616' AS HUGEINT)
+             |          ELSE 0 END AS BIGINT) AS VARCHAR)
+             |  END AS dhash
+             |FROM ids i JOIN h USING (doc_id)
+             |ORDER BY media_id""".stripMargin)),
+
+    // Image CONTENT near-dup (imageDhash → simhashBandedDups): the
+    // perceptual-hash dedup pass byte-exact dedup (q30) cannot do —
+    // recompressed/re-containered/one-pixel-watermarked copies land at
+    // small Hamming distance and the banding finds EXACTLY the pairs
+    // with distance <= maxHamming (pigeonhole-lossless, the q33
+    // contract, here over the full 64 signed bits via unsigned chunk
+    // shifts). The id<2000 bound keeps the ORACLE's all-pairs check
+    // feasible; the Spark side is the banded join at any scale.
+    Q("q167_image_neardup",
+      (s, dir) => {
+        val sigs = graft.multimodal.Multimodal.imageDhash(
+            graft.multimodal.Multimodal.synthDhashImageBytes(
+              t(s, dir, "documents").select("doc_id")
+                .where(col("doc_id") < 2000), "doc_id"))
+          .where(col("dhash").isNotNull)
+          .select(col("media_id").as("id"), col("dhash").as("simhash"))
+        Dedup.simhashBandedDups(sigs, "id", 64, 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents
+             |            WHERE doc_id < 2000),
+             |g AS (
+             |  SELECT i.doc_id, x.x AS x, y.y AS y,
+             |    ((CASE WHEN ((i.doc_id % 10) + 10) % 10 = 1
+             |       THEN ((i.doc_id - 1) * 31 + x.x * 17 + y.y * 53)
+             |         * ((i.doc_id - 1) + x.x + y.y + 7) +
+             |         (CASE WHEN x.x = 0 AND y.y = 0 THEN 1 ELSE 0 END)
+             |       ELSE (i.doc_id * 31 + x.x * 17 + y.y * 53)
+             |         * (i.doc_id + x.x + y.y + 7)
+             |     END) % 256 + 256) % 256 AS gv
+             |  FROM ids i
+             |  CROSS JOIN unnest(range(0, 9)) x(x)
+             |  CROSS JOIN unnest(range(0, 8)) y(y)),
+             |bits AS (
+             |  SELECT a.doc_id, CAST(a.y * 8 + a.x AS INT) AS b,
+             |    CASE WHEN n.gv > a.gv THEN 1 ELSE 0 END AS bit
+             |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y
+             |    AND n.x = a.x + 1
+             |  WHERE a.x < 8),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN b >= 32
+             |      THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END)
+             |      AS BIGINT) AS hi,
+             |    CAST(sum(CASE WHEN b < 32
+             |      THEN CAST(bit AS BIGINT) << b ELSE 0 END)
+             |      AS BIGINT) AS lo
+             |  FROM bits GROUP BY doc_id),
+             |hh AS (
+             |  SELECT doc_id,
+             |    CAST(CAST(hi AS HUGEINT) * 4294967296 + lo
+             |      - CASE WHEN hi >= 2147483648
+             |          THEN CAST('18446744073709551616' AS HUGEINT)
+             |          ELSE 0 END AS BIGINT) AS dh
+             |  FROM h
+             |  WHERE ((doc_id % 11) + 11) % 11 <> 6)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+             |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.dh, b.dh)) <= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // WET sidecar extraction (Warc.wetDocs): the Common Crawl
+    // pre-extracted-text shape users reach for before raw response
+    // WARCs — `conversion` records become (url, wet_text) docs, the
+    // warcinfo prologue and truncated tails drop, payload decodes as
+    // strict BOM-stripped UTF-8 (invalid bytes → NULL text, length
+    // still accounted — the malformed→NULL contract). Oracle rebuilds
+    // url/text/length as ground-truth id arithmetic over the synth WET
+    // members (gz parity is WarcSpec's, the q140 pattern).
+    Q("q168_wet_text",
+      (s, dir) => graft.sources.Warc.wetDocs(
+          graft.sources.Warc.explodeWarcBlobs(
+            graft.sources.Warc.synthWetBytes(
+              t(s, dir, "documents").select("doc_id"), "doc_id")))
+        .select(col("media_id"), col("rec_idx"), col("url"),
+          col("wet_text"), col("content_length"))
+        .orderBy("media_id", "rec_idx"),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 3) + 3) % 3 AS m3,
+             |    ((doc_id % 9) + 9) % 9 AS m9,
+             |    ((doc_id % 11) + 11) % 11 AS m11,
+             |    ((doc_id % 13) + 13) % 13 AS m13,
+             |    ((doc_id % 100) + 100) % 100 AS site
+             |  FROM documents),
+             |r AS (
+             |  SELECT m.*, t.k FROM m, (VALUES (0), (1)) t(k)
+             |  WHERE m.m11 <> 3 AND (t.k = 0 OR m.m3 >= 1)),
+             |rec AS (
+             |  SELECT doc_id, k, m9, m13,
+             |    'http://wet' || CAST(site AS VARCHAR) || '.org/d' ||
+             |      CAST(k AS VARCHAR) AS url,
+             |    'Doc ' || CAST(doc_id AS VARCHAR) || ' text ' ||
+             |      CAST(k AS VARCHAR) || ' ' ||
+             |      repeat('w', CAST((((doc_id * 5 + k) % 40) + 40) % 40
+             |        + 5 AS INT)) AS text
+             |  FROM r)
+             |SELECT doc_id AS media_id, CAST(k + 1 AS BIGINT) AS rec_idx,
+             |  url,
+             |  CASE WHEN m9 = 4 THEN NULL ELSE text END AS wet_text,
+             |  CAST(length(text)
+             |    + CASE WHEN m13 = 5 THEN 3 ELSE 0 END
+             |    + CASE WHEN m9 = 4 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS content_length
+             |FROM rec ORDER BY media_id, rec_idx""".stripMargin)),
+
+    // Built-in brotli content-coding (sources.Brotli via
+    // Http.parseHttpResponses): REAL reference-encoder bytes decode
+    // end-to-end inside the HTTP parse; a static-dictionary stream
+    // (outside the decoder's documented subset) NULLs the body while
+    // status/headers survive. The bodies are literal encoder output
+    // (DuckDB cannot decode brotli), so the oracle is ground-truth
+    // VALUES — the known plaintexts the reference encoder was fed.
+    Q("q169_http_brotli",
+      (s, dir) => {
+        import s.implicits._
+        val crlf = "\r\n"
+        val head = "HTTP/1.1 200 OK" + crlf +
+          "Content-Type: text/html" + crlf +
+          "Content-Encoding: br" + crlf + crlf
+        val rows = Seq(
+          // q1 encoder output for 'hello hello hello brotli world 'x4
+          (1L, "iz0AAICqqqrq/3Tl81lABEAEgAAYQEAABDbgWHMYxgkHwIFx2Bhz" +
+            "bCmrCyzDjPUxei95UuFLMg=="),
+          // q2 html output referencing the static dictionary: subset
+          // boundary -> NULL body
+          (2L, "G/0BAICqqqrq/3TVw00OFwY+3eUgAKoAIioCCgygA3AwFkRikhjg" +
+            "ThttsFXJcr/5ADrKoEoNZiIMVkDEcPz56hs1Oy8Ugq3fYkxDsWZIIVJj" +
+            "tMLA"))
+        val df = rows.toDF("media_id", "b64")
+          .select(col("media_id"),
+            concat(lit(head).cast(BinaryType),
+              unbase64(col("b64"))).as("payload"))
+        graft.sources.Http.parseHttpResponses(df)
+          .select(col("media_id"), col("http_status"),
+            col("content_encoding"),
+            col("body").cast(StringType).as("body_str"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 200, 'br',
+             |   repeat('hello hello hello brotli world ', 4)),
+             |  (CAST(2 AS BIGINT), 200, 'br', NULL)
+             |) t(media_id, http_status, content_encoding, body_str)
+             |ORDER BY media_id""".stripMargin))
   )
 }

@@ -1,0 +1,527 @@
+package graft.sources
+
+/** Pure-JVM RFC 7932 (brotli) DECODER — resolves the `br` seam in
+  * [[Http.parseHttpResponses]] with an actual decoder instead of a
+  * NULLed body: brotli is a large share of modern `Content-Encoding`
+  * responses, and a crawl pipeline that NULLs every `br` body loses
+  * that slice of the web.
+  *
+  * Scope (documented, honest — the composite-font/PDF pattern):
+  * the COMPLETE meta-block format is implemented — stream header
+  * (all WBITS forms), uncompressed and metadata meta-blocks, simple
+  * (1/2/3/4-symbol) and complex prefix codes with the code-length
+  * code and 16/17 repeat semantics, block-type switching for all
+  * three categories with block-count codes, NPOSTFIX/NDIRECT
+  * distance parameters, context-mapped DISTANCE trees (copy-length
+  * contexts), the 4-slot distance ring with all 16 short codes, and
+  * insert-and-copy commands incl. implicit-last-distance symbols —
+  * EXCEPT two features that return None (→ NULL body downstream,
+  * never a wrong decode):
+  *
+  *   1. static-dictionary references (distance past the output so
+  *      far): the RFC's appendix-A dictionary is ~120 KB of literal
+  *      data with 121 transforms — embedding it is out of scope, and
+  *      silently wrong text would poison the corpus; streams that
+  *      reference it are detected exactly and NULLed;
+  *   2. context-modeled literals (NTREES_L > 1 with the UTF8/Signed
+  *      context modes): the per-byte context LUTs are 768 table
+  *      entries of spec data; single-literal-tree streams — what the
+  *      reference encoder emits for small-to-medium payloads at the
+  *      common quality levels — decode fully, LSB6/MSB6 context
+  *      modes decode at any NTREES_L.
+  *
+  * Verified against REAL encoder output: BrotliSpec's goldens are
+  * byte streams produced by the reference C encoder (via Arrow's
+  * bundled codec), round-tripped bit-exact, plus hand-built
+  * uncompressed-meta-block streams exercising the header forms.
+  * Malformed input → None, never a throw (the decoder-seam contract:
+  * a throwing codec NULLs the row, but None avoids the exception
+  * cost on the hot path). */
+object Brotli {
+
+  private final class Bits(b: Array[Byte]) {
+    var pos = 0 // bit position
+    val nBits: Int = b.length * 8
+    def read(n: Int): Int = {
+      // LSB-first, n <= 24
+      var v = 0
+      var i = 0
+      while (i < n) {
+        if (pos >= nBits) throw Truncated
+        if ((b(pos >> 3) & (1 << (pos & 7))) != 0) v |= 1 << i
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    def readBit(): Int = read(1)
+    def alignByte(): Unit = pos = (pos + 7) & ~7
+    def readAlignedByte(): Int = {
+      if (pos + 8 > nBits) throw Truncated
+      val v = b(pos >> 3) & 0xff
+      pos += 8
+      v
+    }
+  }
+
+  private object Truncated extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private object UnsupCtxLiterals extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private object UnsupDictionary extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private object Malformed extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Canonical prefix decoder: codes assigned by (length asc, symbol
+    * asc), bits served MSB-of-code-first (the DEFLATE convention
+    * brotli shares). Bit-by-bit walk — correctness-first; exhibit and
+    * crawl-payload scale, not a codec-bench. */
+  private final class Prefix(lengths: Array[Int]) {
+    private val maxLen = lengths.max
+    require(maxLen > 0, "empty code")
+    // symbols sorted by (len, sym); firstCode/firstIdx per length
+    private val order: Array[Int] = lengths.indices
+      .filter(lengths(_) > 0).sortBy(s => (lengths(s), s)).toArray
+    private val firstCode = new Array[Int](maxLen + 2)
+    private val firstIdx = new Array[Int](maxLen + 2)
+    private val countAt = new Array[Int](maxLen + 1)
+    order.foreach(s => countAt(lengths(s)) += 1)
+    locally {
+      var code = 0
+      var idx = 0
+      var len = 1
+      while (len <= maxLen) {
+        firstCode(len) = code
+        firstIdx(len) = idx
+        code = (code + countAt(len)) << 1
+        idx += countAt(len)
+        len += 1
+      }
+      // over-subscribed code (kraft violation) would mis-decode
+      if (order.length > 1) {
+        val kraft = lengths.indices.filter(lengths(_) > 0)
+          .map(s => 1L << (maxLen - lengths(s))).sum
+        if (kraft != (1L << maxLen)) throw Malformed
+      }
+    }
+    private val single = order.length == 1
+    def readSym(in: Bits): Int = {
+      if (single) return order(0)
+      var code = 0
+      var len = 0
+      while (true) {
+        code = (code << 1) | in.readBit()
+        len += 1
+        if (len > maxLen) throw Malformed
+        if (countAt(len) > 0 &&
+          code - firstCode(len) < countAt(len) && code >= firstCode(len))
+          return order(firstIdx(len) + (code - firstCode(len)))
+      }
+      -1 // unreachable
+    }
+  }
+
+  // code-length-code symbol order and its fixed code lengths (§3.5)
+  private val ClcOrder =
+    Array(1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+  private val ClcLens = Array(2, 4, 3, 2, 2, 4)
+
+  private val InsExtra = Array(0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4,
+    5, 5, 6, 7, 8, 9, 10, 12, 14, 24)
+  private val InsOffset = Array(0, 1, 2, 3, 4, 5, 6, 8, 10, 14, 18, 26,
+    34, 50, 66, 98, 130, 194, 322, 578, 1090, 2114, 6210, 22594)
+  private val CopyExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3,
+    4, 4, 5, 5, 6, 7, 8, 9, 10, 24)
+  private val CopyOffset = Array(2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 18,
+    22, 30, 38, 54, 70, 102, 134, 198, 326, 582, 1094, 2118)
+  private val InsRangeLut = Array(0, 0, 8, 8, 0, 16, 8, 16, 16)
+  private val CopyRangeLut = Array(0, 8, 0, 8, 16, 0, 16, 8, 16)
+  private val BlockCountExtra = Array(2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 7, 8, 9, 10, 11, 12, 13, 24)
+  private val BlockCountOffset = Array(1, 5, 9, 13, 17, 25, 33, 41, 49,
+    65, 81, 97, 113, 145, 177, 209, 241, 305, 369, 497, 753, 1265, 2289,
+    4337, 8433, 16625)
+
+  /** §9.1 variable-length window-bits code. */
+  private def readWbits(in: Bits): Int =
+    if (in.readBit() == 0) 16
+    else {
+      val n = in.read(3)
+      if (n != 0) 17 + n
+      else {
+        val m = in.read(3)
+        if (m == 0) 17
+        else if (m == 1) throw Malformed // reserved
+        else 8 + m
+      }
+    }
+
+  /** §6 variable-length 1..256 value (VarLenUint8 + 1). */
+  private def readNblTypes(in: Bits): Int =
+    (if (in.readBit() == 0) 0
+     else {
+       val n = in.read(3)
+       if (n == 0) 1 else in.read(n) + (1 << n)
+     }) + 1
+
+  /** §3.4-3.5 prefix-code reading (simple and complex forms). */
+  private def readPrefixCode(in: Bits, alphabet: Int): Prefix = {
+    val hskip = in.read(2)
+    if (hskip == 1) {
+      // simple: 1-4 explicit symbols
+      val nsym = in.read(2) + 1
+      var abits = 0
+      while ((1 << abits) < alphabet) abits += 1
+      val syms = Array.fill(nsym)(in.read(abits))
+      if (syms.exists(_ >= alphabet)) throw Malformed
+      if (syms.distinct.length != nsym) throw Malformed
+      val lengths = new Array[Int](alphabet)
+      nsym match {
+        case 1 => lengths(syms(0)) = 1 // degenerate: zero bits read
+        case 2 => syms.foreach(lengths(_) = 1)
+        case 3 =>
+          lengths(syms(0)) = 1
+          lengths(syms(1)) = 2; lengths(syms(2)) = 2
+        case 4 =>
+          if (in.readBit() == 0) syms.foreach(lengths(_) = 2)
+          else {
+            lengths(syms(0)) = 1; lengths(syms(1)) = 2
+            lengths(syms(2)) = 3; lengths(syms(3)) = 3
+          }
+      }
+      new Prefix(lengths)
+    } else {
+      // complex: code-length code under the FIXED code (§3.5 — the
+      // 6-symbol alphabet with lengths 2,4,3,2,2,4), then the symbol
+      // lengths under that code with 16/17 repeat semantics
+      val clcFixed = new Prefix(ClcLens ++ Array.fill(12)(0))
+      val clcLens = new Array[Int](18)
+      var space = 32
+      var i = hskip
+      while (i < 18 && space > 0) {
+        val sym = clcFixed.readSym(in)
+        clcLens(ClcOrder(i)) = sym
+        if (sym != 0) space -= 32 >> sym
+        i += 1
+      }
+      if (space < 0) throw Malformed
+      val clc = new Prefix(clcLens)
+      // symbol code lengths with 16/17 repeat semantics
+      val lengths = new Array[Int](alphabet)
+      var symSpace = 32768
+      var sym = 0
+      var prevNonZero = 8
+      var repeat = 0
+      var repeatLen = -1 // length being repeated (0 for code 17)
+      while (sym < alphabet && symSpace > 0) {
+        val c = clc.readSym(in)
+        if (c < 16) {
+          repeat = 0; repeatLen = -1
+          lengths(sym) = c
+          if (c != 0) { prevNonZero = c; symSpace -= 32768 >> c }
+          sym += 1
+        } else {
+          val extraBits = if (c == 16) 2 else 3
+          val newLen = if (c == 16) prevNonZero else 0
+          if (repeatLen != newLen) { repeat = 0; repeatLen = newLen }
+          val oldRepeat = repeat
+          if (repeat > 0) repeat = (repeat - 2) << extraBits
+          repeat += in.read(extraBits) + 3
+          val delta = repeat - oldRepeat
+          if (sym + delta > alphabet) throw Malformed
+          var k = 0
+          while (k < delta) {
+            lengths(sym) = newLen
+            if (newLen != 0) symSpace -= 32768 >> newLen
+            sym += 1
+            k += 1
+          }
+        }
+      }
+      if (symSpace < 0) throw Malformed
+      new Prefix(lengths)
+    }
+  }
+
+  /** §7.3 context map (for distance trees; literal maps only reach
+    * here when every entry resolves to tree 0 anyway). */
+  private def readContextMap(in: Bits, size: Int, nTrees: Int)
+      : Array[Int] = {
+    val rleMax = if (in.readBit() == 1) in.read(4) + 1 else 0
+    val code = readPrefixCode(in, nTrees + rleMax)
+    val map = new Array[Int](size)
+    var i = 0
+    while (i < size) {
+      val sym = code.readSym(in)
+      if (sym == 0) { map(i) = 0; i += 1 }
+      else if (sym <= rleMax) {
+        val run = (1 << sym) + in.read(sym)
+        if (i + run > size) throw Malformed
+        var k = 0
+        while (k < run) { map(i) = 0; i += 1; k += 1 }
+      } else {
+        map(i) = sym - rleMax
+        i += 1
+      }
+    }
+    if (in.readBit() == 1) {
+      // inverse move-to-front over values
+      val mtf = Array.tabulate(256)(identity)
+      var j = 0
+      while (j < size) {
+        val idx = map(j)
+        val v = mtf(idx)
+        var k = idx
+        while (k > 0) { mtf(k) = mtf(k - 1); k -= 1 }
+        mtf(0) = v
+        map(j) = v
+        j += 1
+      }
+    }
+    map
+  }
+
+  private final class BlockState(in: Bits) {
+    val nTypes: Int = readNblTypes(in)
+    var cur = 0
+    var prev = 1
+    private val (typeCode, countCode) =
+      if (nTypes > 1)
+        (readPrefixCode(in, nTypes + 2), readPrefixCode(in, 26))
+      else (null, null)
+    var count: Long =
+      if (nTypes > 1) readBlockCount(in, countCode) else Long.MaxValue
+    private def readBlockCount(in: Bits, code: Prefix): Long = {
+      val s = code.readSym(in)
+      BlockCountOffset(s).toLong + in.read(BlockCountExtra(s) min 24)
+    }
+    def switchBlock(): Unit = {
+      val s = typeCode.readSym(in)
+      val next =
+        if (s == 0) prev
+        else if (s == 1) (cur + 1) % nTypes
+        else s - 2
+      prev = cur
+      cur = next
+      count = readBlockCount(in, countCode)
+    }
+    def tick(): Unit = {
+      if (count == 0) switchBlock()
+      count -= 1
+    }
+  }
+
+  /** Decode a complete brotli stream. None on malformed/truncated
+    * bytes OR on the two documented unsupported features (static
+    * dictionary, context-modeled multi-tree literals). `maxOut`
+    * bounds the output; a stream whose plaintext exceeds it returns
+    * the bounded prefix (the decoder-seam truncation contract). */
+  def decode(bytes: Array[Byte], maxOut: Int = 1 << 24)
+      : Option[Array[Byte]] =
+    decodeEither(bytes, maxOut).toOption
+
+  /** [[decode]] with the failure REASON — BrotliSpec asserts every
+    * real-encoder golden that returns None does so for a DOCUMENTED
+    * unsupported feature, never a silent decoder bug. */
+  private[graft] def decodeEither(bytes: Array[Byte], maxOut: Int = 1 << 24)
+      : Either[String, Array[Byte]] = {
+    if (bytes == null || bytes.isEmpty) return Left("empty")
+    try {
+      val in = new Bits(bytes)
+      readWbits(in) // window size: parsed for validity; we buffer all
+      var outArr = new Array[Byte](math.max(64, bytes.length * 4))
+      var outLen = 0
+      def ensure(n: Int): Unit =
+        if (outLen + n > outArr.length) {
+          val grow = math.max(outArr.length * 2, outLen + n)
+          outArr = java.util.Arrays.copyOf(outArr,
+            math.min(grow, maxOut + 64))
+        }
+      def emit(b: Int): Boolean = {
+        if (outLen >= maxOut) return false
+        ensure(1)
+        outArr(outLen) = b.toByte
+        outLen += 1
+        true
+      }
+      // distance ring (§4): initialized 16,15,11,4 where LAST = 4;
+      // rbIdx counts pushes, slot (rbIdx & 3) is the next write, so
+      // last = rb[(rbIdx+3) & 3], second = rb[(rbIdx+2) & 3], ...
+      val distRb = Array(16, 15, 11, 4)
+      var rbIdx = 0
+      def rbAt(back: Int): Int = distRb((rbIdx + 4 - back) & 3)
+      var isLast = false
+      while (!isLast) {
+        isLast = in.readBit() == 1
+        if (isLast && in.readBit() == 1) {
+          // ISLASTEMPTY
+          return Right(java.util.Arrays.copyOf(outArr, outLen))
+        }
+        val mnibbles = in.read(2)
+        if (mnibbles == 3) {
+          // metadata meta-block: skip
+          if (isLast) throw Malformed
+          if (in.readBit() != 0) throw Malformed // reserved
+          val skipBytes = in.read(2)
+          val skipLen =
+            if (skipBytes == 0) 0
+            else {
+              var v = 0
+              var k = 0
+              while (k < skipBytes) { v |= in.read(8) << (8 * k); k += 1 }
+              if (skipBytes > 1 && (v >> (8 * (skipBytes - 1))) == 0)
+                throw Malformed
+              v + 1
+            }
+          in.alignByte()
+          var k = 0
+          while (k < skipLen) { in.readAlignedByte(); k += 1 }
+        } else {
+          val mlen = in.read(4 * (mnibbles + 4)) + 1
+          val uncompressed = !isLast && in.readBit() == 1
+          if (uncompressed) {
+            in.alignByte()
+            var k = 0
+            while (k < mlen) {
+              val b = in.readAlignedByte()
+              if (!emit(b))
+                return Right(java.util.Arrays.copyOf(outArr, outLen))
+              k += 1
+            }
+          } else {
+            // ---- compressed meta-block header ----
+            val bsL = new BlockState(in)
+            val bsI = new BlockState(in)
+            val bsD = new BlockState(in)
+            val npostfix = in.read(2)
+            val ndirect = in.read(4) << npostfix
+            val cmodes = Array.fill(bsL.nTypes)(in.read(2))
+            val nTreesL = readNblTypes(in)
+            val cmapL =
+              if (nTreesL > 1) readContextMap(in, 64 * bsL.nTypes, nTreesL)
+              else new Array[Int](64 * bsL.nTypes)
+            // context-modeled literals need the UTF8/Signed byte LUTs
+            // (modes 2/3); LSB6/MSB6 (0/1) are formula-only — support
+            // them, bail exactly on what we cannot replay
+            if (nTreesL > 1 && cmodes.exists(m => m == 2 || m == 3))
+              throw UnsupCtxLiterals
+            val nTreesD = readNblTypes(in)
+            val cmapD =
+              if (nTreesD > 1) readContextMap(in, 4 * bsD.nTypes, nTreesD)
+              else new Array[Int](4 * bsD.nTypes)
+            val litCodes = Array.fill(nTreesL)(readPrefixCode(in, 256))
+            val iacCodes = Array.fill(bsI.nTypes)(readPrefixCode(in, 704))
+            val distAlphabet = 16 + ndirect + (48 << npostfix)
+            val distCodes =
+              Array.fill(nTreesD)(readPrefixCode(in, distAlphabet))
+            // ---- command loop ----
+            var remaining = mlen
+            while (remaining > 0) {
+              bsI.tick()
+              val sym = iacCodes(bsI.cur).readSym(in)
+              var rangeIdx = sym >> 6
+              val implicitDist = rangeIdx < 2
+              if (!implicitDist) rangeIdx -= 2
+              val insCode = InsRangeLut(rangeIdx) + ((sym >> 3) & 7)
+              val copyCode = CopyRangeLut(rangeIdx) + (sym & 7)
+              val insLen = InsOffset(insCode) + in.read(InsExtra(insCode))
+              val copyLen =
+                CopyOffset(copyCode) + in.read(CopyExtra(copyCode))
+              var k = 0
+              while (k < insLen && remaining > 0) {
+                bsL.tick()
+                val tree =
+                  if (nTreesL == 1) litCodes(0)
+                  else {
+                    val p1 = if (outLen > 0) outArr(outLen - 1) & 0xff
+                      else 0
+                    val ctx = cmodes(bsL.cur) match {
+                      case 0 => p1 & 0x3f // LSB6
+                      case 1 => p1 >> 2 // MSB6
+                      case _ => throw UnsupCtxLiterals
+                    }
+                    litCodes(cmapL(bsL.cur * 64 + ctx))
+                  }
+                val b = tree.readSym(in)
+                if (!emit(b))
+                  return Right(java.util.Arrays.copyOf(outArr, outLen))
+                remaining -= 1
+                k += 1
+              }
+              if (k < insLen) throw Malformed // mlen ran out mid-insert
+              if (remaining > 0) {
+                // distance
+                var dist = 0
+                var push = true
+                if (implicitDist) {
+                  dist = rbAt(1) // last distance, not pushed
+                  push = false
+                } else {
+                  bsD.tick()
+                  val ctx = math.min(copyLen - 2, 3)
+                  val dsym =
+                    distCodes(cmapD(bsD.cur * 4 + ctx)).readSym(in)
+                  if (dsym < 16) {
+                    if (dsym == 0) {
+                      dist = rbAt(1)
+                      push = false
+                    } else if (dsym < 4) {
+                      dist = rbAt(dsym + 1)
+                    } else {
+                      // codes 4-9: last ∓1..3; 10-15: second ∓1..3
+                      // (order per code: -1, +1, -2, +2, -3, +3)
+                      val base = if (dsym < 10) rbAt(1) else rbAt(2)
+                      val j = if (dsym < 10) dsym - 4 else dsym - 10
+                      val delta = (j / 2) + 1
+                      dist =
+                        if ((j & 1) == 0) base - delta else base + delta
+                    }
+                    if (dist <= 0) throw Malformed
+                  } else if (dsym < 16 + ndirect) {
+                    dist = dsym - 16 + 1
+                  } else {
+                    val dcode = dsym - 16 - ndirect
+                    val postfix = dcode & ((1 << npostfix) - 1)
+                    val hcode = dcode >> npostfix
+                    val nbits = 1 + (hcode >> 1)
+                    val extra = in.read(math.min(nbits, 24))
+                    val offset = ((2 + (hcode & 1)) << nbits) - 4
+                    dist =
+                      ((offset + extra) << npostfix) + postfix + ndirect + 1
+                  }
+                }
+                if (dist > outLen) throw UnsupDictionary
+                if (copyLen > remaining) throw Malformed
+                if (push) {
+                  distRb(rbIdx & 3) = dist
+                  rbIdx += 1
+                }
+                var c = 0
+                while (c < copyLen) {
+                  if (!emit(outArr(outLen - dist) & 0xff))
+                    return Right(java.util.Arrays.copyOf(outArr, outLen))
+                  c += 1
+                }
+                remaining -= copyLen
+              }
+            }
+          }
+        }
+      }
+      Right(java.util.Arrays.copyOf(outArr, outLen))
+    } catch {
+      case Truncated => Left("truncated")
+      case UnsupCtxLiterals => Left("unsupported:context-literals")
+      case UnsupDictionary => Left("unsupported:dictionary")
+      case Malformed => Left("malformed")
+      case _: ArrayIndexOutOfBoundsException => Left("malformed")
+      case _: NegativeArraySizeException => Left("malformed")
+      case _: IllegalArgumentException => Left("malformed")
+    }
+  }
+}

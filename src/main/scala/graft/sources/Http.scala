@@ -275,6 +275,24 @@ object Http {
           case None => // codec error: framing was fine, body undecodable
             HttpParsed(status, cType, cEnc, tEnc, loc, null, false)
         }
+      case Seq("br") if !extra.contains("br") =>
+        // built-in pure-JVM brotli ([[Brotli]] — a documented SUBSET:
+        // static-dictionary refs and context-modeled literals NULL).
+        // PRECEDENCE INVERTS here vs gzip/deflate: an extraDecoders
+        // entry for 'br' WINS, because an explicitly registered full
+        // decoder is strictly more capable than the subset, while for
+        // gzip/deflate the JDK built-ins are complete and an override
+        // could only be worse.
+        Brotli.decode(framed, maxBodyBytes + 1) match {
+          case Some(b) =>
+            val trunc = b.length > maxBodyBytes
+            val out = if (trunc) java.util.Arrays.copyOf(b, maxBodyBytes)
+              else b
+            HttpParsed(status, cType, cEnc, tEnc, loc, out,
+              trunc || !framedComplete)
+          case None => // undecodable or outside the documented subset
+            HttpParsed(status, cType, cEnc, tEnc, loc, null, false)
+        }
       case Seq(e) if extra.contains(e) =>
         // a decoder that throws, returns None, or returns Some(null)
         // (Java-interop hazard) all mean "undecodable": NULL body,

@@ -308,6 +308,117 @@ object Warc {
       }.toDF()
   }
 
+  /** Strict BOM-stripping UTF-8 decode; null on any malformed byte
+    * (REPORT mode — the ANSI-decode-throws trap stays out of the plan,
+    * and a binary-stuffed "conversion" record cannot poison downstream
+    * text stages with replacement-char mojibake). */
+  private def utf8OrNull(b: Array[Byte]): String = {
+    if (b == null) return null
+    val skip = if (b.length >= 3 && b(0) == 0xEF.toByte &&
+      b(1) == 0xBB.toByte && b(2) == 0xBF.toByte) 3 else 0
+    try java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      .decode(java.nio.ByteBuffer.wrap(b, skip, b.length - skip))
+      .toString
+    catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  /** WET view over parsed records — the Common Crawl sidecar shape
+    * users reach for FIRST (pre-extracted text, no HTML parsing):
+    * keep only `conversion` records (WARC-Type of a WET text member;
+    * `warcinfo` prologues and response/request records drop) and expose
+    * them as (passthrough-minus-payload, url, wet_text). `url` is the
+    * record's WARC-Target-URI; `wet_text` is the payload decoded as
+    * strict UTF-8 with an optional BOM stripped — the WET spec's
+    * encoding — and NULL when the bytes are not valid UTF-8 (the
+    * malformed→NULL contract; content_length still reports, so corpus
+    * accounting sees the member). Works on either [[warcRecords]]
+    * (path-keyed) or [[explodeWarcBlobs]] (id-keyed) output: a narrow
+    * map, text never shuffles. */
+  def wetDocs(records: DataFrame, uriCol: String = "target_uri",
+              typeCol: String = "warc_type",
+              payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{StructField, StructType}
+    Seq(uriCol, typeCol, payloadCol).foreach(c =>
+      require(records.columns.contains(c),
+        s"Warc.wetDocs: records is missing the '$c' column"))
+    Seq("url", "wet_text").foreach(c =>
+      require(!records.columns.contains(c),
+        s"Warc.wetDocs: records already has a '$c' column — rename it " +
+          "first; wetDocs appends its own"))
+    val pi = records.schema.fieldIndex(payloadCol)
+    val ui = records.schema.fieldIndex(uriCol)
+    val keepIdx = records.schema.fields.indices.filter(_ != pi)
+    val outSchema = StructType(
+      keepIdx.map(records.schema.fields(_)) ++ Seq(
+        StructField("url", StringType),
+        StructField("wet_text", StringType)))
+    records.where(col(typeCol) === "conversion")
+      .map({ r =>
+        Row.fromSeq(keepIdx.map(r.get) ++ Seq(
+          r.getAs[String](ui),
+          utf8OrNull(r.getAs[Array[Byte]](pi))))
+      })(Encoders.row(outSchema))
+  }
+
+  /** Deterministic WET exhibit blobs from an id column — the test/demo
+    * source for [[wetDocs]] (gz parity is WarcSpec's, like q140's
+    * source). Each blob is the WET file shape: a `warcinfo` prologue
+    * (no Target-URI — must NOT surface as a doc), then 1-2 `conversion`
+    * records with id-derived URLs and ASCII text. Variants: pmod 9 = 4
+    * appends one 0xFF byte to the text (invalid UTF-8 → wet_text NULL,
+    * content_length still counts it); pmod 13 = 5 prefixes a UTF-8 BOM
+    * (stripped from wet_text, counted in content_length); pmod 11 = 3
+    * is a garbage first line (zero records); pmod 7 = 0 appends a
+    * truncated trailing record (dropped). The q168 oracle rebuilds
+    * url/text/length as id arithmetic. */
+  def synthWetBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    def m(k: Int) = pmod(id, lit(k))
+    val crlf = "\r\n"
+    def bin(c: org.apache.spark.sql.Column) = c.cast(BinaryType)
+    val info = {
+      val payload = lit("software: graft-wet 1.0")
+      concat(bin(concat(
+        lit("WARC/1.0" + crlf),
+        lit("WARC-Type: warcinfo" + crlf),
+        lit("WARC-Record-ID: <urn:uuid:"), id.cast(StringType),
+        lit("-info>" + crlf),
+        lit("Content-Length: "), octet_length(payload).cast(StringType),
+        lit(crlf), lit(crlf))), bin(payload), bin(lit(crlf + crlf)))
+    }
+    def conv(k: Int): org.apache.spark.sql.Column = {
+      val text = concat(lit(s"Doc "), id.cast(StringType),
+        lit(s" text $k "),
+        repeat(lit("w"), (pmod(id * 5 + lit(k), lit(40)) + 5).cast("int")))
+      val payload = concat(
+        when(m(13) === 5, unhex(lit("EFBBBF")))
+          .otherwise(bin(lit(""))),
+        bin(text),
+        when(m(9) === 4, unhex(lit("FF"))).otherwise(bin(lit(""))))
+      concat(bin(concat(
+        lit("WARC/1.0" + crlf),
+        lit("WARC-Type: conversion" + crlf),
+        lit("WARC-Target-URI: http://wet"), m(100).cast(StringType),
+        lit(s".org/d$k" + crlf),
+        lit("WARC-Record-ID: <urn:uuid:"), id.cast(StringType),
+        lit(s"-$k>" + crlf),
+        lit("Content-Length: "), octet_length(payload).cast(StringType),
+        lit(crlf), lit(crlf))), payload, bin(lit(crlf + crlf)))
+    }
+    val body = concat(
+      when(m(11) === 3, bin(lit("GARBAGE" + crlf))).otherwise(bin(lit(""))),
+      info,
+      conv(0),
+      when(m(3) >= 1, conv(1)).otherwise(bin(lit(""))),
+      when(m(7) === 0, bin(lit(
+        "WARC/1.0" + crlf + "WARC-Type: conversion" + crlf + "Content-Le")))
+        .otherwise(bin(lit(""))))
+    docs.select(id.as("media_id"), body.as("content"))
+  }
+
   /** Deterministic WARC exhibit blobs from an id column — the test/demo
     * source for [[explodeWarcBlobs]] (no crawl dumps ship with this repo),
     * id-varied so the bulk oracle exercises the whole surface: 1-3

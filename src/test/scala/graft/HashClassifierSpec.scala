@@ -91,6 +91,38 @@ class HashClassifierSpec extends SparkSpec {
     assert(scored === Map(1L -> true, 2L -> false))
   }
 
+  test("fitLogistic adversarial edges: all-one-label corpora saturate " +
+      "toward that class without failing; whitespace-only docs drop " +
+      "from N; a corpus of ONLY empty docs refuses loudly") {
+    // all labels true: epoch 1 has z=0 -> p=500 -> err=+500 for every
+    // doc, so every token's weight moves positive and stays there
+    val allPos = Seq("good stuff", "more good", "stuff more")
+      .toDF("text").select(lit(true).as("label"), $"text")
+    val w = HashClassifier.fitLogistic(allPos, "text", "label", epochs = 3)
+      .as[(String, Int)].collect().toMap
+    assert(w.nonEmpty && w.values.forall(_ > 0))
+    val scored = HashClassifier.scoreText(
+      Seq((1L, "good stuff more")).toDF("id", "text"), "text", w)
+      .select($"cls_label").as[Boolean].collect().head
+    assert(scored, "an all-positive fit must score its corpus positive")
+    // a whitespace-only doc contributes no tokens and must not change
+    // N (the gradient denominator) — adding it leaves the fit identical
+    val base = Seq((true, "good stuff"), (false, "bad junk"))
+      .toDF("label", "text")
+    val withBlank = base.unionByName(
+      Seq((true, "   \t  ")).toDF("label", "text"))
+    def fit(df: org.apache.spark.sql.DataFrame) =
+      HashClassifier.fitLogistic(df, "text", "label", epochs = 2)
+        .as[(String, Int)].collect().sortBy(_._1).toSeq
+    assert(fit(withBlank) === fit(base))
+    // only empty docs: nothing to train on — loud, not a NaN fit
+    intercept[IllegalArgumentException] {
+      HashClassifier.fitLogistic(
+        Seq((true, "  "), (false, "")).toDF("label", "text"),
+        "text", "label")
+    }
+  }
+
   test("fitLogistic is deterministic across repartitionings and " +
       "epoch-monotone on a separable corpus") {
     val docs = graft.sources.Sources.table(spark, sf, "documents")

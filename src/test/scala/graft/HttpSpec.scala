@@ -300,14 +300,14 @@ class HttpSpec extends SparkSpec {
     val idOnly = msg("HTTP/1.1 200 OK" + crlf +
       "Content-Encoding: identity" + crlf + crlf,
       "plain".getBytes(US_ASCII))
-    // brotli: no JDK codec — body NULL, but status/headers (INCLUDING
-    // content_encoding='br') survive so a deployment with a brotli jar
-    // can route these rows through its own decoder. Passing the raw
-    // compressed bytes through as "text" would be silent corruption.
+    // brotli with MALFORMED bytes: the built-in [[Brotli]] decoder
+    // (r17) rejects them — body NULL, status/headers (INCLUDING
+    // content_encoding='br') survive. Valid-brotli decode is the
+    // dedicated real-bytes test below.
     val br = msg("HTTP/1.1 200 OK" + crlf +
       "Content-Type: text/html" + crlf +
       "Content-Encoding: br" + crlf + crlf,
-      Array[Byte](0x1b, 0x3f, 0x00, 0x44, 0x22))
+      Array[Byte](0x11, 0x3f, 0x00, 0x44, 0x22))
     // unknown coding: same contract
     val zstd = msg("HTTP/1.1 200 OK" + crlf +
       "Content-Encoding: zstd" + crlf + crlf, "xxxx".getBytes(US_ASCII))
@@ -327,6 +327,44 @@ class HttpSpec extends SparkSpec {
       (3L, Some(200), Some("br"), None, false),
       (4L, Some(200), Some("zstd"), None, false),
       (5L, Some(200), Some("gzip, deflate"), None, false)))
+  }
+
+  test("built-in brotli: REAL encoder bytes decode end-to-end; a " +
+      "static-dictionary stream NULLs (documented subset); an " +
+      "extraDecoders 'br' entry OVERRIDES the built-in subset") {
+    val b64 = java.util.Base64.getDecoder
+    // reference-encoder output at q1 for 'hello hello hello brotli
+    // world ' x4 (BrotliSpec's ascii_rep@q1 golden)
+    val realBr = b64.decode(
+      "iz0AAICqqqrq/3Tl81lABEAEgAAYQEAABDbgWHMYxgkHwIFx2BhzbCmrCyzD" +
+      "jPUxei95UuFLMg==")
+    val plain = "hello hello hello brotli world " * 4
+    // q2 html output that references the STATIC DICTIONARY — outside
+    // the documented subset, must NULL rather than decode wrong
+    val dictBr = b64.decode(
+      "G/0BAICqqqrq/3TVw00OFwY+3eUgAKoAIioCCgygA3AwFkRikhjgThttsFXJ" +
+      "cr/5ADrKoEoNZiIMVkDEcPz56hs1Oy8Ugq3fYkxDsWZIIVJjtMLA")
+    def brMsg(body: Array[Byte]) = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Type: text/html" + crlf +
+      "Content-Encoding: br" + crlf + crlf, body)
+    val got = Http.parseHttpResponses(
+      Seq((1L, brMsg(realBr)), (2L, brMsg(dictBr)))
+        .toDF("media_id", "payload"))
+      .select($"media_id", $"content_encoding", $"body".cast("string"))
+      .as[(Long, Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("br"), Some(plain)),
+      (2L, Some("br"), None)))
+    // an explicitly registered 'br' decoder WINS over the built-in
+    // subset (a full decoder is strictly more capable; the gzip
+    // built-ins keep the opposite precedence because they are complete)
+    val overridden = Http.parseHttpResponses(
+      Seq((1L, brMsg(realBr))).toDF("media_id", "payload"),
+      extraDecoders = Map("br" ->
+        ((_: Array[Byte]) => Some("override".getBytes(US_ASCII)))))
+      .select($"body".cast("string")).as[String].collect().head
+    assert(overridden === "override")
   }
 
   test("extraDecoders: a registered codec routes its coding end-to-end " +

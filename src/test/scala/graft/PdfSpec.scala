@@ -66,9 +66,11 @@ class PdfSpec extends SparkSpec {
 
   // ---- text extraction -------------------------------------------------
 
-  private def zlib(s: String): Array[Byte] = {
+  private def zlib(s: String): Array[Byte] = zlib(s.getBytes("ISO-8859-1"))
+
+  private def zlib(bytes: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
-    d.setInput(s.getBytes("ISO-8859-1")); d.finish()
+    d.setInput(bytes); d.finish()
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](4096)
     while (!d.finished()) out.write(buf, 0, d.deflate(buf))
@@ -237,6 +239,39 @@ class PdfSpec extends SparkSpec {
         Some(false)),
       (7L, Some("fonts (see /Type0 spec) are fun"), Some(1L),
         Some(false))))
+  }
+
+  test("a Flate stream inflating to BINARY GARBAGE neither flags the " +
+      "doc composite nor poisons its real text — the marker scan over " +
+      "inflated bytes survives unbalanced parens and stray '<'") {
+    // deterministic pseudo-random bytes with unbalanced '(' and lone
+    // '<' sprinkled in — the literal/hex skip logic's worst case
+    val rnd = new scala.util.Random(42)
+    val garbage = Array.fill(4096)(rnd.nextInt(256).toByte)
+    garbage(10) = '('; garbage(500) = '<'; garbage(3000) = '('
+    val doc = pdfWith(
+      ("/Filter /FlateDecode", Some(zlib(garbage))),
+      ("", Some("BT (still fine) Tj ET".getBytes("ISO-8859-1"))))
+    val got = Pdf.extractPdfText(
+      Seq((1L, doc)).toDF("media_id", "content"))
+      .select($"pdf_text", $"pdf_composite_font")
+      .as[(Option[String], Option[Boolean])].collect().head
+    assert(got === ((Some("still fine"), Some(false))))
+    // a clean declaration FOLLOWED by binary junk in the same inflated
+    // stream still flags — trailing garbage cannot suppress it. (A
+    // declaration buried BETWEEN stray parens inside pure garbage may
+    // be literal-skipped — detection there is the NUL-show signal's
+    // job, the documented two-signal split.)
+    val decl = " << /Type /Font /Subtype /Type0 >> ".getBytes("ISO-8859-1")
+    val withDecl = decl ++ garbage
+    val doc2 = pdfWith(
+      ("/Filter /FlateDecode", Some(zlib(withDecl))),
+      ("", Some("BT (gone now) Tj ET".getBytes("ISO-8859-1"))))
+    val got2 = Pdf.extractPdfText(
+      Seq((1L, doc2)).toDF("media_id", "content"))
+      .select($"pdf_text", $"pdf_composite_font")
+      .as[(Option[String], Option[Boolean])].collect().head
+    assert(got2 === ((None, Some(true))))
   }
 
   test("synthCompositePdfBytes round-trips across the corpus, negative " +

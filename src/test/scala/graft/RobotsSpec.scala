@@ -143,6 +143,18 @@ class RobotsSpec extends SparkSpec {
     assert(m("/any/depth", "/*$"))
     assert(!m("x", "/*$"))             // ...but it must START with /
     assert(m("/a*b", "/a*b"))          // literal * in the PATH still matches
+    // $ against QUERY-SUFFIXED paths — the q161 frontier feeds paths
+    // WITH their query strings, so an anchored rule must distinguish
+    // '/x.php' (ends there: matched) from '/x.php?y=1' (doesn't: the
+    // anchor fails; only the unanchored or explicitly-wildcarded rule
+    // catches it). A matcher that strips queries before matching would
+    // over-block every parameterized URL of an anchored rule.
+    assert(m("/x.php", "/*.php$"))
+    assert(!m("/x.php?y=1", "/*.php$"))
+    assert(m("/x.php?y=1", "/*.php"))      // unanchored prefix-after-*
+    assert(m("/x.php?y=1", "/*.php*"))
+    assert(m("/x.php?y=1", "/*?y=1$"))     // anchor on the QUERY itself
+    assert(!m("/x.php?y=12", "/*?y=1$"))
   }
 
   test("RobotsPathMatch agrees with a regex reference on random " +

@@ -253,4 +253,57 @@ class WarcSpec extends SparkSpec {
       assert(n2 === 0)
     }
   }
+
+  test("wetDocs: conversion records become (url, wet_text) docs; " +
+      "warcinfo drops; BOM strips; invalid UTF-8 NULLs text; gz parity") {
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      Warc.wetDocs(Warc.explodeWarcBlobs(df))
+        .select($"media_id", $"rec_idx", $"url", $"wet_text",
+          $"content_length")
+        .as[(Long, Long, String, Option[String], Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val info = ("WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf +
+      "WARC-Record-ID: <urn:uuid:i>" + crlf + "Content-Length: 4" + crlf +
+      crlf + "soft" + crlf + crlf).getBytes("ISO-8859-1")
+    val conv = record("conversion", "http://w.org/a", "<urn:uuid:c>",
+      "plain text doc").getBytes("ISO-8859-1")
+    // BOM payload: 3 BOM bytes + 'héllo' in UTF-8 (6 bytes) = 9
+    val utf8Hello = "héllo".getBytes("UTF-8")
+    val bomPayload =
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ utf8Hello
+    val bom = (("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+      "WARC-Target-URI: http://w.org/b" + crlf +
+      "WARC-Record-ID: <urn:uuid:d>" + crlf +
+      s"Content-Length: ${bomPayload.length}" + crlf + crlf)
+      .getBytes("ISO-8859-1")) ++ bomPayload ++
+      (crlf + crlf).getBytes("ISO-8859-1")
+    // invalid UTF-8: a lone 0xFF byte inside the payload
+    val badPayload = "ok".getBytes("UTF-8") ++ Array[Byte](0xFF.toByte)
+    val bad = (("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+      "WARC-Target-URI: http://w.org/c" + crlf +
+      "WARC-Record-ID: <urn:uuid:e>" + crlf +
+      s"Content-Length: ${badPayload.length}" + crlf + crlf)
+      .getBytes("ISO-8859-1")) ++ badPayload ++
+      (crlf + crlf).getBytes("ISO-8859-1")
+    val blob = info ++ conv ++ bom ++ bad
+    val plain = collect(Seq((1L, blob)).toDF("media_id", "content"))
+    assert(plain === Seq(
+      (1L, 1L, "http://w.org/a", Some("plain text doc"), 14L),
+      (1L, 2L, "http://w.org/b", Some("héllo"), 9L),
+      (1L, 3L, "http://w.org/c", None, 3L)))
+    // gz parity: record-per-member .warc.gz parses identically
+    val gz = new ByteArrayOutputStream()
+    for (r <- Seq(info, conv, bom, bad)) {
+      val g = new GZIPOutputStream(gz)
+      g.write(r); g.finish()
+    }
+    val gzed = collect(Seq((1L, gz.toByteArray)).toDF("media_id", "content"))
+    assert(gzed === plain, "gz and plain WET parses must agree")
+    // the synth corpus drives the same surface end to end
+    val synth = Warc.wetDocs(Warc.explodeWarcBlobs(
+      Warc.synthWetBytes(spark.range(0, 300).toDF("doc_id"), "doc_id")))
+    assert(synth.where($"warc_type" =!= "conversion").count() === 0)
+    assert(synth.where($"wet_text".isNull).count() > 0)  // m9=4 class
+    assert(synth.where($"url".isNull).count() === 0)
+  }
 }
