@@ -4434,14 +4434,14 @@ object TrainingData {
              |  FROM embeddings WHERE vec_id < 8),
              |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              |         FROM embeddings),
-             |ranked_assign AS (
+             |ranked_assign AS MATERIALIZED (
              |  SELECT e.vec_id, c.cid,
              |    row_number() OVER (PARTITION BY e.vec_id
              |      ORDER BY list_cosine_similarity(
              |        CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
              |        c.cid) AS rn
              |  FROM embeddings e CROSS JOIN icents c),
-             |resid AS (
+             |resid AS MATERIALIZED (
              |  SELECT v.vec_id, ra.cid,
              |    list_transform(range(1, len(v.v) + 1),
              |      i -> v.v[CAST(i AS INT)] - ic.cv[CAST(i AS INT)])
@@ -4456,7 +4456,7 @@ object TrainingData {
              |  SELECT CAST(s.s AS INT) AS sub, cid,
              |    cv[CAST(s.s*16+1 AS INT):CAST((s.s+1)*16 AS INT)] AS cvec
              |  FROM pqres CROSS JOIN unnest([0,1,2,3]) s(s)),
-             |enc AS (
+             |enc AS MATERIALIZED (
              |  SELECT vec_id, home, sub, code FROM (
              |    SELECT r.vec_id, r.cid AS home, sc.sub,
              |      sc.cid AS code,
@@ -4469,7 +4469,7 @@ object TrainingData {
              |          sc.cid ASC) AS rn
              |    FROM resid r CROSS JOIN subcents sc) t
              |  WHERE rn = 1),
-             |qres AS (
+             |qres AS MATERIALIZED (
              |  SELECT ra.vec_id AS qid, ra.cid,
              |    list_transform(range(1, len(v.v) + 1),
              |      i -> v.v[CAST(i AS INT)] - ic.cv[CAST(i AS INT)])
@@ -4478,7 +4478,7 @@ object TrainingData {
              |  JOIN vecs v ON v.vec_id = ra.vec_id
              |  JOIN icents ic ON ic.cid = ra.cid
              |  WHERE ra.rn <= 2 AND ra.vec_id BETWEEN 100 AND 104),
-             |lut AS (
+             |lut AS MATERIALIZED (
              |  SELECT q.qid, q.cid AS pcid, sc.sub, sc.cid AS code,
              |    list_inner_product(sc.cvec, sc.cvec)
              |      - 2 * list_inner_product(
