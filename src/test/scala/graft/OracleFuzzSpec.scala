@@ -591,6 +591,244 @@ class OracleFuzzSpec extends SparkSpec {
         sql)
     }
 
+    // --- r17 shapes -----------------------------------------------------
+    val emb = graft.sources.Sources.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+    // q164 shape: exact squared-L2 top-k at random k / query stride /
+    // corpus bound
+    for (v <- 0 until 2) {
+      val k = 1 + rnd.nextInt(8)
+      val qm = 23 + rnd.nextInt(60)
+      val cMax = 120 + rnd.nextInt(80)
+      info(s"v$v l2: k=$k queryMod=$qm corpusMax=$cMax")
+      dump(s"fz_l2_$v",
+        graft.similarity.Similarity.bruteForceTopKL2(
+          emb.where(pmod(col("id"), lit(qm)) === 0 &&
+            col("id") < cMax),
+          emb.where(col("id") < cMax), k)
+          .orderBy("query_id", "rank"),
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |          FROM embeddings),
+           |q AS (SELECT vec_id AS qid, v AS qv FROM v
+           |      WHERE ((vec_id % $qm) + $qm) % $qm = 0
+           |        AND vec_id < $cMax),
+           |c AS (SELECT vec_id AS nid, v AS cv FROM v
+           |      WHERE vec_id < $cMax),
+           |scored AS (
+           |  SELECT q.qid AS query_id, c.nid AS neighbor_id,
+           |    list_inner_product(
+           |      list_transform(range(1, len(q.qv) + 1),
+           |        i -> q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]),
+           |      list_transform(range(1, len(q.qv) + 1),
+           |        i -> q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))
+           |      AS dist
+           |  FROM q JOIN c ON c.nid <> q.qid),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, dist,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, dist
+           |FROM ranked WHERE rank <= $k
+           |ORDER BY query_id, rank""".stripMargin)
+    }
+
+    // q165 shape: RESIDUAL IVF+PQ at random m / nprobe / list count /
+    // codebook source — the per-subspace CTE legs are generated so the
+    // composition holds across the parameter space, not at m=4 only
+    for (v <- 0 until 2) {
+      val m = Seq(2, 4, 8)(rnd.nextInt(3))
+      val subd = 64 / m
+      val nprobe = 1 + rnd.nextInt(3)
+      val nc = 4 + rnd.nextInt(5)
+      val cbLo = 10 + rnd.nextInt(20)
+      val k = 2 + rnd.nextInt(4)
+      info(s"v$v residual-pq: m=$m nprobe=$nprobe cents=$nc " +
+        s"cbIds=$cbLo..${cbLo + 3} k=$k")
+      val cents = emb.where(col("id") < nc)
+        .select(col("id").as("cid"), col("vec"))
+      val res = graft.similarity.Similarity.ivfResidualize(emb, cents)
+      val cb = graft.similarity.Similarity.pqCodebooks(
+        res.where(col("id").between(cbLo, cbLo + 3)).select("id", "vec"),
+        m)
+      val codes = graft.similarity.Similarity.pqEncode(res, cb, m)
+      val subsList = (0 until m).mkString(",")
+      def slice(src: String) =
+        s"$src[CAST(sc.sub*$subd+1 AS INT):CAST((sc.sub+1)*$subd AS INT)]"
+      val encJoins = (0 until m).map(s =>
+        s"  JOIN enc e$s ON e$s.vec_id = r.vec_id AND e$s.sub = $s")
+        .mkString("\n")
+      val lutJoins = (0 until m).map(s =>
+        s"  JOIN lut l$s ON l$s.qid = q.qid AND l$s.pcid = q.cid\n" +
+          s"    AND l$s.sub = $s AND l$s.code = e$s.code")
+        .mkString("\n")
+      val distSum = (1 until m).foldLeft("l0.d")((acc, i) =>
+        s"($acc + l$i.d)")
+      dump(s"fz_respq_$v",
+        graft.similarity.Similarity.pqAdcTopKResidual(
+          emb.where(col("id").between(100, 104)), codes, cb, cents,
+          k, m, nprobe)
+          .orderBy("query_id", "rank"),
+        s"""WITH icents AS (
+           |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           |  FROM embeddings WHERE vec_id < $nc),
+           |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |         FROM embeddings),
+           |ranked_assign AS MATERIALIZED (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_cosine_similarity(
+           |        CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+           |        c.cid) AS rn
+           |  FROM embeddings e CROSS JOIN icents c),
+           |resid AS MATERIALIZED (
+           |  SELECT v.vec_id, ra.cid,
+           |    list_transform(range(1, len(v.v) + 1),
+           |      i -> v.v[CAST(i AS INT)] - ic.cv[CAST(i AS INT)]) AS rv
+           |  FROM vecs v
+           |  JOIN ranked_assign ra ON ra.vec_id = v.vec_id AND ra.rn = 1
+           |  JOIN icents ic ON ic.cid = ra.cid),
+           |pqres AS (SELECT vec_id AS cid, rv AS cv FROM resid
+           |          WHERE vec_id BETWEEN $cbLo AND ${cbLo + 3}),
+           |subcents AS (
+           |  SELECT CAST(s.s AS INT) AS sub, cid,
+           |    cv[CAST(s.s*$subd+1 AS INT):CAST((s.s+1)*$subd AS INT)]
+           |      AS cvec
+           |  FROM pqres CROSS JOIN unnest([$subsList]) s(s)),
+           |enc AS MATERIALIZED (
+           |  SELECT vec_id, home, sub, code FROM (
+           |    SELECT r.vec_id, r.cid AS home, sc.sub, sc.cid AS code,
+           |      row_number() OVER (PARTITION BY r.vec_id, sc.sub
+           |        ORDER BY list_inner_product(sc.cvec, sc.cvec)
+           |          - 2 * list_inner_product(${slice("r.rv")},
+           |              sc.cvec) ASC, sc.cid ASC) AS rn
+           |    FROM resid r CROSS JOIN subcents sc) t
+           |  WHERE rn = 1),
+           |qres AS MATERIALIZED (
+           |  SELECT ra.vec_id AS qid, ra.cid,
+           |    list_transform(range(1, len(v.v) + 1),
+           |      i -> v.v[CAST(i AS INT)] - ic.cv[CAST(i AS INT)]) AS rv
+           |  FROM ranked_assign ra
+           |  JOIN vecs v ON v.vec_id = ra.vec_id
+           |  JOIN icents ic ON ic.cid = ra.cid
+           |  WHERE ra.rn <= $nprobe AND ra.vec_id BETWEEN 100 AND 104),
+           |lut AS MATERIALIZED (
+           |  SELECT q.qid, q.cid AS pcid, sc.sub, sc.cid AS code,
+           |    list_inner_product(sc.cvec, sc.cvec)
+           |      - 2 * list_inner_product(${slice("q.rv")}, sc.cvec) AS d
+           |  FROM qres q CROSS JOIN subcents sc),
+           |qn AS (SELECT qid, cid AS pcid,
+           |         list_inner_product(rv, rv) AS qn2 FROM qres),
+           |scored AS (
+           |  SELECT q.qid AS query_id, r.vec_id AS neighbor_id,
+           |    qn.qn2 + $distSum AS dist
+           |  FROM resid r
+           |  JOIN qres q ON q.cid = r.cid AND r.vec_id <> q.qid
+           |$encJoins
+           |$lutJoins
+           |  JOIN qn ON qn.qid = q.qid AND qn.pcid = q.cid),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, dist,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, dist
+           |FROM ranked WHERE rank <= $k
+           |ORDER BY query_id, rank""".stripMargin)
+    }
+
+    // q166/q168 shapes: id-SHIFTED synth corpora — the variant/plant/
+    // garbage residue classes land on different ids each run, so the
+    // whole id-arithmetic surface is exercised, not one alignment
+    for (v <- 0 until 2) {
+      val delta = 1 + rnd.nextInt(1000)
+      info(s"v$v shifted synth: delta=$delta")
+      val shifted = docs.select((col("doc_id") + delta).as("doc_id"))
+      dump(s"fz_dhash_$v",
+        graft.multimodal.Multimodal.imageDhash(
+          graft.multimodal.Multimodal.synthDhashImageBytes(
+            shifted, "doc_id"))
+          .select(col("media_id"),
+            col("dhash").cast("string").as("dhash"))
+          .orderBy("media_id"),
+        s"""WITH ids AS (SELECT doc_id + $delta AS doc_id
+           |             FROM documents),
+           |g AS (
+           |  SELECT i.doc_id, x.x AS x, y.y AS y,
+           |    ((CASE WHEN ((i.doc_id % 10) + 10) % 10 = 1
+           |       THEN ((i.doc_id - 1) * 31 + x.x * 17 + y.y * 53)
+           |         * ((i.doc_id - 1) + x.x + y.y + 7) +
+           |         (CASE WHEN x.x = 0 AND y.y = 0 THEN 1 ELSE 0 END)
+           |       ELSE (i.doc_id * 31 + x.x * 17 + y.y * 53)
+           |         * (i.doc_id + x.x + y.y + 7)
+           |     END) % 256 + 256) % 256 AS gv
+           |  FROM ids i
+           |  CROSS JOIN unnest(range(0, 9)) x(x)
+           |  CROSS JOIN unnest(range(0, 8)) y(y)),
+           |bits AS (
+           |  SELECT a.doc_id, CAST(a.y * 8 + a.x AS INT) AS b,
+           |    CASE WHEN n.gv > a.gv THEN 1 ELSE 0 END AS bit
+           |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y
+           |    AND n.x = a.x + 1
+           |  WHERE a.x < 8),
+           |h AS (
+           |  SELECT doc_id,
+           |    CAST(sum(CASE WHEN b >= 32
+           |      THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END)
+           |      AS BIGINT) AS hi,
+           |    CAST(sum(CASE WHEN b < 32
+           |      THEN CAST(bit AS BIGINT) << b ELSE 0 END)
+           |      AS BIGINT) AS lo
+           |  FROM bits GROUP BY doc_id)
+           |SELECT i.doc_id AS media_id,
+           |  CASE WHEN ((i.doc_id % 11) + 11) % 11 = 6 THEN NULL
+           |    ELSE CAST(CAST(CAST(h.hi AS HUGEINT) * 4294967296 + h.lo
+           |      - CASE WHEN h.hi >= 2147483648
+           |          THEN CAST('18446744073709551616' AS HUGEINT)
+           |          ELSE 0 END AS BIGINT) AS VARCHAR)
+           |  END AS dhash
+           |FROM ids i JOIN h USING (doc_id)
+           |ORDER BY media_id""".stripMargin)
+      dump(s"fz_wet_$v",
+        graft.sources.Warc.wetDocs(
+          graft.sources.Warc.explodeWarcBlobs(
+            graft.sources.Warc.synthWetBytes(shifted, "doc_id")))
+          .select(col("media_id"), col("rec_idx"), col("url"),
+            col("wet_text"), col("content_length"))
+          .orderBy("media_id", "rec_idx"),
+        s"""WITH m AS (
+           |  SELECT doc_id + $delta AS doc_id FROM documents),
+           |m2 AS (
+           |  SELECT doc_id,
+           |    ((doc_id % 3) + 3) % 3 AS m3,
+           |    ((doc_id % 9) + 9) % 9 AS m9,
+           |    ((doc_id % 11) + 11) % 11 AS m11,
+           |    ((doc_id % 13) + 13) % 13 AS m13,
+           |    ((doc_id % 100) + 100) % 100 AS site
+           |  FROM m),
+           |r AS (
+           |  SELECT m2.*, t.k FROM m2, (VALUES (0), (1)) t(k)
+           |  WHERE m2.m11 <> 3 AND (t.k = 0 OR m2.m3 >= 1)),
+           |rec AS (
+           |  SELECT doc_id, k, m9, m13,
+           |    'http://wet' || CAST(site AS VARCHAR) || '.org/d' ||
+           |      CAST(k AS VARCHAR) AS url,
+           |    'Doc ' || CAST(doc_id AS VARCHAR) || ' text ' ||
+           |      CAST(k AS VARCHAR) || ' ' ||
+           |      repeat('w', CAST((((doc_id * 5 + k) % 40) + 40) % 40
+           |        + 5 AS INT)) AS text
+           |  FROM r)
+           |SELECT doc_id AS media_id, CAST(k + 1 AS BIGINT) AS rec_idx,
+           |  url,
+           |  CASE WHEN m9 = 4 THEN NULL ELSE text END AS wet_text,
+           |  CAST(length(text)
+           |    + CASE WHEN m13 = 5 THEN 3 ELSE 0 END
+           |    + CASE WHEN m9 = 4 THEN 1 ELSE 0 END AS BIGINT)
+           |    AS content_length
+           |FROM rec ORDER BY media_id, rec_idx""".stripMargin)
+    }
+
     Files.writeString(Paths.get(s"$out/oracle_sql.json"),
       oracles.map { case (k, s) => s"${jq(k)}: ${jq(s)}" }
         .mkString("{", ",", "}"))
