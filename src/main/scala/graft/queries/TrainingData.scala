@@ -4719,6 +4719,75 @@ object TrainingData {
              |   repeat('hello hello hello brotli world ', 4)),
              |  (CAST(2 AS BIGINT), 200, 'br', NULL)
              |) t(media_id, http_status, content_encoding, body_str)
-             |ORDER BY media_id""".stripMargin))
+             |ORDER BY media_id""".stripMargin)),
+
+    // Image dedup CAPSTONE — the full text-side dup-group pipeline
+    // (q91's banding → connected components) run on image CONTENT:
+    // dHash signatures → 64-bit banded candidates → pointer-jumping CC
+    // labels each image's duplicate group across CONTAINERS (ids ≡ mod
+    // 256 render identical pixels in different layouts) and one-pixel
+    // plants. Same scale shape as the text twin: candidates bounded by
+    // banding, CC rounds log-bounded with per-round checkpoint; the
+    // oracle replays hashes as id arithmetic and closes the graph with
+    // a recursive CTE (the q91 pattern).
+    Q("q170_image_dup_groups",
+      (s, dir) => {
+        val sigs = graft.multimodal.Multimodal.imageDhash(
+            graft.multimodal.Multimodal.synthDhashImageBytes(
+              t(s, dir, "documents").select("doc_id")
+                .where(col("doc_id") < 600), "doc_id"))
+          .select(col("media_id").as("id"), col("dhash").as("simhash"))
+        Dedup.connectedComponents(
+          Dedup.simhashBandedDups(sigs, "id", 64, 2, probeParts = 0))
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE ids AS (
+             |  SELECT doc_id FROM documents WHERE doc_id < 600),
+             |g AS (
+             |  SELECT i.doc_id, x.x AS x, y.y AS y,
+             |    ((CASE WHEN ((i.doc_id % 10) + 10) % 10 = 1
+             |       THEN ((i.doc_id - 1) * 31 + x.x * 17 + y.y * 53)
+             |         * ((i.doc_id - 1) + x.x + y.y + 7) +
+             |         (CASE WHEN x.x = 0 AND y.y = 0 THEN 1 ELSE 0 END)
+             |       ELSE (i.doc_id * 31 + x.x * 17 + y.y * 53)
+             |         * (i.doc_id + x.x + y.y + 7)
+             |     END) % 256 + 256) % 256 AS gv
+             |  FROM ids i
+             |  CROSS JOIN unnest(range(0, 9)) x(x)
+             |  CROSS JOIN unnest(range(0, 8)) y(y)),
+             |bits AS (
+             |  SELECT a.doc_id, CAST(a.y * 8 + a.x AS INT) AS b,
+             |    CASE WHEN n.gv > a.gv THEN 1 ELSE 0 END AS bit
+             |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y
+             |    AND n.x = a.x + 1
+             |  WHERE a.x < 8),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN b >= 32
+             |      THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END)
+             |      AS BIGINT) AS hi,
+             |    CAST(sum(CASE WHEN b < 32
+             |      THEN CAST(bit AS BIGINT) << b ELSE 0 END)
+             |      AS BIGINT) AS lo
+             |  FROM bits GROUP BY doc_id),
+             |hh AS (
+             |  SELECT doc_id,
+             |    CAST(CAST(hi AS HUGEINT) * 4294967296 + lo
+             |      - CASE WHEN hi >= 2147483648
+             |          THEN CAST('18446744073709551616' AS HUGEINT)
+             |          ELSE 0 END AS BIGINT) AS dh
+             |  FROM h
+             |  WHERE ((doc_id % 11) + 11) % 11 <> 6),
+             |edges AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM hh a JOIN hh b ON a.doc_id <> b.doc_id
+             |  WHERE bit_count(xor(a.dh, b.dh)) <= 2),
+             |reach(id, label) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, r.label FROM reach r JOIN edges e
+             |    ON e.src = r.id)
+             |SELECT id, min(label) AS component
+             |FROM reach GROUP BY id ORDER BY id""".stripMargin))
   )
 }
