@@ -14,15 +14,18 @@ package graft.sources
   * three categories with block-count codes, NPOSTFIX/NDIRECT
   * distance parameters, context-mapped DISTANCE trees (copy-length
   * contexts), the 4-slot distance ring with all 16 short codes, and
-  * insert-and-copy commands incl. implicit-last-distance symbols —
-  * EXCEPT two features that return None (→ NULL body downstream,
-  * never a wrong decode):
+  * insert-and-copy commands incl. implicit-last-distance symbols,
+  * and APPENDIX-A STATIC DICTIONARY references through the identity
+  * transform (the dictionary blob ships as a resource; word-space
+  * geometry validated by the appendix size identity Σ len·2^NDBITS =
+  * 122,784) — EXCEPT two features that return None (→ NULL body
+  * downstream, never a wrong decode):
   *
-  *   1. static-dictionary references (distance past the output so
-  *      far): the RFC's appendix-A dictionary is ~120 KB of literal
-  *      data with 121 transforms — embedding it is out of scope, and
-  *      silently wrong text would poison the corpus; streams that
-  *      reference it are detected exactly and NULLed;
+  *   1. NON-IDENTITY dictionary transforms (the 120 prefix/suffix/
+  *      case/omission combos of Appendix B): the transform table is
+  *      order-sensitive spec data this decoder does not carry, and
+  *      silently wrong text would poison the corpus — the transform
+  *      id is decoded exactly and non-zero ids are NULLed;
   *   2. context-modeled literals (NTREES_L > 1 with the UTF8/Signed
   *      context modes): the per-byte context LUTs are 768 table
   *      entries of spec data; single-literal-tree streams — what the
@@ -146,6 +149,41 @@ object Brotli {
   private val BlockCountOffset = Array(1, 5, 9, 13, 17, 25, 33, 41, 49,
     65, 81, 97, 113, 145, 177, 209, 241, 305, 369, 497, 753, 1265, 2289,
     4337, 8433, 16625)
+
+  // ------------------------------------------------------------------
+  // Static dictionary (RFC 7932 §8 + Appendix A): 122,784 bytes of
+  // spec data — words of length 4..24, 2^NDBITS words per length —
+  // shipped as a resource (the appendix is PUBLIC STANDARD content;
+  // the bytes here are the appendix blob). A reference with
+  // transform_id 0 (Identity) emits the word verbatim; the 120
+  // non-identity transforms (prefix/suffix/case/omission combos,
+  // Appendix B) stay documented-unsupported → None, never wrong bytes.
+  // ------------------------------------------------------------------
+  private val DictNdBits = Array(10, 10, 11, 11, 10, 10, 10, 10, 10,
+    9, 9, 8, 7, 7, 8, 7, 7, 6, 6, 5, 5) // word lengths 4..24
+  private val DictOffset: Array[Int] = {
+    val off = new Array[Int](22)
+    var i = 0
+    while (i < 21) {
+      off(i + 1) = off(i) + (4 + i) * (1 << DictNdBits(i))
+      i += 1
+    }
+    off // off(21) == 122784, the appendix blob size
+  }
+  private lazy val Dictionary: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/brotli_dict.bin")
+    require(in != null, "brotli_dict.bin resource missing")
+    val bo = new java.io.ByteArrayOutputStream(DictOffset(21))
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n > 0) { bo.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    val d = bo.toByteArray
+    require(d.length == DictOffset(21) &&
+      new String(d, 0, 4, "US-ASCII") == "time",
+      s"brotli dictionary resource corrupt: ${d.length}")
+    d
+  }
 
   /** §9.1 variable-length window-bits code. */
   private def readWbits(in: Bits): Int =
@@ -333,7 +371,8 @@ object Brotli {
     if (bytes == null || bytes.isEmpty) return Left("empty")
     try {
       val in = new Bits(bytes)
-      readWbits(in) // window size: parsed for validity; we buffer all
+      val wbits = readWbits(in)
+      val maxBackward = (1L << wbits) - 16
       var outArr = new Array[Byte](math.max(64, bytes.length * 4))
       var outLen = 0
       def ensure(n: Int): Unit =
@@ -495,17 +534,43 @@ object Brotli {
                       ((offset + extra) << npostfix) + postfix + ndirect + 1
                   }
                 }
-                if (dist > outLen) throw UnsupDictionary
+                // max allowed BACKWARD distance caps at the window even
+                // when more output exists — a dictionary ref in a long
+                // stream uses dist > window-16 and misreading it as a
+                // window copy would emit wrong bytes
+                val maxDist = math.min(outLen.toLong, maxBackward)
                 if (copyLen > remaining) throw Malformed
-                if (push) {
-                  distRb(rbIdx & 3) = dist
-                  rbIdx += 1
-                }
-                var c = 0
-                while (c < copyLen) {
-                  if (!emit(outArr(outLen - dist) & 0xff))
-                    return Right(java.util.Arrays.copyOf(outArr, outLen))
-                  c += 1
+                if (dist > maxDist) {
+                  // static dictionary reference (§8): the address picks
+                  // a word of length copyLen and one of 121 transforms;
+                  // identity emits the word verbatim, the rest are
+                  // documented-unsupported
+                  if (copyLen < 4 || copyLen > 24) throw Malformed
+                  val ndbits = DictNdBits(copyLen - 4)
+                  val address = dist.toLong - maxDist - 1
+                  val wordId = (address & ((1L << ndbits) - 1)).toInt
+                  val transformId = (address >> ndbits).toInt
+                  if (transformId >= 121) throw Malformed
+                  if (transformId != 0) throw UnsupDictionary
+                  val at = DictOffset(copyLen - 4) + copyLen * wordId
+                  var c = 0
+                  while (c < copyLen) {
+                    if (!emit(Dictionary(at + c) & 0xff))
+                      return Right(java.util.Arrays.copyOf(outArr, outLen))
+                    c += 1
+                  }
+                  // dictionary distances never enter the ring
+                } else {
+                  if (push) {
+                    distRb(rbIdx & 3) = dist
+                    rbIdx += 1
+                  }
+                  var c = 0
+                  while (c < copyLen) {
+                    if (!emit(outArr(outLen - dist) & 0xff))
+                      return Right(java.util.Arrays.copyOf(outArr, outLen))
+                    c += 1
+                  }
                 }
                 remaining -= copyLen
               }

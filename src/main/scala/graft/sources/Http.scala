@@ -277,7 +277,8 @@ object Http {
         }
       case Seq("br") if !extra.contains("br") =>
         // built-in pure-JVM brotli ([[Brotli]] — a documented SUBSET:
-        // static-dictionary refs and context-modeled literals NULL).
+        // non-identity dictionary transforms and context-modeled
+        // literals NULL; identity dictionary refs decode).
         // PRECEDENCE INVERTS here vs gzip/deflate: an extraDecoders
         // entry for 'br' WINS, because an explicitly registered full
         // decoder is strictly more capable than the subset, while for

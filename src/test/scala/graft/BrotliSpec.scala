@@ -8,9 +8,11 @@ import graft.sources.Brotli
   * output of the reference C encoder (Google's library, via Arrow's
   * bundled codec) at the quality level in the vector's name — not
   * hand-built streams pretending to be brotli. The decoder must
-  * round-trip them bit-exact; the `unsupported` vectors must return
-  * None with the DOCUMENTED reason (static dictionary / context-
-  * modeled literals), never a wrong decode and never a throw. */
+  * round-trip them bit-exact — including q5/q7 vectors whose streams
+  * reference the embedded APPENDIX-A STATIC DICTIONARY through the
+  * identity transform; the `unsupported` vectors must return None
+  * with the DOCUMENTED reason (a NON-IDENTITY dictionary transform /
+  * context-modeled literals), never a wrong decode, never a throw. */
 class BrotliSpec extends AnyFunSuite {
 
   private def b64(s: String): Array[Byte] =
@@ -113,6 +115,33 @@ class BrotliSpec extends AnyFunSuite {
       "Kl4Fc6/Ygvap3UcQbDpBFWu/xJLuucNXCHwmUQ37oNSK/qXTTxhiNkkd57DM" +
       "muG1y18Eci5ZA/eo3IbxrTtAFGo+RRPvuMKW6b0nUAx6IVUL/6TSjvmjN0gc" +
       "ZjFNm+C0yp7lsy9YAnYpXYfwzBkA"),
+    ("ascii_rep@q5",
+      "aGVsbG8gaGVsbG8gaGVsbG8gYnJvdGxpIHdvcmxkIGhlbGxvIGhlbGxvIGhl" +
+      "bGxvIGJyb3RsaSB3b3JsZCBoZWxsbyBoZWxsbyBoZWxsbyBicm90bGkgd29y" +
+      "bGQgaGVsbG8gaGVsbG8gaGVsbG8gYnJvdGxpIHdvcmxkIA==",
+      "G3sAAAQch9e7++6LiNSDzJIMYtI6PJ4OWetjwBcC"),
+    ("utf8@q5",
+      "aMOpbGxvIHfDtnJsZCDigJQgw7xuw69jb2RlIOODhuOCreOCueODiCBow6ls" +
+      "bG8gd8O2cmxkIOKAlCDDvG7Dr2NvZGUg44OG44Kt44K544OIIGjDqWxsbyB3" +
+      "w7ZybGQg4oCUIMO8bsOvY29kZSDjg4bjgq3jgrnjg4ggaMOpbGxvIHfDtnJs" +
+      "ZCDigJQgw7xuw69jb2RlIOODhuOCreOCueODiCBow6lsbG8gd8O2cmxkIOKA" +
+      "lCDDvG7Dr2NvZGUg44OG44Kt44K544OIIGjDqWxsbyB3w7ZybGQg4oCUIMO8" +
+      "bsOvY29kZSDjg4bjgq3jgrnjg4ggaMOpbGxvIHfDtnJsZCDigJQgw7xuw69j" +
+      "b2RlIOODhuOCreOCueODiCBow6lsbG8gd8O2cmxkIOKAlCDDvG7Dr2NvZGUg" +
+      "44OG44Kt44K544OIIGjDqWxsbyB3w7ZybGQg4oCUIMO8bsOvY29kZSDjg4bj" +
+      "gq3jgrnjg4ggaMOpbGxvIHfDtnJsZCDigJQgw7xuw69jb2RlIOODhuOCreOC" +
+      "ueODiCBow6lsbG8gd8O2cmxkIOKAlCDDvG7Dr2NvZGUg44OG44Kt44K544OI" +
+      "IGjDqWxsbyB3w7ZybGQg4oCUIMO8bsOvY29kZSDjg4bjgq3jgrnjg4ggaMOp" +
+      "bGxvIHfDtnJsZCDigJQgw7xuw69jb2RlIOODhuOCreOCueODiCBow6lsbG8g" +
+      "d8O2cmxkIOKAlCDDvG7Dr2NvZGUg44OG44Kt44K544OIIGjDqWxsbyB3w7Zy" +
+      "bGQg4oCUIMO8bsOvY29kZSDjg4bjgq3jgrnjg4ggaMOpbGxvIHfDtnJsZCDi" +
+      "gJQgw7xuw69jb2RlIOODhuOCreOCueODiCBow6lsbG8gd8O2cmxkIOKAlCDD" +
+      "vG7Dr2NvZGUg44OG44Kt44K544OIIGjDqWxsbyB3w7ZybGQg4oCUIMO8bsOv" +
+      "Y29kZSDjg4bjgq3jgrnjg4ggaMOpbGxvIHfDtnJsZCDigJQgw7xuw69jb2Rl" +
+      "IOODhuOCreOCueODiCBow6lsbG8gd8O2cmxkIOKAlCDDvG7Dr2NvZGUg44OG" +
+      "44Kt44K544OIIA==",
+      "GzMDAETdlup6MBiOgsX+g5iqQWyCYFuKS1kEarAsrzOXWUXnbZYWAf7CA6YY" +
+      "FEO+5U8xgQE="),
     ("short@q7", "YWJj", "CwGAYWJjAw=="))
 
   // (name, documented reason, brotli-base64)
