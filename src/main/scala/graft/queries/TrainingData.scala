@@ -4683,11 +4683,13 @@ object TrainingData {
 
     // Built-in brotli content-coding (sources.Brotli via
     // Http.parseHttpResponses): REAL reference-encoder bytes decode
-    // end-to-end inside the HTTP parse; a static-dictionary stream
-    // (outside the decoder's documented subset) NULLs the body while
-    // status/headers survive. The bodies are literal encoder output
-    // (DuckDB cannot decode brotli), so the oracle is ground-truth
-    // VALUES — the known plaintexts the reference encoder was fed.
+    // end-to-end inside the HTTP parse — including a stream that
+    // references the Appendix-A static dictionary through Appendix-B
+    // transforms; a malformed stream (reserved window-bits header)
+    // NULLs the body while status/headers survive. The bodies are
+    // literal encoder output (DuckDB cannot decode brotli), so the
+    // oracle is ground-truth VALUES — the plaintexts the reference
+    // encoder was fed.
     Q("q169_http_brotli",
       (s, dir) => {
         import s.implicits._
@@ -4699,11 +4701,13 @@ object TrainingData {
           // q1 encoder output for 'hello hello hello brotli world 'x4
           (1L, "iz0AAICqqqrq/3Tl81lABEAEgAAYQEAABDbgWHMYxgkHwIFx2Bhz" +
             "bCmrCyzDjPUxei95UuFLMg=="),
-          // q2 html output referencing the static dictionary: subset
-          // boundary -> NULL body
+          // q2 html output referencing the static dictionary through
+          // non-identity transforms
           (2L, "G/0BAICqqqrq/3TVw00OFwY+3eUgAKoAIioCCgygA3AwFkRikhjg" +
             "ThttsFXJcr/5ADrKoEoNZiIMVkDEcPz56hs1Oy8Ugq3fYkxDsWZIIVJj" +
-            "tMLA"))
+            "tMLA"),
+          // the reserved window-bits pattern: malformed -> NULL body
+          (3L, "EUFCQw=="))
         val df = rows.toDF("media_id", "b64")
           .select(col("media_id"),
             concat(lit(head).cast(BinaryType),
@@ -4717,7 +4721,10 @@ object TrainingData {
       Some("""SELECT * FROM (VALUES
              |  (CAST(1 AS BIGINT), 200, 'br',
              |   repeat('hello hello hello brotli world ', 4)),
-             |  (CAST(2 AS BIGINT), 200, 'br', NULL)
+             |  (CAST(2 AS BIGINT), 200, 'br',
+             |   repeat('<html><head><title>t</title></head><body>' ||
+             |     '<p>para one</p><p>para two</p></body></html>', 6)),
+             |  (CAST(3 AS BIGINT), 200, 'br', NULL)
              |) t(media_id, http_status, content_encoding, body_str)
              |ORDER BY media_id""".stripMargin)),
 

