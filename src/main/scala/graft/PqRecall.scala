@@ -56,8 +56,12 @@ object PqRecall {
     import spark.implicits._
 
     val k = 10
-    val nCodes = 16
-    val nLists = 16
+    // knobs scale with the corpus (the SemDeDup K ~ corpus/1000 rule):
+    // fixed 16/16 at 10x the corpus dilutes recall because each list
+    // grows 10x while the code budget stays flat — override to measure
+    // the properly-sized operating point
+    val nCodes = sys.env.getOrElse("SPARK_GRAFT_PQ_NCODES", "16").toInt
+    val nLists = sys.env.getOrElse("SPARK_GRAFT_PQ_NLISTS", "16").toInt
     val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
       .cache()

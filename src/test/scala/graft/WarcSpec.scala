@@ -305,5 +305,17 @@ class WarcSpec extends SparkSpec {
     assert(synth.where($"warc_type" =!= "conversion").count() === 0)
     assert(synth.where($"wet_text".isNull).count() > 0)  // m9=4 class
     assert(synth.where($"url".isNull).count() === 0)
+    // FILE-level path: a .warc.gz on disk through warcRecords reads the
+    // same WET docs (path-keyed passthrough instead of media_id)
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "wet")
+      .toString
+    val fo = new FileOutputStream(s"$dir/a.warc.gz")
+    fo.write(gz.toByteArray); fo.close()
+    val fromFile = Warc.wetDocs(Warc.warcRecords(spark, dir))
+      .select($"rec_idx", $"url", $"wet_text", $"content_length")
+      .as[(Long, String, Option[String], Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(fromFile === plain.map(r => (r._2, r._3, r._4, r._5)))
   }
 }
