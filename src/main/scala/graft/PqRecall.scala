@@ -135,6 +135,16 @@ object PqRecall {
             queries, codesRes, cbRes, centroids, k, m, nprobe))
           println(f"| $tag | $m | residual | $label | $r%.3f |")
         }
+        // --- refine: exact-L2 re-rank of the ADC top-C candidates
+        // (pqRefine) — the C-curve SCALING.md records. recall@k after
+        // refine = P(true neighbor survived into ADC's top C), so it
+        // rises with C and is bounded by the nprobe=4 probe coverage.
+        for (c <- Seq(k, 2 * k, 4 * k, 10 * k)) {
+          val adc = Similarity.pqAdcTopKResidual(
+            queries, codesRes, cbRes, centroids, c, m, nprobe = 4)
+          val r = recall(Similarity.pqRefine(queries, vecs, adc, k))
+          println(f"| $tag | $m | refine C=$c | 4 | $r%.3f |")
+        }
         codesRes.unpersist(); resid.unpersist()
       }
       assignAll.unpersist(); centroids.unpersist(); queries.unpersist()

@@ -4795,6 +4795,178 @@ object TrainingData {
              |  SELECT e.dst, r.label FROM reach r JOIN edges e
              |    ON e.src = r.id)
              |SELECT id, min(label) AS component
-             |FROM reach GROUP BY id ORDER BY id""".stripMargin))
+             |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ADC refine / re-rank (Similarity.pqRefine): the stage every
+    // production IVF+PQ deployment runs after ADC — q165's residual
+    // composition called with k = C = 12 (4×k), then the top-C
+    // candidates join RAW vectors by neighbor_id and re-rank by exact
+    // squared-L2 (q164's verified-bit-identical difference fold), so
+    // the final ranking is exact over whatever ADC surfaced and
+    // recall@k = P(true neighbor survived into the top C). One bounded
+    // join (|queries|·C rows against the corpus), no |corpus|² term.
+    // The oracle replays q165's full composition at rank <= 12, then
+    // q164's exact-L2 arithmetic over the survivors.
+    Q("q171_ann_pq_refine",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val cents = e.where(col("id") < 8)
+          .select(col("id").as("cid"), col("vec"))
+        val res = graft.similarity.Similarity.ivfResidualize(e, cents)
+        val cb = graft.similarity.Similarity.pqCodebooks(
+          res.where(col("id").between(10, 13)).select("id", "vec"), 4)
+        val codes = graft.similarity.Similarity.pqEncode(res, cb, 4)
+        val queries = e.where(col("id").between(100, 104))
+        val adcTopC = graft.similarity.Similarity.pqAdcTopKResidual(
+          queries, codes, cb, cents, 12, 4, nprobe = 2)
+        graft.similarity.Similarity.pqRefine(queries, e, adcTopC, 3)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH icents AS (
+             |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id < 8),
+             |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |         FROM embeddings),
+             |ranked_assign AS MATERIALIZED (
+             |  SELECT e.vec_id, c.cid,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY list_cosine_similarity(
+             |        CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+             |        c.cid) AS rn
+             |  FROM embeddings e CROSS JOIN icents c),
+             |resid AS MATERIALIZED (
+             |  SELECT v.vec_id, ra.cid,
+             |    list_transform(range(1, len(v.v) + 1),
+             |      i -> v.v[CAST(i AS INT)] - ic.cv[CAST(i AS INT)])
+             |      AS rv
+             |  FROM vecs v
+             |  JOIN ranked_assign ra ON ra.vec_id = v.vec_id
+             |    AND ra.rn = 1
+             |  JOIN icents ic ON ic.cid = ra.cid),
+             |pqres AS (SELECT vec_id AS cid, rv AS cv FROM resid
+             |          WHERE vec_id BETWEEN 10 AND 13),
+             |subcents AS (
+             |  SELECT CAST(s.s AS INT) AS sub, cid,
+             |    cv[CAST(s.s*16+1 AS INT):CAST((s.s+1)*16 AS INT)] AS cvec
+             |  FROM pqres CROSS JOIN unnest([0,1,2,3]) s(s)),
+             |enc AS MATERIALIZED (
+             |  SELECT vec_id, home, sub, code FROM (
+             |    SELECT r.vec_id, r.cid AS home, sc.sub,
+             |      sc.cid AS code,
+             |      row_number() OVER (PARTITION BY r.vec_id, sc.sub
+             |        ORDER BY list_inner_product(sc.cvec, sc.cvec)
+             |          - 2 * list_inner_product(
+             |              r.rv[CAST(sc.sub*16+1 AS INT):
+             |                  CAST((sc.sub+1)*16 AS INT)],
+             |              sc.cvec) ASC,
+             |          sc.cid ASC) AS rn
+             |    FROM resid r CROSS JOIN subcents sc) t
+             |  WHERE rn = 1),
+             |qres AS MATERIALIZED (
+             |  SELECT ra.vec_id AS qid, ra.cid,
+             |    list_transform(range(1, len(v.v) + 1),
+             |      i -> v.v[CAST(i AS INT)] - ic.cv[CAST(i AS INT)])
+             |      AS rv
+             |  FROM ranked_assign ra
+             |  JOIN vecs v ON v.vec_id = ra.vec_id
+             |  JOIN icents ic ON ic.cid = ra.cid
+             |  WHERE ra.rn <= 2 AND ra.vec_id BETWEEN 100 AND 104),
+             |lut AS MATERIALIZED (
+             |  SELECT q.qid, q.cid AS pcid, sc.sub, sc.cid AS code,
+             |    list_inner_product(sc.cvec, sc.cvec)
+             |      - 2 * list_inner_product(
+             |          q.rv[CAST(sc.sub*16+1 AS INT):
+             |              CAST((sc.sub+1)*16 AS INT)],
+             |          sc.cvec) AS d
+             |  FROM qres q CROSS JOIN subcents sc),
+             |qn AS (SELECT qid, cid AS pcid,
+             |         list_inner_product(rv, rv) AS qn2
+             |       FROM qres),
+             |scored AS (
+             |  SELECT q.qid AS query_id, r.vec_id AS neighbor_id,
+             |    qn.qn2 + (((l0.d + l1.d) + l2.d) + l3.d) AS dist
+             |  FROM resid r
+             |  JOIN qres q ON q.cid = r.cid AND r.vec_id <> q.qid
+             |  JOIN enc e0 ON e0.vec_id = r.vec_id AND e0.sub = 0
+             |  JOIN enc e1 ON e1.vec_id = r.vec_id AND e1.sub = 1
+             |  JOIN enc e2 ON e2.vec_id = r.vec_id AND e2.sub = 2
+             |  JOIN enc e3 ON e3.vec_id = r.vec_id AND e3.sub = 3
+             |  JOIN lut l0 ON l0.qid = q.qid AND l0.pcid = q.cid
+             |    AND l0.sub = 0 AND l0.code = e0.code
+             |  JOIN lut l1 ON l1.qid = q.qid AND l1.pcid = q.cid
+             |    AND l1.sub = 1 AND l1.code = e1.code
+             |  JOIN lut l2 ON l2.qid = q.qid AND l2.pcid = q.cid
+             |    AND l2.sub = 2 AND l2.code = e2.code
+             |  JOIN lut l3 ON l3.qid = q.qid AND l3.pcid = q.cid
+             |    AND l3.sub = 3 AND l3.code = e3.code
+             |  JOIN qn ON qn.qid = q.qid AND qn.pcid = q.cid),
+             |adc AS (
+             |  SELECT query_id, neighbor_id,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY dist ASC, neighbor_id ASC) AS INT) AS crank
+             |  FROM scored),
+             |refined AS (
+             |  SELECT a.query_id, a.neighbor_id,
+             |    list_inner_product(
+             |      list_transform(range(1, len(qv.v) + 1),
+             |        i -> qv.v[CAST(i AS INT)] - cv.v[CAST(i AS INT)]),
+             |      list_transform(range(1, len(qv.v) + 1),
+             |        i -> qv.v[CAST(i AS INT)] - cv.v[CAST(i AS INT)]))
+             |      AS dist
+             |  FROM adc a
+             |  JOIN vecs qv ON qv.vec_id = a.query_id
+             |  JOIN vecs cv ON cv.vec_id = a.neighbor_id
+             |  WHERE a.crank <= 12),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, dist,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+             |  FROM refined)
+             |SELECT query_id, rank, neighbor_id, dist
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""
+        .stripMargin)),
+
+    // zstd content-coding, built in (Http.parseHttpResponses → the
+    // classpath's zstd-jni, the reference libzstd binding) — closes
+    // the once-open brotli/zstd seam from the other side: Common Crawl
+    // and modern origins increasingly serve content-encoding: zstd.
+    // Goldens are `zstd -19` reference-encoder frames: a plain frame,
+    // a skippable-frame prologue (RFC 8878 §3.1.2 — decoders skip it),
+    // two concatenated frames (output concatenates), and a
+    // valid-magic-then-garbage frame → NULL body with headers intact.
+    Q("q172_http_zstd",
+      (s, dir) => {
+        import s.implicits._
+        val crlf = "\r\n"
+        val head = "HTTP/1.1 200 OK" + crlf +
+          "Content-Type: text/html" + crlf +
+          "Content-Encoding: zstd" + crlf + crlf
+        val rows = Seq(
+          (1L, "KLUv/QRo1QAAmHpzdGQgYm9keSBjb250ZW50IHoBAHWlMwyv634d"),
+          (2L, "UCpNGAQAAABTS0lQKLUv/QRoVQEA8DxodG1sPjxib2R5PnpzdGQg" +
+            "b3ZlciBodHRwPC88LwMAvRQCRQkGr+kEcuve1w=="),
+          (3L, "KLUv/QRoYQAAZmlyc3QgZnJhbWUgmQ2Juii1L/0EaGEAAHNlY29u" +
+            "ZCBmcmFtZRdkB7Y="),
+          (4L, "KLUv/f//////"))
+        val df = rows.toDF("media_id", "b64")
+          .select(col("media_id"),
+            concat(lit(head).cast(BinaryType),
+              unbase64(col("b64"))).as("payload"))
+        graft.sources.Http.parseHttpResponses(df)
+          .select(col("media_id"), col("http_status"),
+            col("content_encoding"),
+            col("body").cast(StringType).as("body_str"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 200, 'zstd',
+             |   repeat('zstd body content ', 8)),
+             |  (CAST(2 AS BIGINT), 200, 'zstd',
+             |   repeat('<html><body>zstd over http</body></html>', 3)),
+             |  (CAST(3 AS BIGINT), 200, 'zstd', 'first frame second frame'),
+             |  (CAST(4 AS BIGINT), 200, 'zstd', NULL)
+             |) t(media_id, http_status, content_encoding, body_str)
+             |ORDER BY media_id""".stripMargin))
   )
 }

@@ -515,16 +515,17 @@ object Similarity {
     * top-k, asc distance, ties to the lower id. dist folds the
     * per-element squared differences sequentially — DuckDB replays it
     * as `list_inner_product(d, d)` over the difference list. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast(DoubleType) - y.cast(DoubleType)
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
   def bruteForceTopKL2(queries: DataFrame, corpus: DataFrame,
                        k: Int): DataFrame = {
     require(k >= 1, s"k: $k")
-    val sqDist = (a: Column, b: Column) =>
-      aggregate(
-        zip_with(a, b, (x, y) => {
-          val d = x.cast(DoubleType) - y.cast(DoubleType)
-          d * d
-        }),
-        lit(0.0), (acc, x) => acc + x)
     val q = broadcast(queries.select(col("id").as("query_id"),
       col("vec").as("qv")))
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
@@ -624,6 +625,43 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("dist").asc, col("neighbor_id").asc)
     scored
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
+
+  /** REFINE (re-rank) — the stage every production IVF+PQ deployment
+    * runs after ADC, and the one that lifts recall past ADC's
+    * information ceiling (at 16 codes/subspace, ADC alone tops out
+    * near 0.26 recall@10 on the clustered corpus — SCALING.md "PQ
+    * recall"). Take the ADC top-C candidates (C ≈ 4–10×k from
+    * [[pqAdcTopK]]/[[pqAdcTopKResidual]] called with k = C), join the
+    * RAW vectors back by neighbor_id, and re-rank by exact squared-L2
+    * ([[bruteForceTopKL2]]'s arithmetic, pairwise) — so the final
+    * ranking is exact over whatever the ADC stage surfaced, and
+    * recall@k equals the probability the true neighbor survived into
+    * the top C.
+    *
+    * Scale shape: `candidates` is |queries|·C rows (ADC already
+    * bounded it); ONE bounded join ships those ids against the corpus
+    * (shuffle keyed on neighbor_id — with the corpus bucketed by id
+    * it is co-located), queries broadcast, and the re-rank window
+    * partitions by query_id over ≤C rows each. No |corpus|² term
+    * anywhere; the candidate floats are read exactly once. */
+  def pqRefine(queries: DataFrame, corpus: DataFrame,
+               candidates: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("vec").as("qv")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("dist", sqDist(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast(IntegerType))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "dist")

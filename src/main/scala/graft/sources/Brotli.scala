@@ -383,7 +383,12 @@ object Brotli {
           }
         }
       }
-      if (symSpace < 0) throw Malformed
+      // RFC 7932 §3.5: complex codes must be COMPLETE. The Prefix
+      // ctor's Kraft check catches multi-symbol under-subscription,
+      // but a single-symbol result reads zero bits there and would
+      // accept an incomplete stream — require space exhausted here,
+      // matching the reference decoder's HUFFMAN_SPACE error.
+      if (symSpace != 0) throw Malformed
       new Prefix(lengths)
     }
   }
@@ -456,11 +461,12 @@ object Brotli {
     }
   }
 
-  /** Decode a complete brotli stream. None on malformed/truncated
-    * bytes OR on the two documented unsupported features (static
-    * dictionary, context-modeled multi-tree literals). `maxOut`
-    * bounds the output; a stream whose plaintext exceeds it returns
-    * the bounded prefix (the decoder-seam truncation contract). */
+  /** Decode a complete brotli stream — FULL RFC 7932: all 121
+    * Appendix-B dictionary transforms and all four §7.1 context
+    * modes (multi-tree literals/distances) included. None only on
+    * genuinely malformed/truncated bytes. `maxOut` bounds the
+    * output; a stream whose plaintext exceeds it returns the
+    * bounded prefix (the decoder-seam truncation contract). */
   def decode(bytes: Array[Byte], maxOut: Int = 1 << 24)
       : Option[Array[Byte]] =
     decodeEither(bytes, maxOut).toOption

@@ -136,6 +136,42 @@ object Http {
       case _: Exception => None
     }
 
+  /** Bounded zstd decompress (RFC 8878 content-coding) via the Spark
+    * classpath's zstd-jni streaming API — the reference libzstd
+    * binding, so multi-frame concatenation and skippable frames decode
+    * exactly like the `zstd` tool. None on codec error. Same bounded
+    * read-loop contract as [[inflate]]: output capped at maxOut, the
+    * truncated flag set when coded data remains past the cap. */
+  private def zunstd(bytes: Array[Byte],
+                     maxOut: Int): Option[(Array[Byte], Boolean)] =
+    try {
+      val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+        new ByteArrayInputStream(bytes))
+      try {
+        in.setContinuous(false)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        // a single 64 KiB read can hand back bytes PAST the cap in one
+        // call — track the discard, or the truncated flag would probe
+        // an already-drained stream and read complete (the gzip path
+        // dodges this only because GZIPInputStream returns small
+        // internal-buffer-sized reads)
+        var clipped = false
+        var n = in.read(buf)
+        while (n >= 0 && out.size() < maxOut) {
+          val take = math.min(n, maxOut - out.size())
+          out.write(buf, 0, take)
+          if (take < n) clipped = true
+          n = if (out.size() < maxOut) in.read(buf) else -1
+        }
+        val truncated = clipped ||
+          (out.size() >= maxOut && in.read() >= 0)
+        Some((out.toByteArray, truncated))
+      } finally in.close()
+    } catch {
+      case _: Exception => None
+    }
+
   /** An optional content-coding decoder: full coded bytes in, decoded
     * bytes out (None = codec error → body NULLs, headers survive).
     * Implementations must be SERIALIZABLE — the map ships to executors
@@ -250,11 +286,12 @@ object Http {
     // content decoding AFTER de-framing. Content-Encoding is a COMMA
     // list of codings applied in order; "identity" (and empty tokens)
     // are no-ops. Exactly one real coding we can decode → decode it:
-    // built-in gzip/x-gzip/deflate, or a caller-registered decoder
-    // from `extraDecoders` (the RESOLVED brotli/zstd seam — a
-    // deployment with a brotli jar passes Map("br" -> brotliFn) to
-    // parseHttpResponses and 'br' rows decode in-line; built-ins win a
-    // name clash). Anything else — an unregistered token or a
+    // built-in gzip/x-gzip/deflate/zstd/br (zstd via the classpath's
+    // zstd-jni, br via the pure-JVM [[Brotli]] RFC 7932 decoder — the
+    // once-open brotli/zstd seam is now CLOSED, both built in), or a
+    // caller-registered decoder from `extraDecoders` for anything
+    // rarer (built-ins win a name clash except 'br' — see below).
+    // Anything else — an unregistered token or a
     // multi-coding stack — must NOT fall through as raw compressed
     // bytes masquerading as text: body is NULL while status/headers
     // (INCLUDING content_encoding) survive, so the rows stay routable.
@@ -275,16 +312,32 @@ object Http {
           case None => // codec error: framing was fine, body undecodable
             HttpParsed(status, cType, cEnc, tEnc, loc, null, false)
         }
+      case Seq("zstd") =>
+        // built-in zstd (RFC 8878) via the classpath's zstd-jni — the
+        // reference libzstd binding, complete, so like gzip/deflate
+        // the built-in wins any extraDecoders name clash. Skippable
+        // frames and multi-frame concatenation decode like the
+        // reference tool; codec error → NULL body, headers survive.
+        zunstd(framed, maxBodyBytes) match {
+          case Some((b, trunc)) =>
+            HttpParsed(status, cType, cEnc, tEnc, loc, b,
+              trunc || !framedComplete)
+          case None =>
+            HttpParsed(status, cType, cEnc, tEnc, loc, null, false)
+        }
       case Seq("br") if !extra.contains("br") =>
-        // built-in pure-JVM brotli ([[Brotli]] — a documented SUBSET:
-        // non-identity dictionary transforms and context-modeled
-        // literals NULL; identity dictionary refs decode).
-        // PRECEDENCE INVERTS here vs gzip/deflate: an extraDecoders
-        // entry for 'br' WINS, because an explicitly registered full
-        // decoder is strictly more capable than the subset, while for
-        // gzip/deflate the JDK built-ins are complete and an override
-        // could only be worse.
-        Brotli.decode(framed, maxBodyBytes + 1) match {
+        // built-in pure-JVM brotli ([[Brotli]] — FULL RFC 7932: all
+        // dictionary transforms and context-modeled literals decode;
+        // only genuinely malformed streams NULL).
+        // PRECEDENCE still INVERTS here vs gzip/deflate: an
+        // extraDecoders entry for 'br' WINS (a deployment may prefer
+        // a native-library decoder), while for gzip/deflate the JDK
+        // built-ins are complete and an override could only be worse.
+        // +1 so a body EXACTLY at the cap isn't flagged truncated;
+        // saturate at Int.MaxValue (require only enforces > 0).
+        Brotli.decode(framed,
+          if (maxBodyBytes == Int.MaxValue) maxBodyBytes
+          else maxBodyBytes + 1) match {
           case Some(b) =>
             val trunc = b.length > maxBodyBytes
             val out = if (trunc) java.util.Arrays.copyOf(b, maxBodyBytes)

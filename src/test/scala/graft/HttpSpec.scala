@@ -308,7 +308,9 @@ class HttpSpec extends SparkSpec {
       "Content-Type: text/html" + crlf +
       "Content-Encoding: br" + crlf + crlf,
       Array[Byte](0x11, 0x3f, 0x00, 0x44, 0x22))
-    // unknown coding: same contract
+    // zstd with MALFORMED bytes: the built-in zstd-jni decoder (r18)
+    // rejects them — same NULL-body contract; real frames decode in
+    // the dedicated test below
     val zstd = msg("HTTP/1.1 200 OK" + crlf +
       "Content-Encoding: zstd" + crlf + crlf, "xxxx".getBytes(US_ASCII))
     // a STACKED pair of real codings: undecodable here, NULL
@@ -369,6 +371,58 @@ class HttpSpec extends SparkSpec {
     assert(overridden === "override")
   }
 
+  test("built-in zstd: REAL encoder frames decode end-to-end — " +
+      "skippable-frame prologue and multi-frame concatenation included; " +
+      "the built-in WINS an extraDecoders 'zstd' clash (gzip precedence)") {
+    val b64 = java.util.Base64.getDecoder
+    // `zstd -19` output for 'zstd body content ' x8
+    val f1 = b64.decode("KLUv/QRo1QAAmHpzdGQgYm9keSBjb250ZW50IHoBAHWlMwyv634d")
+    val p1 = "zstd body content " * 8
+    // a 4-byte SKIPPABLE frame (magic 0x184D2A50) prepended to a real
+    // frame — RFC 8878 §3.1.2: decoders skip it, like the zstd tool
+    val f2 = b64.decode("UCpNGAQAAABTS0lQKLUv/QRoVQEA8DxodG1sPjxib2R5" +
+      "PnpzdGQgb3ZlciBodHRwPC88LwMAvRQCRQkGr+kEcuve1w==")
+    val p2 = "<html><body>zstd over http</body></html>" * 3
+    // two frames CONCATENATED: output is the concatenation
+    val f3 = b64.decode("KLUv/QRoYQAAZmlyc3QgZnJhbWUgmQ2Juii1L/0EaGEA" +
+      "AHNlY29uZCBmcmFtZRdkB7Y=")
+    val p3 = "first frame second frame"
+    // valid magic then garbage → NULL body
+    val f4 = b64.decode("KLUv/f//////")
+    def zMsg(body: Array[Byte]) = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Type: text/html" + crlf +
+      "Content-Encoding: zstd" + crlf + crlf, body)
+    val got = Http.parseHttpResponses(
+      Seq((1L, zMsg(f1)), (2L, zMsg(f2)), (3L, zMsg(f3)), (4L, zMsg(f4)))
+        .toDF("media_id", "payload"))
+      .select($"media_id", $"content_encoding", $"body".cast("string"),
+        $"body_truncated")
+      .as[(Long, Option[String], Option[String], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("zstd"), Some(p1), false),
+      (2L, Some("zstd"), Some(p2), false),
+      (3L, Some("zstd"), Some(p3), false),
+      (4L, Some("zstd"), None, false)))
+    // built-in wins the name clash (zstd-jni IS the reference libzstd;
+    // a registered override could only be worse — the gzip rule)
+    val notOverridden = Http.parseHttpResponses(
+      Seq((1L, zMsg(f1))).toDF("media_id", "payload"),
+      extraDecoders = Map("zstd" ->
+        ((_: Array[Byte]) => Some("override".getBytes(US_ASCII)))))
+      .select($"body".cast("string")).as[String].collect().head
+    assert(notOverridden === p1)
+    // bomb cap: compressed frame fits under maxBodyBytes but inflates
+    // past it — output bounded, truncated flag set (the gzip-bomb
+    // contract; a cap below the COMPRESSED size truncates framing
+    // instead and the partial frame NULLs)
+    val capped = Http.parseHttpResponses(
+      Seq((1L, zMsg(f1))).toDF("media_id", "payload"), maxBodyBytes = 50)
+      .select($"body".cast("string"), $"body_truncated")
+      .as[(String, Boolean)].collect().head
+    assert(capped === ((p1.take(50), true)))
+  }
+
   test("extraDecoders: a registered codec routes its coding end-to-end " +
       "through withBodyText; unregistered/stacked stay NULL; a throwing " +
       "decoder NULLs the body, never the task") {
@@ -394,7 +448,7 @@ class HttpSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq
     assert(out === Seq(
       (1L, Some("br"), Some(text)),
-      (2L, Some("zstd"), None),       // no decoder registered
+      (2L, Some("zstd"), None),       // malformed frame → built-in NULLs
       (3L, Some("br, gzip"), None)))  // stacks stay the documented seam
     val boom: Http.BodyDecoder = _ => throw new RuntimeException("boom")
     val row = Http.parseHttpResponses(

@@ -149,6 +149,55 @@ class PqSpec extends SparkSpec {
     assert(out === Set(904L))
   }
 
+  test("pqRefine: exact-L2 re-rank of ADC candidates — with all lists " +
+      "probed and C = |corpus| the refined top-k IS the exact top-k " +
+      "(bit-identical dists), and at small C it equals the driver-side " +
+      "exact re-rank of ADC's survivors") {
+    val m = 4
+    val corpus = emb.where($"id" < 200)
+    val cents = emb.where($"id" < 8).select($"id".as("cid"), $"vec")
+    val res = Similarity.ivfResidualize(corpus, cents)
+    val cb = Similarity.pqCodebooks(
+      res.where($"id".between(10, 13)).select("id", "vec"), m)
+    val codes = Similarity.pqEncode(res, cb, m)
+    val queries = emb.where($"id".between(100, 102))
+    // C covers the whole corpus, every list probed: the candidate set
+    // is every encoded non-self vector, so exact re-rank of it equals
+    // exact search — including the dist doubles (same sqDist fold)
+    val adcAll = Similarity.pqAdcTopKResidual(
+      queries, codes, cb, cents, 200, m, nprobe = 8)
+    val refined = Similarity.pqRefine(queries, corpus, adcAll, 5)
+      .as[(Long, Int, Long, Double)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    val exact = Similarity.bruteForceTopKL2(queries, corpus, 5)
+      .as[(Long, Int, Long, Double)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(refined === exact)
+    // small C: refine must return exactly the exact-L2 re-ranking of
+    // the C survivors ADC surfaced (recall is capped by the C-set)
+    val adcSmall = Similarity.pqAdcTopKResidual(
+      queries, codes, cb, cents, 8, m, nprobe = 2).cache()
+    val got = Similarity.pqRefine(queries, corpus, adcSmall, 3)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val vecs = emb.where($"id" < 200 || $"id".between(100, 104))
+      .as[(Long, Seq[Float])].collect().toMap
+    val cand = adcSmall.select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    for ((q, ns) <- cand) {
+      val qv = vecs(q).map(_.toDouble)
+      val want = ns.map { n =>
+        val d = qv.zip(vecs(n).map(_.toDouble))
+          .map { case (a, b) => val t = a - b; t * t }.sum
+        (n, d)
+      }.sortBy { case (n, d) => (d, n) }.take(3).map(_._1)
+      assert(got(q) === want, s"refine ranking diverged for query $q")
+    }
+    adcSmall.unpersist()
+  }
+
   test("residual IVF+PQ: dist equals exact |qres - recon|^2 per probed " +
       "list (the |qres|^2 term INCLUDED so cross-list ranks compare), " +
       "results stay in probed lists, and bruteForceTopKL2 is exact") {
