@@ -1,0 +1,318 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PNG pixel decode for perceptual hashing — the DECODE-seam rung the
+  * expression-only [[Multimodal.imageDhash]] cannot reach.
+  *
+  * [[Multimodal.imageDhash]] covers formats whose pixels are
+  * expression-reachable (BMP/ICO); real crawl images are overwhelmingly
+  * compressed. This module closes the PNG half with a pure-JVM decoder
+  * (JDK Inflater — the same dependency-free route `multimodal/Pdf.scala`
+  * takes for FlateDecode): 8-bit non-interlaced truecolor PNG (color
+  * types 2 RGB / 6 RGBA, the overwhelming web-crawl majority after
+  * palette), full per-row defilter (all five §4.5.2 filters incl.
+  * Paeth), multi-IDAT reassembly, CRC-validated critical chunks.
+  * Everything else — palette, 16-bit, interlaced, grayscale, malformed,
+  * truncated, oversized — returns NULL, never a throw (the
+  * parser-family contract); the contract is DOCUMENTED honesty, not
+  * silent wrong hashes.
+  *
+  * The hash is the SAME standard dHash as the expression path: 9×8
+  * nearest-neighbor luminance grid (srcX = floor(gx·w/9), srcY =
+  * floor(gy·h/8)), luminance = unweighted first-three-channel sum
+  * (dHash only compares adjacent values, so the BGR-vs-RGB channel
+  * order difference between BMP and PNG is irrelevant — the sum is
+  * permutation-invariant), bit gy·8+gx = right-neighbor brighter.
+  * PngSpec asserts bit-equality against the expression dHash on
+  * re-encoded twins of the BMP exhibits, so the two rungs feed ONE
+  * banding pipeline ([[graft.dedup.Dedup.simhashBandedDups]]) with
+  * mixed-container signatures (q174).
+  *
+  * SCALE SHAPE: decode runs in `mapPartitions` (the [[Multimodal
+  * .extractFeatures]] rung — per-partition init amortized, blobs read
+  * once, only (id, 8-byte hash) travels onward); work per blob is
+  * bounded by `maxBytes` (input) and `maxPixels` (decoded buffer =
+  * ≤4·maxPixels bytes), so a decompression-bomb PNG costs a bounded
+  * allocation then NULLs, never an OOM.
+  */
+object Png {
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Decode an 8-bit non-interlaced truecolor PNG to its raw pixel
+    * array. Some((w, h, channels, pixels)) where pixels is row-major
+    * w·channels bytes per row; None for anything outside the documented
+    * subset or malformed. */
+  private[graft] def decodeRgb(bytes: Array[Byte], maxBytes: Int,
+                               maxPixels: Int): Option[(Int, Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 8 + 25 || bytes.length > maxBytes)
+      return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != Signature(i)) return None; i += 1 }
+    def u32(at: Int): Long =
+      ((bytes(at) & 0xFFL) << 24) | ((bytes(at + 1) & 0xFFL) << 16) |
+        ((bytes(at + 2) & 0xFFL) << 8) | (bytes(at + 3) & 0xFFL)
+    var pos = 8
+    var w, h, channels = 0
+    var seenIhdr, seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      if (pos + 12 > bytes.length) return None // truncated chunk frame
+      val len = u32(pos)
+      if (len > Int.MaxValue - 12 || pos + 12 + len > bytes.length)
+        return None
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val dataAt = pos + 8
+      val dataLen = len.toInt
+      // critical chunks get their CRC verified (the libpng behavior we
+      // care about: a corrupted IHDR/IDAT/IEND must NULL, not mis-hash);
+      // ancillary chunks are skipped without the CRC cost
+      def crcOk: Boolean = {
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, pos + 4, 4 + dataLen)
+        crc.getValue == u32(dataAt + dataLen)
+      }
+      typ match {
+        case "IHDR" =>
+          if (seenIhdr || dataLen != 13 || !crcOk) return None
+          seenIhdr = true
+          val wL = u32(dataAt); val hL = u32(dataAt + 4)
+          val bitDepth = bytes(dataAt + 8) & 0xFF
+          val colorType = bytes(dataAt + 9) & 0xFF
+          val compression = bytes(dataAt + 10) & 0xFF
+          val filterMethod = bytes(dataAt + 11) & 0xFF
+          val interlace = bytes(dataAt + 12) & 0xFF
+          if (wL < 1 || hL < 1 || wL * hL > maxPixels) return None
+          if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
+            compression != 0 || filterMethod != 0 || interlace != 0)
+            return None
+          w = wL.toInt; h = hL.toInt
+          channels = if (colorType == 6) 4 else 3
+        case "IDAT" =>
+          if (!seenIhdr || !crcOk) return None
+          idat.write(bytes, dataAt, dataLen)
+        case "IEND" =>
+          if (!seenIhdr || dataLen != 0 || !crcOk) return None
+          seenIend = true
+        case _ => // ancillary (tEXt, gAMA, ...): skip
+      }
+      pos = dataAt + dataLen + 4
+    }
+    // inflate exactly the expected scanline bytes: (filter + row) × h
+    val rowBytes = w * channels
+    val expected = (rowBytes + 1) * h
+    val raw = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < expected && !inf.finished()) {
+        val n = inf.inflate(raw, got, expected - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < expected) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // defilter in place → pixel array (RFC 2083 §4.5.2, all 5 filters)
+    val px = new Array[Byte](rowBytes * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (rowBytes + 1)) & 0xFF
+      if (f > 4) return None
+      val src = y * (rowBytes + 1) + 1
+      val dst = y * rowBytes
+      var k = 0
+      while (k < rowBytes) {
+        val left = if (k >= channels) px(dst + k - channels) & 0xFF else 0
+        val up = if (y > 0) px(dst - rowBytes + k) & 0xFF else 0
+        val ul = if (y > 0 && k >= channels)
+          px(dst - rowBytes + k - channels) & 0xFF else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => // Paeth
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        px(dst + k) = (((raw(src + k) & 0xFF) + pred) & 0xFF).toByte
+        k += 1
+      }
+      y += 1
+    }
+    Some((w, h, channels, px))
+  }
+
+  /** 64-bit dHash of a decoded PNG — bit-compatible with
+    * [[Multimodal.imageDhash]]'s expression path (same grid, same
+    * unweighted luminance, same comparison). null when undecodable. */
+  private[graft] def dhashOf(bytes: Array[Byte], maxBytes: Int,
+                             maxPixels: Int): java.lang.Long =
+    decodeRgb(bytes, maxBytes, maxPixels) match {
+      case None => null
+      case Some((w, h, channels, px)) =>
+        val grid = Array.ofDim[Long](8, 9)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 9) {
+            val srcX = gx.toLong * w / 9
+            val srcY = gy.toLong * h / 8
+            val base = (srcY * w + srcX).toInt * channels
+            grid(gy)(gx) = (px(base) & 0xFFL) + (px(base + 1) & 0xFFL) +
+              (px(base + 2) & 0xFFL)
+            gx += 1
+          }
+          gy += 1
+        }
+        var acc = 0L
+        var b = 0
+        while (b < 64) {
+          if (grid(b / 8)(b % 8 + 1) > grid(b / 8)(b % 8))
+            acc += 1L << b
+          b += 1
+        }
+        java.lang.Long.valueOf(acc)
+    }
+
+  /** dHash via the decode rung: (idCol, dhash) — one row per input,
+    * dhash NULL outside the documented subset. Pairs with
+    * [[Multimodal.imageDhash]] to feed mixed BMP/PNG signatures into
+    * one [[graft.dedup.Dedup.simhashBandedDups]] banding (q174). */
+  def imageDhashPng(media: DataFrame, idCol: String = "media_id",
+                    contentCol: String = "content",
+                    maxBytes: Int = 1 << 20,
+                    maxPixels: Int = 1 << 22): DataFrame = {
+    require(maxBytes >= 64, s"maxBytes too small: $maxBytes")
+    require(maxPixels >= 72, s"maxPixels too small: $maxPixels")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast(LongType), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would amortize here (codec contexts); the
+        // JDK Inflater is allocated per blob — cheap and leak-free
+        it.map { case (id, c) =>
+          (id, Option(dhashOf(c, maxBytes, maxPixels)).map(_.longValue))
+        }
+      }
+      .toDF(idCol, "dhash")
+  }
+
+  /** Deterministic PNG twins of [[Multimodal.synthDhashImageBytes]] —
+    * the SAME 9×8 pixel formula g(id, x, y) = pmod((eid·31 + x·17 +
+    * y·53)·(eid + x + y + 7) [+ bump], 256), so a PNG exhibit and a BMP
+    * exhibit with congruent ids (mod 256) hash identically and the
+    * q166/q167 id-arithmetic oracles replay unchanged. Same plants:
+    * pmod(id,10)=1 is a one-pixel near-dup of id−1, pmod(id,11)=6 is
+    * garbage → NULL. PNG-specific coverage varies by id: color type
+    * cycles RGB/RGBA (pmod 3), every row cycles filter y%5 (all five
+    * defilter paths in every image), pmod(id,4)=2 splits IDAT in two
+    * chunks, pmod(id,4)=3 inserts an ancillary tEXt chunk to skip. */
+  def synthPngImageBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long]
+      .map(id => (id, synthPngBytes(id)))
+      .toDF("media_id", "content")
+  }
+
+  private[graft] def synthPngBytes(id: Long): Array[Byte] = {
+    def pm(a: Long, m: Long): Long = ((a % m) + m) % m
+    if (pm(id, 11) == 6)
+      return Array(0xDE, 0xAD, 0xBE, 0xEF, 0x00, 0xFF).map(_.toByte)
+    val eid = if (pm(id, 10) == 1) id - 1 else id
+    val w = 9; val h = 8
+    val channels = if (pm(id, 3) == 1) 4 else 3
+    val rowBytes = w * channels
+    val px = new Array[Int](rowBytes * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bump = if (pm(id, 10) == 1 && x == 0 && y == 0) 1L else 0L
+        val g = pm((eid * 31 + x * 17 + y * 53) *
+          (eid + x + y + 7) + bump, 256).toInt
+        val base = y * rowBytes + x * channels
+        px(base) = g; px(base + 1) = g; px(base + 2) = g
+        if (channels == 4) px(base + 3) = 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    // filter each row with y % 5 — every image exercises every filter
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (rowBytes + 1)) = f.toByte
+      var k = 0
+      while (k < rowBytes) {
+        val cur = px(y * rowBytes + k)
+        val left = if (k >= channels) px(y * rowBytes + k - channels) else 0
+        val up = if (y > 0) px((y - 1) * rowBytes + k) else 0
+        val ul = if (y > 0 && k >= channels)
+          px((y - 1) * rowBytes + k - channels) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw(y * (rowBytes + 1) + 1 + k) = ((cur - pred) & 0xFF).toByte
+        k += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val zOut = new java.io.ByteArrayOutputStream()
+    try {
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](4096)
+      while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    } finally defl.end()
+    val idat = zOut.toByteArray
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length)
+      val t = typ.getBytes("US-ASCII")
+      bb.put(t); bb.put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte)
+      .put((if (channels == 4) 6 else 2).toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    out.write(chunk("IHDR", ihdr))
+    if (pm(id, 4) == 3)
+      out.write(chunk("tEXt", "Comment synthetic".getBytes("US-ASCII")))
+    if (pm(id, 4) == 2 && idat.length >= 2) {
+      val cut = idat.length / 2
+      out.write(chunk("IDAT", idat.take(cut)))
+      out.write(chunk("IDAT", idat.drop(cut)))
+    } else out.write(chunk("IDAT", idat))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+}

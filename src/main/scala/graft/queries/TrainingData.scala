@@ -4967,6 +4967,128 @@ object TrainingData {
              |  (CAST(3 AS BIGINT), 200, 'zstd', 'first frame second frame'),
              |  (CAST(4 AS BIGINT), 200, 'zstd', NULL)
              |) t(media_id, http_status, content_encoding, body_str)
-             |ORDER BY media_id""".stripMargin))
+             |ORDER BY media_id""".stripMargin)),
+
+    // PNG dHash via the DECODE rung (Png.imageDhashPng): real crawl
+    // images are overwhelmingly compressed — the pure-JVM PNG decoder
+    // (JDK Inflater, all five defilters, multi-IDAT, CRC-checked
+    // critical chunks) feeds the SAME 9x8 dHash as the expression
+    // path, in a mapPartitions narrow map. The synth corpus encodes
+    // the q166 pixel formula as 8-bit RGB/RGBA PNGs (filters cycle
+    // y%5 inside every image; pmod 4 = 2 splits IDAT, = 3 inserts an
+    // ancillary tEXt chunk; pmod 11 = 6 garbage -> NULL; pmod 10 = 1
+    // one-pixel near-dup plant), so the oracle recomputes every bit
+    // as id arithmetic — IDENTICAL to q166's, container-agnostic by
+    // construction. dhash rides as STRING (the q166 nullable-int64 ->
+    // float64 lesson).
+    Q("q173_image_dhash_png",
+      (s, dir) => graft.multimodal.Png.imageDhashPng(
+          graft.multimodal.Png.synthPngImageBytes(
+            t(s, dir, "documents").select("doc_id"), "doc_id"))
+        .select(col("media_id"), col("dhash").cast(StringType).as("dhash"))
+        .orderBy("media_id"),
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+             |g AS (
+             |  SELECT i.doc_id, x.x AS x, y.y AS y,
+             |    ((CASE WHEN ((i.doc_id % 10) + 10) % 10 = 1
+             |       THEN ((i.doc_id - 1) * 31 + x.x * 17 + y.y * 53)
+             |         * ((i.doc_id - 1) + x.x + y.y + 7) +
+             |         (CASE WHEN x.x = 0 AND y.y = 0 THEN 1 ELSE 0 END)
+             |       ELSE (i.doc_id * 31 + x.x * 17 + y.y * 53)
+             |         * (i.doc_id + x.x + y.y + 7)
+             |     END) % 256 + 256) % 256 AS gv
+             |  FROM ids i
+             |  CROSS JOIN unnest(range(0, 9)) x(x)
+             |  CROSS JOIN unnest(range(0, 8)) y(y)),
+             |bits AS (
+             |  SELECT a.doc_id, CAST(a.y * 8 + a.x AS INT) AS b,
+             |    CASE WHEN n.gv > a.gv THEN 1 ELSE 0 END AS bit
+             |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y
+             |    AND n.x = a.x + 1
+             |  WHERE a.x < 8),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN b >= 32
+             |      THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END)
+             |      AS BIGINT) AS hi,
+             |    CAST(sum(CASE WHEN b < 32
+             |      THEN CAST(bit AS BIGINT) << b ELSE 0 END)
+             |      AS BIGINT) AS lo
+             |  FROM bits GROUP BY doc_id)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN ((doc_id % 11) + 11) % 11 = 6 THEN NULL
+             |    ELSE CAST(CAST(CAST(hi AS HUGEINT) * 4294967296 + lo
+             |      - CASE WHEN hi >= 2147483648
+             |          THEN CAST('18446744073709551616' AS HUGEINT)
+             |          ELSE 0 END AS BIGINT) AS VARCHAR)
+             |  END AS dhash
+             |FROM h ORDER BY media_id""".stripMargin)),
+
+    // Mixed-container perceptual dedup — ONE banding run consumes
+    // signatures from BOTH rungs (expression dHash over BMP/ICO ids
+    // < 300, decode-rung dHash over PNG ids 300..599): ids congruent
+    // mod 256 render identical pixels whatever the container OR codec,
+    // so cross-format content dups (e.g. BMP 44 vs PNG 556) surface
+    // next to the within-format near-dup plants. The oracle is q167's
+    // id arithmetic over the union range — container-agnostic by
+    // construction, which is exactly the point.
+    Q("q174_image_neardup_mixed",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id")
+        val bmp = graft.multimodal.Multimodal.imageDhash(
+            graft.multimodal.Multimodal.synthDhashImageBytes(
+              docs.where(col("doc_id") < 300), "doc_id"))
+          .where(col("dhash").isNotNull)
+          .select(col("media_id").as("id"), col("dhash").as("simhash"))
+        val png = graft.multimodal.Png.imageDhashPng(
+            graft.multimodal.Png.synthPngImageBytes(
+              docs.where(col("doc_id").between(300, 599)), "doc_id"))
+          .where(col("dhash").isNotNull)
+          .select(col("media_id").as("id"), col("dhash").as("simhash"))
+        Dedup.simhashBandedDups(bmp.unionByName(png), "id", 64, 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents
+             |            WHERE doc_id < 600),
+             |g AS (
+             |  SELECT i.doc_id, x.x AS x, y.y AS y,
+             |    ((CASE WHEN ((i.doc_id % 10) + 10) % 10 = 1
+             |       THEN ((i.doc_id - 1) * 31 + x.x * 17 + y.y * 53)
+             |         * ((i.doc_id - 1) + x.x + y.y + 7) +
+             |         (CASE WHEN x.x = 0 AND y.y = 0 THEN 1 ELSE 0 END)
+             |       ELSE (i.doc_id * 31 + x.x * 17 + y.y * 53)
+             |         * (i.doc_id + x.x + y.y + 7)
+             |     END) % 256 + 256) % 256 AS gv
+             |  FROM ids i
+             |  CROSS JOIN unnest(range(0, 9)) x(x)
+             |  CROSS JOIN unnest(range(0, 8)) y(y)),
+             |bits AS (
+             |  SELECT a.doc_id, CAST(a.y * 8 + a.x AS INT) AS b,
+             |    CASE WHEN n.gv > a.gv THEN 1 ELSE 0 END AS bit
+             |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y
+             |    AND n.x = a.x + 1
+             |  WHERE a.x < 8),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN b >= 32
+             |      THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END)
+             |      AS BIGINT) AS hi,
+             |    CAST(sum(CASE WHEN b < 32
+             |      THEN CAST(bit AS BIGINT) << b ELSE 0 END)
+             |      AS BIGINT) AS lo
+             |  FROM bits GROUP BY doc_id),
+             |hh AS (
+             |  SELECT doc_id,
+             |    CAST(CAST(hi AS HUGEINT) * 4294967296 + lo
+             |      - CASE WHEN hi >= 2147483648
+             |          THEN CAST('18446744073709551616' AS HUGEINT)
+             |          ELSE 0 END AS BIGINT) AS dh
+             |  FROM h
+             |  WHERE ((doc_id % 11) + 11) % 11 <> 6)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+             |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.dh, b.dh)) <= 2
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }
