@@ -79,13 +79,28 @@ object Bench {
 
   private[graft] def resultsJson(results: Seq[(String, Double, Long, Long, Long)],
                                  sfDir: String,
-                                 onlyHeadline: Boolean): String = {
+                                 onlyHeadline: Boolean,
+                                 sentinels: Seq[(String, Double)] = Nil): String = {
     val total = results.map(_._2).sum
     val qs = results.collect {
       case (n, s, _, _, _) if !onlyHeadline || headline.contains(n) => n -> s
     }
+    // interleaved-sentinel attribution (full JSON only — the stdout
+    // headline stays the unchanged driver contract): per-sentinel
+    // max/min across the in-run checkpoints. Flat spreads (~1.0) with
+    // hot mid-band queries = code-visible cause; drifting spreads =
+    // ambient load proven INSIDE the same artifact that shows the hot
+    // queries — the r16/r17 driver-window question, self-attributed.
+    val sent = if (sentinels.isEmpty) "" else {
+      val spread = sentinels.groupBy(_._1.takeWhile(_ != '@')).toSeq.sortBy(_._1)
+        .map { case (q, xs) =>
+          val ts = xs.map(_._2)
+          q -> (if (ts.min > 0) ts.max / ts.min else 0.0)
+        }
+      s""","sentinels":${jq(sentinels)},"sentinel_spread":${jq(spread)}"""
+    }
     s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${
-      jq(qs)},"sf":"$sfDir"}"""
+      jq(qs)},"sf":"$sfDir"$sent}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -137,8 +152,31 @@ object Bench {
     // AQE/broadcast decisions and the codegen it compiles are not the ones
     // the sf0.1 run takes — run 1 at the bench sf is the true warmup for
     // those paths, and run 2's time is steady-state.
+    // Interleaved SENTINELS (r17 verdict task): q15/q20/q46 re-measured
+    // at 0/25/50/75/100% of each measured run, accounted SEPARATELY
+    // (never in results/total — the stdout contract and BASELINE
+    // comparability are unchanged). If the driver's window runs hot,
+    // these either drift with it (ambient proven inside the artifact)
+    // or stay flat while mid-band queries read hot (code-visible cause).
+    val sentinelNames = Seq(
+      "q15_agg_groupby", "q20_sql_passthrough", "q46_deep_join_tree")
+    val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def runSentinels(run: Int, pct: Int): Unit = sentinelNames.foreach { name =>
+      spark.sparkContext.setJobGroup("sentinel", name)
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      sentinelTimes += s"$name@r${run}p$pct" ->
+        (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val nQ = ordered.size
+    val marks = Map(nQ / 4 -> 25, nQ / 2 -> 50, 3 * nQ / 4 -> 75)
     val runs = (1 to 2).map { run =>
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      runSentinels(run, 0)
+      val rs = ordered.zipWithIndex.map { case ((name, fn), idx) =>
         spark.sparkContext.setJobGroup(s"$name#$run", name)
         val t0 = System.nanoTime()
         val rows = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -154,8 +192,11 @@ object Bench {
         // re-materializes once and reads its own cache 3x within the
         // query — the operator's real win — but never run 1's.
         spark.sharedState.cacheManager.clearCache()
+        marks.get(idx + 1).foreach(pct => runSentinels(run, pct))
         (name, sec, rows)
       }
+      runSentinels(run, 100)
+      rs
     }
     val results = mergeRuns(runs.head, runs.last)
     Thread.sleep(1000) // best-effort drain of the async listener bus
@@ -191,7 +232,8 @@ object Bench {
       report ++= s"[bench] q82_sketch_drift unavailable: ${e.getMessage}\n"
     }
 
-    val fullJson = resultsJson(results, sfDir, onlyHeadline = false)
+    val fullJson =
+      resultsJson(results, sfDir, onlyHeadline = false, sentinelTimes.toSeq)
     val headlineJson = resultsJson(results, sfDir, onlyHeadline = true)
 
     val dir = java.nio.file.Paths.get("target")

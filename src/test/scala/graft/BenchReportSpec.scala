@@ -60,4 +60,20 @@ class BenchReportSpec extends AnyFunSuite {
     assert(!headline.contains("\n"))
     assert(headline.count(_ == '{') === headline.count(_ == '}'))
   }
+
+  test("resultsJson sentinels: full JSON carries checkpoint times and " +
+      "per-sentinel max/min spread; the headline (driver contract) " +
+      "stays sentinel-free") {
+    val results = Seq(("q91_dup_groups", 2.5, 100L, 100L, 100L))
+    val sent = Seq(
+      "q15_agg_groupby@r1p0" -> 0.25, "q15_agg_groupby@r1p50" -> 0.50,
+      "q20_sql_passthrough@r1p0" -> 1.0, "q20_sql_passthrough@r1p50" -> 1.0)
+    val full = Bench.resultsJson(results, "/sf", onlyHeadline = false, sent)
+    assert(full.contains("\"q15_agg_groupby@r1p0\":0.250"))
+    assert(full.contains("\"q15_agg_groupby\":2.000"), full)   // spread 0.5/0.25
+    assert(full.contains("\"q20_sql_passthrough\":1.000"))     // flat
+    assert(full.count(_ == '{') === full.count(_ == '}'))
+    val headline = Bench.resultsJson(results, "/sf", onlyHeadline = true)
+    assert(!headline.contains("sentinel"))
+  }
 }
