@@ -693,6 +693,70 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** INCREMENTAL connected-components maintenance — update a persisted
+    * label table with a delta batch of new edges WITHOUT recomputing CC
+    * over the full corpus graph (the r17 gap: admitted deltas never
+    * updated component labels, forcing a full recompute per snapshot).
+    *
+    * Works because edges only ever ACCRETE in a dedup store (merges,
+    * never splits) and a converged label table is a star graph: every
+    * node points straight at its component min. So the delta reduces to
+    * a graph over COMPONENT REPRESENTATIVES — map each delta endpoint
+    * through the persisted labels (left join; unseen ids keep
+    * themselves), drop the edges that collapse inside one component,
+    * and run [[connectedComponents]] on what is left. That reduced
+    * graph has one node per TOUCHED component plus the genuinely new
+    * ids, so rounds are bounded by log2(the DELTA's merge-chain
+    * diameter), not the corpus diameter, and each round's shuffle is
+    * delta-sized. The final relabel is one join of the persisted table
+    * against the (touched-component → new-min) map — delta-sized, AQE
+    * broadcasts it — plus a union of the new ids; untouched rows pass
+    * through unchanged.
+    *
+    * The component-min label convention is preserved exactly: the min
+    * over a merged component equals the min over its representatives
+    * (each old label IS its component's min id), so the output is
+    * BIT-EQUAL to a full recompute over (old ∪ delta) edges —
+    * DedupSpec asserts that across a 3-batch sequence.
+    *
+    * `prevLabels` is (id, component) as [[connectedComponents]] returns
+    * it; `deltaPairs` is (id_a, id_b). Returns the updated full table. */
+  def connectedComponentsIncremental(prevLabels: DataFrame,
+                                     deltaPairs: DataFrame,
+                                     maxIter: Int = 25,
+                                     reliableCheckpoints: Boolean = false,
+                                     onRound: Option[(Int, Long) => Unit] = None): DataFrame = {
+    val lbl = prevLabels.select(col("id"), col("component"))
+    val reduced = deltaPairs
+      .select(col("id_a"), col("id_b"))
+      .join(lbl.select(col("id").as("id_a"), col("component").as("__la")),
+        Seq("id_a"), "left")
+      .join(lbl.select(col("id").as("id_b"), col("component").as("__lb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("__la"), col("id_a")).as("id_a"),
+        coalesce(col("__lb"), col("id_b")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    // all delta edges inside existing components: nothing merges and no
+    // new node can exist (a new id never collapses — it has no label),
+    // so the persisted table IS the answer. The emptiness probe is
+    // delta-bounded (the reduced frame never touches the corpus).
+    if (reduced.isEmpty) return lbl
+    val merged = connectedComponents(reduced, maxIter,
+      reliableCheckpoints, onRound)
+    // (touched representative -> merged min); representatives are node
+    // ids present in prevLabels, new ids are not — the anti join splits
+    val remap = merged
+      .select(col("id").as("component"), col("component").as("__newc"))
+    val updated = lbl
+      .join(remap, Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("__newc"), col("component")).as("component"))
+    val fresh = merged
+      .join(lbl.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("component"))
+    updated.unionByName(fresh)
+  }
+
   /** Canonical-survivor selection — the step that turns duplicate GROUPS
     * into a keep/drop DECISION per document, i.e. the actual output a
     * dedup sweep ships. Given the corpus and the near-dup pair edges,

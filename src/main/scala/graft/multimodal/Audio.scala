@@ -1,0 +1,190 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WAV-PCM content fingerprinting — the dHash treatment for audio,
+  * closing the A/V modality at the same cost shape ([[Multimodal
+  * .avMetadata]] was headers-only; WAV PCM samples are expression-
+  * reachable exactly like BMP pixels).
+  *
+  * The fingerprint is a 64-bit FRAME-ENERGY signature: partition the
+  * interleaved sample stream into 65 frames (frame(i) = floor(i·65/n) —
+  * nearest-neighbor, the dHash convention), per-frame energy = Σ|s|
+  * over 16-bit signed PCM samples, bit f = energy(f+1) > energy(f).
+  * Like dHash, only ADJACENT COMPARISONS ride into the bits, so any
+  * monotone per-sample transform — amplitude scaling (volume
+  * normalization), the most common audio near-dup in a crawl — leaves
+  * the signature unchanged, and near-dups reduce to the SAME
+  * [[graft.dedup.Dedup.simhashBandedDups]] banding the text and image
+  * sides run (full-64-bit, sign-safe chunks).
+  *
+  * Decodable subset (documented honesty, the parser-family contract):
+  * canonical RIFF/WAVE containers, fmt audio-format 1 (integer PCM),
+  * 16 bits/sample, any channel count (channels interleave into the
+  * frame stream — energy mixes them, which is what a content
+  * fingerprint wants), at least 65 samples, data chunk fully inside
+  * `maxBytes`. Anything else — float PCM, 8/24-bit, truncated data,
+  * non-RIFF bytes — fingerprints NULL, never a throw.
+  *
+  * Expression-only: one hex pass, a 16-round chunk walk (the
+  * [[Multimodal.avMetadata]] fold shape), then TWO nested higher-order
+  * lambdas (65-frame transform × per-frame aggregate) — plan size O(1)
+  * in both frame count and sample count (the q133/q166 plan-size
+  * discipline), runtime O(samples), codegen-friendly, no UDF. The
+  * ndZero barrier pins downstream predicates above the parse (the
+  * imageDims-family pushdown lesson). */
+object Audio {
+
+  private def ndZero: Column = (rand() * lit(0)).cast(LongType)
+
+  /** Append `afp: bigint` — the 64-bit frame-energy fingerprint, NULL
+    * outside the documented subset. */
+  def audioEnergyFingerprint(media: DataFrame,
+                             contentCol: String = "content",
+                             maxBytes: Int = 1 << 20,
+                             maxChunks: Int = 16): DataFrame = {
+    require(maxBytes >= 128, s"maxBytes too small: $maxBytes")
+    require(maxChunks >= 1 && maxChunks <= 256, s"maxChunks: $maxChunks")
+    Seq("afp", "__af_hx", "__af_st", "__af_e").foreach(c =>
+      require(!media.columns.contains(c),
+        s"Audio.audioEnergyFingerprint: media already has a '$c' column " +
+          "— rename it first; audioEnergyFingerprint appends its own"))
+    val hx = col("__af_hx")
+    // 1-based hex-char positions; byte b (0-based) lives at chars
+    // 2b+1..2b+2 — the avMetadata coordinate system
+    def le16(at: String) =
+      s"""CAST(conv(concat(substring(__af_hx, CAST(($at) AS INT) + 2, 2),
+         |substring(__af_hx, CAST(($at) AS INT), 2)), 16, 10) AS BIGINT)""".stripMargin
+    def le32(at: String) =
+      s"""CAST(conv(concat(substring(__af_hx, CAST(($at) AS INT) + 6, 2),
+         |substring(__af_hx, CAST(($at) AS INT) + 4, 2),
+         |substring(__af_hx, CAST(($at) AS INT) + 2, 2),
+         |substring(__af_hx, CAST(($at) AS INT), 2)), 16, 10) AS BIGINT)""".stripMargin
+    def st(pos: String, afmt: String, bits: String, dpos: String,
+           dsize: String, done: String) =
+      s"""named_struct('pos', $pos, 'afmt', $afmt, 'bits', $bits,
+         |'dpos', $dpos, 'dsize', $dsize, 'done', $done)""".stripMargin
+    val ckSize = le32("st.pos + 8")
+    val hop = s"st.pos + 16 + 2 * ($ckSize) + (($ckSize) % 2) * 2"
+    // chunk walk: find fmt (audio format + bits/sample) and data
+    // (payload position + byte size); done once both seen
+    val walk = expr(s"""
+      CASE WHEN substring(__af_hx, 1, 8) = '52494646'
+             AND substring(__af_hx, 17, 8) = '57415645' THEN
+        aggregate(
+          sequence(1, $maxChunks),
+          ${st("CAST(25 AS BIGINT)", "CAST(NULL AS BIGINT)",
+            "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)",
+            "CAST(NULL AS BIGINT)", "false")},
+          (st, i) -> CASE
+            WHEN st.done THEN st
+            WHEN st.pos IS NULL OR length(__af_hx) < st.pos + 15
+              THEN ${st("st.pos", "st.afmt", "st.bits", "st.dpos",
+                "st.dsize", "true")}
+            WHEN substring(__af_hx, CAST(st.pos AS INT), 8) = '666D7420'
+                 AND length(__af_hx) >= st.pos + 47
+                 AND ($ckSize) >= 16
+              THEN ${st(hop, le16("st.pos + 16"), le16("st.pos + 44"),
+                "st.dpos", "st.dsize", "st.dpos IS NOT NULL")}
+            WHEN substring(__af_hx, CAST(st.pos AS INT), 8) = '64617461'
+              THEN ${st(hop, "st.afmt", "st.bits",
+                "CAST(st.pos + 16 AS BIGINT)", ckSize,
+                "st.afmt IS NOT NULL")}
+            ELSE ${st(hop, "st.afmt", "st.bits", "st.dpos", "st.dsize",
+              "false")}
+          END,
+          st -> st)
+      END""")
+    val w = col("__af_st")
+    val n = floor(w.getField("dsize") / 2).cast(LongType)
+    val ok = w.isNotNull && w.getField("afmt") === 1 &&
+      w.getField("bits") === 16 && w.getField("dpos").isNotNull &&
+      n >= 65 &&
+      length(hx) >= w.getField("dpos") - 1 + w.getField("dsize") * 2
+    // energies: 65 frames, frame f covers samples i with
+    // floor(i*65/n) = f, i.e. i in [ceil(f*n/65), ceil((f+1)*n/65))
+    val energies = transform(sequence(lit(0), lit(64)), f => {
+      val lo = floor((f * n + 64) / lit(65)).cast(LongType)
+      val hi = floor(((f + 1) * n + 64) / lit(65)).cast(LongType)
+      aggregate(sequence(lo, hi - 1), lit(0L), (acc, i) => {
+        val p = (w.getField("dpos") + i * 4).cast(IntegerType)
+        val u = conv(concat(hx.substr(p + 2, lit(2)), hx.substr(p, lit(2))),
+          16, 10).cast(LongType)
+        acc + abs(when(u >= 32768L, u - 65536L).otherwise(u))
+      })
+    })
+    val e = col("__af_e")
+    val bits = expr(
+      """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
+        |  acc + CASE WHEN element_at(__af_e, b + 2) >
+        |    element_at(__af_e, b + 1)
+        |  THEN shiftleft(CAST(1 AS BIGINT), b)
+        |  ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+    media
+      .withColumn("__af_hx", hex(substring(col(contentCol), 1, maxBytes)))
+      .withColumn("__af_st", walk)
+      .withColumn("__af_e", when(ok, energies))
+      .withColumn("afp", when(e.isNotNull, bits) + ndZero)
+      .drop("__af_hx", "__af_st", "__af_e")
+  }
+
+  /** Deterministic WAV-PCM exhibit bytes — the [[Multimodal
+    * .synthDhashImageBytes]] pattern for audio. Samples follow
+    * s(id, i) = pmod((eid·31 + i·17)·(eid + i + 7), 16384) − 8192 over
+    * n(eid) = 130 + pmod(eid·7, 66) samples, so the q175 oracle
+    * recomputes every bit as id arithmetic. Plants:
+    * pmod(id,11) = 6 → non-RIFF garbage (NULL);
+    * pmod(id,13) = 5 → data chunk DECLARES n samples but the payload is
+    * cut in half (truncation → NULL);
+    * pmod(id,10) = 1 → the AMPLITUDE-SCALED near-dup of id−1: every
+    * sample ×2 (no clipping — base range ±8192) plus +1 on sample 0,
+    * which can flip only bit 0 → Hamming ≤ 1, the pair banding must
+    * find. pmod(id,4) = 3 inserts a LIST chunk between fmt and data
+    * (the chunk walk must skip it); channels alternate 1/2 by eid
+    * (interleaving is content-transparent to the energy stream). */
+  def synthWavPcmBytes(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val eid = when(pmod(id, lit(10)) === 1, id - 1).otherwise(id)
+    val n = (lit(130) + pmod(eid * 7, lit(66))).cast(LongType)
+    val truncated = pmod(id, lit(13)) === 5
+    val scalePlant = pmod(id, lit(10)) === 1
+    // sample i as 4 hex chars (16-bit LE two's complement)
+    val sampleHex = (i: Column) => {
+      val base = pmod((eid * 31 + i * 17) * (eid + i + 7),
+        lit(16384)) - 8192
+      val s0 = when(scalePlant, base * 2 +
+        when(i === 0, 1L).otherwise(0L)).otherwise(base)
+      val u = pmod(s0, lit(65536))
+      concat(lpad(hex(pmod(u, lit(256))), 2, "0"),
+        lpad(hex(floor(u / 256)), 2, "0"))
+    }
+    val keptN = when(truncated, floor(n / 2).cast(LongType)).otherwise(n)
+    val data = array_join(
+      transform(sequence(lit(0L), keptN - 1), sampleHex), "")
+    def le(v: Column, bytes: Int) = concat((0 until bytes).map(b =>
+      lpad(hex(pmod(floor(v / math.pow(256, b).toLong), lit(256))), 2, "0")): _*)
+    val ch = lit(1) + pmod(eid, lit(2))
+    val list = when(pmod(id, lit(4)) === 3,
+      concat(lit("4C495354"), le(lit(10L), 4),
+        lit("494E464F" + "AB" * 6))).otherwise(lit(""))
+    val listLen = when(pmod(id, lit(4)) === 3, 18L).otherwise(0L)
+    // RIFF size = 4 (WAVE) + 24 (fmt) + optional LIST + 8 + data bytes;
+    // the size field reflects the DECLARED layout even when the payload
+    // is cut (that is what a truncated file looks like)
+    val riffSize = lit(36L) + listLen + n * 2
+    val fmt = concat(lit("666D7420"), le(lit(16L), 4),
+      le(lit(1L), 2), le(ch, 2),
+      le(lit(8000L), 4), le(lit(16000L) * ch, 4),
+      le(ch * 2, 2), le(lit(16L), 2))
+    val wav = concat(
+      lit("52494646"), le(riffSize, 4), lit("57415645"),
+      fmt, list,
+      lit("64617461"), le(n * 2, 4), data)
+    docs.select(
+      id.as("media_id"),
+      unhex(when(pmod(id, lit(11)) === 6, lit("DEADBEEF00FF"))
+        .otherwise(wav)).as("content"))
+  }
+}

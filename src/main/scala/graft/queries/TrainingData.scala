@@ -5089,6 +5089,198 @@ object TrainingData {
              |  CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
              |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.dh, b.dh)) <= 2
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // WAV-PCM frame-energy fingerprint (Audio.audioEnergyFingerprint):
+    // the dHash treatment for audio — 65 frames over the 16-bit sample
+    // stream, energy = sum(|s|), bit f = energy(f+1) > energy(f), so
+    // amplitude scaling (volume normalization, the common audio
+    // near-dup) is signature-invariant. Expression-only: one hex pass,
+    // the avMetadata chunk walk (LIST chunks skipped), two nested HOFs
+    // (plan O(1) in frames AND samples). Plants: pmod 11 = 6 garbage,
+    // pmod 13 = 5 declared-size truncation (both NULL), pmod 10 = 1
+    // the x2-scaled near-dup of id-1. The oracle recomputes every
+    // sample, frame energy, and bit as id arithmetic (HUGEINT combine
+    // for bit 63; afp rides as STRING — the q166 float64 lesson).
+    Q("q175_audio_fingerprint",
+      (s, dir) => graft.multimodal.Audio.audioEnergyFingerprint(
+          graft.multimodal.Audio.synthWavPcmBytes(
+            t(s, dir, "documents").select("doc_id")
+              .where(col("doc_id") < 800), "doc_id"))
+        .select(col("media_id"), col("afp").cast(StringType).as("afp"))
+        .orderBy("media_id"),
+      Some("""WITH ids AS (SELECT doc_id FROM documents
+             |            WHERE doc_id < 800),
+             |par AS (
+             |  SELECT doc_id,
+             |    CASE WHEN ((doc_id % 10) + 10) % 10 = 1
+             |      THEN doc_id - 1 ELSE doc_id END AS eid,
+             |    ((doc_id % 10) + 10) % 10 = 1 AS plant,
+             |    ((doc_id % 11) + 11) % 11 = 6 AS garbage,
+             |    ((doc_id % 13) + 13) % 13 = 5 AS trunc
+             |  FROM ids),
+             |pn AS (SELECT *, 130 + ((eid * 7) % 66 + 66) % 66 AS n
+             |       FROM par),
+             |samp AS (
+             |  SELECT p.doc_id, p.n, i.i AS i,
+             |    (CASE WHEN p.plant THEN 2 ELSE 1 END) *
+             |      ((((p.eid * 31 + i.i * 17) * (p.eid + i.i + 7))
+             |        % 16384 + 16384) % 16384 - 8192)
+             |    + CASE WHEN p.plant AND i.i = 0 THEN 1 ELSE 0 END AS s
+             |  FROM pn p CROSS JOIN unnest(range(0, 196)) i(i)
+             |  WHERE i.i < p.n AND NOT p.garbage AND NOT p.trunc),
+             |fe AS (
+             |  SELECT doc_id, (i * 65) // n AS f, sum(abs(s)) AS e
+             |  FROM samp GROUP BY doc_id, (i * 65) // n),
+             |bits AS (
+             |  SELECT a.doc_id, CAST(a.f AS INT) AS b,
+             |    CASE WHEN nx.e > a.e THEN 1 ELSE 0 END AS bit
+             |  FROM fe a JOIN fe nx ON nx.doc_id = a.doc_id
+             |    AND nx.f = a.f + 1
+             |  WHERE a.f < 64),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN b >= 32
+             |      THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END)
+             |      AS BIGINT) AS hi,
+             |    CAST(sum(CASE WHEN b < 32
+             |      THEN CAST(bit AS BIGINT) << b ELSE 0 END)
+             |      AS BIGINT) AS lo
+             |  FROM bits GROUP BY doc_id)
+             |SELECT i.doc_id AS media_id,
+             |  CAST(CAST(CAST(h.hi AS HUGEINT) * 4294967296 + h.lo
+             |    - CASE WHEN h.hi >= 2147483648
+             |        THEN CAST('18446744073709551616' AS HUGEINT)
+             |        ELSE 0 END AS BIGINT) AS VARCHAR) AS afp
+             |FROM ids i LEFT JOIN h ON h.doc_id = i.doc_id
+             |ORDER BY media_id""".stripMargin)),
+
+    // Audio near-dup CAPSTONE: fingerprints → the SAME 64-bit banded
+    // candidate pipeline as text (q102), images (q167), now audio —
+    // the volume-normalized plants surface at Hamming <= 1, garbage
+    // and truncated rows drop at the NULL filter, and the oracle
+    // replays fingerprints as id arithmetic then brute-forces the
+    // Hamming join (Σ bucket² on the Spark side, never |audio|²).
+    Q("q176_audio_neardup",
+      (s, dir) => {
+        val sigs = graft.multimodal.Audio.audioEnergyFingerprint(
+            graft.multimodal.Audio.synthWavPcmBytes(
+              t(s, dir, "documents").select("doc_id")
+                .where(col("doc_id") < 2000), "doc_id"))
+          .where(col("afp").isNotNull)
+          .select(col("media_id").as("id"), col("afp").as("simhash"))
+        Dedup.simhashBandedDups(sigs, "id", 64, 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents
+             |            WHERE doc_id < 2000),
+             |par AS (
+             |  SELECT doc_id,
+             |    CASE WHEN ((doc_id % 10) + 10) % 10 = 1
+             |      THEN doc_id - 1 ELSE doc_id END AS eid,
+             |    ((doc_id % 10) + 10) % 10 = 1 AS plant,
+             |    ((doc_id % 11) + 11) % 11 = 6 AS garbage,
+             |    ((doc_id % 13) + 13) % 13 = 5 AS trunc
+             |  FROM ids),
+             |pn AS (SELECT *, 130 + ((eid * 7) % 66 + 66) % 66 AS n
+             |       FROM par),
+             |samp AS (
+             |  SELECT p.doc_id, p.n, i.i AS i,
+             |    (CASE WHEN p.plant THEN 2 ELSE 1 END) *
+             |      ((((p.eid * 31 + i.i * 17) * (p.eid + i.i + 7))
+             |        % 16384 + 16384) % 16384 - 8192)
+             |    + CASE WHEN p.plant AND i.i = 0 THEN 1 ELSE 0 END AS s
+             |  FROM pn p CROSS JOIN unnest(range(0, 196)) i(i)
+             |  WHERE i.i < p.n AND NOT p.garbage AND NOT p.trunc),
+             |fe AS (
+             |  SELECT doc_id, (i * 65) // n AS f, sum(abs(s)) AS e
+             |  FROM samp GROUP BY doc_id, (i * 65) // n),
+             |bits AS (
+             |  SELECT a.doc_id, CAST(a.f AS INT) AS b,
+             |    CASE WHEN nx.e > a.e THEN 1 ELSE 0 END AS bit
+             |  FROM fe a JOIN fe nx ON nx.doc_id = a.doc_id
+             |    AND nx.f = a.f + 1
+             |  WHERE a.f < 64),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN b >= 32
+             |      THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END)
+             |      AS BIGINT) AS hi,
+             |    CAST(sum(CASE WHEN b < 32
+             |      THEN CAST(bit AS BIGINT) << b ELSE 0 END)
+             |      AS BIGINT) AS lo
+             |  FROM bits GROUP BY doc_id),
+             |hh AS (
+             |  SELECT doc_id,
+             |    CAST(CAST(hi AS HUGEINT) * 4294967296 + lo
+             |      - CASE WHEN hi >= 2147483648
+             |          THEN CAST('18446744073709551616' AS HUGEINT)
+             |          ELSE 0 END AS BIGINT) AS fp
+             |  FROM h)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+             |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.fp, b.fp)) <= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Incremental connected-components maintenance
+    // (Dedup.connectedComponentsIncremental): a persisted label table
+    // updated with a delta batch — merges across old components, a
+    // within-component no-op edge class, and brand-new nodes — WITHOUT
+    // a full recompute: the delta reduces to a graph over component
+    // representatives, so rounds bound by the DELTA's merge-chain
+    // diameter (CorpusOpsSpec pins rounds <= 2 where the corpus chain
+    // needs >= 3) and the relabel is one delta-sized broadcast join.
+    // Oracle: full recursive-CTE closure over old ∪ delta edges (the
+    // q91/q170 pattern) — bit-equality with full recompute IS the
+    // correctness statement.
+    Q("q177_cc_incremental",
+      (s, dir) => {
+        val ids = t(s, dir, "documents").select("doc_id")
+          .where(col("doc_id") < 500)
+        val e0 = ids
+          .where(pmod(col("doc_id"), lit(5)) =!= 4 &&
+            col("doc_id") + 1 < 500)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 1).as("id_b"))
+        val e1 = ids.where(pmod(col("doc_id"), lit(25)) === 0)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 5).as("id_b"))
+          .unionByName(ids.where(pmod(col("doc_id"), lit(40)) === 0)
+            .select(col("doc_id").as("id_a"),
+              (col("doc_id") + 1000).as("id_b")))
+          .unionByName(ids.where(pmod(col("doc_id"), lit(35)) === 0)
+            .select(col("doc_id").as("id_a"),
+              (col("doc_id") + 2).as("id_b")))
+        val labels0 = Dedup.connectedComponents(e0)
+        Dedup.connectedComponentsIncremental(labels0, e1)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE ids AS (
+             |  SELECT doc_id FROM documents WHERE doc_id < 500),
+             |eall AS (
+             |  SELECT doc_id AS src, doc_id + 1 AS dst FROM ids
+             |  WHERE ((doc_id % 5) + 5) % 5 <> 4 AND doc_id + 1 < 500
+             |  UNION ALL
+             |  SELECT doc_id, doc_id + 5 FROM ids
+             |  WHERE ((doc_id % 25) + 25) % 25 = 0
+             |  UNION ALL
+             |  SELECT doc_id, doc_id + 1000 FROM ids
+             |  WHERE ((doc_id % 40) + 40) % 40 = 0
+             |  UNION ALL
+             |  SELECT doc_id, doc_id + 2 FROM ids
+             |  WHERE ((doc_id % 35) + 35) % 35 = 0),
+             |ed AS (
+             |  SELECT src, dst FROM eall
+             |  UNION
+             |  SELECT dst, src FROM eall),
+             |reach(id, label) AS (
+             |  SELECT src, src FROM ed
+             |  UNION
+             |  SELECT e.dst, r.label FROM reach r JOIN ed e
+             |    ON e.src = r.id)
+             |SELECT CAST(id AS BIGINT) AS id,
+             |  CAST(min(label) AS BIGINT) AS component
+             |FROM reach GROUP BY id ORDER BY id""".stripMargin))
   )
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Audio
+
+class AudioSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference: the synth formula pushed through the
+    * documented fingerprint definition, independently of the SQL
+    * expressions under test. */
+  private def refAfp(id: Long): Option[Long] = {
+    def pm(a: Long, m: Long): Long = ((a % m) + m) % m
+    if (pm(id, 11) == 6 || pm(id, 13) == 5) return None
+    val plant = pm(id, 10) == 1
+    val eid = if (plant) id - 1 else id
+    val n = 130 + pm(eid * 7, 66)
+    def s(i: Long): Long = {
+      val base = pm((eid * 31 + i * 17) * (eid + i + 7), 16384) - 8192
+      if (plant) base * 2 + (if (i == 0) 1L else 0L) else base
+    }
+    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+    val e = (0L until 65L).map(f =>
+      (ceilDiv(f * n, 65) until ceilDiv((f + 1) * n, 65))
+        .map(i => math.abs(s(i))).sum)
+    Some((0 until 64).map(b =>
+      if (e(b + 1) > e(b)) 1L << b else 0L).sum)
+  }
+
+  private def fps(ids: Long*): Map[Long, Option[Long]] =
+    Audio.audioEnergyFingerprint(Audio.synthWavPcmBytes(
+      ids.toDF("doc_id"), "doc_id"))
+      .select($"media_id", $"afp")
+      .as[(Long, Option[Long])].collect().toMap
+
+  test("fingerprint equals the driver-side reference for every id in " +
+      "0..150 — covering mono/stereo fmt, the LIST-chunk skip, garbage " +
+      "NULLs, truncation NULLs, and the amplitude-scaled plant") {
+    val got = fps(0L until 150L: _*)
+    for (id <- 0L until 150L)
+      assert(got(id) === refAfp(id), s"afp diverged for id $id")
+    // the NULL contract really fired on both plant classes
+    assert(got(17L).isEmpty && got(28L).isEmpty, "garbage ids (6 mod 11)")
+    assert(got(5L).isEmpty && got(18L).isEmpty, "truncated ids (5 mod 13)")
+    assert(got(3L).isDefined, "LIST-chunk id must parse")
+  }
+
+  test("amplitude scaling is fingerprint-invariant: the x2-scaled plant " +
+      "sits within Hamming 1 of its source, unrelated ids far away, and " +
+      "the SAME banded near-dup pipeline finds the pair") {
+    val h = fps(40L, 41L, 43L) // 41 = scaled plant of 40; 43 unrelated
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(40L).get, h(41L).get) <= 1)
+    assert(ham(h(40L).get, h(43L).get) > 8)
+    val sigs = Audio.audioEnergyFingerprint(Audio.synthWavPcmBytes(
+      Seq(40L, 41L, 43L).toDF("doc_id"), "doc_id"))
+      .where($"afp".isNotNull)
+      .select($"media_id".as("id"), $"afp".as("simhash"))
+    val pairs = graft.dedup.Dedup.simhashBandedDups(sigs, "id", 64, 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((40L, 41L)))
+  }
+
+  test("malformed inputs NULL, never throw: corrupted RIFF magic, a " +
+      "float-PCM format code, 8-bit samples, fewer than 65 samples, " +
+      "and truncation at every 50-byte step") {
+    val good = Audio.synthWavPcmBytes(Seq(7L).toDF("doc_id"), "doc_id")
+      .select($"content").as[Array[Byte]].collect().head
+    def fp(b: Array[Byte]): Option[Long] =
+      Audio.audioEnergyFingerprint(Seq((1L, b)).toDF("media_id", "content"))
+        .select($"afp").as[Option[Long]].collect().head
+    assert(fp(good).isDefined)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(fp(badMagic).isEmpty)
+    val floatFmt = good.clone(); floatFmt(20) = 3  // IEEE float
+    assert(fp(floatFmt).isEmpty)
+    val bits8 = good.clone(); bits8(34) = 8
+    assert(fp(bits8).isEmpty)
+    for (cut <- 0 until good.length by 50)
+      assert(fp(good.take(cut)).isEmpty, s"truncated at $cut")
+    // a data chunk too short for 65 samples: shrink the declared size
+    val tiny = good.clone()
+    // find 'data' and set its size to 128 bytes (64 samples)
+    val dataAt = (0 until tiny.length - 4).find(i =>
+      tiny(i) == 'd' && tiny(i + 1) == 'a' && tiny(i + 2) == 't' &&
+        tiny(i + 3) == 'a').get
+    tiny(dataAt + 4) = 128.toByte; tiny(dataAt + 5) = 0
+    tiny(dataAt + 6) = 0; tiny(dataAt + 7) = 0
+    assert(fp(tiny).isEmpty)
+  }
+
+  test("the fingerprint is a narrow map: no shuffle exchange in the plan") {
+    val df = Audio.audioEnergyFingerprint(Audio.synthWavPcmBytes(
+      (0L until 20L).toDF("doc_id"), "doc_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

@@ -131,6 +131,65 @@ class CorpusOpsSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("connectedComponentsIncremental: 3-batch sequence stays bit-equal " +
+      "to a full recompute — merges across old components, brand-new " +
+      "nodes, and edges landing inside already-merged components") {
+    import spark.implicits._
+    def cc(pairs: Seq[(Long, Long)]) = graft.dedup.Dedup
+      .connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val e0 = Seq((12L, 11L), (11L, 10L), (9L, 8L), (8L, 7L),
+      (101L, 100L), (201L, 200L))
+    val labels0 = graft.dedup.Dedup
+      .connectedComponents(e0.toDF("id_a", "id_b"))
+    // batch 1: merge {7..9} with {10..12}, attach a NEW node to {100,
+    // 101}, and a brand-new pair (300, 301)
+    val e1 = Seq((10L, 9L), (500L, 101L), (301L, 300L))
+    val inc1 = graft.dedup.Dedup
+      .connectedComponentsIncremental(labels0, e1.toDF("id_a", "id_b"))
+    assert(inc1.as[(Long, Long)].collect().toMap === cc(e0 ++ e1))
+    // batch 2: an edge fully INSIDE the batch-1 merge (no-op), plus a
+    // merge chaining three components through new edges
+    val e2 = Seq((12L, 7L), (300L, 200L), (100L, 300L))
+    val inc2 = graft.dedup.Dedup
+      .connectedComponentsIncremental(inc1, e2.toDF("id_a", "id_b"))
+    assert(inc2.as[(Long, Long)].collect().toMap === cc(e0 ++ e1 ++ e2))
+  }
+
+  test("connectedComponentsIncremental: rounds are bounded by the DELTA " +
+      "diameter, not the corpus diameter; an all-internal delta returns " +
+      "the persisted table without running CC at all") {
+    import spark.implicits._
+    // corpus: a 17-node chain — full CC needs several pointer-jump rounds
+    val e0 = (0L until 16L).map(i => (i, i + 1))
+    var fullRounds = 0
+    val labels0 = graft.dedup.Dedup.connectedComponents(
+      e0.toDF("id_a", "id_b"),
+      onRound = Some((_, _) => fullRounds += 1))
+    labels0.count()
+    assert(fullRounds >= 3, s"chain should need rounds, got $fullRounds")
+    // delta: one edge joining this component to a far pair — the
+    // reduced graph is a single edge, so CC converges in ~1 round + the
+    // convergence-confirming round
+    val labelsAll = graft.dedup.Dedup.connectedComponents(
+      (e0 ++ Seq((100L, 101L))).toDF("id_a", "id_b"))
+    var incRounds = 0
+    val inc = graft.dedup.Dedup.connectedComponentsIncremental(
+      labelsAll, Seq((16L, 100L)).toDF("id_a", "id_b"),
+      onRound = Some((_, _) => incRounds += 1))
+    assert(inc.as[(Long, Long)].collect().toMap ===
+      ((0L to 16L).map(_ -> 0L) ++ Seq(100L -> 0L, 101L -> 0L)).toMap)
+    assert(incRounds <= 2, s"delta-bounded rounds, got $incRounds")
+    // all-internal delta: short-circuits to the persisted table
+    var noopRounds = 0
+    val noop = graft.dedup.Dedup.connectedComponentsIncremental(
+      labelsAll, Seq((3L, 9L), (0L, 16L)).toDF("id_a", "id_b"),
+      onRound = Some((_, _) => noopRounds += 1))
+    assert(noop.as[(Long, Long)].collect().toMap ===
+      labelsAll.as[(Long, Long)].collect().toMap)
+    assert(noopRounds === 0)
+  }
+
   test("survivors keeps one per group by preference, singletons pass through") {
     import spark.implicits._
     // group {1,2,3} via transitive pairs; 4 is a singleton. Quality prefers
