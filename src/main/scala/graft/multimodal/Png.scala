@@ -11,11 +11,11 @@ import org.apache.spark.sql.types._
   * expression-reachable (BMP/ICO); real crawl images are overwhelmingly
   * compressed. This module closes the PNG half with a pure-JVM decoder
   * (JDK Inflater — the same dependency-free route `multimodal/Pdf.scala`
-  * takes for FlateDecode): 8-bit non-interlaced truecolor PNG (color
-  * types 2 RGB / 6 RGBA, the overwhelming web-crawl majority after
-  * palette), full per-row defilter (all five §4.5.2 filters incl.
-  * Paeth), multi-IDAT reassembly, CRC-validated critical chunks.
-  * Everything else — palette, 16-bit, interlaced, grayscale, malformed,
+  * takes for FlateDecode): 8-bit non-interlaced PNG in ALL FIVE color
+  * types — 2 RGB, 6 RGBA, 0 grayscale, 4 gray+alpha, 3 palette
+  * (PLTE-expanded) — full per-row defilter (all five §4.5.2 filters
+  * incl. Paeth), multi-IDAT reassembly, CRC-validated critical chunks.
+  * Everything else — sub-8/16-bit depths, interlaced, malformed,
   * truncated, oversized — returns NULL, never a throw (the
   * parser-family contract); the contract is DOCUMENTED honesty, not
   * silent wrong hashes.
@@ -43,10 +43,12 @@ object Png {
   private val Signature: Array[Byte] =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
-  /** Decode an 8-bit non-interlaced truecolor PNG to its raw pixel
-    * array. Some((w, h, channels, pixels)) where pixels is row-major
-    * w·channels bytes per row; None for anything outside the documented
-    * subset or malformed. */
+  /** Decode an 8-bit non-interlaced PNG to its raw pixel array —
+    * color types 2 (RGB), 6 (RGBA), 0 (grayscale, expanded to RGB),
+    * 4 (gray+alpha, expanded to RGB), and 3 (palette, PLTE-expanded
+    * to RGB). Some((w, h, channels, pixels)) where pixels is
+    * row-major w·channels bytes per row; None for anything outside
+    * the documented subset or malformed. */
   private[graft] def decodeRgb(bytes: Array[Byte], maxBytes: Int,
                                maxPixels: Int): Option[(Int, Int, Int, Array[Byte])] = {
     if (bytes == null || bytes.length < 8 + 25 || bytes.length > maxBytes)
@@ -57,8 +59,9 @@ object Png {
       ((bytes(at) & 0xFFL) << 24) | ((bytes(at + 1) & 0xFFL) << 16) |
         ((bytes(at + 2) & 0xFFL) << 8) | (bytes(at + 3) & 0xFFL)
     var pos = 8
-    var w, h, channels = 0
+    var w, h, colorType = 0
     var seenIhdr, seenIend = false
+    var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend) {
       if (pos + 12 > bytes.length) return None // truncated chunk frame
@@ -69,8 +72,8 @@ object Png {
       val dataAt = pos + 8
       val dataLen = len.toInt
       // critical chunks get their CRC verified (the libpng behavior we
-      // care about: a corrupted IHDR/IDAT/IEND must NULL, not mis-hash);
-      // ancillary chunks are skipped without the CRC cost
+      // care about: a corrupted IHDR/PLTE/IDAT/IEND must NULL, not
+      // mis-hash); ancillary chunks are skipped without the CRC cost
       def crcOk: Boolean = {
         val crc = new java.util.zip.CRC32()
         crc.update(bytes, pos + 4, 4 + dataLen)
@@ -82,28 +85,38 @@ object Png {
           seenIhdr = true
           val wL = u32(dataAt); val hL = u32(dataAt + 4)
           val bitDepth = bytes(dataAt + 8) & 0xFF
-          val colorType = bytes(dataAt + 9) & 0xFF
+          colorType = bytes(dataAt + 9) & 0xFF
           val compression = bytes(dataAt + 10) & 0xFF
           val filterMethod = bytes(dataAt + 11) & 0xFF
           val interlace = bytes(dataAt + 12) & 0xFF
           if (wL < 1 || hL < 1 || wL * hL > maxPixels) return None
-          if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
+          if (bitDepth != 8 || !Set(0, 2, 3, 4, 6).contains(colorType) ||
             compression != 0 || filterMethod != 0 || interlace != 0)
             return None
           w = wL.toInt; h = hL.toInt
-          channels = if (colorType == 6) 4 else 3
+        case "PLTE" =>
+          if (!seenIhdr || dataLen % 3 != 0 || dataLen == 0 ||
+            dataLen > 256 * 3 || !crcOk) return None
+          palette = java.util.Arrays.copyOfRange(bytes, dataAt,
+            dataAt + dataLen)
         case "IDAT" =>
           if (!seenIhdr || !crcOk) return None
           idat.write(bytes, dataAt, dataLen)
         case "IEND" =>
           if (!seenIhdr || dataLen != 0 || !crcOk) return None
           seenIend = true
-        case _ => // ancillary (tEXt, gAMA, ...): skip
+        case _ => // ancillary (tEXt, gAMA, tRNS, ...): skip
       }
       pos = dataAt + dataLen + 4
     }
+    if (colorType == 3 && palette == null) return None // PLTE is critical
+    // raw channel count drives the scanline/bpp geometry; the OUTPUT is
+    // expanded below so every subscriber reads RGB-first channels
+    val rawCh = colorType match {
+      case 0 => 1; case 4 => 2; case 3 => 1; case 2 => 3; case _ => 4
+    }
     // inflate exactly the expected scanline bytes: (filter + row) × h
-    val rowBytes = w * channels
+    val rowBytes = w * rawCh
     val expected = (rowBytes + 1) * h
     val raw = new Array[Byte](expected)
     val inf = new java.util.zip.Inflater()
@@ -119,7 +132,8 @@ object Png {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // defilter in place → pixel array (RFC 2083 §4.5.2, all 5 filters)
+    // defilter in place → pixel array (RFC 2083 §4.5.2, all 5 filters;
+    // bpp for the filter deltas is the RAW per-pixel byte count)
     val px = new Array[Byte](rowBytes * h)
     var y = 0
     while (y < h) {
@@ -129,10 +143,10 @@ object Png {
       val dst = y * rowBytes
       var k = 0
       while (k < rowBytes) {
-        val left = if (k >= channels) px(dst + k - channels) & 0xFF else 0
+        val left = if (k >= rawCh) px(dst + k - rawCh) & 0xFF else 0
         val up = if (y > 0) px(dst - rowBytes + k) & 0xFF else 0
-        val ul = if (y > 0 && k >= channels)
-          px(dst - rowBytes + k - channels) & 0xFF else 0
+        val ul = if (y > 0 && k >= rawCh)
+          px(dst - rowBytes + k - rawCh) & 0xFF else 0
         val pred = f match {
           case 0 => 0
           case 1 => left
@@ -150,7 +164,41 @@ object Png {
       }
       y += 1
     }
-    Some((w, h, channels, px))
+    colorType match {
+      case 2 => Some((w, h, 3, px))
+      case 6 => Some((w, h, 4, px))
+      case 0 => // grayscale → (g, g, g)
+        val out = new Array[Byte](w * h * 3)
+        var j = 0
+        while (j < w * h) {
+          val g = px(j)
+          out(j * 3) = g; out(j * 3 + 1) = g; out(j * 3 + 2) = g
+          j += 1
+        }
+        Some((w, h, 3, out))
+      case 4 => // gray+alpha → (g, g, g), alpha dropped (luminance hash)
+        val out = new Array[Byte](w * h * 3)
+        var j = 0
+        while (j < w * h) {
+          val g = px(j * 2)
+          out(j * 3) = g; out(j * 3 + 1) = g; out(j * 3 + 2) = g
+          j += 1
+        }
+        Some((w, h, 3, out))
+      case _ => // palette → PLTE[idx]; an index past the PLTE is malformed
+        val n = palette.length / 3
+        val out = new Array[Byte](w * h * 3)
+        var j = 0
+        while (j < w * h) {
+          val idx = px(j) & 0xFF
+          if (idx >= n) return None
+          out(j * 3) = palette(idx * 3)
+          out(j * 3 + 1) = palette(idx * 3 + 1)
+          out(j * 3 + 2) = palette(idx * 3 + 2)
+          j += 1
+        }
+        Some((w, h, 3, out))
+    }
   }
 
   /** 64-bit dHash of a decoded PNG — bit-compatible with

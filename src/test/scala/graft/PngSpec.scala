@@ -59,9 +59,49 @@ class PngSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("grayscale and palette color types: independent ImageIO encoders " +
+      "(TYPE_BYTE_GRAY -> color type 0, TYPE_BYTE_INDEXED -> type 3 with " +
+      "PLTE) decode to the exact pixels ImageIO rendered") {
+    val w = 13; val h = 11
+    def g(x: Int, y: Int): Int =
+      ((((3L * 31 + x * 17 + y * 53) * (3L + x + y + 7)) % 256 + 256)
+        % 256).toInt
+    for (imgType <- Seq(
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)) {
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = g(x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      val Some((dw, dh, ch, px)) =
+        Png.decodeRgb(out.toByteArray, 1 << 20, 1 << 22): @unchecked
+      assert((dw, dh, ch) === ((w, h, 3)), s"type $imgType header")
+      // ground truth: the indexed type quantizes through its sRGB
+      // palette (getRGB matches the PLTE entries); TYPE_BYTE_GRAY
+      // stores a LINEAR-gray raster (getRGB would re-apply the color
+      // transform the file bytes never carried), so compare the
+      // RASTER sample — the byte the PNG actually stores
+      for (y <- 0 until h; x <- 0 until w) {
+        val want =
+          if (imgType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+            val s = img.getRaster.getSample(x, y, 0)
+            Seq(s, s, s)
+          } else {
+            val rgb = img.getRGB(x, y)
+            Seq((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+          }
+        val got = (0 until 3).map(j => px((y * w + x) * 3 + j) & 0xFF)
+        assert(got === want, s"type $imgType pixel ($x,$y)")
+      }
+    }
+  }
+
   test("malformed/out-of-subset bytes NULL, never throw: truncation at " +
-      "every prefix, corrupted IDAT CRC, interlaced, 16-bit, palette, " +
-      "grayscale, oversized dims, trailing-garbage tolerance") {
+      "every prefix, corrupted IDAT CRC, interlaced, 16-bit, palette " +
+      "missing its PLTE, oversized dims, trailing-garbage tolerance") {
     val good = Png.synthPngBytes(7L)
     assert(Png.dhashOf(good, 1 << 20, 1 << 22) !== null)
     // truncation at every byte boundary: None, no throw
@@ -95,9 +135,7 @@ class PngSpec extends SparkSpec {
       1 << 20, 1 << 22) === null)
     assert(Png.dhashOf(patched(_(8 + 4 + 4 + 8) = 16), // 16-bit depth
       1 << 20, 1 << 22) === null)
-    assert(Png.dhashOf(patched(_(8 + 4 + 4 + 9) = 3), // palette
-      1 << 20, 1 << 22) === null)
-    assert(Png.dhashOf(patched(_(8 + 4 + 4 + 9) = 0), // grayscale
+    assert(Png.dhashOf(patched(_(8 + 4 + 4 + 9) = 3), // palette, no PLTE
       1 << 20, 1 << 22) === null)
     // dim bound: w*h > maxPixels -> NULL (the bomb guard)
     assert(Png.dhashOf(good, 1 << 20, maxPixels = 71) === null)
