@@ -92,12 +92,21 @@ object Bench {
     // ambient load proven INSIDE the same artifact that shows the hot
     // queries — the r16/r17 driver-window question, self-attributed.
     val sent = if (sentinels.isEmpty) "" else {
-      val spread = sentinels.groupBy(_._1.takeWhile(_ != '@')).toSeq.sortBy(_._1)
-        .map { case (q, xs) =>
-          val ts = xs.map(_._2)
-          q -> (if (ts.min > 0) ts.max / ts.min else 0.0)
+      def spreadOf(xs: Seq[(String, Double)]) = xs
+        .groupBy(_._1.takeWhile(_ != '@')).toSeq.sortBy(_._1)
+        .map { case (q, ys) =>
+          val ts = ys.map(_._2)
+          q -> (if (ts.nonEmpty && ts.min > 0) ts.max / ts.min else 0.0)
         }
-      s""","sentinels":${jq(sentinels)},"sentinel_spread":${jq(spread)}"""
+      // raw spread includes @r1p0 (the first sf-dir execution — codegen
+      // warmup, systematically hot) and @*p100 (suite-end GC pressure);
+      // the STEADY spread over r2's mid-suite checkpoints is the fair
+      // window-heat signal: ~1.0-1.3 quiet, 2x+ contended (measured:
+      // r18c quiet 1.06-1.29 vs r18b git-gc-contended 1.4-4x)
+      val steady = spreadOf(sentinels.filter(s =>
+        Seq("@r2p25", "@r2p50", "@r2p75").exists(s._1.endsWith)))
+      s""","sentinels":${jq(sentinels)},"sentinel_spread":${
+        jq(spreadOf(sentinels))},"sentinel_spread_steady":${jq(steady)}"""
     }
     s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${
       jq(qs)},"sf":"$sfDir"$sent}"""
