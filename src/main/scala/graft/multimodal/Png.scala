@@ -263,10 +263,15 @@ object Png {
     * exhibit with congruent ids (mod 256) hash identically and the
     * q166/q167 id-arithmetic oracles replay unchanged. Same plants:
     * pmod(id,10)=1 is a one-pixel near-dup of id−1, pmod(id,11)=6 is
-    * garbage → NULL. PNG-specific coverage varies by id: color type
-    * cycles RGB/RGBA (pmod 3), every row cycles filter y%5 (all five
-    * defilter paths in every image), pmod(id,4)=2 splits IDAT in two
-    * chunks, pmod(id,4)=3 inserts an ancillary tEXt chunk to skip. */
+    * garbage → NULL. PNG-specific coverage varies by id: the COLOR
+    * TYPE cycles ALL FIVE 8-bit forms on pmod(id,5) — 0 RGB, 1 RGBA,
+    * 2 grayscale, 3 palette (identity 256-gray PLTE, so indices ARE
+    * luminances), 4 gray+alpha — every one rendering the SAME pixels,
+    * so cross-COLOR-TYPE ids congruent mod 2560 (lcm with the pixel
+    * formula's mod-256 period) hash identically and every type feeds
+    * the same oracle; every row cycles filter y%5 (all five defilter
+    * paths in every image), pmod(id,4)=2 splits IDAT in two chunks,
+    * pmod(id,4)=3 inserts an ancillary tEXt chunk to skip. */
   def synthPngImageBytes(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -281,7 +286,14 @@ object Png {
       return Array(0xDE, 0xAD, 0xBE, 0xEF, 0x00, 0xFF).map(_.toByte)
     val eid = if (pm(id, 10) == 1) id - 1 else id
     val w = 9; val h = 8
-    val channels = if (pm(id, 3) == 1) 4 else 3
+    // color mode: 0 RGB, 1 RGBA, 2 grayscale, 3 palette, 4 gray+alpha
+    val mode = pm(id, 5).toInt
+    val channels = mode match {
+      case 0 => 3; case 1 => 4; case 4 => 2; case _ => 1
+    }
+    val colorType = mode match {
+      case 0 => 2; case 1 => 6; case 2 => 0; case 3 => 3; case _ => 4
+    }
     val rowBytes = w * channels
     val px = new Array[Int](rowBytes * h)
     var y = 0
@@ -292,8 +304,12 @@ object Png {
         val g = pm((eid * 31 + x * 17 + y * 53) *
           (eid + x + y + 7) + bump, 256).toInt
         val base = y * rowBytes + x * channels
-        px(base) = g; px(base + 1) = g; px(base + 2) = g
+        // gray/palette store g once (identity PLTE maps index g to
+        // (g,g,g)); multi-channel forms replicate it
+        px(base) = g
+        if (channels >= 3) { px(base + 1) = g; px(base + 2) = g }
         if (channels == 4) px(base + 3) = 0xFF
+        if (channels == 2) px(base + 1) = 0xFF
         x += 1
       }
       y += 1
@@ -348,13 +364,15 @@ object Png {
     }
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(w).putInt(h).put(8.toByte)
-      .put((if (channels == 4) 6 else 2).toByte)
+      .put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
     val out = new java.io.ByteArrayOutputStream()
     out.write(Signature)
     out.write(chunk("IHDR", ihdr))
+    if (colorType == 3)
+      out.write(chunk("PLTE", Array.tabulate(768)(i => (i / 3).toByte)))
     if (pm(id, 4) == 3)
-      out.write(chunk("tEXt", "Comment synthetic".getBytes("US-ASCII")))
+      out.write(chunk("tEXt", "Comment\u0000synthetic".getBytes("US-ASCII")))
     if (pm(id, 4) == 2 && idat.length >= 2) {
       val cut = idat.length / 2
       out.write(chunk("IDAT", idat.take(cut)))

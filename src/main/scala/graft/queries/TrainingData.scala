@@ -4974,8 +4974,10 @@ object TrainingData {
     // (JDK Inflater, all five defilters, multi-IDAT, CRC-checked
     // critical chunks) feeds the SAME 9x8 dHash as the expression
     // path, in a mapPartitions narrow map. The synth corpus encodes
-    // the q166 pixel formula as 8-bit RGB/RGBA PNGs (filters cycle
-    // y%5 inside every image; pmod 4 = 2 splits IDAT, = 3 inserts an
+    // the q166 pixel formula across ALL FIVE 8-bit color types
+    // (pmod 5: RGB / RGBA / grayscale / identity-PLTE palette /
+    // gray+alpha — same pixels whatever the type; filters cycle y%5
+    // inside every image; pmod 4 = 2 splits IDAT, = 3 inserts an
     // ancillary tEXt chunk; pmod 11 = 6 garbage -> NULL; pmod 10 = 1
     // one-pixel near-dup plant), so the oracle recomputes every bit
     // as id arithmetic — IDENTICAL to q166's, container-agnostic by
