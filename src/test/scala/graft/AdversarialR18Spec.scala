@@ -222,6 +222,30 @@ class AdversarialR18Spec extends SparkSpec {
       s"qres=0 dists must be finite |recon|^2: $outZero")
   }
 
+  test("zstd truncation at EVERY byte: the built-in decoder NULLs the " +
+      "body (or yields a strict prefix where a frame boundary allows), " +
+      "never throws, never fabricates the full body from fewer bytes") {
+    val crlf = "\r\n"
+    val full = java.util.Base64.getDecoder.decode(
+      "KLUv/QRoYQAAZmlyc3QgZnJhbWUgmQ2Juii1L/0EaGEAAHNlY29uZCBmcmFtZRdkB7Y=")
+    val plain = "first frame second frame"
+    def msg(b: Array[Byte]) = ("HTTP/1.1 200 OK" + crlf +
+      "Content-Encoding: zstd" + crlf + crlf).getBytes("ISO-8859-1") ++ b
+    val rows = (0 until full.length).map(cut =>
+      (cut.toLong, msg(java.util.Arrays.copyOf(full, cut))))
+    val got = graft.sources.Http.parseHttpResponses(
+      rows.toDF("media_id", "payload"))
+      .select($"media_id", $"body".cast("string"))
+      .as[(Long, Option[String])].collect().toMap
+    // the final 4 bytes are the frame's XXH checksum: the reference
+    // `zstd -d` also streams the COMPLETE content for cuts inside it
+    // (exit 1, bytes emitted) — so the full body is legitimate there
+    // and must be impossible any earlier
+    for (cut <- 0 until full.length - 4)
+      assert(!got(cut.toLong).contains(plain),
+        s"full body from a $cut-byte prefix")
+  }
+
   test("WET Content-Length overrun: a conversion record declaring more " +
       "bytes than the payload holds costs its own tail, not the task — " +
       "preceding records still parse") {
