@@ -727,15 +727,27 @@ object Dedup {
                                      reliableCheckpoints: Boolean = false,
                                      onRound: Option[(Int, Long) => Unit] = None): DataFrame = {
     val lbl = prevLabels.select(col("id"), col("component"))
-    val reduced = deltaPairs
+    val mapped = deltaPairs
       .select(col("id_a"), col("id_b"))
       .join(lbl.select(col("id").as("id_a"), col("component").as("__la")),
         Seq("id_a"), "left")
       .join(lbl.select(col("id").as("id_b"), col("component").as("__lb")),
         Seq("id_b"), "left")
+    val reduced = mapped
       .select(coalesce(col("__la"), col("id_a")).as("id_a"),
         coalesce(col("__lb"), col("id_b")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
+    // genuinely NEW ids, derived from the delta's own null-lookups —
+    // delta-sized, so the fresh-node split below is a delta×delta semi
+    // join, never a join against the corpus-sized label table (an
+    // anti-join against lbl would shuffle — or worse, hash — the whole
+    // corpus for a delta-sized result)
+    val newIds = mapped
+      .select(when(col("__la").isNull, col("id_a")).as("id"))
+      .unionByName(mapped
+        .select(when(col("__lb").isNull, col("id_b")).as("id")))
+      .where(col("id").isNotNull)
+      .distinct()
     // all delta edges inside existing components: nothing merges and no
     // new node can exist (a new id never collapses — it has no label),
     // so the persisted table IS the answer. The emptiness probe is
@@ -744,7 +756,7 @@ object Dedup {
     val merged = connectedComponents(reduced, maxIter,
       reliableCheckpoints, onRound)
     // (touched representative -> merged min); representatives are node
-    // ids present in prevLabels, new ids are not — the anti join splits
+    // ids present in prevLabels, new ids are the semi-join complement
     val remap = merged
       .select(col("id").as("component"), col("component").as("__newc"))
     val updated = lbl
@@ -752,7 +764,7 @@ object Dedup {
       .select(col("id"),
         coalesce(col("__newc"), col("component")).as("component"))
     val fresh = merged
-      .join(lbl.select(col("id")), Seq("id"), "left_anti")
+      .join(newIds, Seq("id"), "left_semi")
       .select(col("id"), col("component"))
     updated.unionByName(fresh)
   }

@@ -180,6 +180,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(inc.as[(Long, Long)].collect().toMap ===
       ((0L to 16L).map(_ -> 0L) ++ Seq(100L -> 0L, 101L -> 0L)).toMap)
     assert(incRounds <= 2, s"delta-bounded rounds, got $incRounds")
+    // the relabel join's build side is delta-sized by construction —
+    // AQE must have converted the static sort-merge joins to broadcast
+    // at runtime (the scaladoc's claim, pinned here). Materialize THIS
+    // dataset (the .as[...] collect above executed a derived plan) so
+    // the adaptive plan finalizes before reading it.
+    inc.collect()
+    val planAll = inc.queryExecution.executedPlan.toString
+    assert(planAll.contains("isFinalPlan=true"), planAll.take(400))
+    // the executed AdaptiveSparkPlan prints final AND initial plans —
+    // judge only the final section (the initial one legitimately
+    // carries the pre-AQE sort-merge joins)
+    val plan = planAll.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "relabel/semi joins must broadcast under AQE:\n" + plan.take(2000))
     // all-internal delta: short-circuits to the persisted table
     var noopRounds = 0
     val noop = graft.dedup.Dedup.connectedComponentsIncremental(
