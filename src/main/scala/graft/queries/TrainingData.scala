@@ -5283,6 +5283,102 @@ object TrainingData {
              |    ON e.src = r.id)
              |SELECT CAST(id AS BIGINT) AS id,
              |  CAST(min(label) AS BIGINT) AS component
+             |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
+    // Incremental dedup MAINTENANCE capstone — the full production
+    // story q117 (admission) and q177 (label maintenance) compose
+    // into: a persisted corpus index (band table + CC labels over its
+    // candidate pairs) meets a delta batch (new docs + planted copies
+    // of indexed docs); delta edges are the REAL collision pairs —
+    // delta-vs-index (one band join against the index, the q117 shape)
+    // plus within-delta candidates — and connectedComponentsIncremental
+    // folds them into the persisted labels at delta-bounded cost.
+    // Edges use the full collision pairs, NOT the admission decision's
+    // min-collider pointers: a new doc colliding with TWO existing
+    // components must MERGE them (the decision output keeps only the
+    // min partner and would under-merge — the documented reason the
+    // admission gate is not the maintenance input). The oracle replays
+    // minhash banding (q117's CTEs) and closes the union graph with a
+    // recursive CTE; bit-equality with a full recompute is the
+    // operator's spec'd contract.
+    Q("q178_incremental_dedup_maintenance",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val existing = docs.where(col("doc_id") < 256)
+        val planted = existing.where(col("doc_id") % 16 === 0)
+          .withColumn("doc_id", col("doc_id") + 200000)
+        val incoming = docs
+          .where(col("doc_id") >= 256 && col("doc_id") < 448)
+          .unionByName(planted)
+        val baseBands = Dedup.lshBands(Dedup.minhashWide(
+          Dedup.shingles(existing, "doc_id", "text", 3), "doc_id", 16),
+          "doc_id", 16, 4)
+        val labels0 = Dedup.connectedComponents(
+          Dedup.lshCandidates(baseBands, "doc_id", probeParts = 0))
+        val newBands = Dedup.lshBands(Dedup.minhashWide(
+          Dedup.shingles(incoming, "doc_id", "text", 3), "doc_id", 16),
+          "doc_id", 16, 4)
+        val vsIdx = baseBands
+          .select(col("doc_id").as("id_a"), col("band"), col("sig"))
+          .join(newBands
+            .select(col("doc_id").as("id_b"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .select("id_a", "id_b").distinct()
+        val deltaEdges = vsIdx.unionByName(
+          Dedup.lshCandidates(newBands, "doc_id", probeParts = 0))
+        Dedup.connectedComponentsIncremental(labels0, deltaEdges)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE raw AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 448
+             |  UNION ALL
+             |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+             |  WHERE doc_id < 256 AND doc_id % 16 = 0),
+             |d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM raw),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, u.s AS shingle
+             |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
+             |       i -> array_to_string(d.toks[i:i+2], ' '))) u(s)
+             |  WHERE len(d.toks) >= 3),
+             |h AS (
+             |  SELECT doc_id,
+             |         ('0x'||substr(md5(shingle),1,14))::BIGINT AS ha,
+             |         ('0x'||substr(md5(shingle),17,14))::BIGINT AS hb
+             |  FROM sh),
+             |mh AS (
+             |  SELECT doc_id, CAST(seed AS INT) AS seed,
+             |         min((ha + seed*hb) % (1::BIGINT << 56)) AS minhash
+             |  FROM h CROSS JOIN range(0,16) r(seed)
+             |  GROUP BY doc_id, seed),
+             |bands AS MATERIALIZED (
+             |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             |         string_agg(minhash::VARCHAR, '|' ORDER BY seed) AS sig
+             |  FROM mh GROUP BY doc_id, CAST(seed // 4 AS INT)),
+             |idx AS MATERIALIZED (
+             |  SELECT * FROM bands WHERE doc_id < 256),
+             |newb AS MATERIALIZED (
+             |  SELECT * FROM bands WHERE doc_id >= 256),
+             |e AS MATERIALIZED (
+             |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+             |  FROM idx a JOIN idx b ON a.band = b.band AND a.sig = b.sig
+             |   AND a.doc_id < b.doc_id
+             |  UNION
+             |  SELECT DISTINCT i.doc_id, n.doc_id
+             |  FROM idx i JOIN newb n ON i.band = n.band AND i.sig = n.sig
+             |  UNION
+             |  SELECT DISTINCT a.doc_id, b.doc_id
+             |  FROM newb a JOIN newb b ON a.band = b.band
+             |   AND a.sig = b.sig AND a.doc_id < b.doc_id),
+             |ed AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+             |reach(id, label) AS (
+             |  SELECT src, src FROM ed
+             |  UNION
+             |  SELECT e2.dst, r.label FROM reach r JOIN ed e2
+             |    ON e2.src = r.id)
+             |SELECT CAST(id AS BIGINT) AS id,
+             |  CAST(min(label) AS BIGINT) AS component
              |FROM reach GROUP BY id ORDER BY id""".stripMargin))
   )
 }
