@@ -892,6 +892,88 @@ object Dedup {
         (col("n_overlap") / col("eval_shingles")).as("eval_coverage"))
   }
 
+  /** BLOOM-FILTER contamination screen — the 100 TB-shaped variant of
+    * [[contamination]]: instead of broadcasting the eval set's shingle
+    * STRINGS (8+ bytes each plus hash-table overhead) and joining, the
+    * eval shingles compress into a `bitsPerShingle`-bits-per-entry
+    * bloom bitmap (4 bytes/shingle at the default) that ships
+    * to every task as ONE literal array<long>, and the probe is a
+    * fully NARROW expression — shingles built as a higher-order
+    * transform over the token array (never exploded), each tested
+    * against `numHashes` bit positions. ZERO joins, ZERO shuffles,
+    * zero UDFs: the training corpus is read once at scan speed and the
+    * only cluster traffic is the bitmap inside the task binary.
+    *
+    * Bloom semantics, so NO FALSE NEGATIVES (every exactly-
+    * contaminated doc is flagged — the spec pins it against
+    * [[contamination]]) and a bounded false-positive rate. SIZE FOR
+    * THE DOC, NOT THE SHINGLE: a doc is falsely flagged if ANY of its
+    * shingles trips, so per-doc FP ≈ shingles/doc × per-shingle FP —
+    * the defaults (r = 32 bits/shingle, k = 8 hashes → per-shingle
+    * (1−e^(−k/r))^k ≈ 6e-6) hold a ~300-shingle doc under 0.2% FP,
+    * where a naive 10-bit/1% filter would flag nearly every long doc.
+    * The intended deployment is a SCREEN: bloom-flag at scan speed,
+    * then run the exact [[contamination]] join only over the flagged
+    * sliver.
+    *
+    * Hashing is the repo's md5-derived [[TextOps.hash64]] (seeded per
+    * hash index), so a replay engine reproduces every bit — the bloom
+    * verdict itself is oracle-checkable (q179), not just its recall.
+    * Two bounded driver actions by design: the eval-shingle count
+    * (sizes the bitmap) and the word-table collect (words =
+    * n·bitsPerShingle/64 longs — eval-bounded, never corpus-bounded).
+    *
+    * Returns train's idCol + `bloom_contaminated` for every train doc
+    * (docs with < n tokens cannot be contaminated → false). */
+  def contaminationBloom(train: DataFrame, evalDocs: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         bitsPerShingle: Int = 32,
+                         numHashes: Int = 8): DataFrame = {
+    require(n >= 1, s"n: $n")
+    require(bitsPerShingle >= 2 && bitsPerShingle <= 64,
+      s"bitsPerShingle: $bitsPerShingle")
+    require(numHashes >= 1 && numHashes <= 16, s"numHashes: $numHashes")
+    val evalSh = shingles(evalDocs, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val nSh = evalSh.count()
+    val words = math.max(1L, (nSh * bitsPerShingle + 63) / 64).toInt
+    val mBits = words * 64L
+    def posC(sh: Column, i: Int): Column =
+      pmod(graft.text.TextOps.hash64(
+        concat(lit(s"bloom#$i#"), sh)), lit(mBits))
+    val wordRows = evalSh
+      .select(explode(array((0 until numHashes)
+        .map(i => posC(col("shingle"), i)): _*)).as("p"))
+      .groupBy(floor(col("p") / 64).cast(IntegerType).as("w"))
+      .agg(expr(
+        "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))")
+        .as("bits"))
+      .collect()
+    val bitmap = new Array[Long](words)
+    wordRows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    // the probe: one SQL expression over the token array — the seed
+    // string built at runtime ('bloom#'||i||'#') must render exactly
+    // the build side's literal, which CAST(i AS STRING) does for 0..15
+    val pos =
+      "pmod(CAST(conv(substring(md5(concat('bloom#', CAST(i AS STRING)," +
+        s" '#', sh)), 1, 15), 16, 10) AS BIGINT), ${mBits}L)"
+    val probe = expr(s"""
+      CASE WHEN size(__cb_toks) >= $n THEN exists(
+        transform(sequence(1, size(__cb_toks) - ${n - 1}),
+          j -> concat_ws(' ', slice(__cb_toks, j, $n))),
+        sh -> forall(
+          transform(sequence(0, ${numHashes - 1}), i -> $pos),
+          p -> (element_at(__cb_bm, CAST(p div 64 AS INT) + 1)
+                  & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))
+                != CAST(0 AS BIGINT)))
+      ELSE false END""")
+    train
+      .withColumn("__cb_toks", graft.text.TextOps.tokens(col(textCol)))
+      .withColumn("__cb_bm", typedLit(bitmap.toSeq))
+      .withColumn("bloom_contaminated", probe)
+      .drop("__cb_toks", "__cb_bm")
+  }
+
   /** Decontaminated training set — the removal step [[contamination]]
     * detection exists for: drop every training document that shares at
     * least `minOverlap` distinct n-gram shingles with ANY eval/benchmark

@@ -5379,6 +5379,84 @@ object TrainingData {
              |    ON e2.src = r.id)
              |SELECT CAST(id AS BIGINT) AS id,
              |  CAST(min(label) AS BIGINT) AS component
-             |FROM reach GROUP BY id ORDER BY id""".stripMargin))
+             |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
+    // Bloom-filter contamination screen (Dedup.contaminationBloom):
+    // the eval set compresses into a 32-bits/shingle bloom bitmap that
+    // rides as ONE literal array<long>, and the probe is a fully
+    // narrow expression over the token array — zero joins, zero
+    // shuffles, zero UDFs; the exact q101 join then runs only over the
+    // flagged sliver. Hashing is the repo's md5 hash64 seeded per hash
+    // index, so the VERDICT is deterministic and the oracle replays
+    // it exactly — as set membership over the set-bit POSITIONS (bit
+    // set <=> position hit by some (eval shingle, hash index)), which
+    // sidesteps cross-engine 64-bit shift semantics entirely. Planted
+    // eval copies of every 40th train doc guarantee true hits; no
+    // false negatives by construction.
+    Q("q179_contamination_bloom",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val train = docs.where(col("doc_id") < 400)
+        val evalSet = docs.where(col("doc_id").between(400, 439))
+          .unionByName(docs
+            .where(col("doc_id") < 400 &&
+              pmod(col("doc_id"), lit(40)) === 0)
+            .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+        Dedup.contaminationBloom(train, evalSet, "doc_id", "text")
+          .select(col("doc_id"), col("bloom_contaminated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH train AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 400),
+             |ev AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE doc_id BETWEEN 400 AND 439
+             |  UNION ALL
+             |  SELECT doc_id + 500000, text FROM documents
+             |  WHERE doc_id < 400 AND doc_id % 40 = 0),
+             |edk AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)),
+             |    '\s+') AS toks FROM ev),
+             |esh AS MATERIALIZED (
+             |  SELECT DISTINCT u.s AS shingle
+             |  FROM edk CROSS JOIN unnest(list_transform(
+             |    range(1, len(edk.toks)-1),
+             |    i -> array_to_string(edk.toks[i:i+2], ' '))) u(s)
+             |  WHERE len(edk.toks) >= 3),
+             |mb AS MATERIALIZED (
+             |  SELECT GREATEST(1, (count(*) * 32 + 63) // 64) * 64
+             |    AS mbits FROM esh),
+             |pos AS MATERIALIZED (
+             |  SELECT DISTINCT
+             |    ('0x'||substr(md5('bloom#'||r.i||'#'||e.shingle),1,15))
+             |      ::BIGINT % mb.mbits AS p
+             |  FROM esh e CROSS JOIN range(0,8) r(i) CROSS JOIN mb),
+             |td AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)),
+             |    '\s+') AS toks FROM train),
+             |tsh AS (
+             |  SELECT DISTINCT doc_id, u.s AS shingle
+             |  FROM td CROSS JOIN unnest(list_transform(
+             |    range(1, len(td.toks)-1),
+             |    i -> array_to_string(td.toks[i:i+2], ' '))) u(s)
+             |  WHERE len(td.toks) >= 3),
+             |tpos AS (
+             |  SELECT t.doc_id, t.shingle, r.i,
+             |    ('0x'||substr(md5('bloom#'||r.i||'#'||t.shingle),1,15))
+             |      ::BIGINT % mb.mbits AS p
+             |  FROM tsh t CROSS JOIN range(0,8) r(i) CROSS JOIN mb),
+             |shhit AS (
+             |  SELECT t.doc_id, t.shingle,
+             |    bool_and(pos.p IS NOT NULL) AS hit
+             |  FROM tpos t LEFT JOIN pos ON pos.p = t.p
+             |  GROUP BY t.doc_id, t.shingle),
+             |dochit AS (
+             |  SELECT doc_id, bool_or(hit) AS bloom_contaminated
+             |  FROM shhit GROUP BY doc_id)
+             |SELECT tr.doc_id,
+             |  COALESCE(d.bloom_contaminated, false) AS bloom_contaminated
+             |FROM (SELECT DISTINCT doc_id FROM train) tr
+             |LEFT JOIN dochit d USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

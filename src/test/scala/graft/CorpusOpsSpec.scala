@@ -205,6 +205,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(noopRounds === 0)
   }
 
+  test("contaminationBloom: NO false negatives vs the exact join, FP " +
+      "rate inside the design bound, short docs pass, and the probe " +
+      "plan is a pure narrow map — zero joins, zero exchanges") {
+    import spark.implicits._
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val train = docs.where($"doc_id" < 400)
+      .unionByName(Seq((90001L, "xy")).toDF("doc_id", "text")) // < n toks
+    val eval_ = docs.where($"doc_id" >= 400 && $"doc_id" < 440)
+      // planted exact copies of train docs -> guaranteed exact hits
+      .unionByName(docs.where($"doc_id" < 400 && $"doc_id" % 40 === 0)
+        .select(($"doc_id" + 500000).as("doc_id"), $"text"))
+    val exact = graft.dedup.Dedup.contamination(
+      train, eval_, "doc_id", "text").select($"train_id").distinct()
+      .as[Long].collect().toSet
+    assert(exact.nonEmpty, "exhibit must have exact hits")
+    val bloomDf = graft.dedup.Dedup.contaminationBloom(
+      train, eval_, "doc_id", "text")
+    val bloom = bloomDf.select($"doc_id", $"bloom_contaminated")
+      .as[(Long, Boolean)].collect().toMap
+    // bloom can never miss an exact hit
+    for (id <- exact)
+      assert(bloom(id), s"false negative on exactly-contaminated $id")
+    // per-DOC FP: any of a doc's ~hundreds of shingles can trip, so
+    // the defaults size per-shingle FP to ~6e-6 → well under 5% per
+    // doc here (the bound is loose on purpose — magnitude, not
+    // decimals; a mis-sized filter reads 40%+)
+    val clean = bloom.keySet -- exact
+    val fp = clean.count(bloom(_)).toDouble / math.max(1, clean.size)
+    assert(fp <= 0.05, s"false-positive rate off the rails: $fp")
+    assert(!bloom(90001L), "a doc too short to shingle cannot be flagged")
+    // the probe is a narrow map: no join, no exchange anywhere
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+
   test("survivors keeps one per group by preference, singletons pass through") {
     import spark.implicits._
     // group {1,2,3} via transitive pairs; 4 is a singleton. Quality prefers
