@@ -233,7 +233,8 @@ object EventStreams {
                                  bands: Int = 4,
                                  broadcastDelta: Boolean = true,
                                  probeParts: Int = -1,
-                                 saltBuckets: Int = 0): Unit = {
+                                 saltBuckets: Int = 0,
+                                 labelsPath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     import graft.dedup.Dedup
     // the empty first-batch index derives its id type from the BATCH, not
@@ -264,6 +265,52 @@ object EventStreams {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(decisionsPath)
+      // OPTIONAL LABEL MAINTENANCE (the q177/q178 composition as a
+      // stream): fold this batch's collision edges into the persisted
+      // component labels via connectedComponentsIncremental, at
+      // delta-bounded cost per batch. Edges are the FULL collision
+      // pairs — batch-vs-index (one band join against the pruned
+      // index) plus within-batch candidates — NOT the decision
+      // min-pointers, which under-merge a new doc bridging two
+      // components (the q178 decision record). Snapshot semantics
+      // make redelivery exactly-once just like the decisions: the
+      // label table AFTER batch N lands in partition batch_id=N; a
+      // replayed batch reads the latest snapshot STRICTLY BEFORE
+      // itself (its own failed write invisible) and dynamic overwrite
+      // replaces its partition.
+      labelsPath.foreach { lp =>
+        import graft.dedup.Dedup
+        val emptyLabels = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("id", batch.schema(idCol).dataType),
+            StructField("component", batch.schema(idCol).dataType))))
+        val prevLabels = graft.pipeline.Pipeline.readAccumulated(spark, lp)
+          .map { df =>
+            // partition-column discovery types small batch_id values as
+            // INT — cast before comparing (the getLong trap)
+            val prior = df.where(col("batch_id").cast(LongType) < batchId)
+            val last = prior.agg(max(col("batch_id").cast(LongType))).head()
+            if (last.isNullAt(0)) emptyLabels
+            else prior
+              .where(col("batch_id").cast(LongType) === last.getLong(0))
+              .select(col("id"), col("component"))
+          }
+          .getOrElse(emptyLabels)
+        val vsIdx = idx
+          .select(col(idCol).as("id_a"), col("band"), col("sig"))
+          .join(newBands
+            .select(col(idCol).as("id_b"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .select("id_a", "id_b").distinct()
+        val edges = vsIdx.unionByName(
+          Dedup.lshCandidates(newBands, idCol, probeParts, saltBuckets))
+        Dedup.connectedComponentsIncremental(prevLabels, edges)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(lp)
+      }
       // every seen signature enters the index, kept or not (the accreting
       // store the batch operator's decision rule is defined against)
       newBands.withColumn("batch_id", lit(batchId))
@@ -285,14 +332,15 @@ object EventStreams {
                          numHashes: Int = 16, bands: Int = 4,
                          broadcastDelta: Boolean = true,
                          probeParts: Int = -1,
-                         saltBuckets: Int = 0): StreamingQuery =
+                         saltBuckets: Int = 0,
+                         labelsPath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDedupAdmissionBatch(batch, batchId, indexPath, decisionsPath,
           idCol, textCol, shingleN, numHashes, bands, broadcastDelta,
-          probeParts, saltBuckets)
+          probeParts, saltBuckets, labelsPath)
       }
       .start()
 

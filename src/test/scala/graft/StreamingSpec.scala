@@ -245,6 +245,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === planted.count())
   }
 
+  test("streaming label maintenance: per-batch incremental CC snapshots " +
+      "end bit-equal to a full recompute over every collision edge, " +
+      "redelivery included; intermediate snapshots are prefix-exact") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val base = Sources.table(spark, sf, "documents")
+      .select("doc_id", "text").where(col("doc_id") < 300)
+    val planted = base.unionByName(base.where(col("doc_id") < 40)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val deltas = (0 to 2).map(i => planted.where(col("doc_id") % 3 === i))
+    val root = Files.createTempDirectory("graft_labels").toString
+    val (idxPath, decPath) = (root + "/index", root + "/decisions")
+    val lp = Some(root + "/labels")
+    EventStreams.processDedupAdmissionBatch(deltas(0), 0, idxPath, decPath,
+      labelsPath = lp)
+    EventStreams.processDedupAdmissionBatch(deltas(1), 1, idxPath, decPath,
+      labelsPath = lp)
+    // redelivery: batch 1 reruns after succeeding — the snapshot read
+    // (batch_id < 1) plus dynamic overwrite must make it a no-op
+    EventStreams.processDedupAdmissionBatch(deltas(1), 1, idxPath, decPath,
+      labelsPath = lp)
+    EventStreams.processDedupAdmissionBatch(deltas(2), 2, idxPath, decPath,
+      labelsPath = lp)
+    def snapshot(b: Int): Map[Long, Long] =
+      spark.read.parquet(root + "/labels")
+        .where($"batch_id" === b).select($"id", $"component")
+        .as[(Long, Long)].collect().toMap
+    def fullCc(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.connectedComponents(Dedup.lshCandidates(Dedup.lshBands(
+        Dedup.minhashWide(Dedup.shingles(docs, "doc_id", "text", 3),
+          "doc_id", 16), "doc_id", 16, 4), "doc_id", probeParts = 0))
+        .as[(Long, Long)].collect().toMap
+    // every snapshot equals the full recompute over its PREFIX of docs
+    assert(snapshot(0) === fullCc(deltas(0)))
+    assert(snapshot(1) === fullCc(deltas(0).unionByName(deltas(1))))
+    assert(snapshot(2) === fullCc(planted))
+    // the planted copies really landed in shared components
+    val s2 = snapshot(2)
+    val merged = (0L until 40L).filter(s2.contains)
+      .count(id => s2.get(id) == s2.get(id + 100000))
+    assert(merged >= 35, s"planted copies must co-label, got $merged")
+  }
+
   test("streaming admission: shuffle-join fallback (broadcastDelta=false) " +
       "decides identically") {
     import spark.implicits._
