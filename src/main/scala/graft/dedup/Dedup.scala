@@ -974,6 +974,34 @@ object Dedup {
       .drop("__cb_toks", "__cb_bm")
   }
 
+  /** SCREENED decontamination — [[contaminationBloom]] composed into
+    * the removal step: bloom-flag the corpus at scan speed (zero
+    * joins), run the exact [[contamination]] join ONLY over the
+    * flagged sliver (flag rate ≈ true contamination + ~0.2% FP at the
+    * defaults), then anti-join the exact hits out. Because the bloom
+    * has NO false negatives at any `minOverlap` (≥ minOverlap shared
+    * shingles implies ≥ 1 shared shingle implies flagged), the
+    * survivors are IDENTICAL to [[decontaminate]]'s — CorpusOpsSpec
+    * pins the equivalence — while the corpus-wide work drops from a
+    * shingle-explode + broadcast join on every doc to one narrow
+    * expression scan. The eval set is shingled twice (bitmap build +
+    * exact join on the sliver) — eval-bounded, the cheap side. */
+  def decontaminateBloom(train: DataFrame, evalDocs: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         minOverlap: Int = 1,
+                         bitsPerShingle: Int = 32,
+                         numHashes: Int = 8): DataFrame = {
+    val flagged = contaminationBloom(train, evalDocs, idCol, textCol, n,
+      bitsPerShingle, numHashes)
+      .where(col("bloom_contaminated"))
+      .select(col(idCol))
+    val sliver = train.join(flagged, Seq(idCol), "left_semi")
+    val hits = contamination(sliver, evalDocs, idCol, textCol, n,
+      minOverlap)
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Decontaminated training set — the removal step [[contamination]]
     * detection exists for: drop every training document that shares at
     * least `minOverlap` distinct n-gram shingles with ANY eval/benchmark

@@ -5457,6 +5457,40 @@ object TrainingData {
              |  COALESCE(d.bloom_contaminated, false) AS bloom_contaminated
              |FROM (SELECT DISTINCT doc_id FROM train) tr
              |LEFT JOIN dochit d USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Screened decontamination (Dedup.decontaminateBloom): the q179
+    // bloom screen composed into q124's removal — flag at scan speed,
+    // exact-join only the flagged sliver, anti-join the hits out.
+    // Because the screen has NO false negatives at any minOverlap, the
+    // survivors are IDENTICAL to the exact path, so the oracle IS
+    // q124's SQL verbatim — the equivalence is the correctness
+    // statement, hash-checked every round.
+    Q("q180_decontaminate_bloom",
+      (s, dir) => Dedup.decontaminateBloom(
+        t(s, dir, "documents").where(col("doc_id") % 10 =!= 0),
+        t(s, dir, "documents").where(col("doc_id") % 10 === 0),
+        "doc_id", "text", 3, 5)
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, u.s AS shingle
+             |  FROM d CROSS JOIN unnest(list_transform(range(1, len(d.toks)-1),
+             |       i -> array_to_string(d.toks[i:i+2], ' '))) u(s)
+             |  WHERE len(d.toks) >= 3),
+             |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+             |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0),
+             |bad AS (
+             |  SELECT DISTINCT train_id
+             |  FROM (SELECT train_id, eval_id, count(*) AS n_overlap
+             |        FROM tr JOIN ev USING (shingle) GROUP BY 1, 2)
+             |  WHERE n_overlap >= 5)
+             |SELECT doc_id, source FROM documents
+             |WHERE doc_id % 10 <> 0
+             |  AND doc_id NOT IN (SELECT train_id FROM bad)
              |ORDER BY doc_id""".stripMargin))
   )
 }

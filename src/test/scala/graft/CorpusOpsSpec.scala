@@ -241,6 +241,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
 
+  test("decontaminateBloom survivors are IDENTICAL to the exact " +
+      "decontaminate at minOverlap 1 and 5 — the no-false-negative " +
+      "screen can never change the outcome, only the cost") {
+    import spark.implicits._
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val train = docs.where($"doc_id" % 10 =!= 0)
+    val eval_ = docs.where($"doc_id" % 10 === 0)
+    for (mo <- Seq(1, 5)) {
+      val exact = graft.dedup.Dedup.decontaminate(
+        train, eval_, "doc_id", "text", 3, mo)
+        .select($"doc_id").as[Long].collect().toSet
+      val screened = graft.dedup.Dedup.decontaminateBloom(
+        train, eval_, "doc_id", "text", 3, mo)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(screened === exact, s"minOverlap=$mo diverged")
+    }
+  }
+
   test("survivors keeps one per group by preference, singletons pass through") {
     import spark.implicits._
     // group {1,2,3} via transitive pairs; 4 is a singleton. Quality prefers
