@@ -898,11 +898,22 @@ object Dedup {
     * eval shingles compress into a `bitsPerShingle`-bits-per-entry
     * bloom bitmap (4 bytes/shingle at the default) that ships
     * to every task as ONE literal array<long>, and the probe is a
-    * fully NARROW expression — shingles built as a higher-order
-    * transform over the token array (never exploded), each tested
-    * against `numHashes` bit positions. ZERO joins, ZERO shuffles,
-    * zero UDFs: the training corpus is read once at scan speed and the
-    * only cluster traffic is the bitmap inside the task binary.
+    * codegen'd scan: shingles explode, each tests `numHashes` bit
+    * positions, and non-hits drop BEFORE any exchange — the corpus
+    * never shuffles; only the FLAGGED ids (≈ true contamination +
+    * ~0.2% FP) reach the distinct + the broadcast join-back. Zero
+    * UDFs; the only corpus-scale traffic is the bitmap inside the
+    * task binary.
+    *
+    * MEASURED TRADE (sf1.0, 45k docs / 2.35M shingles, local[16]):
+    * the screen scans at ~2× the exact broadcast join's wall
+    * (20.7 s vs 10.8 s min-of-3) — md5-per-shingle beats a murmur
+    * hash-relation probe on footprint, not CPU. Its regime is the
+    * eval set the exact join CANNOT broadcast: the bitmap is ~8×
+    * smaller than a broadcast hash relation over the same shingles
+    * (4 bytes vs 30+ bytes each), join-free, and FP-tunable — use
+    * [[contamination]]/[[decontaminate]] whenever the eval relation
+    * broadcasts comfortably, this screen when it does not.
     *
     * Bloom semantics, so NO FALSE NEGATIVES (every exactly-
     * contaminated doc is flagged — the spec pins it against
@@ -916,12 +927,18 @@ object Dedup {
     * then run the exact [[contamination]] join only over the flagged
     * sliver.
     *
-    * Hashing is the repo's md5-derived [[TextOps.hash64]] (seeded per
-    * hash index), so a replay engine reproduces every bit — the bloom
-    * verdict itself is oracle-checkable (q179), not just its recall.
-    * Two bounded driver actions by design: the eval-shingle count
-    * (sizes the bitmap) and the word-table collect (words =
-    * n·bitsPerShingle/64 longs — eval-bounded, never corpus-bounded).
+    * Hashing is Kirsch-Mitzenmacher double hashing off ONE md5 per
+    * shingle — pos_i = (h1 + i·h2) mod m with h1/h2 the md5's two
+    * 56-bit halves (the minhash family's exact scheme, overflow-safe:
+    * h1 + 15·h2 < 2^60) — because the probe's md5 count IS the scan
+    * cost: a naive per-index seeded hash ran k md5s per shingle and
+    * measured 4× SLOWER than the exact broadcast join at 50k docs;
+    * K-M runs one. Deterministic, so a replay engine reproduces every
+    * bit — the bloom verdict itself is oracle-checkable (q179), not
+    * just its recall. Two bounded driver actions by design: the
+    * eval-shingle count (sizes the bitmap) and the word-table collect
+    * (words = n·bitsPerShingle/64 longs — eval-bounded, never
+    * corpus-bounded).
     *
     * Returns train's idCol + `bloom_contaminated` for every train doc
     * (docs with < n tokens cannot be contaminated → false). */
@@ -933,14 +950,21 @@ object Dedup {
     require(bitsPerShingle >= 2 && bitsPerShingle <= 64,
       s"bitsPerShingle: $bitsPerShingle")
     require(numHashes >= 1 && numHashes <= 16, s"numHashes: $numHashes")
+    (Seq("bloom_contaminated", "__cb_hit", "__cb_toks", "__cb_sh",
+      "__cb_bm") ++ (0 until numHashes).map(i => s"__cb_p$i")).foreach(c =>
+      require(!train.columns.contains(c),
+        s"Dedup.contaminationBloom: train already has a '$c' column — " +
+          "rename it first"))
     val evalSh = shingles(evalDocs, idCol, textCol, n)
       .select(col("shingle")).distinct()
     val nSh = evalSh.count()
     val words = math.max(1L, (nSh * bitsPerShingle + 63) / 64).toInt
     val mBits = words * 64L
-    def posC(sh: Column, i: Int): Column =
-      pmod(graft.text.TextOps.hash64(
-        concat(lit(s"bloom#$i#"), sh)), lit(mBits))
+    def posC(sh: Column, i: Int): Column = {
+      val h1 = conv(substring(md5(sh), 1, 14), 16, 10).cast(LongType)
+      val h2 = conv(substring(md5(sh), 17, 14), 16, 10).cast(LongType)
+      pmod(h1 + lit(i.toLong) * h2, lit(mBits))
+    }
     val wordRows = evalSh
       .select(explode(array((0 until numHashes)
         .map(i => posC(col("shingle"), i)): _*)).as("p"))
@@ -951,27 +975,56 @@ object Dedup {
       .collect()
     val bitmap = new Array[Long](words)
     wordRows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
-    // the probe: one SQL expression over the token array — the seed
-    // string built at runtime ('bloom#'||i||'#') must render exactly
-    // the build side's literal, which CAST(i AS STRING) does for 0..15
-    val pos =
-      "pmod(CAST(conv(substring(md5(concat('bloom#', CAST(i AS STRING)," +
-        s" '#', sh)), 1, 15), 16, 10) AS BIGINT), ${mBits}L)"
-    val probe = expr(s"""
-      CASE WHEN size(__cb_toks) >= $n THEN exists(
-        transform(sequence(1, size(__cb_toks) - ${n - 1}),
-          j -> concat_ws(' ', slice(__cb_toks, j, $n))),
-        sh -> forall(
-          transform(sequence(0, ${numHashes - 1}), i -> $pos),
-          p -> (element_at(__cb_bm, CAST(p div 64 AS INT) + 1)
-                  & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))
-                != CAST(0 AS BIGINT)))
-      ELSE false END""")
-    train
-      .withColumn("__cb_toks", graft.text.TextOps.tokens(col(textCol)))
+    // THE PROBE IS CODEGEN-SHAPED ON PURPOSE: a first cut evaluated the
+    // whole test as nested higher-order lambdas over the token array —
+    // zero shuffles, but lambda bodies run INTERPRETED outside
+    // whole-stage codegen and the scan measured ~5× slower than the
+    // exact broadcast join at 50k docs. Exploding the shingles keeps
+    // every per-shingle expression (md5, conv, the k bit tests) inside
+    // codegen with subexpression elimination, and the early `where`
+    // means the only rows that ever reach an exchange are the FLAGGED
+    // ones — the corpus itself still never shuffles.
+    val toks = graft.text.TextOps.tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(1), size(col("__cb_toks")) - (n - 1)),
+      j => concat_ws(" ", slice(col("__cb_toks"), j, lit(n))))
+    val h1 = conv(substring(md5(col("__cb_sh")), 1, 14), 16, 10)
+      .cast(LongType)
+    val h2 = conv(substring(md5(col("__cb_sh")), 17, 14), 16, 10)
+      .cast(LongType)
+    // LET-BIND h1/h2 behind the nondeterministic-zero barrier (the
+    // repo's standard let-binding idiom): without it, project collapse
+    // inlines the md5+conv tree into all k position columns and codegen
+    // does NOT de-duplicate them — measured 9 s (k=1) vs 43 s (k=8) on
+    // 2.35M shingles, i.e. the md5 ran k× per shingle
+    val ndZero = (rand() * lit(0)).cast(LongType)
+    val hit = (0 until numHashes).map { i =>
+      expr(s"""(element_at(__cb_bm, CAST(__cb_p$i div 64 AS INT) + 1)
+              | & shiftleft(CAST(1 AS BIGINT),
+              |     CAST(__cb_p$i % 64 AS INT))) != CAST(0 AS BIGINT)"""
+        .stripMargin)
+    }.reduce(_ && _)
+    val flagged = train
+      .select(col(idCol), toks.as("__cb_toks"))
+      .where(size(col("__cb_toks")) >= n)
+      .select(col(idCol), explode(grams).as("__cb_sh"))
+      .select(col(idCol),
+        (h1 + ndZero).as("__cb_h1"), (h2 + ndZero).as("__cb_h2"))
       .withColumn("__cb_bm", typedLit(bitmap.toSeq))
-      .withColumn("bloom_contaminated", probe)
-      .drop("__cb_toks", "__cb_bm")
+      .select(
+        Seq(col(idCol), col("__cb_bm")) ++
+          (0 until numHashes).map(i =>
+            pmod(col("__cb_h1") + lit(i.toLong) * col("__cb_h2"),
+              lit(mBits)).as(s"__cb_p$i")): _*)
+      .where(hit)
+      .select(col(idCol))
+      .distinct()
+      .withColumn("__cb_hit", lit(true))
+    train
+      .join(flagged, Seq(idCol), "left")
+      .withColumn("bloom_contaminated",
+        coalesce(col("__cb_hit"), lit(false)))
+      .drop("__cb_hit")
   }
 
   /** SCREENED decontamination — [[contaminationBloom]] composed into

@@ -5388,7 +5388,9 @@ object TrainingData {
     // shuffles, zero UDFs; the exact q101 join then runs only over the
     // flagged sliver. Hashing is the repo's md5 hash64 seeded per hash
     // index, so the VERDICT is deterministic and the oracle replays
-    // it exactly — as set membership over the set-bit POSITIONS (bit
+    // it exactly (K-M double hashing off one md5 per shingle — the
+    // minhash family's scheme; a naive per-index hash measured 4x
+    // slower than the exact join) — as set membership over POSITIONS (bit
     // set <=> position hit by some (eval shingle, hash index)), which
     // sidesteps cross-engine 64-bit shift semantics entirely. Planted
     // eval copies of every 40th train doc guarantee true hits; no
@@ -5428,8 +5430,9 @@ object TrainingData {
              |    AS mbits FROM esh),
              |pos AS MATERIALIZED (
              |  SELECT DISTINCT
-             |    ('0x'||substr(md5('bloom#'||r.i||'#'||e.shingle),1,15))
-             |      ::BIGINT % mb.mbits AS p
+             |    (('0x'||substr(md5(e.shingle),1,14))::BIGINT
+             |     + r.i * ('0x'||substr(md5(e.shingle),17,14))::BIGINT)
+             |      % mb.mbits AS p
              |  FROM esh e CROSS JOIN range(0,8) r(i) CROSS JOIN mb),
              |td AS (
              |  SELECT doc_id, regexp_split_to_array(lower(trim(text)),
@@ -5442,8 +5445,9 @@ object TrainingData {
              |  WHERE len(td.toks) >= 3),
              |tpos AS (
              |  SELECT t.doc_id, t.shingle, r.i,
-             |    ('0x'||substr(md5('bloom#'||r.i||'#'||t.shingle),1,15))
-             |      ::BIGINT % mb.mbits AS p
+             |    (('0x'||substr(md5(t.shingle),1,14))::BIGINT
+             |     + r.i * ('0x'||substr(md5(t.shingle),17,14))::BIGINT)
+             |      % mb.mbits AS p
              |  FROM tsh t CROSS JOIN range(0,8) r(i) CROSS JOIN mb),
              |shhit AS (
              |  SELECT t.doc_id, t.shingle,

@@ -236,9 +236,18 @@ class CorpusOpsSpec extends SparkSpec {
     val fp = clean.count(bloom(_)).toDouble / math.max(1, clean.size)
     assert(fp <= 0.05, s"false-positive rate off the rails: $fp")
     assert(!bloom(90001L), "a doc too short to shingle cannot be flagged")
-    // the probe is a narrow map: no join, no exchange anywhere
+    // the corpus never shuffles: every hashpartitioning exchange in the
+    // plan sits on the FLAGGED branch (after the bit-test filter), and
+    // the join-back broadcasts — no sort-merge join anywhere
+    bloomDf.collect()
     val plan = bloomDf.queryExecution.executedPlan.toString
-    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    // the scan side reaches the filter before any exchange: the first
+    // Exchange in the plan text must come AFTER the bit-test Filter
+    val exch = plan.indexOf("Exchange hashpartitioning")
+    val filt = plan.indexOf("Filter")
+    assert(exch == -1 || (filt >= 0 && filt < exch), plan.take(2000))
   }
 
   test("decontaminateBloom survivors are IDENTICAL to the exact " +
