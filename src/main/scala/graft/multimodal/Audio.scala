@@ -22,10 +22,11 @@ import org.apache.spark.sql.types._
   *
   * Decodable subset (documented honesty, the parser-family contract):
   * canonical RIFF/WAVE containers, fmt audio-format 1 (integer PCM),
-  * 16 bits/sample, any channel count (channels interleave into the
+  * 16-bit signed OR 8-bit unsigned samples (the spec's two integer
+  * conventions; 8-bit centers at 128), any channel count (channels interleave into the
   * frame stream — energy mixes them, which is what a content
   * fingerprint wants), at least 65 samples, data chunk fully inside
-  * `maxBytes`. Anything else — float PCM, 8/24-bit, truncated data,
+  * `maxBytes`. Anything else — float PCM, 24-bit, truncated data,
   * non-RIFF bytes — fingerprints NULL, never a throw.
   *
   * Expression-only: one hex pass, a 16-round chunk walk (the
@@ -98,10 +99,13 @@ object Audio {
           st -> st)
       END""")
     val w = col("__af_st")
-    val n = floor(w.getField("dsize") / 2).cast(LongType)
+    // 16-bit signed LE or 8-bit UNSIGNED (midpoint 128 — the WAV spec's
+    // 8-bit convention); bytes-per-sample drives both n and the reads
+    val bytesPer = floor(w.getField("bits") / 8).cast(LongType)
+    val n = floor(w.getField("dsize") / bytesPer).cast(LongType)
     val ok = w.isNotNull && w.getField("afmt") === 1 &&
-      w.getField("bits") === 16 && w.getField("dpos").isNotNull &&
-      n >= 65 &&
+      (w.getField("bits") === 16 || w.getField("bits") === 8) &&
+      w.getField("dpos").isNotNull && n >= 65 &&
       length(hx) >= w.getField("dpos") - 1 + w.getField("dsize") * 2
     // energies: 65 frames, frame f covers samples i with
     // floor(i*65/n) = f, i.e. i in [ceil(f*n/65), ceil((f+1)*n/65))
@@ -109,10 +113,14 @@ object Audio {
       val lo = floor((f * n + 64) / lit(65)).cast(LongType)
       val hi = floor(((f + 1) * n + 64) / lit(65)).cast(LongType)
       aggregate(sequence(lo, hi - 1), lit(0L), (acc, i) => {
-        val p = (w.getField("dpos") + i * 4).cast(IntegerType)
-        val u = conv(concat(hx.substr(p + 2, lit(2)), hx.substr(p, lit(2))),
-          16, 10).cast(LongType)
-        acc + abs(when(u >= 32768L, u - 65536L).otherwise(u))
+        val p = (w.getField("dpos") + i * bytesPer * 2).cast(IntegerType)
+        val s = when(w.getField("bits") === 16, {
+          val u = conv(concat(hx.substr(p + 2, lit(2)),
+            hx.substr(p, lit(2))), 16, 10).cast(LongType)
+          when(u >= 32768L, u - 65536L).otherwise(u)
+        }).otherwise(
+          conv(hx.substr(p, lit(2)), 16, 10).cast(LongType) - 128L)
+        acc + abs(s)
       })
     })
     val e = col("__af_e")
@@ -143,22 +151,35 @@ object Audio {
     * which can flip only bit 0 → Hamming ≤ 1, the pair banding must
     * find. pmod(id,4) = 3 inserts a LIST chunk between fmt and data
     * (the chunk walk must skip it); channels alternate 1/2 by eid
-    * (interleaving is content-transparent to the energy stream). */
+    * (interleaving is content-transparent to the energy stream);
+    * pmod(eid,9) = 4 is the 8-BIT class — unsigned samples 128 ± s
+    * with s = pmod(formula, 127) − 63 (±63 so the ×2 plant cannot
+    * clip), depth derived from eid so plants match their source. */
   def synthWavPcmBytes(docs: DataFrame, idCol: String): DataFrame = {
     val id = col(idCol)
     val eid = when(pmod(id, lit(10)) === 1, id - 1).otherwise(id)
     val n = (lit(130) + pmod(eid * 7, lit(66))).cast(LongType)
     val truncated = pmod(id, lit(13)) === 5
     val scalePlant = pmod(id, lit(10)) === 1
-    // sample i as 4 hex chars (16-bit LE two's complement)
+    // pmod(eid, 9) = 4 is the 8-BIT class (depth derives from eid so a
+    // plant and its source share it); 8-bit samples are unsigned with
+    // midpoint 128 and a +/-63 base so the x2 plant cannot clip
+    val depth8 = pmod(eid, lit(9)) === 4
+    val bytesPerS = when(depth8, 1L).otherwise(2L)
+    // sample i: 4 hex chars (16-bit LE two's complement) or 2 (8-bit)
     val sampleHex = (i: Column) => {
-      val base = pmod((eid * 31 + i * 17) * (eid + i + 7),
+      val base16 = pmod((eid * 31 + i * 17) * (eid + i + 7),
         lit(16384)) - 8192
-      val s0 = when(scalePlant, base * 2 +
-        when(i === 0, 1L).otherwise(0L)).otherwise(base)
-      val u = pmod(s0, lit(65536))
-      concat(lpad(hex(pmod(u, lit(256))), 2, "0"),
-        lpad(hex(floor(u / 256)), 2, "0"))
+      val s16 = when(scalePlant, base16 * 2 +
+        when(i === 0, 1L).otherwise(0L)).otherwise(base16)
+      val u16 = pmod(s16, lit(65536))
+      val base8 = pmod((eid * 31 + i * 17) * (eid + i + 7),
+        lit(127)) - 63
+      val s8 = when(scalePlant, base8 * 2 +
+        when(i === 0, 1L).otherwise(0L)).otherwise(base8)
+      when(depth8, lpad(hex(s8 + 128), 2, "0"))
+        .otherwise(concat(lpad(hex(pmod(u16, lit(256))), 2, "0"),
+          lpad(hex(floor(u16 / 256)), 2, "0")))
     }
     val keptN = when(truncated, floor(n / 2).cast(LongType)).otherwise(n)
     val data = array_join(
@@ -173,15 +194,15 @@ object Audio {
     // RIFF size = 4 (WAVE) + 24 (fmt) + optional LIST + 8 + data bytes;
     // the size field reflects the DECLARED layout even when the payload
     // is cut (that is what a truncated file looks like)
-    val riffSize = lit(36L) + listLen + n * 2
+    val riffSize = lit(36L) + listLen + n * bytesPerS
     val fmt = concat(lit("666D7420"), le(lit(16L), 4),
       le(lit(1L), 2), le(ch, 2),
-      le(lit(8000L), 4), le(lit(16000L) * ch, 4),
-      le(ch * 2, 2), le(lit(16L), 2))
+      le(lit(8000L), 4), le(lit(8000L) * ch * bytesPerS, 4),
+      le(ch * bytesPerS, 2), le(bytesPerS * 8, 2))
     val wav = concat(
       lit("52494646"), le(riffSize, 4), lit("57415645"),
       fmt, list,
-      lit("64617461"), le(n * 2, 4), data)
+      lit("64617461"), le(n * bytesPerS, 4), data)
     docs.select(
       id.as("media_id"),
       unhex(when(pmod(id, lit(11)) === 6, lit("DEADBEEF00FF"))

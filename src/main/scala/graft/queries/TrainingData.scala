@@ -5126,8 +5126,11 @@ object TrainingData {
              |samp AS (
              |  SELECT p.doc_id, p.n, i.i AS i,
              |    (CASE WHEN p.plant THEN 2 ELSE 1 END) *
-             |      ((((p.eid * 31 + i.i * 17) * (p.eid + i.i + 7))
-             |        % 16384 + 16384) % 16384 - 8192)
+             |      (CASE WHEN ((p.eid % 9) + 9) % 9 = 4
+             |        THEN (((p.eid * 31 + i.i * 17) * (p.eid + i.i + 7))
+             |          % 127 + 127) % 127 - 63
+             |        ELSE (((p.eid * 31 + i.i * 17) * (p.eid + i.i + 7))
+             |          % 16384 + 16384) % 16384 - 8192 END)
              |    + CASE WHEN p.plant AND i.i = 0 THEN 1 ELSE 0 END AS s
              |  FROM pn p CROSS JOIN unnest(range(0, 196)) i(i)
              |  WHERE i.i < p.n AND NOT p.garbage AND NOT p.trunc),
@@ -5189,8 +5192,11 @@ object TrainingData {
              |samp AS (
              |  SELECT p.doc_id, p.n, i.i AS i,
              |    (CASE WHEN p.plant THEN 2 ELSE 1 END) *
-             |      ((((p.eid * 31 + i.i * 17) * (p.eid + i.i + 7))
-             |        % 16384 + 16384) % 16384 - 8192)
+             |      (CASE WHEN ((p.eid % 9) + 9) % 9 = 4
+             |        THEN (((p.eid * 31 + i.i * 17) * (p.eid + i.i + 7))
+             |          % 127 + 127) % 127 - 63
+             |        ELSE (((p.eid * 31 + i.i * 17) * (p.eid + i.i + 7))
+             |          % 16384 + 16384) % 16384 - 8192 END)
              |    + CASE WHEN p.plant AND i.i = 0 THEN 1 ELSE 0 END AS s
              |  FROM pn p CROSS JOIN unnest(range(0, 196)) i(i)
              |  WHERE i.i < p.n AND NOT p.garbage AND NOT p.trunc),

@@ -16,8 +16,11 @@ class AudioSpec extends SparkSpec {
     val plant = pm(id, 10) == 1
     val eid = if (plant) id - 1 else id
     val n = 130 + pm(eid * 7, 66)
+    val depth8 = pm(eid, 9) == 4
     def s(i: Long): Long = {
-      val base = pm((eid * 31 + i * 17) * (eid + i + 7), 16384) - 8192
+      val m = if (depth8) 127L else 16384L
+      val half = if (depth8) 63L else 8192L
+      val base = pm((eid * 31 + i * 17) * (eid + i + 7), m) - half
       if (plant) base * 2 + (if (i == 0) 1L else 0L) else base
     }
     def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
@@ -63,7 +66,7 @@ class AudioSpec extends SparkSpec {
   }
 
   test("malformed inputs NULL, never throw: corrupted RIFF magic, a " +
-      "float-PCM format code, 8-bit samples, fewer than 65 samples, " +
+      "float-PCM format code, 24-bit samples, fewer than 65 samples, " +
       "and truncation at every 50-byte step") {
     val good = Audio.synthWavPcmBytes(Seq(7L).toDF("doc_id"), "doc_id")
       .select($"content").as[Array[Byte]].collect().head
@@ -75,8 +78,8 @@ class AudioSpec extends SparkSpec {
     assert(fp(badMagic).isEmpty)
     val floatFmt = good.clone(); floatFmt(20) = 3  // IEEE float
     assert(fp(floatFmt).isEmpty)
-    val bits8 = good.clone(); bits8(34) = 8
-    assert(fp(bits8).isEmpty)
+    val bits24 = good.clone(); bits24(34) = 24  // outside the 8/16 subset
+    assert(fp(bits24).isEmpty)
     for (cut <- 0 until good.length by 50)
       assert(fp(good.take(cut)).isEmpty, s"truncated at $cut")
     // a data chunk too short for 65 samples: shrink the declared size
