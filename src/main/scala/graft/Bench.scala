@@ -105,7 +105,13 @@ object Bench {
       // r18c quiet 1.06-1.29 vs r18b git-gc-contended 1.4-4x)
       val steady = spreadOf(sentinels.filter(s =>
         Seq("@r2p25", "@r2p50", "@r2p75").exists(s._1.endsWith)))
-      s""","sentinels":${jq(sentinels)},"sentinel_spread":${
+      // the STEADY spread also rides in the stdout headline (r18
+      // verdict task: the driver's own artifact could not self-
+      // attribute its window — three rounds of hot driver readings all
+      // had to be bracketed locally). One additive field; the headline
+      // contract (metric/value/unit/queries/sf) is unchanged.
+      if (onlyHeadline) s""","sentinel_spread_steady":${jq(steady)}"""
+      else s""","sentinels":${jq(sentinels)},"sentinel_spread":${
         jq(spreadOf(sentinels))},"sentinel_spread_steady":${jq(steady)}"""
     }
     s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":${
@@ -243,7 +249,8 @@ object Bench {
 
     val fullJson =
       resultsJson(results, sfDir, onlyHeadline = false, sentinelTimes.toSeq)
-    val headlineJson = resultsJson(results, sfDir, onlyHeadline = true)
+    val headlineJson =
+      resultsJson(results, sfDir, onlyHeadline = true, sentinelTimes.toSeq)
 
     val dir = java.nio.file.Paths.get("target")
     java.nio.file.Files.createDirectories(dir)

@@ -720,18 +720,33 @@ object Dedup {
     * DedupSpec asserts that across a 3-batch sequence.
     *
     * `prevLabels` is (id, component) as [[connectedComponents]] returns
-    * it; `deltaPairs` is (id_a, id_b). Returns the updated full table. */
+    * it; `deltaPairs` is (id_a, id_b) — SELF-pairs are allowed: an
+    * (x, x) edge over a known id is a no-op and over a new id yields a
+    * singleton component, exactly as [[connectedComponents]] treats it.
+    * Returns the updated full table. */
   def connectedComponentsIncremental(prevLabels: DataFrame,
                                      deltaPairs: DataFrame,
                                      maxIter: Int = 25,
                                      reliableCheckpoints: Boolean = false,
                                      onRound: Option[(Int, Long) => Unit] = None): DataFrame = {
     val lbl = prevLabels.select(col("id"), col("component"))
+    // label lookup WITHOUT a corpus shuffle: semi-join the corpus-sized
+    // label table down to the delta's endpoint ids first — the id set
+    // is delta-sized so AQE broadcasts it and the corpus side is
+    // SCANNED once (column-pruned to two longs) but never shuffled —
+    // then left-join the delta against that delta-sized slice (AQE
+    // broadcasts it too). The previous shape left-joined the delta
+    // directly against the full label table, which shuffles the corpus
+    // per batch unless labels happen to be bucketed on id.
+    val deltaIds = deltaPairs.select(col("id_a").as("id"))
+      .unionByName(deltaPairs.select(col("id_b").as("id")))
+      .distinct()
+    val touched = lbl.join(deltaIds, Seq("id"), "left_semi")
     val mapped = deltaPairs
       .select(col("id_a"), col("id_b"))
-      .join(lbl.select(col("id").as("id_a"), col("component").as("__la")),
+      .join(touched.select(col("id").as("id_a"), col("component").as("__la")),
         Seq("id_a"), "left")
-      .join(lbl.select(col("id").as("id_b"), col("component").as("__lb")),
+      .join(touched.select(col("id").as("id_b"), col("component").as("__lb")),
         Seq("id_b"), "left")
     val reduced = mapped
       .select(coalesce(col("__la"), col("id_a")).as("id_a"),
@@ -748,11 +763,18 @@ object Dedup {
         .select(when(col("__lb").isNull, col("id_b")).as("id")))
       .where(col("id").isNotNull)
       .distinct()
-    // all delta edges inside existing components: nothing merges and no
-    // new node can exist (a new id never collapses — it has no label),
-    // so the persisted table IS the answer. The emptiness probe is
-    // delta-bounded (the reduced frame never touches the corpus).
-    if (reduced.isEmpty) return lbl
+    // all delta edges inside existing components: nothing merges, so
+    // the persisted table — plus any new ids, which in this branch are
+    // necessarily SELF-pair-only (a non-self edge touching a new id
+    // always survives into `reduced`: the new endpoint keeps itself and
+    // can never equal an existing component representative) and become
+    // singletons, matching connectedComponents on an (x, x) edge — IS
+    // the answer. The emptiness probe costs one delta-sized reduction
+    // over the `touched` slice — one column-pruned corpus SCAN (the
+    // semi join above), zero corpus shuffle.
+    if (reduced.isEmpty)
+      return lbl.unionByName(
+        newIds.select(col("id"), col("id").as("component")))
     val merged = connectedComponents(reduced, maxIter,
       reliableCheckpoints, onRound)
     // (touched representative -> merged min); representatives are node
@@ -766,7 +788,15 @@ object Dedup {
     val fresh = merged
       .join(newIds, Seq("id"), "left_semi")
       .select(col("id"), col("component"))
-    updated.unionByName(fresh)
+    // a new id whose every delta edge was a SELF-pair never entered the
+    // reduced graph (the self-loop collapses), so it is absent from
+    // `merged` — emit it as its own singleton component, matching what
+    // connectedComponents does with an (x, x) edge. Both sides of the
+    // anti join are delta-sized.
+    val selfOnly = newIds
+      .join(merged.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    updated.unionByName(fresh).unionByName(selfOnly)
   }
 
   /** Canonical-survivor selection — the step that turns duplicate GROUPS
@@ -945,11 +975,13 @@ object Dedup {
   def contaminationBloom(train: DataFrame, evalDocs: DataFrame,
                          idCol: String, textCol: String, n: Int = 3,
                          bitsPerShingle: Int = 32,
-                         numHashes: Int = 8): DataFrame = {
+                         numHashes: Int = 8,
+                         maxBitmapBytes: Long = 64L << 20): DataFrame = {
     require(n >= 1, s"n: $n")
     require(bitsPerShingle >= 2 && bitsPerShingle <= 64,
       s"bitsPerShingle: $bitsPerShingle")
     require(numHashes >= 1 && numHashes <= 16, s"numHashes: $numHashes")
+    require(maxBitmapBytes >= 8, s"maxBitmapBytes: $maxBitmapBytes")
     (Seq("bloom_contaminated", "__cb_hit", "__cb_toks", "__cb_sh",
       "__cb_bm") ++ (0 until numHashes).map(i => s"__cb_p$i")).foreach(c =>
       require(!train.columns.contains(c),
@@ -958,7 +990,20 @@ object Dedup {
     val evalSh = shingles(evalDocs, idCol, textCol, n)
       .select(col("shingle")).distinct()
     val nSh = evalSh.count()
-    val words = math.max(1L, (nSh * bitsPerShingle + 63) / 64).toInt
+    val words = math.max(1L, (nSh * bitsPerShingle + 63) / 64)
+    // the bitmap ships as ONE literal inside every task binary — sized
+    // bitsPerShingle × |eval shingles|, eval-bounded by design, but a
+    // 100M-shingle eval set at the defaults would be a ~400 MB literal
+    // the scheduler chokes on. Fail LOUDLY here, naming the fallback,
+    // instead of at task-serialization time.
+    require(words * 8 <= maxBitmapBytes,
+      s"Dedup.contaminationBloom: eval set has $nSh distinct shingles " +
+        s"-> a ${words * 8}-byte bloom bitmap literal, over the " +
+        s"$maxBitmapBytes-byte ceiling (maxBitmapBytes). Shrink the " +
+        "eval set / lower bitsPerShingle, raise maxBitmapBytes " +
+        "deliberately, or use the exact path (Dedup.contamination / " +
+        "Dedup.decontaminate), whose eval side is a broadcast join " +
+        "with no single-literal bottleneck.")
     val mBits = words * 64L
     def posC(sh: Column, i: Int): Column = {
       val h1 = conv(substring(md5(sh), 1, 14), 16, 10).cast(LongType)
@@ -973,7 +1018,7 @@ object Dedup {
         "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))")
         .as("bits"))
       .collect()
-    val bitmap = new Array[Long](words)
+    val bitmap = new Array[Long](words.toInt)
     wordRows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
     // THE PROBE IS CODEGEN-SHAPED ON PURPOSE: a first cut evaluated the
     // whole test as nested higher-order lambdas over the token array —
@@ -1043,9 +1088,10 @@ object Dedup {
                          idCol: String, textCol: String, n: Int = 3,
                          minOverlap: Int = 1,
                          bitsPerShingle: Int = 32,
-                         numHashes: Int = 8): DataFrame = {
+                         numHashes: Int = 8,
+                         maxBitmapBytes: Long = 64L << 20): DataFrame = {
     val flagged = contaminationBloom(train, evalDocs, idCol, textCol, n,
-      bitsPerShingle, numHashes)
+      bitsPerShingle, numHashes, maxBitmapBytes)
       .where(col("bloom_contaminated"))
       .select(col(idCol))
     val sliver = train.join(flagged, Seq(idCol), "left_semi")

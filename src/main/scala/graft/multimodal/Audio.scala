@@ -21,13 +21,25 @@ import org.apache.spark.sql.types._
   * sides run (full-64-bit, sign-safe chunks).
   *
   * Decodable subset (documented honesty, the parser-family contract):
-  * canonical RIFF/WAVE containers, fmt audio-format 1 (integer PCM),
-  * 16-bit signed OR 8-bit unsigned samples (the spec's two integer
-  * conventions; 8-bit centers at 128), any channel count (channels interleave into the
-  * frame stream — energy mixes them, which is what a content
+  * canonical RIFF/WAVE containers, fmt audio-format 1 (integer PCM) at
+  * 16-bit signed, 8-bit unsigned (midpoint 128 — the spec's two
+  * classic integer conventions) or 24-bit signed LE, OR fmt
+  * audio-format 3 (IEEE float) at 32 bits — the four layouts archived
+  * audio actually ships. Any channel count (channels interleave into
+  * the frame stream — energy mixes them, which is what a content
   * fingerprint wants), at least 65 samples, data chunk fully inside
-  * `maxBytes`. Anything else — float PCM, 24-bit, truncated data,
-  * non-RIFF bytes — fingerprints NULL, never a throw.
+  * `maxBytes`. Anything else — float64, 12-bit, integer-PCM-declared
+  * 32-bit, truncated data, non-RIFF bytes — fingerprints NULL, never a
+  * throw; a float stream containing NaN/Inf samples also NULLs (an
+  * energy over non-finite values is not a content signature).
+  *
+  * Energies accumulate in DOUBLE: integer samples stay exact (Σ|s| <
+  * 2^53 by the maxBytes bound), and float magnitudes decode EXACTLY —
+  * sign dropped via the exponent/mantissa split, (2^23+m)·2^(e−150)
+  * normal / m·2^−149 denormal are both exact double products, so two
+  * engines replaying the same samples agree bit-for-bit whenever the
+  * per-frame sum itself is exact (integer-valued floats, the oracle's
+  * case).
   *
   * Expression-only: one hex pass, a 16-round chunk walk (the
   * [[Multimodal.avMetadata]] fold shape), then TWO nested higher-order
@@ -99,12 +111,15 @@ object Audio {
           st -> st)
       END""")
     val w = col("__af_st")
-    // 16-bit signed LE or 8-bit UNSIGNED (midpoint 128 — the WAV spec's
-    // 8-bit convention); bytes-per-sample drives both n and the reads
+    // bytes-per-sample drives both n and the reads: 2/1/3 for integer
+    // PCM at 16/8/24 bits, 4 for 32-bit IEEE float (fmt 3)
     val bytesPer = floor(w.getField("bits") / 8).cast(LongType)
     val n = floor(w.getField("dsize") / bytesPer).cast(LongType)
-    val ok = w.isNotNull && w.getField("afmt") === 1 &&
-      (w.getField("bits") === 16 || w.getField("bits") === 8) &&
+    val fmtBits = (w.getField("afmt") === 1 &&
+        (w.getField("bits") === 16 || w.getField("bits") === 8 ||
+          w.getField("bits") === 24)) ||
+      (w.getField("afmt") === 3 && w.getField("bits") === 32)
+    val ok = w.isNotNull && fmtBits &&
       w.getField("dpos").isNotNull && n >= 65 &&
       length(hx) >= w.getField("dpos") - 1 + w.getField("dsize") * 2
     // energies: 65 frames, frame f covers samples i with
@@ -112,15 +127,33 @@ object Audio {
     val energies = transform(sequence(lit(0), lit(64)), f => {
       val lo = floor((f * n + 64) / lit(65)).cast(LongType)
       val hi = floor(((f + 1) * n + 64) / lit(65)).cast(LongType)
-      aggregate(sequence(lo, hi - 1), lit(0L), (acc, i) => {
+      aggregate(sequence(lo, hi - 1), lit(0.0), (acc, i) => {
         val p = (w.getField("dpos") + i * bytesPer * 2).cast(IntegerType)
-        val s = when(w.getField("bits") === 16, {
-          val u = conv(concat(hx.substr(p + 2, lit(2)),
-            hx.substr(p, lit(2))), 16, 10).cast(LongType)
-          when(u >= 32768L, u - 65536L).otherwise(u)
-        }).otherwise(
-          conv(hx.substr(p, lit(2)), 16, 10).cast(LongType) - 128L)
-        acc + abs(s)
+        def leN(nBytes: Int): Column = conv(
+          concat((nBytes - 1 to 0 by -1)
+            .map(b => hx.substr(p + 2 * b, lit(2))): _*),
+          16, 10).cast(LongType)
+        val s16 = { val u = leN(2); when(u >= 32768L, u - 65536L).otherwise(u) }
+        val s24 = { val u = leN(3)
+          when(u >= lit(1L << 23), u - lit(1L << 24)).otherwise(u) }
+        val s8 = leN(1) - 128L
+        // IEEE-754 binary32, sign dropped via the field split (the
+        // exponent read strips bit 31 with the mod-256): exact-double
+        // magnitude, e=255 (Inf/NaN) poisons the frame with NaN and the
+        // final gate NULLs the fingerprint
+        val fmag = { val u = leN(4)
+          val fe = pmod(floor(u / lit(1L << 23)).cast(LongType), lit(256L))
+          val fm = pmod(u, lit(1L << 23))
+          when(fe === 0L, fm.cast(DoubleType) * pow(lit(2.0), lit(-149.0)))
+            .when(fe === 255L, lit(Double.NaN))
+            .otherwise((fm + lit(1L << 23)).cast(DoubleType) *
+              pow(lit(2.0), fe.cast(DoubleType) - lit(150.0)))
+        }
+        val mag = when(w.getField("afmt") === 3, fmag)
+          .when(w.getField("bits") === 16, abs(s16).cast(DoubleType))
+          .when(w.getField("bits") === 24, abs(s24).cast(DoubleType))
+          .otherwise(abs(s8).cast(DoubleType))
+        acc + mag
       })
     })
     val e = col("__af_e")
@@ -134,7 +167,8 @@ object Audio {
       .withColumn("__af_hx", hex(substring(col(contentCol), 1, maxBytes)))
       .withColumn("__af_st", walk)
       .withColumn("__af_e", when(ok, energies))
-      .withColumn("afp", when(e.isNotNull, bits) + ndZero)
+      .withColumn("afp",
+        when(e.isNotNull && !exists(e, x => isnan(x)), bits) + ndZero)
       .drop("__af_hx", "__af_st", "__af_e")
   }
 
@@ -151,22 +185,37 @@ object Audio {
     * which can flip only bit 0 → Hamming ≤ 1, the pair banding must
     * find. pmod(id,4) = 3 inserts a LIST chunk between fmt and data
     * (the chunk walk must skip it); channels alternate 1/2 by eid
-    * (interleaving is content-transparent to the energy stream);
-    * pmod(eid,9) = 4 is the 8-BIT class — unsigned samples 128 ± s
-    * with s = pmod(formula, 127) − 63 (±63 so the ×2 plant cannot
-    * clip), depth derived from eid so plants match their source. */
+    * (interleaving is content-transparent to the energy stream).
+    * The sample LAYOUT cycles on pmod(eid,9) — derived from eid so
+    * plants match their source's container: 4 = 8-BIT (unsigned
+    * 128 ± s, s = pmod(formula, 127) − 63, ±63 so the ×2 plant cannot
+    * clip); 2 = 32-bit IEEE FLOAT (fmt 3) and 7 = 24-bit signed LE —
+    * both carrying the SAME integer values as the 16-bit class, so
+    * the float encode→decode round-trip is exact and the q175/q176
+    * id-arithmetic oracles replay UNCHANGED through all four
+    * containers; everything else = 16-bit signed LE. */
   def synthWavPcmBytes(docs: DataFrame, idCol: String): DataFrame = {
     val id = col(idCol)
     val eid = when(pmod(id, lit(10)) === 1, id - 1).otherwise(id)
     val n = (lit(130) + pmod(eid * 7, lit(66))).cast(LongType)
     val truncated = pmod(id, lit(13)) === 5
     val scalePlant = pmod(id, lit(10)) === 1
-    // pmod(eid, 9) = 4 is the 8-BIT class (depth derives from eid so a
-    // plant and its source share it); 8-bit samples are unsigned with
-    // midpoint 128 and a +/-63 base so the x2 plant cannot clip
+    def le(v: Column, bytes: Int) = concat((0 until bytes).map(b =>
+      lpad(hex(pmod(floor(v / math.pow(256, b).toLong), lit(256))), 2, "0")): _*)
+    // the sample LAYOUT cycles on pmod(eid, 9) — derived from eid so a
+    // plant and its source share the container: 4 is the 8-BIT class
+    // (unsigned, midpoint 128, ±63 base so the ×2 plant cannot clip),
+    // 2 is 32-bit IEEE FLOAT (fmt 3 — sample VALUES are the same
+    // integers as the 16-bit class, so float encode→decode is exact
+    // and the id-arithmetic oracle replays UNCHANGED through the new
+    // container), 7 is 24-bit signed LE (same values again), everything
+    // else 16-bit signed LE
     val depth8 = pmod(eid, lit(9)) === 4
-    val bytesPerS = when(depth8, 1L).otherwise(2L)
-    // sample i: 4 hex chars (16-bit LE two's complement) or 2 (8-bit)
+    val f32 = pmod(eid, lit(9)) === 2
+    val depth24 = pmod(eid, lit(9)) === 7
+    val bytesPerS = when(f32, 4L).when(depth24, 3L)
+      .when(depth8, 1L).otherwise(2L)
+    // sample i in LE hex: 2/4/6/8 chars for 8/16/24-bit int / float32
     val sampleHex = (i: Column) => {
       val base16 = pmod((eid * 31 + i * 17) * (eid + i + 7),
         lit(16384)) - 8192
@@ -177,15 +226,26 @@ object Audio {
         lit(127)) - 63
       val s8 = when(scalePlant, base8 * 2 +
         when(i === 0, 1L).otherwise(0L)).otherwise(base8)
-      when(depth8, lpad(hex(s8 + 128), 2, "0"))
+      // IEEE-754 binary32 bits of the INTEGER value s16: exponent from
+      // the binary-string length (exact — no float log2), mantissa via
+      // an exact double product; ±16385 needs exponents ≤ 14, far from
+      // any rounding edge
+      val aAbs = abs(s16)
+      val pExp = (length(conv(aAbs, 10, 2)) - 1).cast(LongType)
+      val mant = (aAbs.cast(DoubleType) *
+        pow(lit(2.0), lit(23L) - pExp)).cast(LongType) - lit(1L << 23)
+      val uF = when(aAbs === 0L, 0L).otherwise(
+        when(s16 < 0, lit(1L << 31)).otherwise(lit(0L)) +
+          (pExp + 127L) * lit(1L << 23) + mant)
+      when(f32, le(uF, 4))
+        .when(depth24, le(pmod(s16, lit(1L << 24)), 3))
+        .when(depth8, lpad(hex(s8 + 128), 2, "0"))
         .otherwise(concat(lpad(hex(pmod(u16, lit(256))), 2, "0"),
           lpad(hex(floor(u16 / 256)), 2, "0")))
     }
     val keptN = when(truncated, floor(n / 2).cast(LongType)).otherwise(n)
     val data = array_join(
       transform(sequence(lit(0L), keptN - 1), sampleHex), "")
-    def le(v: Column, bytes: Int) = concat((0 until bytes).map(b =>
-      lpad(hex(pmod(floor(v / math.pow(256, b).toLong), lit(256))), 2, "0")): _*)
     val ch = lit(1) + pmod(eid, lit(2))
     val list = when(pmod(id, lit(4)) === 3,
       concat(lit("4C495354"), le(lit(10L), 4),
@@ -196,7 +256,7 @@ object Audio {
     // is cut (that is what a truncated file looks like)
     val riffSize = lit(36L) + listLen + n * bytesPerS
     val fmt = concat(lit("666D7420"), le(lit(16L), 4),
-      le(lit(1L), 2), le(ch, 2),
+      le(when(f32, 3L).otherwise(1L), 2), le(ch, 2),
       le(lit(8000L), 4), le(lit(8000L) * ch * bytesPerS, 4),
       le(ch * bytesPerS, 2), le(bytesPerS * 8, 2))
     val wav = concat(

@@ -267,9 +267,11 @@ object Png {
     * TYPE cycles ALL FIVE 8-bit forms on pmod(id,5) — 0 RGB, 1 RGBA,
     * 2 grayscale, 3 palette (identity 256-gray PLTE, so indices ARE
     * luminances), 4 gray+alpha — every one rendering the SAME pixels,
-    * so cross-COLOR-TYPE ids congruent mod 2560 (lcm with the pixel
-    * formula's mod-256 period) hash identically and every type feeds
-    * the same oracle; every row cycles filter y%5 (all five defilter
+    * so cross-COLOR-TYPE ids congruent mod 1280 (lcm of the pixel
+    * formula's mod-256 period and the 5-way color-type cycle) hash
+    * identically — unless one of the pair lands in the pmod(id,11)=6
+    * garbage class and hashes NULL — and every type feeds the same
+    * oracle; every row cycles filter y%5 (all five defilter
     * paths in every image), pmod(id,4)=2 splits IDAT in two chunks,
     * pmod(id,4)=3 inserts an ancillary tEXt chunk to skip. */
   def synthPngImageBytes(docs: DataFrame, idCol: String): DataFrame = {

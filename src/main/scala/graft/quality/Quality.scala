@@ -34,7 +34,11 @@ object Quality {
     val name = s"${col0}_non_negative"
     def violations: Column = count(when(col(col0) < 0, 1))
   }
-  /** Exclusive range (lo, hi) — the reference's `0 < d < 32` style checks. */
+  /** Exclusive range (lo, hi) — the reference's `0 < d < 32` style checks.
+    * NULL values PASS silently: `!(NULL > lo && NULL < hi)` is NULL, and
+    * `count(when(NULL, 1))` skips it — by design, null-ness is [[NotNull]]'s
+    * job. A preset that means "present AND in range" must compose
+    * `NotNull(c)` alongside `InRange(c, lo, hi)` deliberately. */
   final case class InRange(col0: String, lo: Double, hi: Double) extends Rule {
     val name = s"${col0}_in_range"
     def violations: Column =

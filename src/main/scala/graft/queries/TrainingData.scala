@@ -5104,6 +5104,11 @@ object TrainingData {
     // the x2-scaled near-dup of id-1. The oracle recomputes every
     // sample, frame energy, and bit as id arithmetic (HUGEINT combine
     // for bit 63; afp rides as STRING — the q166 float64 lesson).
+    // r19: the synth cycles all FOUR containers on pmod(eid,9) —
+    // 16-bit, 8-bit (=4), 32-bit IEEE float (=2, fmt 3), 24-bit (=7)
+    // — with float/24-bit carrying the SAME integer values as 16-bit,
+    // so this oracle verifies the new decode paths UNCHANGED (an
+    // encode or decode bug in either container breaks the hash).
     Q("q175_audio_fingerprint",
       (s, dir) => graft.multimodal.Audio.audioEnergyFingerprint(
           graft.multimodal.Audio.synthWavPcmBytes(

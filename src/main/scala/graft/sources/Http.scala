@@ -106,6 +106,15 @@ object Http {
     (null, false) // unreachable
   }
 
+  /** The one-byte "is there more coded data past the cap" probe, on its
+    * own try: once the bounded prefix is safely decoded, a probe that
+    * THROWS on malformed bytes past the cap still means the stream
+    * didn't end cleanly at the cap — that is truncated=true, not a
+    * codec error that should NULL the already-recovered prefix (the
+    * decoder-seam truncation contract). */
+  private def probeMore(in: java.io.InputStream): Boolean =
+    try in.read() >= 0 catch { case _: Exception => true }
+
   /** Bounded decompress; None on codec error (not a valid stream). */
   private def inflate(bytes: Array[Byte], enc: String,
                       maxOut: Int): Option[(Array[Byte], Boolean)] =
@@ -129,7 +138,7 @@ object Http {
         out.write(buf, 0, math.min(n, maxOut - out.size()))
         n = if (out.size() < maxOut) in.read(buf) else -1
       }
-      val truncated = out.size() >= maxOut && in.read() >= 0
+      val truncated = out.size() >= maxOut && probeMore(in)
       in.close()
       Some((out.toByteArray, truncated))
     } catch {
@@ -165,7 +174,7 @@ object Http {
           n = if (out.size() < maxOut) in.read(buf) else -1
         }
         val truncated = clipped ||
-          (out.size() >= maxOut && in.read() >= 0)
+          (out.size() >= maxOut && probeMore(in))
         Some((out.toByteArray, truncated))
       } finally in.close()
     } catch {

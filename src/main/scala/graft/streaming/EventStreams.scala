@@ -297,6 +297,23 @@ object EventStreams {
               .select(col("id"), col("component"))
           }
           .getOrElse(emptyLabels)
+        // enabling labelsPath MID-STREAM would silently produce label
+        // snapshots missing every pre-enablement collision (empty
+        // prevLabels folded against an already-populated index breaks
+        // the bit-equality-with-full-recompute contract without a
+        // trace). Fail loudly instead: no prior snapshot is only legal
+        // while the index holds no prior batches either. The probe
+        // runs ONLY on the no-snapshot path (batch 0 of a correctly
+        // wired stream, or the misconfiguration) and is a limit-1 scan.
+        if (prevLabels eq emptyLabels)
+          require(idx.isEmpty,
+            s"labelsPath '$lp' has no label snapshot before batch " +
+              s"$batchId but the index at '$indexPath' already holds " +
+              "earlier batches — labels would miss every " +
+              "pre-enablement collision. Supply labelsPath from batch " +
+              "0, or seed the snapshot first (connectedComponents over " +
+              "lshCandidates of the existing index, written as " +
+              "batch_id = <last indexed batch>).")
         val vsIdx = idx
           .select(col(idCol).as("id_a"), col("band"), col("sig"))
           .join(newBands

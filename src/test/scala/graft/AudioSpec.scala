@@ -39,7 +39,8 @@ class AudioSpec extends SparkSpec {
 
   test("fingerprint equals the driver-side reference for every id in " +
       "0..150 — covering mono/stereo fmt, the LIST-chunk skip, garbage " +
-      "NULLs, truncation NULLs, and the amplitude-scaled plant") {
+      "NULLs, truncation NULLs, the amplitude-scaled plant, and all " +
+      "FOUR sample containers (16/8/24-bit int, 32-bit float)") {
     val got = fps(0L until 150L: _*)
     for (id <- 0L until 150L)
       assert(got(id) === refAfp(id), s"afp diverged for id $id")
@@ -47,6 +48,18 @@ class AudioSpec extends SparkSpec {
     assert(got(17L).isEmpty && got(28L).isEmpty, "garbage ids (6 mod 11)")
     assert(got(5L).isEmpty && got(18L).isEmpty, "truncated ids (5 mod 13)")
     assert(got(3L).isDefined, "LIST-chunk id must parse")
+    // the r19 containers really decoded (reference is container-blind:
+    // float/24-bit carry the same integer values as the 16-bit class)
+    assert(got(2L).isDefined, "float32 id (eid%9=2) must parse")
+    assert(got(7L).isDefined, "24-bit id (eid%9=7) must parse")
+  }
+
+  test("float32 and 24-bit plants band with their sources: the x2-scaled " +
+      "twin sits at Hamming <= 1 through the new containers too") {
+    val h = fps(20L, 21L, 250L, 251L) // (20,21) float32; (250,251) 24-bit
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(20L).get, h(21L).get) <= 1, "float32 plant")
+    assert(ham(h(250L).get, h(251L).get) <= 1, "24-bit plant")
   }
 
   test("amplitude scaling is fingerprint-invariant: the x2-scaled plant " +
@@ -65,10 +78,12 @@ class AudioSpec extends SparkSpec {
     assert(pairs === Set((40L, 41L)))
   }
 
-  test("malformed inputs NULL, never throw: corrupted RIFF magic, a " +
-      "float-PCM format code, 24-bit samples, fewer than 65 samples, " +
-      "and truncation at every 50-byte step") {
-    val good = Audio.synthWavPcmBytes(Seq(7L).toDF("doc_id"), "doc_id")
+  test("malformed inputs NULL, never throw: corrupted RIFF magic, " +
+      "float-declared 16-bit, 12-bit depth, integer-declared 32-bit, " +
+      "fewer than 65 samples, truncation at every 50-byte step — and a " +
+      "float stream carrying Inf NULLs rather than mis-hashing") {
+    // id 3: 16-bit class (3 % 9 = 3) WITH the LIST chunk (3 % 4 = 3)
+    val good = Audio.synthWavPcmBytes(Seq(3L).toDF("doc_id"), "doc_id")
       .select($"content").as[Array[Byte]].collect().head
     def fp(b: Array[Byte]): Option[Long] =
       Audio.audioEnergyFingerprint(Seq((1L, b)).toDF("media_id", "content"))
@@ -76,10 +91,24 @@ class AudioSpec extends SparkSpec {
     assert(fp(good).isDefined)
     val badMagic = good.clone(); badMagic(0) = 'X'.toByte
     assert(fp(badMagic).isEmpty)
-    val floatFmt = good.clone(); floatFmt(20) = 3  // IEEE float
+    // fmt 3 (IEEE float) is only valid at 32 bits — declared over a
+    // 16-bit layout it must NULL, not decode garbage floats
+    val floatFmt = good.clone(); floatFmt(20) = 3
     assert(fp(floatFmt).isEmpty)
-    val bits24 = good.clone(); bits24(34) = 24  // outside the 8/16 subset
-    assert(fp(bits24).isEmpty)
+    val bits12 = good.clone(); bits12(34) = 12
+    assert(fp(bits12).isEmpty)
+    // integer PCM at 32 bits stays outside the documented subset
+    val int32 = good.clone(); int32(34) = 32
+    assert(fp(int32).isEmpty)
+    // a float-class file (id 2 → eid%9=2, no LIST chunk, data at 44)
+    // with one sample overwritten to +Inf: the energy poisons to NaN
+    // and the fingerprint NULLs
+    val fgood = Audio.synthWavPcmBytes(Seq(2L).toDF("doc_id"), "doc_id")
+      .select($"content").as[Array[Byte]].collect().head
+    assert(fp(fgood).isDefined)
+    val inf = fgood.clone()
+    inf(44) = 0; inf(45) = 0; inf(46) = 0x80.toByte; inf(47) = 0x7F
+    assert(fp(inf).isEmpty, "Inf sample must NULL the fingerprint")
     for (cut <- 0 until good.length by 50)
       assert(fp(good.take(cut)).isEmpty, s"truncated at $cut")
     // a data chunk too short for 65 samples: shrink the declared size

@@ -63,17 +63,31 @@ class BenchReportSpec extends AnyFunSuite {
 
   test("resultsJson sentinels: full JSON carries checkpoint times and " +
       "per-sentinel max/min spread; the headline (driver contract) " +
-      "stays sentinel-free") {
+      "adds ONLY the steady spread") {
     val results = Seq(("q91_dup_groups", 2.5, 100L, 100L, 100L))
     val sent = Seq(
       "q15_agg_groupby@r1p0" -> 0.25, "q15_agg_groupby@r1p50" -> 0.50,
-      "q20_sql_passthrough@r1p0" -> 1.0, "q20_sql_passthrough@r1p50" -> 1.0)
+      "q20_sql_passthrough@r1p0" -> 1.0, "q20_sql_passthrough@r1p50" -> 1.0,
+      "q15_agg_groupby@r2p25" -> 0.30, "q15_agg_groupby@r2p50" -> 0.60,
+      "q20_sql_passthrough@r2p25" -> 1.0, "q20_sql_passthrough@r2p75" -> 1.0)
     val full = Bench.resultsJson(results, "/sf", onlyHeadline = false, sent)
     assert(full.contains("\"q15_agg_groupby@r1p0\":0.250"))
-    assert(full.contains("\"q15_agg_groupby\":2.000"), full)   // spread 0.5/0.25
+    assert(full.contains("\"q15_agg_groupby\":2.000"), full)   // raw spread incl. r1
     assert(full.contains("\"q20_sql_passthrough\":1.000"))     // flat
     assert(full.count(_ == '{') === full.count(_ == '}'))
-    val headline = Bench.resultsJson(results, "/sf", onlyHeadline = true)
-    assert(!headline.contains("sentinel"))
+    // r19: the headline self-attributes the driver's window — the STEADY
+    // spread (r2 mid-suite checkpoints only) rides as one additive field;
+    // raw per-checkpoint times and the warmup-polluted raw spread stay
+    // out of the driver contract line
+    val headline = Bench.resultsJson(results, "/sf", onlyHeadline = true, sent)
+    assert(headline.contains("\"sentinel_spread_steady\":"))
+    assert(headline.contains("\"q15_agg_groupby\":2.000"), headline) // 0.6/0.3
+    assert(!headline.contains("@r1p0") && !headline.contains("@r2p25"))
+    assert(!headline.contains("\"sentinels\"") &&
+      !headline.contains("\"sentinel_spread\":"))
+    assert(headline.count(_ == '{') === headline.count(_ == '}'))
+    // sentinel-free invocation (no sentinels recorded): headline unchanged
+    val bare = Bench.resultsJson(results, "/sf", onlyHeadline = true)
+    assert(!bare.contains("sentinel"))
   }
 }

@@ -156,6 +156,61 @@ class CorpusOpsSpec extends SparkSpec {
     assert(inc2.as[(Long, Long)].collect().toMap === cc(e0 ++ e1 ++ e2))
   }
 
+  test("connectedComponentsIncremental: SELF-pair deltas — a new id " +
+      "appearing only as (x, x) becomes a singleton on both the " +
+      "short-circuit and the merge path, a known id's self-pair is a " +
+      "no-op; bit-equal to the full recompute either way") {
+    import spark.implicits._
+    def cc(pairs: Seq[(Long, Long)]) = graft.dedup.Dedup
+      .connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val e0 = Seq((1L, 2L), (10L, 11L))
+    val labels0 = graft.dedup.Dedup
+      .connectedComponents(e0.toDF("id_a", "id_b"))
+    // short-circuit path: the reduced graph is EMPTY (one known-id
+    // self-pair, one new-id self-pair) — the new id must still appear
+    val eSelf = Seq((1L, 1L), (700L, 700L))
+    val incSelf = graft.dedup.Dedup
+      .connectedComponentsIncremental(labels0, eSelf.toDF("id_a", "id_b"))
+    assert(incSelf.as[(Long, Long)].collect().toMap === cc(e0 ++ eSelf))
+    assert(incSelf.where($"id" === 700L && $"component" === 700L)
+      .count() === 1L, "self-pair-only new id must be its own singleton")
+    // merge path: a real merge in the same delta AND a new-id self-pair
+    // — the singleton must ride alongside the reduced-graph output
+    val eMix = Seq((2L, 10L), (800L, 800L))
+    val incMix = graft.dedup.Dedup
+      .connectedComponentsIncremental(labels0, eMix.toDF("id_a", "id_b"))
+    assert(incMix.as[(Long, Long)].collect().toMap === cc(e0 ++ eMix))
+  }
+
+  test("connectedComponentsIncremental: ONE new node merging THREE old " +
+      "components transitively relabels all three to the global min") {
+    import spark.implicits._
+    val e0 = Seq((21L, 22L), (31L, 32L), (41L, 42L))
+    val labels0 = graft.dedup.Dedup
+      .connectedComponents(e0.toDF("id_a", "id_b"))
+    val delta = Seq((900L, 22L), (900L, 32L), (900L, 42L))
+    val inc = graft.dedup.Dedup
+      .connectedComponentsIncremental(labels0, delta.toDF("id_a", "id_b"))
+    val got = inc.as[(Long, Long)].collect().toMap
+    assert(got === Map(21L -> 21L, 22L -> 21L, 31L -> 21L, 32L -> 21L,
+      41L -> 21L, 42L -> 21L, 900L -> 21L))
+  }
+
+  test("contaminationBloom: an eval set over the bitmap ceiling fails " +
+      "loudly at build time, naming the exact fallback") {
+    import spark.implicits._
+    val docs = graft.sources.Sources.table(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val ex = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.contaminationBloom(
+        docs.where($"doc_id" < 50), docs.where($"doc_id" >= 400),
+        "doc_id", "text", maxBitmapBytes = 64L)
+    }
+    assert(ex.getMessage.contains("Dedup.contamination"))
+    assert(ex.getMessage.contains("maxBitmapBytes"))
+  }
+
   test("connectedComponentsIncremental: rounds are bounded by the DELTA " +
       "diameter, not the corpus diameter; an all-internal delta returns " +
       "the persisted table without running CC at all") {

@@ -423,6 +423,39 @@ class HttpSpec extends SparkSpec {
     assert(capped === ((p1.take(50), true)))
   }
 
+  test("probe past the cap over MALFORMED trailing bytes: the bounded " +
+      "prefix survives with truncated=true — a throwing probe read must " +
+      "not NULL an already-recovered body (zstd + gzip)") {
+    // highly compressible so the COMPRESSED frame + garbage fit under
+    // the cap (the framing stage applies maxBodyBytes to the coded
+    // bytes first) while the DECODED length lands exactly AT the cap —
+    // that is the state where the completeness probe runs over the
+    // trailing garbage
+    val payload = "A" * 2000
+    val garbage = Array[Byte](0x12, 0x34, 0x56, 0x78, 0x11, 0x22)
+    val zBytes = com.github.luben.zstd.Zstd.compress(
+      payload.getBytes(US_ASCII))
+    val zm = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Encoding: zstd" + crlf + crlf, zBytes ++ garbage)
+    val gm = msg("HTTP/1.1 200 OK" + crlf +
+      "Content-Encoding: gzip" + crlf + crlf, gz(payload) ++ garbage)
+    val out = Http.parseHttpResponses(
+      Seq((1L, zm), (2L, gm)).toDF("media_id", "payload"),
+      maxBodyBytes = payload.length)
+      .select($"media_id", $"body".cast("string"), $"body_truncated")
+      .as[(Long, String, Boolean)].collect().sortBy(_._1).toSeq
+    // before the probeMore fix the zstd probe's throw (garbage is not a
+    // valid next-frame header) propagated to the outer catch and the
+    // whole already-recovered body NULLed
+    assert(out.map(r => (r._1, r._2)) ===
+      Seq((1L, payload), (2L, payload)))
+    // zstd-jni throws on the garbage next-frame header → truncated=true;
+    // the JDK's GZIPInputStream deliberately swallows trailing garbage
+    // after the member trailer (the concatenated-member fallback), so
+    // its probe reads clean end-of-stream → complete
+    assert(out.map(_._3) === Seq(true, false), out.toString)
+  }
+
   test("extraDecoders: a registered codec routes its coding end-to-end " +
       "through withBodyText; unregistered/stacked stay NULL; a throwing " +
       "decoder NULLs the body, never the task") {

@@ -288,6 +288,33 @@ class StreamingSpec extends SparkSpec {
     assert(merged >= 35, s"planted copies must co-label, got $merged")
   }
 
+  test("label maintenance refuses labelsPath enabled MID-STREAM: an " +
+      "index holding earlier batches with no prior snapshot fails " +
+      "loudly instead of silently dropping pre-enablement collisions") {
+    import graft.dedup.Dedup
+    val base = Sources.table(spark, sf, "documents")
+      .select("doc_id", "text").where(col("doc_id") < 60)
+    val deltas = (0 to 1).map(i => base.where(col("doc_id") % 2 === i))
+    val root = Files.createTempDirectory("graft_midlabels").toString
+    val (idxPath, decPath) = (root + "/index", root + "/decisions")
+    // batch 0 runs WITHOUT label maintenance — the index accretes
+    EventStreams.processDedupAdmissionBatch(deltas(0), 0, idxPath, decPath)
+    val ex = intercept[IllegalArgumentException] {
+      EventStreams.processDedupAdmissionBatch(deltas(1), 1, idxPath,
+        decPath, labelsPath = Some(root + "/labels"))
+    }
+    assert(ex.getMessage.contains("pre-enablement"), ex.getMessage)
+    // the documented recovery: seed the snapshot from the existing
+    // index, then enablement proceeds
+    Dedup.connectedComponents(Dedup.lshCandidates(
+      spark.read.parquet(idxPath).select(col("doc_id"), col("band"),
+        col("sig")), "doc_id", probeParts = 0))
+      .withColumn("batch_id", lit(0))
+      .write.partitionBy("batch_id").mode("append").parquet(root + "/labels")
+    EventStreams.processDedupAdmissionBatch(deltas(1), 1, idxPath,
+      decPath, labelsPath = Some(root + "/labels"))
+  }
+
   test("streaming admission: shuffle-join fallback (broadcastDelta=false) " +
       "decides identically") {
     import spark.implicits._
