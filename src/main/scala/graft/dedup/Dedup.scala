@@ -68,6 +68,94 @@ object Dedup {
       .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
   }
 
+  /** CHARACTER-n-gram shingles — the standard fallback for UNSEGMENTED
+    * scripts, where [[shingles]]' whitespace tokenization is blind: a
+    * CJK or Thai document collapses to one whole-line "token", so
+    * word-shingle MinHash/Jaccard/contamination see either nothing
+    * (fewer than n tokens → no shingles at all) or a single
+    * all-or-nothing hash. Here the gram is `n` consecutive CHARACTERS
+    * of the normalized text (lowercased, trimmed, whitespace runs
+    * collapsed to one space — so segmentation differences inside mixed
+    * text do not shift every downstream gram). Output shape is
+    * IDENTICAL to [[shingles]] — (idCol, shingle), distinct per doc —
+    * so every consumer ([[minhashWide]], [[minhash]], the banding
+    * pipeline, [[contamination]]'s `shingler` hook) composes unchanged.
+    *
+    * SCALE SHAPE: same as [[shingles]] — a map-side explode (one HOF,
+    * plan O(1) in document length), no shuffle of its own; a doc of L
+    * chars emits ≤ L−n+1 grams of n chars before the distinct. Typical
+    * n: 5 for CJK dedup (the ~word-bigram information equivalent),
+    * matching the 3-word default's granularity. */
+  def charShingles(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    require(n >= 1, s"n: $n")
+    requireUniqueIds(docs, idCol, "Dedup.charShingles",
+      "shingle counts downstream would double-count")
+    val txt = col("__cshingle_txt")
+    docs
+      .select(col(idCol),
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+          .as("__cshingle_txt"))
+      .where(length(txt) >= n) // sequence(1, k<1) counts down — guard
+      .select(col(idCol), explode(array_distinct(transform(
+        sequence(lit(1), length(txt) - (n - 1)),
+        i => txt.substr(i, lit(n))))).as("shingle"))
+  }
+
+  /** Fraction of non-whitespace characters in UNSEGMENTED scripts (CJK
+    * unified ideographs + extension A + compatibility, hiragana,
+    * katakana, Thai — scripts written without word spaces; Hangul is
+    * deliberately absent: Korean is whitespace-segmented and word
+    * shingles work). The [[shinglesAuto]] routing signal; NULL-safe
+    * (empty/whitespace-only text → 0.0). */
+  def unsegmentedRatio(text: Column): Column = {
+    val t = regexp_replace(text, "\\s", "")
+    val unseg = length(regexp_replace(t,
+      "[^\\u3040-\\u30FF\\u3400-\\u4DBF\\u4E00-\\u9FFF" +
+        "\\uF900-\\uFAFF\\u0E00-\\u0E7F]",
+      ""))
+    when(length(t) > 0, unseg.cast("double") / length(t)).otherwise(0.0)
+  }
+
+  /** Script-aware shingle router: per document, CHARACTER `charN`-grams
+    * ([[charShingles]]) when [[unsegmentedRatio]] ≥ `threshold`, word
+    * `wordN`-grams ([[shingles]]) otherwise — ONE map-side pass, the
+    * choice is a per-row `when` over the two gram arrays, no second
+    * scan and no union of branches. Same (idCol, shingle) output shape;
+    * drop-in for [[minhashWide]] and (via the `shingler` hook) for
+    * [[contamination]]/[[decontaminate]], giving word-blind scripts
+    * real dedup/contamination coverage without changing the Latin
+    * path's grams (threshold 0.3 keeps mostly-Latin docs with quoted
+    * CJK on word grams). A mixed PAIR (same content, one segmented one
+    * not) still routes both sides the same way because the ratio is
+    * content-derived. */
+  def shinglesAuto(docs: DataFrame, idCol: String, textCol: String,
+                   wordN: Int = 3, charN: Int = 5,
+                   threshold: Double = 0.3): DataFrame = {
+    require(wordN >= 1 && charN >= 1, s"wordN: $wordN charN: $charN")
+    requireUniqueIds(docs, idCol, "Dedup.shinglesAuto",
+      "shingle counts downstream would double-count")
+    val txt = col("__ashingle_txt")
+    val toks = col("__ashingle_toks")
+    val wordGrams = when(size(toks) >= wordN, array_distinct(transform(
+      sequence(lit(1), size(toks) - (wordN - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(wordN))))))
+      .otherwise(array().cast("array<string>"))
+    val charGrams = when(length(txt) >= charN, array_distinct(transform(
+      sequence(lit(1), length(txt) - (charN - 1)),
+      i => txt.substr(i, lit(charN)))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col(idCol),
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+          .as("__ashingle_txt"),
+        graft.text.TextOps.tokens(col(textCol)).as("__ashingle_toks"),
+        (unsegmentedRatio(col(textCol)) >= threshold).as("__ashingle_cjk"))
+      .select(col(idCol), explode(
+        when(col("__ashingle_cjk"), charGrams).otherwise(wordGrams))
+        .as("shingle"))
+  }
+
   /** The `graft.dedup.checkIds` debug probe shared by the whole family
     * (and by [[graft.delta.Incremental.snapshotDiff]] and the rehearsal/
     * pipeline tools — `op` is the caller's fully-qualified name for the
@@ -900,14 +988,20 @@ object Dedup {
     * by [[shingles]], so `n_overlap` counts DISTINCT shared n-grams. */
   def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
                     textCol: String, n: Int = 3,
-                    minOverlap: Int = 1): DataFrame = {
-    val tr = shingles(train, idCol, textCol, n)
+                    minOverlap: Int = 1,
+                    shingler: (DataFrame, String, String, Int) => DataFrame =
+                      shingles): DataFrame = {
+    // `shingler` swaps the gram definition for BOTH sides — pass
+    // [[charShingles]] for an unsegmented-script eval set, or a
+    // [[shinglesAuto]] closure for mixed corpora; the join/broadcast
+    // shape is gram-agnostic
+    val tr = shingler(train, idCol, textCol, n)
       .withColumnRenamed(idCol, "train_id")
     // per-eval-doc shingle total rides INSIDE the broadcast frame (small-
     // side window) so the eval set is shingled and broadcast exactly once;
     // a separate size table would cost a second shingling pass + broadcast
     // + join (measured 4.5 s -> this shape on the bench corpus)
-    val ev = shingles(evalDocs, idCol, textCol, n)
+    val ev = shingler(evalDocs, idCol, textCol, n)
       .withColumnRenamed(idCol, "eval_id")
       .withColumn("eval_shingles",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -1116,8 +1210,11 @@ object Dedup {
     * corpus); the SMJ fallback costs the corpus one exchange on id. */
   def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
                     textCol: String, n: Int = 3,
-                    minOverlap: Int = 1): DataFrame = {
-    val hits = contamination(train, evalDocs, idCol, textCol, n, minOverlap)
+                    minOverlap: Int = 1,
+                    shingler: (DataFrame, String, String, Int) => DataFrame =
+                      shingles): DataFrame = {
+    val hits = contamination(train, evalDocs, idCol, textCol, n, minOverlap,
+      shingler)
       .select(col("train_id").as(idCol)).distinct()
     train.join(hits, Seq(idCol), "left_anti")
   }
@@ -1185,6 +1282,30 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("na")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+  }
+
+  /** Pairwise Jaccard from an ALREADY-SHINGLED frame — the
+    * gram-agnostic core of [[ngramJaccard]], reusable with
+    * [[charShingles]]/[[shinglesAuto]] output. Same all-pairs caveat
+    * as [[ngramJaccard]]: the shingle self-join is Σ per-shingle-
+    * frequency² — candidate-restrict or sample the input at scale
+    * (LSH banding is the scale path; this is the exact referee). */
+  def jaccardFromShingles(sh: DataFrame, idCol: String,
+                          minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("na")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "jaccard")
   }
 
   /** Exact pairwise n-gram Jaccard over candidate or sampled docs.

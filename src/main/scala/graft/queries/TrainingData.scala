@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -30,6 +31,35 @@ object TrainingData {
   private val dec = DecimalType(38, 4)
 
   private val enStop = TextOps.langStopwords.head._2
+
+  /** 16-char unsegmented-script alphabet for the q181-q183 exhibits
+    * (common hanzi, one code point each — so Spark's char-indexed
+    * substr and DuckDB's substr walk it identically). */
+  private val cjkAlph =
+    "\u7684\u4E00\u662F\u4E0D\u4E86\u4EBA\u6211\u5728" +
+      "\u6709\u4ED6\u8FD9\u4E2D\u5927\u6765\u4E0A\u56FD"
+
+  /** Deterministic unsegmented-script exhibit text: L = 40 + pmod(eid,
+    * 20) characters, char i = cjkAlph[first md5 hex digit of
+    * "eid_i"] — md5-driven (not a small-modulus polynomial, which
+    * aliases across ids and floods the pairwise stage with accidental
+    * full-jaccard pairs) so the DuckDB oracle replays every character
+    * exactly. pmod(id,10)=1 is the ONE-CHAR near-dup plant of id−1
+    * (char 0 shifted one alphabet slot). No whitespace anywhere: the
+    * whole doc is a single "word", which is precisely what makes
+    * word-shingle dedup blind on these scripts. */
+  private def cjkSynthText(id: Column): Column = {
+    val eid = when(pmod(id, lit(10)) === 1, id - 1).otherwise(id)
+    val L = lit(40) + pmod(eid, lit(20))
+    def idx(i: Column): Column =
+      conv(substring(md5(concat_ws("_", eid, i)), 1, 1), 16, 10)
+        .cast(IntegerType)
+    def pidx(i: Column): Column =
+      when(pmod(id, lit(10)) === 1 && i === 0,
+        pmod(idx(i) + 1, lit(16))).otherwise(idx(i))
+    array_join(transform(sequence(lit(0L), L.cast(LongType) - 1), i =>
+      lit(cjkAlph).substr((pidx(i) + 1).cast(IntegerType), lit(1))), "")
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -5506,6 +5536,209 @@ object TrainingData {
              |SELECT doc_id, source FROM documents
              |WHERE doc_id % 10 <> 0
              |  AND doc_id NOT IN (SELECT train_id FROM bad)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // CHARACTER-shingle near-dup over an unsegmented-script corpus
+    // (Dedup.charShingles + jaccardFromShingles): the synth docs carry
+    // ZERO whitespace, so word-shingle dedup sees one giant "token"
+    // per doc (< n tokens -> no shingles at all -> total blindness;
+    // CorpusOpsSpec pins that negative control). Char 5-grams restore
+    // the signal: exactly the 24 planted one-char near-dup pairs (and
+    // nothing else - md5-driven chars, no small-modulus aliasing)
+    // surface at jaccard >= 0.5. Oracle replays every character, gram,
+    // and division.
+    Q("q181_char_shingle_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id")
+          .where(col("doc_id") < 240)
+          .select(col("doc_id"), cjkSynthText(col("doc_id")).as("text"))
+        Dedup.jaccardFromShingles(
+          Dedup.charShingles(docs, "doc_id", "text", 5), "doc_id", 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH alph AS (SELECT chr(30340)||chr(19968)||chr(26159)||
+             |    chr(19981)||chr(20102)||chr(20154)||chr(25105)||
+             |    chr(22312)||chr(26377)||chr(20182)||chr(36825)||
+             |    chr(20013)||chr(22823)||chr(26469)||chr(19978)||
+             |    chr(22269) AS s),
+             |ids AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+             |par AS (
+             |  SELECT doc_id,
+             |    CASE WHEN ((doc_id % 10) + 10) % 10 = 1
+             |      THEN doc_id - 1 ELSE doc_id END AS eid,
+             |    ((doc_id % 10) + 10) % 10 = 1 AS plant
+             |  FROM ids),
+             |txt AS (
+             |  SELECT p.doc_id,
+             |    array_to_string(list_transform(
+             |      range(0, 40 + ((p.eid % 20) + 20) % 20),
+             |      i -> substr(a.s,
+             |        (CASE WHEN p.plant AND i = 0
+             |          THEN (('0x' || substr(md5(p.eid::VARCHAR || '_' ||
+             |            i::VARCHAR), 1, 1))::INT + 1) % 16
+             |          ELSE ('0x' || substr(md5(p.eid::VARCHAR || '_' ||
+             |            i::VARCHAR), 1, 1))::INT
+             |        END) + 1, 1)), '') AS text
+             |  FROM par p CROSS JOIN alph a),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, u.g AS shingle
+             |  FROM txt CROSS JOIN unnest(list_transform(
+             |    range(1, len(txt.text) - 3),
+             |    i -> substr(txt.text, i, 5))) u(g)
+             |  WHERE len(txt.text) >= 5),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh
+             |          GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id)
+             |SELECT id_a, id_b, inter,
+             |  inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = id_a
+             |JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Script-aware shingle ROUTING (Dedup.shinglesAuto) over a mixed
+    // corpus: real English docs route to word 3-grams (unsegmented
+    // ratio 0), the synthetic CJK docs (ids +10000) route to char
+    // 5-grams (ratio 1.0) - one map-side pass, the choice per row. The
+    // oracle routes STATICALLY by construction; a broken ratio or a
+    // swapped branch changes every count on the mis-routed side, so
+    // the hash check IS the routing check.
+    Q("q182_shingle_router",
+      (s, dir) => {
+        val en = t(s, dir, "documents").select("doc_id", "text")
+          .where(col("doc_id") < 150)
+        // +10000 in a SEPARATE projection: inside one select, Spark 4's
+        // lateral-column-alias resolution binds a col("doc_id") in a
+        // later expression to the (doc_id+10000) ALIAS, not the input —
+        // the synth would silently run on doc_id+20000
+        val cjk = t(s, dir, "documents").select("doc_id")
+          .where(col("doc_id") < 240)
+          .withColumn("doc_id", col("doc_id") + 10000)
+          .select(col("doc_id"), cjkSynthText(col("doc_id")).as("text"))
+        Dedup.shinglesAuto(en.unionByName(cjk), "doc_id", "text", 3, 5)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH alph AS (SELECT chr(30340)||chr(19968)||chr(26159)||
+             |    chr(19981)||chr(20102)||chr(20154)||chr(25105)||
+             |    chr(22312)||chr(26377)||chr(20182)||chr(36825)||
+             |    chr(20013)||chr(22823)||chr(26469)||chr(19978)||
+             |    chr(22269) AS s),
+             |en AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id < 150),
+             |ensh AS (
+             |  SELECT DISTINCT doc_id, u.g AS shingle
+             |  FROM en CROSS JOIN unnest(list_transform(
+             |    range(1, len(en.toks) - 1),
+             |    i -> array_to_string(en.toks[i:i+2], ' '))) u(g)
+             |  WHERE len(en.toks) >= 3),
+             |ids AS (SELECT doc_id + 10000 AS doc_id FROM documents
+             |        WHERE doc_id < 240),
+             |par AS (
+             |  SELECT doc_id,
+             |    CASE WHEN ((doc_id % 10) + 10) % 10 = 1
+             |      THEN doc_id - 1 ELSE doc_id END AS eid,
+             |    ((doc_id % 10) + 10) % 10 = 1 AS plant
+             |  FROM ids),
+             |txt AS (
+             |  SELECT p.doc_id,
+             |    array_to_string(list_transform(
+             |      range(0, 40 + ((p.eid % 20) + 20) % 20),
+             |      i -> substr(a.s,
+             |        (CASE WHEN p.plant AND i = 0
+             |          THEN (('0x' || substr(md5(p.eid::VARCHAR || '_' ||
+             |            i::VARCHAR), 1, 1))::INT + 1) % 16
+             |          ELSE ('0x' || substr(md5(p.eid::VARCHAR || '_' ||
+             |            i::VARCHAR), 1, 1))::INT
+             |        END) + 1, 1)), '') AS text
+             |  FROM par p CROSS JOIN alph a),
+             |cjsh AS (
+             |  SELECT DISTINCT doc_id, u.g AS shingle
+             |  FROM txt CROSS JOIN unnest(list_transform(
+             |    range(1, len(txt.text) - 3),
+             |    i -> substr(txt.text, i, 5))) u(g)
+             |  WHERE len(txt.text) >= 5),
+             |allsh AS (SELECT * FROM ensh UNION ALL SELECT * FROM cjsh)
+             |SELECT doc_id, count(*) AS n_sh
+             |FROM allsh GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Unsegmented-script CONTAMINATION (the shingler hook): eval docs
+    // are exact copies of train docs (ids +500000, every 12th), the
+    // gram definition is char 5-grams via Dedup.charShingles passed
+    // through contamination's shingler parameter. Word-shingle
+    // contamination finds NOTHING on this corpus (every doc is one
+    // token - the blindness q101 would have at a CJK corpus);
+    // char-shingling flags every planted copy at full coverage plus
+    // the one-char near-dup neighbors at partial overlap. The oracle
+    // replays the chars, the grams, the join, and the coverage
+    // division.
+    Q("q183_cjk_contamination",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select("doc_id")
+          .where(col("doc_id") < 240)
+        val train = base.select(col("doc_id"),
+          cjkSynthText(col("doc_id")).as("text"))
+        // text from the ORIGINAL id, rename after — in one select the
+        // lateral-column-alias rule would bind the synth's col("doc_id")
+        // to the +500000 alias and the copies would not be copies
+        val eval_ = base.where(col("doc_id") % 12 === 0)
+          .select(col("doc_id"), cjkSynthText(col("doc_id")).as("text"))
+          .withColumn("doc_id", col("doc_id") + 500000)
+        Dedup.contamination(train, eval_, "doc_id", "text", 5,
+          minOverlap = 5, shingler = Dedup.charShingles)
+          .orderBy("train_id", "eval_id")
+      },
+      Some("""WITH alph AS (SELECT chr(30340)||chr(19968)||chr(26159)||
+             |    chr(19981)||chr(20102)||chr(20154)||chr(25105)||
+             |    chr(22312)||chr(26377)||chr(20182)||chr(36825)||
+             |    chr(20013)||chr(22823)||chr(26469)||chr(19978)||
+             |    chr(22269) AS s),
+             |ids AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+             |par AS (
+             |  SELECT doc_id,
+             |    CASE WHEN ((doc_id % 10) + 10) % 10 = 1
+             |      THEN doc_id - 1 ELSE doc_id END AS eid,
+             |    ((doc_id % 10) + 10) % 10 = 1 AS plant
+             |  FROM ids),
+             |txt AS (
+             |  SELECT p.doc_id,
+             |    array_to_string(list_transform(
+             |      range(0, 40 + ((p.eid % 20) + 20) % 20),
+             |      i -> substr(a.s,
+             |        (CASE WHEN p.plant AND i = 0
+             |          THEN (('0x' || substr(md5(p.eid::VARCHAR || '_' ||
+             |            i::VARCHAR), 1, 1))::INT + 1) % 16
+             |          ELSE ('0x' || substr(md5(p.eid::VARCHAR || '_' ||
+             |            i::VARCHAR), 1, 1))::INT
+             |        END) + 1, 1)), '') AS text
+             |  FROM par p CROSS JOIN alph a),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, u.g AS shingle
+             |  FROM txt CROSS JOIN unnest(list_transform(
+             |    range(1, len(txt.text) - 3),
+             |    i -> substr(txt.text, i, 5))) u(g)
+             |  WHERE len(txt.text) >= 5),
+             |tr AS (SELECT doc_id AS train_id, shingle FROM sh),
+             |ev AS (SELECT doc_id + 500000 AS eval_id, shingle FROM sh
+             |       WHERE doc_id % 12 = 0),
+             |evsz AS (SELECT eval_id, count(*) AS eval_shingles
+             |         FROM ev GROUP BY eval_id)
+             |SELECT t.train_id, t.eval_id, t.n_overlap,
+             |  t.n_overlap / z.eval_shingles AS eval_coverage
+             |FROM (SELECT train_id, eval_id, count(*) AS n_overlap
+             |      FROM tr JOIN ev USING (shingle)
+             |      GROUP BY train_id, eval_id) t
+             |JOIN evsz z USING (eval_id)
+             |WHERE t.n_overlap >= 5
+             |ORDER BY train_id, eval_id""".stripMargin))
   )
 }

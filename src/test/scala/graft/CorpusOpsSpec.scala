@@ -260,6 +260,78 @@ class CorpusOpsSpec extends SparkSpec {
     assert(noopRounds === 0)
   }
 
+  test("charShingles restores dedup signal on unsegmented text that " +
+      "WORD-shingling provably misses: the planted CJK near-dup pair " +
+      "bands via char grams while every word-based stage returns empty") {
+    import spark.implicits._
+    // two near-identical zero-whitespace docs (one char differs) + noise
+    val a = "一是不了人我在有他" * 4
+    val b = "的" + a.drop(1)
+    val far = "国上来大中这" * 6
+    val docs = Seq((1L, a), (2L, b), (3L, far)).toDF("doc_id", "text")
+    // NEGATIVE CONTROL: each doc is ONE token, so word 3-gram shingling
+    // yields nothing at all — minhash, jaccard, contamination all blind
+    assert(graft.dedup.Dedup.shingles(docs, "doc_id", "text", 3)
+      .count() === 0L)
+    assert(graft.dedup.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.0)
+      .count() === 0L)
+    assert(graft.dedup.Dedup.contamination(
+      docs.where($"doc_id" === 1L), docs.where($"doc_id" === 2L)
+        .withColumn("doc_id", $"doc_id" + 100), "doc_id", "text")
+      .count() === 0L)
+    // char shingles: the pair surfaces through the STANDARD banding
+    // pipeline (minhashWide -> lshBands -> lshCandidates), noise does not
+    val sh = graft.dedup.Dedup.charShingles(docs, "doc_id", "text", 5)
+    assert(sh.count() > 0L)
+    val cand = graft.dedup.Dedup.lshCandidates(
+      graft.dedup.Dedup.lshBands(
+        graft.dedup.Dedup.minhashWide(sh, "doc_id", 16),
+        "doc_id", 16, 4), "doc_id", probeParts = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(cand === Set((1L, 2L)))
+    // and char-gram contamination flags the copy the word path missed
+    assert(graft.dedup.Dedup.contamination(
+      docs.where($"doc_id" === 1L), docs.where($"doc_id" === 2L)
+        .withColumn("doc_id", $"doc_id" + 100), "doc_id", "text", 5,
+      minOverlap = 5, shingler = graft.dedup.Dedup.charShingles)
+      .count() === 1L)
+  }
+
+  test("shinglesAuto routes per document: Latin text gets word grams " +
+      "(bit-equal to shingles), unsegmented text gets char grams " +
+      "(bit-equal to charShingles), and the ratio/threshold behave") {
+    import spark.implicits._
+    val en = "the quick brown fox jumps over the lazy dog again and again"
+    val cjk = "一是不了人我在有" * 5
+    val docs = Seq((1L, en), (2L, cjk)).toDF("doc_id", "text")
+    val auto = graft.dedup.Dedup.shinglesAuto(docs, "doc_id", "text", 3, 5)
+      .as[(Long, String)].collect().toSet
+    val word = graft.dedup.Dedup.shingles(
+      docs.where($"doc_id" === 1L), "doc_id", "text", 3)
+      .as[(Long, String)].collect().toSet
+    val char5 = graft.dedup.Dedup.charShingles(
+      docs.where($"doc_id" === 2L), "doc_id", "text", 5)
+      .as[(Long, String)].collect().toSet
+    assert(auto === word ++ char5)
+    // ratio: pure Latin 0, pure CJK 1, whitespace-only/empty 0 (no NULL),
+    // Thai counts as unsegmented, Hangul deliberately does not
+    def ratio(s: String): Double =
+      Seq(s).toDF("t").select(
+        graft.dedup.Dedup.unsegmentedRatio(col("t"))).as[Double].head()
+    assert(ratio(en) === 0.0)
+    assert(ratio(cjk) === 1.0)
+    assert(ratio("") === 0.0 && ratio("   ") === 0.0)
+    assert(ratio("สวัสดี") === 1.0) // Thai
+    assert(ratio("안녕") === 0.0) // Hangul -> word-segmented path
+    // threshold is >=: exactly half CJK routes to char grams at 0.5
+    val half = "ab一是" // ratio 0.5
+    val routed = graft.dedup.Dedup.shinglesAuto(
+      Seq((9L, half)).toDF("doc_id", "text"), wordN = 1, charN = 2,
+      idCol = "doc_id", textCol = "text", threshold = 0.5)
+      .as[(Long, String)].collect().toSet
+    assert(routed === Set((9L, "ab"), (9L, "b一"), (9L, "一是")))
+  }
+
   test("contaminationBloom: NO false negatives vs the exact join, FP " +
       "rate inside the design bound, short docs pass, and the probe " +
       "plan is a pure narrow map — zero joins, zero exchanges") {
