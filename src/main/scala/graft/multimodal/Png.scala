@@ -208,30 +208,38 @@ object Png {
                              maxPixels: Int): java.lang.Long =
     decodeRgb(bytes, maxBytes, maxPixels) match {
       case None => null
-      case Some((w, h, channels, px)) =>
-        val grid = Array.ofDim[Long](8, 9)
-        var gy = 0
-        while (gy < 8) {
-          var gx = 0
-          while (gx < 9) {
-            val srcX = gx.toLong * w / 9
-            val srcY = gy.toLong * h / 8
-            val base = (srcY * w + srcX).toInt * channels
-            grid(gy)(gx) = (px(base) & 0xFFL) + (px(base + 1) & 0xFFL) +
-              (px(base + 2) & 0xFFL)
-            gx += 1
-          }
-          gy += 1
-        }
-        var acc = 0L
-        var b = 0
-        while (b < 64) {
-          if (grid(b / 8)(b % 8 + 1) > grid(b / 8)(b % 8))
-            acc += 1L << b
-          b += 1
-        }
-        java.lang.Long.valueOf(acc)
+      case Some((w, h, channels, px)) => dhashFromRgb(w, h, channels, px)
     }
+
+  /** The SHARED 9×8 grid + adjacent-comparison fold — one definition
+    * for every decode rung ([[Png]], [[Jpeg]]), so "bit-compatible with
+    * the expression dHash" is a property of one function, not a claim
+    * re-proven per format. */
+  private[multimodal] def dhashFromRgb(w: Int, h: Int, channels: Int,
+                                       px: Array[Byte]): java.lang.Long = {
+    val grid = Array.ofDim[Long](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val srcX = gx.toLong * w / 9
+        val srcY = gy.toLong * h / 8
+        val base = (srcY * w + srcX).toInt * channels
+        grid(gy)(gx) = (px(base) & 0xFFL) + (px(base + 1) & 0xFFL) +
+          (px(base + 2) & 0xFFL)
+        gx += 1
+      }
+      gy += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 64) {
+      if (grid(b / 8)(b % 8 + 1) > grid(b / 8)(b % 8))
+        acc += 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
 
   /** dHash via the decode rung: (idCol, dhash) — one row per input,
     * dhash NULL outside the documented subset. Pairs with

@@ -5739,6 +5739,136 @@ object TrainingData {
              |      GROUP BY train_id, eval_id) t
              |JOIN evsz z USING (eval_id)
              |WHERE t.n_overlap >= 5
-             |ORDER BY train_id, eval_id""".stripMargin))
+             |ORDER BY train_id, eval_id""".stripMargin)),
+
+    // JPEG dHash via the from-scratch baseline DECODE rung
+    // (Jpeg.imageDhashJpeg): the dominant crawl-image codec joins the
+    // perceptual-dedup family. The synth corpus is 72x64 FLAT-8x8-block
+    // baseline JPEG (DC quant 8 -> coded DC = v-128 exactly, flat-block
+    // IDCT shortcut -> decode EXACT despite the lossy codec), cycling
+    // all five codec shapes on pmod 5 (gray / 4:4:4 / 4:2:0 / gray+DRI
+    // restarts / 4:2:2), APPn+COM skips on pmod 4 = 3, the one-pixel
+    // near-dup plant on pmod 10 = 1; pmod 11 = 6 garbage and pmod 13 =
+    // 5 PROGRESSIVE (SOF2) both NULL. The dHash grid sample lands on
+    // block (gx, gy), so the oracle is q173's id arithmetic with one
+    // extra NULL class — container-agnostic by construction.
+    Q("q184_image_dhash_jpeg",
+      (s, dir) => graft.multimodal.Jpeg.imageDhashJpeg(
+          graft.multimodal.Jpeg.synthJpegImageBytes(
+            t(s, dir, "documents").select("doc_id"), "doc_id"))
+        .select(col("media_id"), col("dhash").cast(StringType).as("dhash"))
+        .orderBy("media_id"),
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+             |g AS (
+             |  SELECT i.doc_id, x.x AS x, y.y AS y,
+             |    ((CASE WHEN ((i.doc_id % 10) + 10) % 10 = 1
+             |       THEN ((i.doc_id - 1) * 31 + x.x * 17 + y.y * 53)
+             |         * ((i.doc_id - 1) + x.x + y.y + 7) +
+             |         (CASE WHEN x.x = 0 AND y.y = 0 THEN 1 ELSE 0 END)
+             |       ELSE (i.doc_id * 31 + x.x * 17 + y.y * 53)
+             |         * (i.doc_id + x.x + y.y + 7)
+             |     END) % 256 + 256) % 256 AS gv
+             |  FROM ids i
+             |  CROSS JOIN unnest(range(0, 9)) x(x)
+             |  CROSS JOIN unnest(range(0, 8)) y(y)),
+             |bits AS (
+             |  SELECT a.doc_id, CAST(a.y * 8 + a.x AS INT) AS b,
+             |    CASE WHEN n.gv > a.gv THEN 1 ELSE 0 END AS bit
+             |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y
+             |    AND n.x = a.x + 1
+             |  WHERE a.x < 8),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN b >= 32
+             |      THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END)
+             |      AS BIGINT) AS hi,
+             |    CAST(sum(CASE WHEN b < 32
+             |      THEN CAST(bit AS BIGINT) << b ELSE 0 END)
+             |      AS BIGINT) AS lo
+             |  FROM bits GROUP BY doc_id)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN ((doc_id % 11) + 11) % 11 = 6
+             |      OR ((doc_id % 13) + 13) % 13 = 5 THEN NULL
+             |    ELSE CAST(CAST(CAST(hi AS HUGEINT) * 4294967296 + lo
+             |      - CASE WHEN hi >= 2147483648
+             |          THEN CAST('18446744073709551616' AS HUGEINT)
+             |          ELSE 0 END AS BIGINT) AS VARCHAR)
+             |  END AS dhash
+             |FROM h ORDER BY media_id""".stripMargin)),
+
+    // TRIMODAL perceptual dedup — ONE banding run over signatures from
+    // all THREE image rungs: expression dHash (BMP ids < 300), PNG
+    // decode rung (300..599), JPEG decode rung (600..899). Ids
+    // congruent mod 256 render identical pixels whatever the container
+    // OR codec — lossless or lossy — so cross-format content dups
+    // (BMP 44 / PNG 556 / JPEG 812) surface in one pass. Oracle is the
+    // q167/q174 id arithmetic over the union range with each rung's
+    // NULL classes excluded.
+    Q("q185_image_neardup_trimodal",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id")
+        val bmp = graft.multimodal.Multimodal.imageDhash(
+            graft.multimodal.Multimodal.synthDhashImageBytes(
+              docs.where(col("doc_id") < 300), "doc_id"))
+          .where(col("dhash").isNotNull)
+          .select(col("media_id").as("id"), col("dhash").as("simhash"))
+        val png = graft.multimodal.Png.imageDhashPng(
+            graft.multimodal.Png.synthPngImageBytes(
+              docs.where(col("doc_id").between(300, 599)), "doc_id"))
+          .where(col("dhash").isNotNull)
+          .select(col("media_id").as("id"), col("dhash").as("simhash"))
+        val jpg = graft.multimodal.Jpeg.imageDhashJpeg(
+            graft.multimodal.Jpeg.synthJpegImageBytes(
+              docs.where(col("doc_id").between(600, 899)), "doc_id"))
+          .where(col("dhash").isNotNull)
+          .select(col("media_id").as("id"), col("dhash").as("simhash"))
+        Dedup.simhashBandedDups(
+          bmp.unionByName(png).unionByName(jpg), "id", 64, 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents
+             |            WHERE doc_id < 900),
+             |g AS (
+             |  SELECT i.doc_id, x.x AS x, y.y AS y,
+             |    ((CASE WHEN ((i.doc_id % 10) + 10) % 10 = 1
+             |       THEN ((i.doc_id - 1) * 31 + x.x * 17 + y.y * 53)
+             |         * ((i.doc_id - 1) + x.x + y.y + 7) +
+             |         (CASE WHEN x.x = 0 AND y.y = 0 THEN 1 ELSE 0 END)
+             |       ELSE (i.doc_id * 31 + x.x * 17 + y.y * 53)
+             |         * (i.doc_id + x.x + y.y + 7)
+             |     END) % 256 + 256) % 256 AS gv
+             |  FROM ids i
+             |  CROSS JOIN unnest(range(0, 9)) x(x)
+             |  CROSS JOIN unnest(range(0, 8)) y(y)),
+             |bits AS (
+             |  SELECT a.doc_id, CAST(a.y * 8 + a.x AS INT) AS b,
+             |    CASE WHEN n.gv > a.gv THEN 1 ELSE 0 END AS bit
+             |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y
+             |    AND n.x = a.x + 1
+             |  WHERE a.x < 8),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN b >= 32
+             |      THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END)
+             |      AS BIGINT) AS hi,
+             |    CAST(sum(CASE WHEN b < 32
+             |      THEN CAST(bit AS BIGINT) << b ELSE 0 END)
+             |      AS BIGINT) AS lo
+             |  FROM bits GROUP BY doc_id),
+             |hh AS (
+             |  SELECT doc_id,
+             |    CAST(CAST(hi AS HUGEINT) * 4294967296 + lo
+             |      - CASE WHEN hi >= 2147483648
+             |          THEN CAST('18446744073709551616' AS HUGEINT)
+             |          ELSE 0 END AS BIGINT) AS dh
+             |  FROM h
+             |  WHERE ((doc_id % 11) + 11) % 11 <> 6
+             |    AND NOT (doc_id >= 600
+             |      AND ((doc_id % 13) + 13) % 13 = 5))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+             |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.dh, b.dh)) <= 2
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }
