@@ -5869,6 +5869,106 @@ object TrainingData {
              |  CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
              |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.dh, b.dh)) <= 2
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // UNIGRAM tokenizer training (Unigram.train) — the second tokenizer
+    // family next to BPE (q157): seed substring scores -> Viterbi-EM
+    // rounds (segment under integer scores by fewest-pieces /
+    // highest-score / lexicographically-smallest-sequence, recount
+    // usage, prune to chars + top-16 multi-char pieces) -> final ranked
+    // vocabulary. Hard EM with integer scores ON PURPOSE: soft EM's
+    // float likelihoods cannot replay bit-exactly cross-engine; this
+    // objective can, so the oracle re-derives every seed score, every
+    // winning segmentation (full enumeration + the same 3-way ordering)
+    // and both pruning decisions. Exhibit caps (6-char words, 4-char
+    // pieces, 150 docs) keep the oracle's segmentation ENUMERATION
+    // bounded; the Scala trainer's Viterbi DP has no such caps.
+    Q("q186_unigram_train",
+      (s, dir) => graft.text.Unigram.train(
+          t(s, dir, "documents").where(col("doc_id") < 150)
+            .select("text"),
+          "text", keepPieces = 16, rounds = 2, maxPieceLen = 4,
+          seedSize = 32, maxWordLen = 6)
+        .orderBy("rank"),
+      Some("""WITH RECURSIVE prep AS (
+             |  SELECT lower(text) AS t FROM documents WHERE doc_id < 150),
+             |words AS (
+             |  SELECT u.w AS word, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM prep CROSS JOIN unnest(
+             |    regexp_extract_all(prep.t, '[a-z]+')) u(w)
+             |  WHERE len(u.w) <= 6
+             |  GROUP BY u.w),
+             |subs AS (
+             |  SELECT substr(w.word, CAST(i.i AS INT), CAST(l.l AS INT))
+             |      AS piece,
+             |    sum(w.cnt) AS score
+             |  FROM words w
+             |  CROSS JOIN unnest(range(1, 7)) i(i)
+             |  CROSS JOIN unnest(range(1, 5)) l(l)
+             |  WHERE i.i + l.l - 1 <= len(w.word)
+             |  GROUP BY 1),
+             |chars0 AS (SELECT piece, score FROM subs WHERE len(piece) = 1),
+             |multi0 AS (
+             |  SELECT piece, score FROM subs WHERE len(piece) > 1
+             |  ORDER BY score * len(piece) DESC, piece LIMIT 32),
+             |vocab0 AS (SELECT * FROM chars0 UNION ALL SELECT * FROM multi0),
+             |seg1(word, cnt, pos, path, score) AS (
+             |  SELECT word, cnt, 1, []::VARCHAR[], CAST(0 AS BIGINT)
+             |  FROM words
+             |  UNION ALL
+             |  SELECT s.word, s.cnt, s.pos + len(v.piece),
+             |    list_append(s.path, v.piece), s.score + v.score
+             |  FROM seg1 s JOIN vocab0 v
+             |    ON substr(s.word, CAST(s.pos AS INT), len(v.piece))
+             |      = v.piece
+             |  WHERE s.pos <= len(s.word)),
+             |full1 AS (
+             |  SELECT word, cnt, path, score,
+             |    row_number() OVER (PARTITION BY word
+             |      ORDER BY len(path), score DESC, path) AS rn
+             |  FROM seg1 WHERE pos = len(word) + 1),
+             |use1 AS (
+             |  SELECT u.p AS piece, sum(f.cnt) AS usage
+             |  FROM full1 f CROSS JOIN unnest(f.path) u(p)
+             |  WHERE f.rn = 1
+             |  GROUP BY 1),
+             |chars1 AS (
+             |  SELECT c.piece, COALESCE(u.usage, 0) AS score
+             |  FROM chars0 c LEFT JOIN use1 u USING (piece)),
+             |multi1 AS (
+             |  SELECT piece, usage AS score FROM use1 WHERE len(piece) > 1
+             |  ORDER BY usage DESC, piece LIMIT 16),
+             |vocab1 AS (SELECT * FROM chars1 UNION ALL SELECT * FROM multi1),
+             |seg2(word, cnt, pos, path, score) AS (
+             |  SELECT word, cnt, 1, []::VARCHAR[], CAST(0 AS BIGINT)
+             |  FROM words
+             |  UNION ALL
+             |  SELECT s.word, s.cnt, s.pos + len(v.piece),
+             |    list_append(s.path, v.piece), s.score + v.score
+             |  FROM seg2 s JOIN vocab1 v
+             |    ON substr(s.word, CAST(s.pos AS INT), len(v.piece))
+             |      = v.piece
+             |  WHERE s.pos <= len(s.word)),
+             |full2 AS (
+             |  SELECT word, cnt, path, score,
+             |    row_number() OVER (PARTITION BY word
+             |      ORDER BY len(path), score DESC, path) AS rn
+             |  FROM seg2 WHERE pos = len(word) + 1),
+             |use2 AS (
+             |  SELECT u.p AS piece, sum(f.cnt) AS usage
+             |  FROM full2 f CROSS JOIN unnest(f.path) u(p)
+             |  WHERE f.rn = 1
+             |  GROUP BY 1),
+             |chars2 AS (
+             |  SELECT c.piece, COALESCE(u.usage, 0) AS score
+             |  FROM chars0 c LEFT JOIN use2 u USING (piece)),
+             |multi2 AS (
+             |  SELECT piece, usage AS score FROM use2 WHERE len(piece) > 1
+             |  ORDER BY usage DESC, piece LIMIT 16),
+             |vocab2 AS (SELECT * FROM chars2 UNION ALL SELECT * FROM multi2)
+             |SELECT CAST(row_number() OVER (ORDER BY score DESC, piece)
+             |    AS INT) AS rank,
+             |  piece, CAST(score AS BIGINT) AS score
+             |FROM vocab2 ORDER BY rank""".stripMargin))
   )
 }
