@@ -137,13 +137,20 @@ object Audio {
         val s24 = { val u = leN(3)
           when(u >= lit(1L << 23), u - lit(1L << 24)).otherwise(u) }
         val s8 = leN(1) - 128L
-        // IEEE-754 binary32, sign dropped via the field split (the
-        // exponent read strips bit 31 with the mod-256): exact-double
-        // magnitude, e=255 (Inf/NaN) poisons the frame with NaN and the
-        // final gate NULLs the fingerprint
-        val fmag = { val u = leN(4)
-          val fe = pmod(floor(u / lit(1L << 23)).cast(LongType), lit(256L))
-          val fm = pmod(u, lit(1L << 23))
+        // IEEE-754 binary32, sign dropped via the field split: exact-
+        // double magnitude, e=255 (Inf/NaN) poisons the frame with NaN
+        // and the final gate NULLs the fingerprint. Fields assemble
+        // from BYTE-wise reads (each byte's conv evaluated once) rather
+        // than one 32-bit word the exponent/mantissa splits would
+        // re-evaluate — lambda bodies run interpreted, no CSE (the
+        // bloom-probe lesson; measured on q175/q176)
+        val fmag = {
+          def byteAt(k: Int): Column =
+            conv(hx.substr(p + 2 * k, lit(2)), 16, 10).cast(LongType)
+          val b0 = byteAt(0); val b1 = byteAt(1)
+          val b2 = byteAt(2); val b3 = byteAt(3)
+          val fe = pmod(b3, lit(128L)) * 2L + floor(b2 / lit(128L))
+          val fm = pmod(b2, lit(128L)) * lit(65536L) + b1 * 256L + b0
           when(fe === 0L, fm.cast(DoubleType) * pow(lit(2.0), lit(-149.0)))
             .when(fe === 255L, lit(Double.NaN))
             .otherwise((fm + lit(1L << 23)).cast(DoubleType) *
@@ -215,37 +222,49 @@ object Audio {
     val depth24 = pmod(eid, lit(9)) === 7
     val bytesPerS = when(f32, 4L).when(depth24, 3L)
       .when(depth8, 1L).otherwise(2L)
-    // sample i in LE hex: 2/4/6/8 chars for 8/16/24-bit int / float32
-    val sampleHex = (i: Column) => {
+    val keptN = when(truncated, floor(n / 2).cast(LongType)).otherwise(n)
+    // THREE-pass sample pipeline — the let-binding idiom generalized to
+    // HOFs: interpreted lambda bodies get no common-subexpression
+    // elimination, so a single-pass form re-evaluates the quadratic
+    // sample formula and (on float rows) the whole IEEE bit-assembly
+    // once per OUTPUT BYTE (measured ~2x on q175/q176). Materializing
+    // each stage as an array makes every later reference a cheap
+    // lambda-variable read.
+    // pass 1: the signed INTEGER sample value (plant scaling included;
+    // the 8-bit class uses its own ±63 base)
+    val svals = transform(sequence(lit(0L), keptN - 1), i => {
       val base16 = pmod((eid * 31 + i * 17) * (eid + i + 7),
         lit(16384)) - 8192
-      val s16 = when(scalePlant, base16 * 2 +
-        when(i === 0, 1L).otherwise(0L)).otherwise(base16)
-      val u16 = pmod(s16, lit(65536))
       val base8 = pmod((eid * 31 + i * 17) * (eid + i + 7),
         lit(127)) - 63
-      val s8 = when(scalePlant, base8 * 2 +
-        when(i === 0, 1L).otherwise(0L)).otherwise(base8)
-      // IEEE-754 binary32 bits of the INTEGER value s16: exponent from
-      // the binary-string length (exact — no float log2), mantissa via
-      // an exact double product; ±16385 needs exponents ≤ 14, far from
-      // any rounding edge
-      val aAbs = abs(s16)
+      val base = when(depth8, base8).otherwise(base16)
+      when(scalePlant, base * 2 +
+        when(i === 0, 1L).otherwise(0L)).otherwise(base)
+    })
+    // pass 2: the container's UNSIGNED bit pattern. IEEE-754 binary32
+    // bits of the integer value: exponent from the binary-string length
+    // (exact — no float log2), mantissa via an exact double product;
+    // ±16385 needs exponents ≤ 14, far from any rounding edge
+    val uvals = transform(svals, s => {
+      val aAbs = abs(s)
       val pExp = (length(conv(aAbs, 10, 2)) - 1).cast(LongType)
       val mant = (aAbs.cast(DoubleType) *
         pow(lit(2.0), lit(23L) - pExp)).cast(LongType) - lit(1L << 23)
       val uF = when(aAbs === 0L, 0L).otherwise(
-        when(s16 < 0, lit(1L << 31)).otherwise(lit(0L)) +
+        when(s < 0, lit(1L << 31)).otherwise(lit(0L)) +
           (pExp + 127L) * lit(1L << 23) + mant)
-      when(f32, le(uF, 4))
-        .when(depth24, le(pmod(s16, lit(1L << 24)), 3))
-        .when(depth8, lpad(hex(s8 + 128), 2, "0"))
-        .otherwise(concat(lpad(hex(pmod(u16, lit(256))), 2, "0"),
-          lpad(hex(floor(u16 / 256)), 2, "0")))
-    }
-    val keptN = when(truncated, floor(n / 2).cast(LongType)).otherwise(n)
-    val data = array_join(
-      transform(sequence(lit(0L), keptN - 1), sampleHex), "")
+      when(f32, uF)
+        .when(depth24, pmod(s, lit(1L << 24)))
+        .when(depth8, s + 128L)
+        .otherwise(pmod(s, lit(65536)))
+    })
+    // pass 3: LE hex of the bit pattern — byte reads are now arithmetic
+    // on a lambda variable, not re-evaluations of the passes above
+    val data = array_join(transform(uvals, u =>
+      when(f32, le(u, 4))
+        .when(depth24, le(u, 3))
+        .when(depth8, lpad(hex(u), 2, "0"))
+        .otherwise(le(u, 2))), "")
     val ch = lit(1) + pmod(eid, lit(2))
     val list = when(pmod(id, lit(4)) === 3,
       concat(lit("4C495354"), le(lit(10L), 4),

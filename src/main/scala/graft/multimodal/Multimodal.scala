@@ -10,8 +10,12 @@ import org.apache.spark.sql.types._
   * METADATA is fully real: container-header parsing for images
   * ([[imageDims]] — PNG/JPEG/GIF/WebP) and audio/video ([[avMetadata]] —
   * WAV/MP4) reads dimensions, sample rate, channels and duration straight
-  * from the bytes with built-in expressions. Only the DECODE step is a
-  * STUB (no image/audio codec libraries exist in this container):
+  * from the bytes with built-in expressions. REAL pixel/sample decode
+  * now exists for the perceptual-hash family — [[Png]] (r18), [[Jpeg]]
+  * (r19, baseline Huffman+IDCT from scratch) and WAV PCM
+  * ([[Audio.audioEnergyFingerprint]], 16/8/24-bit int + float32) — so
+  * only the generic feature-extract DECODE step remains a STUB
+  * (no codec libraries exist in this container):
   * [[FakeDecoder.decode]] produces a deterministic fake "feature" from
   * the bytes. Everything around it — the schema, the per-partition batch
   * shape, the partitioning strategy — is real and tested, so a real
