@@ -818,6 +818,21 @@ object Dedup {
                                      reliableCheckpoints: Boolean = false,
                                      onRound: Option[(Int, Long) => Unit] = None): DataFrame = {
     val lbl = prevLabels.select(col("id"), col("component"))
+    // the three delta-sized frames below are each EAGERLY MATERIALIZED
+    // (checkpoint — reliable in production, executor-local otherwise):
+    // every one of them is referenced from several places in the final
+    // plan (the emptiness probe, connectedComponents' edges union, the
+    // fresh/self-only splits, the returned union), and without
+    // truncation Catalyst INLINES the whole upstream subtree at every
+    // reference — measured on q178 (delta = a full minhash-banding
+    // pipeline): 302 Exchanges / 280 parquet scans in one final plan,
+    // the corpus label table re-scanned per reference. With the snaps:
+    // the delta subtree runs once, the corpus is scanned once for the
+    // lookup slice (plus once for the relabel output — irreducible),
+    // and everything downstream is joins of delta-sized checkpoints.
+    def snap(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
+    val delta = snap(deltaPairs.select(col("id_a"), col("id_b")))
     // label lookup WITHOUT a corpus shuffle: semi-join the corpus-sized
     // label table down to the delta's endpoint ids first — the id set
     // is delta-sized so AQE broadcasts it and the corpus side is
@@ -826,16 +841,15 @@ object Dedup {
     // broadcasts it too). The previous shape left-joined the delta
     // directly against the full label table, which shuffles the corpus
     // per batch unless labels happen to be bucketed on id.
-    val deltaIds = deltaPairs.select(col("id_a").as("id"))
-      .unionByName(deltaPairs.select(col("id_b").as("id")))
+    val deltaIds = delta.select(col("id_a").as("id"))
+      .unionByName(delta.select(col("id_b").as("id")))
       .distinct()
-    val touched = lbl.join(deltaIds, Seq("id"), "left_semi")
-    val mapped = deltaPairs
-      .select(col("id_a"), col("id_b"))
+    val touched = snap(lbl.join(deltaIds, Seq("id"), "left_semi"))
+    val mapped = snap(delta
       .join(touched.select(col("id").as("id_a"), col("component").as("__la")),
         Seq("id_a"), "left")
       .join(touched.select(col("id").as("id_b"), col("component").as("__lb")),
-        Seq("id_b"), "left")
+        Seq("id_b"), "left"))
     val reduced = mapped
       .select(coalesce(col("__la"), col("id_a")).as("id_a"),
         coalesce(col("__lb"), col("id_b")).as("id_b"))
@@ -857,9 +871,9 @@ object Dedup {
     // always survives into `reduced`: the new endpoint keeps itself and
     // can never equal an existing component representative) and become
     // singletons, matching connectedComponents on an (x, x) edge — IS
-    // the answer. The emptiness probe costs one delta-sized reduction
-    // over the `touched` slice — one column-pruned corpus SCAN (the
-    // semi join above), zero corpus shuffle.
+    // the answer. The emptiness probe is a filter over the `mapped`
+    // checkpoint — delta-sized, zero corpus work (the one corpus scan
+    // already happened when `touched` materialized).
     if (reduced.isEmpty)
       return lbl.unionByName(
         newIds.select(col("id"), col("id").as("component")))
