@@ -41,16 +41,27 @@ import org.apache.spark.sql.types._
   * per-frame sum itself is exact (integer-valued floats, the oracle's
   * case).
   *
-  * Expression-only: one hex pass, a 16-round chunk walk (the
-  * [[Multimodal.avMetadata]] fold shape), then TWO nested higher-order
-  * lambdas (65-frame transform × per-frame aggregate) — plan size O(1)
-  * in both frame count and sample count (the q133/q166 plan-size
-  * discipline), runtime O(samples), codegen-friendly, no UDF. The
-  * ndZero barrier pins downstream predicates above the parse (the
-  * imageDims-family pushdown lesson). */
+  * Expression-only: one hex pass (header walk) + one ISO-8859-1 decode
+  * pass (payload byte reads), a 16-round chunk walk (the
+  * [[Multimodal.avMetadata]] fold shape), then a THREE-array decode
+  * pipeline — payload bytes, per-format magnitudes, 65 frame energies —
+  * each stage a let-bound array column so interpreted lambda bodies
+  * read lambda variables instead of re-evaluating upstream stages
+  * (r19: the single-pass form measured 5.7 s for 2000 clips, ~all of
+  * it duplicated interpreted node evals; this shape measures ~3.0 s).
+  * Plan size O(1) in both frame count and sample count (the q133/q166
+  * plan-size discipline), runtime O(samples), no UDF. The ndZero
+  * barrier pins downstream predicates above the parse (the
+  * imageDims-family pushdown lesson); the ndTrue barrier keeps
+  * CollapseProject from inlining the single-use magnitude array into
+  * the per-sample energy lambda (O(n^2) per row without it). */
 object Audio {
 
   private def ndZero: Column = (rand() * lit(0)).cast(LongType)
+  // always-true but nondeterministic: the array-column barrier (see
+  // __af_mg below) — CollapseProject never inlines a nondeterministic
+  // alias, so the guarded column stays a genuine let-binding
+  private def ndTrue: Column = rand() * lit(0) === lit(0.0)
 
   /** Append `afp: bigint` — the 64-bit frame-energy fingerprint, NULL
     * outside the documented subset. */
@@ -60,7 +71,7 @@ object Audio {
                              maxChunks: Int = 16): DataFrame = {
     require(maxBytes >= 128, s"maxBytes too small: $maxBytes")
     require(maxChunks >= 1 && maxChunks <= 256, s"maxChunks: $maxChunks")
-    Seq("afp", "__af_hx", "__af_st", "__af_e").foreach(c =>
+    Seq("afp", "__af_hx", "__af_lt", "__af_st", "__af_by", "__af_mg", "__af_e").foreach(c =>
       require(!media.columns.contains(c),
         s"Audio.audioEnergyFingerprint: media already has a '$c' column " +
           "— rename it first; audioEnergyFingerprint appends its own"))
@@ -122,46 +133,75 @@ object Audio {
     val ok = w.isNotNull && fmtBits &&
       w.getField("dpos").isNotNull && n >= 65 &&
       length(hx) >= w.getField("dpos") - 1 + w.getField("dsize") * 2
+    // THREE-pass decode — the synth's let-binding-via-arrays idiom on
+    // the read side (r19 optimization round). Lambda bodies run
+    // INTERPRETED (no codegen, no common-subexpression elimination), so
+    // the previous shape — full byte decode (conv over hex substrings)
+    // with a per-sample format dispatch inside the per-frame aggregate —
+    // cost ~50-100 interpreted node evals per sample and measured 5.7 s
+    // for 2000 clips (the whole q176 wall; the banding join was noise).
+    // Now: (1) each payload byte is conv'd from hex exactly ONCE into a
+    // long array; (2) the FORMAT dispatch hoists out of the lambda — one
+    // `when` per ROW picks a per-format magnitude pass whose per-sample
+    // body is element_at arithmetic; (3) frame energies sum array reads.
+    // Same sample indices, same per-frame accumulation order — the
+    // energies are BIT-IDENTICAL (AudioSpec parity + q175/q176 oracles).
+    // Transient per-row arrays are bounded by maxBytes (same class as
+    // the __af_hx hex string, 2x maxBytes chars, already materialized).
+    val by = col("__af_by")
+    val nBytes = n * bytesPer
+    // byte reads go through ONE ISO-8859-1 decode of the payload (byte k
+    // <-> char k, all 256 values) + ascii(substr(.,p,1)) per byte — ~40%
+    // fewer interpreted nodes than conv(hex-pair, 16, 10) per byte, and
+    // no radix parse. dpos is a 1-based HEX-char position (byte b at
+    // chars 2b+1), so the 1-based CHAR position is (dpos+1)/2 + k.
+    val lt = col("__af_lt")
+    val bytesArr = transform(sequence(lit(0L), nBytes - 1), k =>
+      ascii(lt.substr(
+        ((w.getField("dpos") + 1) / 2 + k).cast(IntegerType), lit(1)))
+        .cast(LongType))
+    def byteAt(i: Column): Column = element_at(by, (i + 1).cast(IntegerType))
+    // |signed| branchless — abs(pmod(u + 2^(b-1), 2^b) - 2^(b-1)) — so
+    // the unsigned word `u` is referenced ONCE per sample (interpreted
+    // lambdas re-evaluate every reference; a when(cond, a).otherwise(b)
+    // on u would read it twice)
+    val mag16 = transform(sequence(lit(0L), n - 1), i => {
+      val u = byteAt(i * 2) + byteAt(i * 2 + 1) * 256L
+      abs(pmod(u + 32768L, lit(65536L)) - 32768L).cast(DoubleType)
+    })
+    val mag24 = transform(sequence(lit(0L), n - 1), i => {
+      val u = byteAt(i * 3) + byteAt(i * 3 + 1) * 256L +
+        byteAt(i * 3 + 2) * 65536L
+      abs(pmod(u + lit(1L << 23), lit(1L << 24)) - lit(1L << 23))
+        .cast(DoubleType)
+    })
+    val mag8 = transform(sequence(lit(0L), n - 1), i =>
+      abs(byteAt(i) - 128L).cast(DoubleType))
+    // IEEE-754 binary32, sign dropped via the field split: exact-double
+    // magnitude, e=255 (Inf/NaN) poisons the frame with NaN and the
+    // final gate NULLs the fingerprint
+    val magF32 = transform(sequence(lit(0L), n - 1), i => {
+      val fe = pmod(byteAt(i * 4 + 3), lit(128L)) * 2L +
+        floor(byteAt(i * 4 + 2) / lit(128L))
+      val fm = pmod(byteAt(i * 4 + 2), lit(128L)) * lit(65536L) +
+        byteAt(i * 4 + 1) * 256L + byteAt(i * 4)
+      when(fe === 0L, fm.cast(DoubleType) * pow(lit(2.0), lit(-149.0)))
+        .when(fe === 255L, lit(Double.NaN))
+        .otherwise((fm + lit(1L << 23)).cast(DoubleType) *
+          pow(lit(2.0), fe.cast(DoubleType) - lit(150.0)))
+    })
+    val mags = when(w.getField("afmt") === 3, magF32)
+      .when(w.getField("bits") === 16, mag16)
+      .when(w.getField("bits") === 24, mag24)
+      .otherwise(mag8)
+    val mg = col("__af_mg")
     // energies: 65 frames, frame f covers samples i with
     // floor(i*65/n) = f, i.e. i in [ceil(f*n/65), ceil((f+1)*n/65))
     val energies = transform(sequence(lit(0), lit(64)), f => {
       val lo = floor((f * n + 64) / lit(65)).cast(LongType)
       val hi = floor(((f + 1) * n + 64) / lit(65)).cast(LongType)
-      aggregate(sequence(lo, hi - 1), lit(0.0), (acc, i) => {
-        val p = (w.getField("dpos") + i * bytesPer * 2).cast(IntegerType)
-        def leN(nBytes: Int): Column = conv(
-          concat((nBytes - 1 to 0 by -1)
-            .map(b => hx.substr(p + 2 * b, lit(2))): _*),
-          16, 10).cast(LongType)
-        val s16 = { val u = leN(2); when(u >= 32768L, u - 65536L).otherwise(u) }
-        val s24 = { val u = leN(3)
-          when(u >= lit(1L << 23), u - lit(1L << 24)).otherwise(u) }
-        val s8 = leN(1) - 128L
-        // IEEE-754 binary32, sign dropped via the field split: exact-
-        // double magnitude, e=255 (Inf/NaN) poisons the frame with NaN
-        // and the final gate NULLs the fingerprint. Fields assemble
-        // from BYTE-wise reads (each byte's conv evaluated once) rather
-        // than one 32-bit word the exponent/mantissa splits would
-        // re-evaluate — lambda bodies run interpreted, no CSE (the
-        // bloom-probe lesson; measured on q175/q176)
-        val fmag = {
-          def byteAt(k: Int): Column =
-            conv(hx.substr(p + 2 * k, lit(2)), 16, 10).cast(LongType)
-          val b0 = byteAt(0); val b1 = byteAt(1)
-          val b2 = byteAt(2); val b3 = byteAt(3)
-          val fe = pmod(b3, lit(128L)) * 2L + floor(b2 / lit(128L))
-          val fm = pmod(b2, lit(128L)) * lit(65536L) + b1 * 256L + b0
-          when(fe === 0L, fm.cast(DoubleType) * pow(lit(2.0), lit(-149.0)))
-            .when(fe === 255L, lit(Double.NaN))
-            .otherwise((fm + lit(1L << 23)).cast(DoubleType) *
-              pow(lit(2.0), fe.cast(DoubleType) - lit(150.0)))
-        }
-        val mag = when(w.getField("afmt") === 3, fmag)
-          .when(w.getField("bits") === 16, abs(s16).cast(DoubleType))
-          .when(w.getField("bits") === 24, abs(s24).cast(DoubleType))
-          .otherwise(abs(s8).cast(DoubleType))
-        acc + mag
-      })
+      aggregate(sequence(lo, hi - 1), lit(0.0), (acc, i) =>
+        acc + element_at(mg, (i + 1).cast(IntegerType)))
     })
     val e = col("__af_e")
     val bits = expr(
@@ -172,11 +212,21 @@ object Audio {
         |  ELSE CAST(0 AS BIGINT) END)""".stripMargin)
     media
       .withColumn("__af_hx", hex(substring(col(contentCol), 1, maxBytes)))
+      .withColumn("__af_lt",
+        decode(substring(col(contentCol), 1, maxBytes), "ISO-8859-1"))
       .withColumn("__af_st", walk)
+      .withColumn("__af_by", when(ok, bytesArr))
+      // ndTrue barrier — the array-column form of the ndZero let-binding
+      // idiom: __af_mg is referenced exactly ONCE (inside the energies
+      // lambda), and CollapseProject inlines single-use aliases — which
+      // would re-evaluate the whole magnitude-array construction PER
+      // SAMPLE read, O(n^2) per row (measured: 5.7 s -> 45 s for 2000
+      // clips). A nondeterministic guard is never inlined.
+      .withColumn("__af_mg", when(ndTrue && ok, mags))
       .withColumn("__af_e", when(ok, energies))
       .withColumn("afp",
         when(e.isNotNull && !exists(e, x => isnan(x)), bits) + ndZero)
-      .drop("__af_hx", "__af_st", "__af_e")
+      .drop("__af_hx", "__af_lt", "__af_st", "__af_by", "__af_mg", "__af_e")
   }
 
   /** Deterministic WAV-PCM exhibit bytes — the [[Multimodal
