@@ -1085,6 +1085,26 @@ object Dedup {
                          bitsPerShingle: Int = 32,
                          numHashes: Int = 8,
                          maxBitmapBytes: Long = 64L << 20): DataFrame = {
+    val flagged = bloomFlaggedIds(train, evalDocs, idCol, textCol, n,
+      bitsPerShingle, numHashes, maxBitmapBytes)
+      .withColumn("__cb_hit", lit(true))
+    train
+      .join(flagged, Seq(idCol), "left")
+      .withColumn("bloom_contaminated",
+        coalesce(col("__cb_hit"), lit(false)))
+      .drop("__cb_hit")
+  }
+
+  /** The screen's core: DISTINCT train ids whose shingle set trips the
+    * eval bloom bitmap — shared by [[contaminationBloom]] (which joins
+    * the flags back onto every train row) and [[decontaminateBloom]]
+    * (which only needs the flagged sliver: going through the join-back
+    * + re-filter cost an extra corpus scan and join per call, r19). */
+  private def bloomFlaggedIds(train: DataFrame, evalDocs: DataFrame,
+                              idCol: String, textCol: String, n: Int,
+                              bitsPerShingle: Int,
+                              numHashes: Int,
+                              maxBitmapBytes: Long): DataFrame = {
     require(n >= 1, s"n: $n")
     require(bitsPerShingle >= 2 && bitsPerShingle <= 64,
       s"bitsPerShingle: $bitsPerShingle")
@@ -1095,8 +1115,13 @@ object Dedup {
       require(!train.columns.contains(c),
         s"Dedup.contaminationBloom: train already has a '$c' column — " +
           "rename it first"))
+    // the eval shingle set feeds TWO driver actions (the count that
+    // sizes the bitmap, then the word-table collect) — persist it
+    // across them (eval-bounded by contract) instead of shingling and
+    // distinct-ing the eval set twice (r19)
     val evalSh = shingles(evalDocs, idCol, textCol, n)
       .select(col("shingle")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSh = evalSh.count()
     val words = math.max(1L, (nSh * bitsPerShingle + 63) / 64)
     // the bitmap ships as ONE literal inside every task binary — sized
@@ -1172,12 +1197,8 @@ object Dedup {
       .where(hit)
       .select(col(idCol))
       .distinct()
-      .withColumn("__cb_hit", lit(true))
-    train
-      .join(flagged, Seq(idCol), "left")
-      .withColumn("bloom_contaminated",
-        coalesce(col("__cb_hit"), lit(false)))
-      .drop("__cb_hit")
+    evalSh.unpersist()
+    flagged
   }
 
   /** SCREENED decontamination — [[contaminationBloom]] composed into
@@ -1198,10 +1219,12 @@ object Dedup {
                          bitsPerShingle: Int = 32,
                          numHashes: Int = 8,
                          maxBitmapBytes: Long = 64L << 20): DataFrame = {
-    val flagged = contaminationBloom(train, evalDocs, idCol, textCol, n,
+    // the flagged-id sliver comes straight from the screen's core —
+    // routing through contaminationBloom's full output (a corpus-wide
+    // left join) and re-filtering it cost an extra corpus scan + join
+    // for rows this composition immediately discards (r19)
+    val flagged = bloomFlaggedIds(train, evalDocs, idCol, textCol, n,
       bitsPerShingle, numHashes, maxBitmapBytes)
-      .where(col("bloom_contaminated"))
-      .select(col(idCol))
     val sliver = train.join(flagged, Seq(idCol), "left_semi")
     val hits = contamination(sliver, evalDocs, idCol, textCol, n,
       minOverlap)
