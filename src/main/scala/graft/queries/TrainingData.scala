@@ -4301,9 +4301,17 @@ object TrainingData {
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         val cents = e.where(col("id") < 8)
           .select(col("id").as("cid"), col("vec"))
+        // localCheckpoint the shared frames (r19): cb feeds both the
+        // encode and the ADC LUT, codes and the candidate list feed the
+        // scorer — inlined per reference, the final plan carried 32
+        // Exchanges / 16 re-derived scans / 18 windows and the
+        // optimizer walk dominated the wall (the q177/q178 lesson at
+        // ANN scale). All three frames are small by construction
+        // (codebooks/candidate lists), so eager truncation is cheap.
         val cb = graft.similarity.Similarity.pqCodebooks(
-          e.where(col("id") < 4), 4)
+          e.where(col("id") < 4), 4).localCheckpoint()
         val codes = graft.similarity.Similarity.pqEncode(e, cb, 4)
+          .localCheckpoint()
         val queries = e.where(col("id").between(100, 104))
         val cand = graft.similarity.Similarity
           .ivfAssignN(queries, cents, 2)
@@ -4312,6 +4320,7 @@ object TrainingData {
             .select(col("id").as("neighbor_id"), col("cid")),
             Seq("cid"))
           .select("query_id", "neighbor_id")
+          .localCheckpoint()
         graft.similarity.Similarity.pqAdcTopK(
           queries, codes, cb, 3, 4, Some(cand))
           .orderBy("query_id", "rank")
@@ -4451,9 +4460,14 @@ object TrainingData {
         val cents = e.where(col("id") < 8)
           .select(col("id").as("cid"), col("vec"))
         val res = graft.similarity.Similarity.ivfResidualize(e, cents)
+        // localCheckpoint the shared frames (r19, the q163 rationale):
+        // without truncation the final plan carried 48 Exchanges / 32
+        // re-derived scans / 30 windows
         val cb = graft.similarity.Similarity.pqCodebooks(
           res.where(col("id").between(10, 13)).select("id", "vec"), 4)
+          .localCheckpoint()
         val codes = graft.similarity.Similarity.pqEncode(res, cb, 4)
+          .localCheckpoint()
         graft.similarity.Similarity.pqAdcTopKResidual(
           e.where(col("id").between(100, 104)), codes, cb, cents,
           3, 4, nprobe = 2)
@@ -4844,12 +4858,19 @@ object TrainingData {
         val cents = e.where(col("id") < 8)
           .select(col("id").as("cid"), col("vec"))
         val res = graft.similarity.Similarity.ivfResidualize(e, cents)
+        // localCheckpoint the shared frames (r19, the q163 rationale):
+        // without truncation the final plan carried 52 Exchanges / 36
+        // re-derived scans / 34 windows — the C-candidate list feeding
+        // the exact re-rank re-derived the whole residual-ADC pipeline
         val cb = graft.similarity.Similarity.pqCodebooks(
           res.where(col("id").between(10, 13)).select("id", "vec"), 4)
+          .localCheckpoint()
         val codes = graft.similarity.Similarity.pqEncode(res, cb, 4)
+          .localCheckpoint()
         val queries = e.where(col("id").between(100, 104))
         val adcTopC = graft.similarity.Similarity.pqAdcTopKResidual(
           queries, codes, cb, cents, 12, 4, nprobe = 2)
+          .localCheckpoint()
         graft.similarity.Similarity.pqRefine(queries, e, adcTopC, 3)
           .orderBy("query_id", "rank")
       },
