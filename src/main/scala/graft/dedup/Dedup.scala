@@ -1175,7 +1175,7 @@ object Dedup {
     // inlines the md5+conv tree into all k position columns and codegen
     // does NOT de-duplicate them — measured 9 s (k=1) vs 43 s (k=8) on
     // 2.35M shingles, i.e. the md5 ran k× per shingle
-    val ndZero = (rand() * lit(0)).cast(LongType)
+    val ndZero = (rand(19L) * lit(0)).cast(LongType)
     val hit = (0 until numHashes).map { i =>
       expr(s"""(element_at(__cb_bm, CAST(__cb_p$i div 64 AS INT) + 1)
               | & shiftleft(CAST(1 AS BIGINT),

@@ -57,11 +57,11 @@ import org.apache.spark.sql.types._
   * the per-sample energy lambda (O(n^2) per row without it). */
 object Audio {
 
-  private def ndZero: Column = (rand() * lit(0)).cast(LongType)
+  private def ndZero: Column = (rand(19L) * lit(0)).cast(LongType)
   // always-true but nondeterministic: the array-column barrier (see
   // __af_mg below) — CollapseProject never inlines a nondeterministic
   // alias, so the guarded column stays a genuine let-binding
-  private def ndTrue: Column = rand() * lit(0) === lit(0.0)
+  private def ndTrue: Column = rand(19L) * lit(0) === lit(0.0)
 
   /** Append `afp: bigint` — the 64-bit frame-energy fingerprint, NULL
     * outside the documented subset. */

@@ -192,7 +192,7 @@ object Multimodal {
     * caller selects a subset. The trade: input-column predicates written
     * AFTER the parse no longer reach the scan either — filter the input
     * BEFORE parsing (the contract both parsers' docstrings state). */
-  private def ndZero: Column = (rand() * lit(0)).cast(LongType)
+  private def ndZero: Column = (rand(19L) * lit(0)).cast(LongType)
 
   /** Every format label [[imageDims]] can emit — its default (and the
     * validity domain of) `formats`. */

@@ -42,7 +42,7 @@ import org.apache.spark.sql.types.LongType
   * the INPUT before triaging. */
 object Pdf {
 
-  private def ndZero: Column = (rand() * lit(0)).cast(LongType)
+  private def ndZero: Column = (rand(19L) * lit(0)).cast(LongType)
 
   def pdfTriage(media: DataFrame, contentCol: String = "content",
                 headBytes: Int = 64 * 1024,
