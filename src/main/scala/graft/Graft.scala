@@ -28,6 +28,16 @@ object Graft {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // codegen class cache (STATIC conf, default 100 entries): a
+      // 180-query analytics suite compiles far more than 100 distinct
+      // whole-stage classes, so by the time a query is re-run the LRU
+      // has evicted its classes and Janino recompiles the multi-KB
+      // parser projections from scratch (r19: measured 18-45% of
+      // parser-family query wall once the rand-seed instability was
+      // fixed — see the fixed-seed barrier commit). 2000 entries covers
+      // the whole suite; not scale-dependent — any long-lived session
+      // running a query library this size wants the same.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
 
   /** Local session with the recommended configuration. */
