@@ -794,7 +794,7 @@ object Multimodal {
   def imageDhash(media: DataFrame, contentCol: String = "content",
                  maxBytes: Int = 1 << 20): DataFrame = {
     require(maxBytes >= 128, s"maxBytes too small: $maxBytes")
-    Seq("dhash", "__dh_hx", "__dh_st", "__dh_g").foreach(c =>
+    Seq("dhash", "__dh_hx", "__dh_lt", "__dh_st", "__dh_g").foreach(c =>
       require(!media.columns.contains(c),
         s"Multimodal.imageDhash: media already has a '$c' column — " +
           "rename it first; imageDhash appends its own"))
@@ -846,6 +846,13 @@ object Multimodal {
     // downstream) was measured to blow the driver heap at plan time in
     // q167's banded self-join — the q133 plan-size lesson; one lambda
     // body keeps the plan O(1) in grid size.
+    // pixel bytes read via ascii over ONE ISO-8859-1 decode of the
+    // content (byte k <-> char k for all 256 values) instead of
+    // conv(hex-pair, 16, 10): the grid lambda runs INTERPRETED, and
+    // ascii(substr) is ~40% fewer interpreted nodes per byte with no
+    // radix parse (r19 — the audio-fingerprint finding applied here;
+    // same byte values, so the grays and every dhash bit are identical)
+    val lt = col("__dh_lt")
     val grays = transform(sequence(lit(0), lit(71)), i => {
       val gy = floor(i / 9).cast(LongType)
       val gx = pmod(i, lit(9)).cast(LongType)
@@ -855,8 +862,8 @@ object Multimodal {
         .otherwise(hC - 1 - srcY)
       val base = st.getField("pixoff") + row * stride + srcX * bpcC
       (0 to 2).map(j =>
-        conv(hx.substr(((base + j) * 2 + 1).cast(IntegerType), lit(2)),
-          16, 10).cast(LongType)).reduce(_ + _)
+        ascii(lt.substr((base + j + 1).cast(IntegerType), lit(1)))
+          .cast(LongType)).reduce(_ + _)
     })
     val g = col("__dh_g")
     // bit b (0..63): right neighbor brighter; shiftleft needs a COLUMN
@@ -872,6 +879,8 @@ object Multimodal {
         |  ELSE CAST(0 AS BIGINT) END)""".stripMargin)
     media
       .withColumn("__dh_hx", hex(substring(col(contentCol), 1, maxBytes)))
+      .withColumn("__dh_lt",
+        decode(substring(col(contentCol), 1, maxBytes), "ISO-8859-1"))
       .withColumn("__dh_st",
         when(bmpOk, bmpSt).when(icoOk, icoSt))
       .withColumn("__dh_g", when(covered, grays))
@@ -883,7 +892,7 @@ object Multimodal {
       // class). The nondeterministic alias pins predicates above the
       // parse and stops project collapse from inlining it downstream.
       .withColumn("dhash", when(g.isNotNull, dhashBits) + ndZero)
-      .drop("__dh_hx", "__dh_st", "__dh_g")
+      .drop("__dh_hx", "__dh_lt", "__dh_st", "__dh_g")
   }
 
   /** Deterministic PIXEL-BEARING image exhibit bytes for [[imageDhash]]
