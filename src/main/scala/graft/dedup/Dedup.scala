@@ -817,6 +817,10 @@ object Dedup {
                                      maxIter: Int = 25,
                                      reliableCheckpoints: Boolean = false,
                                      onRound: Option[(Int, Long) => Unit] = None): DataFrame = {
+    if (reliableCheckpoints) require(
+      prevLabels.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliableCheckpoints=true requires spark.sparkContext.setCheckpointDir " +
+        "(an HDFS/object-store path on a cluster)")
     val lbl = prevLabels.select(col("id"), col("component"))
     // the three delta-sized frames below are each EAGERLY MATERIALIZED
     // (checkpoint — reliable in production, executor-local otherwise):
