@@ -37,8 +37,39 @@ object Graft {
       // fixed — see the fixed-seed barrier commit). 2000 entries covers
       // the whole suite; not scale-dependent — any long-lived session
       // running a query library this size wants the same.
+      // STATIC-CONF CAVEAT: this (like any spark.sql static conf) only
+      // takes effect when the builder CREATES the session — getOrCreate
+      // against a pre-existing session silently ignores it. Tools that
+      // measure the graded surface must build their session through
+      // configure() first (all probe tools do, r20) or run under the
+      // default 100-entry cache and mis-measure.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
+
+  /** Eager plan-truncating snapshot for SHARED frames inside query
+    * bodies (codebooks, PQ codes, candidate lists, fingerprint tables):
+    * a frame referenced from several places in one final plan gets its
+    * whole upstream subtree re-inlined per reference unless truncated
+    * (the r19 q178 lesson: 302 Exchanges / 280 scans in one plan).
+    *
+    * Mode is session-wide via `graft.checkpoint.reliable` (default
+    * false): executor-local checkpoint blocks are fast but have NO
+    * replicas — at 1000-executor scale, losing one executor
+    * mid-pipeline kills the truncated lineage irrecoverably — so
+    * production sets the conf and a `spark.sparkContext.setCheckpointDir`
+    * (HDFS/object store), and every snap goes through a RELIABLE
+    * checkpoint instead (guarded loudly here, mirroring
+    * Dedup.connectedComponents' reliableCheckpoints contract; reliable
+    * checkpoint FILES need spark.cleaner.referenceTracking.cleanCheckpoints
+    * =true or an external sweep — see the incremental-CC note). */
+  def snap(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.conf.get("graft.checkpoint.reliable", "false").toBoolean) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "graft.checkpoint.reliable=true requires " +
+          "spark.sparkContext.setCheckpointDir (an HDFS/object-store " +
+          "path on a cluster)")
+      df.checkpoint(true)
+    } else df.localCheckpoint(true)
 
   /** Local session with the recommended configuration. */
   def session(cores: Int = Runtime.getRuntime.availableProcessors(),

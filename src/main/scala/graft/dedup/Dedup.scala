@@ -676,7 +676,34 @@ object Dedup {
     * skewed or adversarial graph shows up as a long flat tail — a CURVE
     * the operator surfaces long before the maxIter timeout would. Free:
     * the exact count is observed during the round's checkpoint job either
-    * way (ScaleRehearsal turns the callback on). */
+    * way (ScaleRehearsal turns the callback on).
+    *
+    * TWO-TIER STRATEGY (r20). Graphs whose pair count is at most
+    * `graft.cc.unionFindMaxEdges` (session conf, default 4,000,000; 0
+    * disables) and whose ids are LONGs run a SINGLE-JOB partition-local
+    * union-find instead of the round loop: each task union-finds its
+    * local edges and emits one (node, root) star edge per distinct node
+    * (union-by-min, so a root is always the minimum id seen — the exact
+    * label convention of the loop), the stars — at most one row per
+    * distinct node, the "boundary edges" of the partition-local pass —
+    * are shuffled to ONE task whose union-find resolves global
+    * connectivity, and the result goes through the same snapshot as the
+    * loop's final table. Exactness: a union-by-min forest's root IS the
+    * component minimum, and the union of per-partition stars preserves
+    * connectivity (every local edge is represented by two star edges
+    * sharing the local root), so labels are bit-equal to the loop's —
+    * CorpusOpsSpec asserts that on chains/merges/self-pairs with the
+    * threshold forced both ways. Why it is the right shape below the
+    * threshold: the loop costs one Spark job per round plus the seed
+    * snapshot (per-round job latency dominates small graphs — measured
+    * ~0.45 s/round at local[32] with 3 rounds typical), while the fast
+    * path is one count + one two-stage job. Why the threshold: the
+    * final merge task holds one LongMap entry per distinct node, so the
+    * conf bounds single-task memory (4M pairs <= 8M nodes, ~256 MB
+    * worst case transient) — a corpus-scale graph above it takes the
+    * per-round-checkpointed loop whose memory is partitioned. maxIter
+    * and onRound apply to the loop only: the fast path is exact in one
+    * pass (no rounds happen, so there is no curve to report). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           reliableCheckpoints: Boolean = false,
                           onRound: Option[(Int, Long) => Unit] = None): DataFrame = {
@@ -686,12 +713,54 @@ object Dedup {
         "(an HDFS/object-store path on a cluster)")
     def snapshot(df: DataFrame): DataFrame =
       if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val ufMaxEdges = pairs.sparkSession.conf
+      .get("graft.cc.unionFindMaxEdges", "4000000").toLong
+    val longIds = pairs.schema("id_a").dataType == LongType &&
+      pairs.schema("id_b").dataType == LongType
+    val srcDst = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    if (ufMaxEdges <= 0 || !longIds)
+      return ccPointerJump(srcDst, maxIter, reliableCheckpoints, onRound,
+        snapshot, () => ())
+    // one materialization of the (possibly expensive) upstream pair
+    // pipeline serves both the size probe and whichever tier runs; the
+    // pointer-jump tier builds its symmetrized edge set from this cache
+    // and frees it as soon as that edge set is materialized
+    val raw = srcDst
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs =
+      try raw.count()
+      catch { case t: Throwable => raw.unpersist(false); throw t }
+    if (nPairs <= ufMaxEdges) {
+      try {
+        import pairs.sparkSession.implicits._
+        snapshot(raw.as[(Long, Long)]
+          .mapPartitions(CcUnionFind.collapse _)
+          .repartition(1)
+          .mapPartitions(CcUnionFind.collapse _)
+          .toDF("id", "component"))
+      } finally raw.unpersist(false)
+    } else
+      ccPointerJump(raw, maxIter, reliableCheckpoints, onRound, snapshot,
+        () => { raw.unpersist(false); () })
+  }
+
+  /** The per-round-checkpointed pointer-jumping loop — the corpus-scale
+    * tier of [[connectedComponents]] (see its scaladoc for the round
+    * structure, observation-based convergence and memory discipline).
+    * `srcDst` is the directed (src, dst) pair frame; symmetrization,
+    * distinct and the edge cache happen here. `onEdgesMaterialized` runs
+    * once the edge cache is materialized — the caller uses it to free
+    * its upstream pair cache, which nothing below reads again. */
+  private def ccPointerJump(srcDst: DataFrame, maxIter: Int,
+                            reliableCheckpoints: Boolean,
+                            onRound: Option[(Int, Long) => Unit],
+                            snapshot: DataFrame => DataFrame,
+                            onEdgesMaterialized: () => Unit): DataFrame = {
+    val edges = srcDst
+      .unionByName(srcDst.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sc = pairs.sparkSession.sparkContext
+    val sc = srcDst.sparkSession.sparkContext
     // eager localCheckpoint blocks are only freed when the JVM GCs the
     // dropped Dataset and ContextCleaner notices — across ~20 rounds that
     // accumulates up to 20 label-table snapshots in executor storage,
@@ -710,6 +779,7 @@ object Dedup {
     // persisting RDDs on the session during the rounds — same session-
     // owned-cache assumption as minhashLsh's persistIntermediate.)
     edges.count()
+    onEdgesMaterialized()
     val before0 = persistedIds
     // seed labels with min(id, neighbors) instead of id: same single
     // shuffle as the distinct() it replaces (groupBy on src), but the
@@ -834,6 +904,12 @@ object Dedup {
     // the delta subtree runs once, the corpus is scanned once for the
     // lookup slice (plus once for the relabel output — irreducible),
     // and everything downstream is joins of delta-sized checkpoints.
+    // NOTE (reliableCheckpoints=true): each batch writes three reliable
+    // checkpoints whose FILES outlive the job unless
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true — a
+    // long-running maintenance loop MUST set it (or sweep the
+    // checkpoint dir itself) or the dir grows without bound, exactly
+    // as the per-round CC checkpoints already imply (r20 advisor).
     def snap(df: DataFrame): DataFrame =
       if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
     val delta = snap(deltaPairs.select(col("id_a"), col("id_b")))
@@ -1038,14 +1114,13 @@ object Dedup {
     * [[contamination]]: instead of broadcasting the eval set's shingle
     * STRINGS (8+ bytes each plus hash-table overhead) and joining, the
     * eval shingles compress into a `bitsPerShingle`-bits-per-entry
-    * bloom bitmap (4 bytes/shingle at the default) that ships
-    * to every task as ONE literal array<long>, and the probe is a
-    * codegen'd scan: shingles explode, each tests `numHashes` bit
-    * positions, and non-hits drop BEFORE any exchange — the corpus
-    * never shuffles; only the FLAGGED ids (≈ true contamination +
-    * ~0.2% FP) reach the distinct + the broadcast join-back. Zero
-    * UDFs; the only corpus-scale traffic is the bitmap inside the
-    * task binary.
+    * bloom bitmap (4 bytes/shingle at the default) that ships ONCE per
+    * executor as a broadcast variable, and the probe is a scan:
+    * shingles explode, the md5 double-hash runs in codegen, one JVM
+    * probe function tests `numHashes` bit positions against the
+    * broadcast bitmap, and non-hits drop BEFORE any exchange — the
+    * corpus never shuffles; only the FLAGGED ids (≈ true contamination
+    * + ~0.2% FP) reach the distinct + the broadcast join-back.
     *
     * MEASURED TRADE (sf1.0, 45k docs / 2.35M shingles, local[16]):
     * the screen scans at ~2× the exact broadcast join's wall
@@ -1114,8 +1189,8 @@ object Dedup {
       s"bitsPerShingle: $bitsPerShingle")
     require(numHashes >= 1 && numHashes <= 16, s"numHashes: $numHashes")
     require(maxBitmapBytes >= 8, s"maxBitmapBytes: $maxBitmapBytes")
-    (Seq("bloom_contaminated", "__cb_hit", "__cb_toks", "__cb_sh",
-      "__cb_bm") ++ (0 until numHashes).map(i => s"__cb_p$i")).foreach(c =>
+    Seq("bloom_contaminated", "__cb_hit", "__cb_toks", "__cb_sh",
+      "__cb_h1", "__cb_h2").foreach(c =>
       require(!train.columns.contains(c),
         s"Dedup.contaminationBloom: train already has a '$c' column — " +
           "rename it first"))
@@ -1126,46 +1201,81 @@ object Dedup {
     val evalSh = shingles(evalDocs, idCol, textCol, n)
       .select(col("shingle")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSh = evalSh.count()
-    val words = math.max(1L, (nSh * bitsPerShingle + 63) / 64)
-    // the bitmap ships as ONE literal inside every task binary — sized
-    // bitsPerShingle × |eval shingles|, eval-bounded by design, but a
-    // 100M-shingle eval set at the defaults would be a ~400 MB literal
-    // the scheduler chokes on. Fail LOUDLY here, naming the fallback,
-    // instead of at task-serialization time.
-    require(words * 8 <= maxBitmapBytes,
-      s"Dedup.contaminationBloom: eval set has $nSh distinct shingles " +
-        s"-> a ${words * 8}-byte bloom bitmap literal, over the " +
-        s"$maxBitmapBytes-byte ceiling (maxBitmapBytes). Shrink the " +
-        "eval set / lower bitsPerShingle, raise maxBitmapBytes " +
-        "deliberately, or use the exact path (Dedup.contamination / " +
-        "Dedup.decontaminate), whose eval side is a broadcast join " +
-        "with no single-literal bottleneck.")
+    // unpersist in finally: if the bitmap-ceiling require (or the collect)
+    // throws, the cached eval shingle set must not leak into the session
+    // block cache (r20 advisor fix)
+    val (bitmap, words) = try {
+      val nSh = evalSh.count()
+      val w = math.max(1L, (nSh * bitsPerShingle + 63) / 64)
+      // the bitmap ships once per executor as a broadcast variable —
+      // sized bitsPerShingle × |eval shingles|, eval-bounded by design,
+      // but a 100M-shingle eval set at the defaults is still a ~400 MB
+      // driver+executor-resident array. Fail LOUDLY here, naming the
+      // fallback, instead of OOMing the driver mid-build.
+      require(w * 8 <= maxBitmapBytes,
+        s"Dedup.contaminationBloom: eval set has $nSh distinct shingles " +
+          s"-> a ${w * 8}-byte bloom bitmap, over the " +
+          s"$maxBitmapBytes-byte ceiling (maxBitmapBytes). Shrink the " +
+          "eval set / lower bitsPerShingle, raise maxBitmapBytes " +
+          "deliberately, or use the exact path (Dedup.contamination / " +
+          "Dedup.decontaminate), whose eval side is a broadcast join " +
+          "with no single-bitmap bottleneck.")
+      val mB = w * 64L
+      def posC(sh: Column, i: Int): Column = {
+        val h1 = conv(substring(md5(sh), 1, 14), 16, 10).cast(LongType)
+        val h2 = conv(substring(md5(sh), 17, 14), 16, 10).cast(LongType)
+        pmod(h1 + lit(i.toLong) * h2, lit(mB))
+      }
+      val wordRows = evalSh
+        .select(explode(array((0 until numHashes)
+          .map(i => posC(col("shingle"), i)): _*)).as("p"))
+        .groupBy(floor(col("p") / 64).cast(IntegerType).as("w"))
+        .agg(expr(
+          "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))")
+          .as("bits"))
+        .collect()
+      val bm = new Array[Long](w.toInt)
+      wordRows.foreach(r => bm(r.getInt(0)) = r.getLong(1))
+      (bm, w)
+    } finally evalSh.unpersist()
     val mBits = words * 64L
-    def posC(sh: Column, i: Int): Column = {
-      val h1 = conv(substring(md5(sh), 1, 14), 16, 10).cast(LongType)
-      val h2 = conv(substring(md5(sh), 17, 14), 16, 10).cast(LongType)
-      pmod(h1 + lit(i.toLong) * h2, lit(mBits))
-    }
-    val wordRows = evalSh
-      .select(explode(array((0 until numHashes)
-        .map(i => posC(col("shingle"), i)): _*)).as("p"))
-      .groupBy(floor(col("p") / 64).cast(IntegerType).as("w"))
-      .agg(expr(
-        "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))")
-        .as("bits"))
-      .collect()
-    val bitmap = new Array[Long](words.toInt)
-    wordRows.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
-    // THE PROBE IS CODEGEN-SHAPED ON PURPOSE: a first cut evaluated the
+    // THE HASHES ARE CODEGEN-SHAPED ON PURPOSE: a first cut evaluated the
     // whole test as nested higher-order lambdas over the token array —
     // zero shuffles, but lambda bodies run INTERPRETED outside
     // whole-stage codegen and the scan measured ~5× slower than the
     // exact broadcast join at 50k docs. Exploding the shingles keeps
-    // every per-shingle expression (md5, conv, the k bit tests) inside
-    // codegen with subexpression elimination, and the early `where`
+    // the per-shingle md5+conv inside codegen, and the early `where`
     // means the only rows that ever reach an exchange are the FLAGGED
     // ones — the corpus itself still never shuffles.
+    //
+    // The BITMAP ships once per executor as a BROADCAST VARIABLE
+    // (torrent blocks), and the k-position test is one JVM function
+    // over (h1, h2) reading it. The previous shape embedded the bitmap
+    // as a typedLit array INSIDE the plan — i.e. inside every task
+    // binary of every stage of the query ("Broadcasting large task
+    // binary with size 1.5–2.3 MiB" across the bloom family), serialized
+    // and deserialized per task rather than per executor, and capped by
+    // what the scheduler tolerates as a literal (r20, guide §5). The
+    // arithmetic is bit-identical: p_i = pmod(h1 + i·h2, mBits) and the
+    // word/bit indexing match the previous element_at/shiftleft
+    // expressions exactly (h1 + 15·h2 < 2^60, so no overflow), which
+    // CorpusOpsSpec pins against the exact path. The broadcast itself
+    // is freed by the ContextCleaner when the UDF's closure is GC'd.
+    val bmB = train.sparkSession.sparkContext.broadcast(bitmap)
+    val kH = numHashes
+    val mB = mBits
+    val probe = udf((h1: Long, h2: Long) => {
+      val bm = bmB.value
+      var i = 0
+      var all = true
+      while (all && i < kH) {
+        val raw = (h1 + i.toLong * h2) % mB
+        val p = if (raw < 0) raw + mB else raw
+        all = (bm((p >>> 6).toInt) & (1L << (p & 63L))) != 0L
+        i += 1
+      }
+      all
+    })
     val toks = graft.text.TextOps.tokens(col(textCol))
     val grams = transform(
       sequence(lit(1), size(col("__cb_toks")) - (n - 1)),
@@ -1176,33 +1286,21 @@ object Dedup {
       .cast(LongType)
     // LET-BIND h1/h2 behind the nondeterministic-zero barrier (the
     // repo's standard let-binding idiom): without it, project collapse
-    // inlines the md5+conv tree into all k position columns and codegen
+    // inlines the md5+conv tree into both probe arguments and codegen
     // does NOT de-duplicate them — measured 9 s (k=1) vs 43 s (k=8) on
-    // 2.35M shingles, i.e. the md5 ran k× per shingle
+    // 2.35M shingles when the k positions were columns, i.e. the md5
+    // ran k× per shingle. The barrier also stops the probe filter from
+    // being pushed below this projection.
     val ndZero = (rand(19L) * lit(0)).cast(LongType)
-    val hit = (0 until numHashes).map { i =>
-      expr(s"""(element_at(__cb_bm, CAST(__cb_p$i div 64 AS INT) + 1)
-              | & shiftleft(CAST(1 AS BIGINT),
-              |     CAST(__cb_p$i % 64 AS INT))) != CAST(0 AS BIGINT)"""
-        .stripMargin)
-    }.reduce(_ && _)
-    val flagged = train
+    train
       .select(col(idCol), toks.as("__cb_toks"))
       .where(size(col("__cb_toks")) >= n)
       .select(col(idCol), explode(grams).as("__cb_sh"))
       .select(col(idCol),
         (h1 + ndZero).as("__cb_h1"), (h2 + ndZero).as("__cb_h2"))
-      .withColumn("__cb_bm", typedLit(bitmap.toSeq))
-      .select(
-        Seq(col(idCol), col("__cb_bm")) ++
-          (0 until numHashes).map(i =>
-            pmod(col("__cb_h1") + lit(i.toLong) * col("__cb_h2"),
-              lit(mBits)).as(s"__cb_p$i")): _*)
-      .where(hit)
+      .where(probe(col("__cb_h1"), col("__cb_h2")))
       .select(col(idCol))
       .distinct()
-    evalSh.unpersist()
-    flagged
   }
 
   /** SCREENED decontamination — [[contaminationBloom]] composed into
@@ -1641,5 +1739,47 @@ object Dedup {
           .as("jaccard"),
         (col("inter") / least(col("__ov_na"), col("__ov_nb")))
           .as("containment"))
+  }
+}
+
+/** Partition-local union-find for [[Dedup.connectedComponents]]'s
+  * small-graph tier. Serializable: instances of the `collapse` lambda
+  * ship inside mapPartitions task closures.
+  *
+  * `collapse` folds one partition's (a, b) edges into a union-find
+  * forest with UNION-BY-MIN (the larger root is attached under the
+  * smaller, so a root is always the minimum id of its set — exactly the
+  * component-min label convention) plus full path compression on find,
+  * and emits one (node, root) star edge per distinct node seen. The
+  * output is closed under re-collapsing: feeding the stars of several
+  * partitions into another `collapse` yields the union-find of their
+  * combined edge sets, because each local edge (a, b) is represented by
+  * the two stars (a, r) and (b, r) through the shared local root r.
+  * Self-pairs (x, x) register x and emit (x, x) — a singleton, matching
+  * the round loop's treatment. Memory: one LongMap entry per distinct
+  * node in the partition; the caller bounds the single merged partition
+  * via `graft.cc.unionFindMaxEdges`. */
+private[dedup] object CcUnionFind extends Serializable {
+  def collapse(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val nxt = parent(c); parent.update(c, r); c = nxt }
+      r
+    }
+    while (it.hasNext) {
+      val (a, b) = it.next()
+      if (!parent.contains(a)) parent.update(a, a)
+      if (!parent.contains(b)) parent.update(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent.update(rb, ra)
+      else if (rb < ra) parent.update(ra, rb)
+    }
+    // keys are snapshotted before the finds: path compression mutates the
+    // map, and LongMap iteration order is not stable under writes
+    parent.keysIterator.toArray.iterator.map(k => (k, find(k)))
   }
 }

@@ -146,8 +146,12 @@ object Audio {
     // body is element_at arithmetic; (3) frame energies sum array reads.
     // Same sample indices, same per-frame accumulation order — the
     // energies are BIT-IDENTICAL (AudioSpec parity + q175/q176 oracles).
-    // Transient per-row arrays are bounded by maxBytes (same class as
-    // the __af_hx hex string, 2x maxBytes chars, already materialized).
+    // Transient per-row arrays are bounded by maxBytes but FATTER than
+    // the hex string: __af_by is long[] (8 B/byte decoded) and the
+    // magnitude array double[] (8 B/sample) — together up to ~16x
+    // maxBytes per row vs the hex string's 2x chars. Account for that
+    // footprint when raising maxBytes (r20 advisor fix of the r19
+    // comment, which undercounted it).
     val by = col("__af_by")
     val nBytes = n * bytesPer
     // byte reads go through ONE ISO-8859-1 decode of the payload (byte k

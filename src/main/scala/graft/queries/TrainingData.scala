@@ -4301,26 +4301,28 @@ object TrainingData {
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         val cents = e.where(col("id") < 8)
           .select(col("id").as("cid"), col("vec"))
-        // localCheckpoint the shared frames (r19): cb feeds both the
+        // snap (truncate) the shared frames (r19; r20: Graft.snap —
+        // reliable-checkpoint mode via graft.checkpoint.reliable, the
+        // bare localCheckpoint was unrecoverable at cluster scale):
+        // cb feeds both the
         // encode and the ADC LUT, codes and the candidate list feed the
         // scorer — inlined per reference, the final plan carried 32
         // Exchanges / 16 re-derived scans / 18 windows and the
         // optimizer walk dominated the wall (the q177/q178 lesson at
         // ANN scale). All three frames are small by construction
         // (codebooks/candidate lists), so eager truncation is cheap.
-        val cb = graft.similarity.Similarity.pqCodebooks(
-          e.where(col("id") < 4), 4).localCheckpoint()
-        val codes = graft.similarity.Similarity.pqEncode(e, cb, 4)
-          .localCheckpoint()
+        val cb = graft.Graft.snap(graft.similarity.Similarity.pqCodebooks(
+          e.where(col("id") < 4), 4))
+        val codes = graft.Graft.snap(
+          graft.similarity.Similarity.pqEncode(e, cb, 4))
         val queries = e.where(col("id").between(100, 104))
-        val cand = graft.similarity.Similarity
+        val cand = graft.Graft.snap(graft.similarity.Similarity
           .ivfAssignN(queries, cents, 2)
           .select(col("id").as("query_id"), col("cid"))
           .join(graft.similarity.Similarity.ivfAssign(e, cents)
             .select(col("id").as("neighbor_id"), col("cid")),
             Seq("cid"))
-          .select("query_id", "neighbor_id")
-          .localCheckpoint()
+          .select("query_id", "neighbor_id"))
         graft.similarity.Similarity.pqAdcTopK(
           queries, codes, cb, 3, 4, Some(cand))
           .orderBy("query_id", "rank")
@@ -4460,14 +4462,14 @@ object TrainingData {
         val cents = e.where(col("id") < 8)
           .select(col("id").as("cid"), col("vec"))
         val res = graft.similarity.Similarity.ivfResidualize(e, cents)
-        // localCheckpoint the shared frames (r19, the q163 rationale):
+        // snap the shared frames (r19, the q163 rationale; r20:
+        // Graft.snap for reliable-checkpoint mode):
         // without truncation the final plan carried 48 Exchanges / 32
         // re-derived scans / 30 windows
-        val cb = graft.similarity.Similarity.pqCodebooks(
-          res.where(col("id").between(10, 13)).select("id", "vec"), 4)
-          .localCheckpoint()
-        val codes = graft.similarity.Similarity.pqEncode(res, cb, 4)
-          .localCheckpoint()
+        val cb = graft.Graft.snap(graft.similarity.Similarity.pqCodebooks(
+          res.where(col("id").between(10, 13)).select("id", "vec"), 4))
+        val codes = graft.Graft.snap(
+          graft.similarity.Similarity.pqEncode(res, cb, 4))
         graft.similarity.Similarity.pqAdcTopKResidual(
           e.where(col("id").between(100, 104)), codes, cb, cents,
           3, 4, nprobe = 2)
@@ -4634,7 +4636,10 @@ object TrainingData {
                 .where(col("doc_id") < 2000), "doc_id"))
           .where(col("dhash").isNotNull)
           .select(col("media_id").as("id"), col("dhash").as("simhash"))
-        Dedup.simhashBandedDups(sigs, "id", 64, 2)
+        // snap: the banded self-join derives its two sides from the
+        // signature frame independently — without truncation each side
+        // re-runs the whole decode pipeline (r20, the q185 class)
+        Dedup.simhashBandedDups(graft.Graft.snap(sigs), "id", 64, 2)
           .orderBy("id_a", "id_b")
       },
       Some("""WITH ids AS (SELECT doc_id FROM documents
@@ -4789,7 +4794,8 @@ object TrainingData {
                 .where(col("doc_id") < 600), "doc_id"))
           .select(col("media_id").as("id"), col("dhash").as("simhash"))
         Dedup.connectedComponents(
-          Dedup.simhashBandedDups(sigs, "id", 64, 2, probeParts = 0))
+          Dedup.simhashBandedDups(graft.Graft.snap(sigs), "id", 64, 2,
+            probeParts = 0))
           .orderBy("id")
       },
       Some("""WITH RECURSIVE ids AS (
@@ -4858,19 +4864,19 @@ object TrainingData {
         val cents = e.where(col("id") < 8)
           .select(col("id").as("cid"), col("vec"))
         val res = graft.similarity.Similarity.ivfResidualize(e, cents)
-        // localCheckpoint the shared frames (r19, the q163 rationale):
+        // snap the shared frames (r19, the q163 rationale; r20:
+        // Graft.snap for reliable-checkpoint mode):
         // without truncation the final plan carried 52 Exchanges / 36
         // re-derived scans / 34 windows — the C-candidate list feeding
         // the exact re-rank re-derived the whole residual-ADC pipeline
-        val cb = graft.similarity.Similarity.pqCodebooks(
-          res.where(col("id").between(10, 13)).select("id", "vec"), 4)
-          .localCheckpoint()
-        val codes = graft.similarity.Similarity.pqEncode(res, cb, 4)
-          .localCheckpoint()
+        val cb = graft.Graft.snap(graft.similarity.Similarity.pqCodebooks(
+          res.where(col("id").between(10, 13)).select("id", "vec"), 4))
+        val codes = graft.Graft.snap(
+          graft.similarity.Similarity.pqEncode(res, cb, 4))
         val queries = e.where(col("id").between(100, 104))
-        val adcTopC = graft.similarity.Similarity.pqAdcTopKResidual(
-          queries, codes, cb, cents, 12, 4, nprobe = 2)
-          .localCheckpoint()
+        val adcTopC = graft.Graft.snap(
+          graft.similarity.Similarity.pqAdcTopKResidual(
+            queries, codes, cb, cents, 12, 4, nprobe = 2))
         graft.similarity.Similarity.pqRefine(queries, e, adcTopC, 3)
           .orderBy("query_id", "rank")
       },
@@ -5098,7 +5104,8 @@ object TrainingData {
               docs.where(col("doc_id").between(300, 599)), "doc_id"))
           .where(col("dhash").isNotNull)
           .select(col("media_id").as("id"), col("dhash").as("simhash"))
-        Dedup.simhashBandedDups(bmp.unionByName(png), "id", 64, 2)
+        Dedup.simhashBandedDups(
+          graft.Graft.snap(bmp.unionByName(png)), "id", 64, 2)
           .orderBy("id_a", "id_b")
       },
       Some("""WITH ids AS (SELECT doc_id FROM documents
@@ -5230,7 +5237,8 @@ object TrainingData {
                 .where(col("doc_id") < 2000), "doc_id"))
           .where(col("afp").isNotNull)
           .select(col("media_id").as("id"), col("afp").as("simhash"))
-        Dedup.simhashBandedDups(sigs, "id", 64, 2)
+        // snap: decode once, band over the snapshot (the q185 class)
+        Dedup.simhashBandedDups(graft.Graft.snap(sigs), "id", 64, 2)
           .orderBy("id_a", "id_b")
       },
       Some("""WITH ids AS (SELECT doc_id FROM documents
@@ -5843,8 +5851,13 @@ object TrainingData {
               docs.where(col("doc_id").between(600, 899)), "doc_id"))
           .where(col("dhash").isNotNull)
           .select(col("media_id").as("id"), col("dhash").as("simhash"))
+        // snap: all THREE decode pipelines run once into the snapshot;
+        // the banded self-join reads it from both sides (r20 — without
+        // truncation the final plan re-derived each family per side:
+        // 12 parquet scans, plans/r20/q185_*_before.txt)
         Dedup.simhashBandedDups(
-          bmp.unionByName(png).unionByName(jpg), "id", 64, 2)
+          graft.Graft.snap(bmp.unionByName(png).unionByName(jpg)),
+          "id", 64, 2)
           .orderBy("id_a", "id_b")
       },
       Some("""WITH ids AS (SELECT doc_id FROM documents

@@ -14,10 +14,11 @@ object CensusProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val repeats = if (args.length > 1) args(1).toInt else 3
-    val spark = SparkSession.builder().appName("graft-censusprobe")
-      .master("local[32]").config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // Graft.configure: probes must run under the graded surface's exact
+    // session config — notably the STATIC codegen-cache sizing, silently
+    // ignored if set after getOrCreate (r20 advisor fix)
+    val spark = graft.Graft.configure(SparkSession.builder()
+      .appName("graft-censusprobe").master("local[32]"), 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f

@@ -26,9 +26,11 @@ object QuickBench {
     val runs = if (args.length > 2 && args(2) != "explain")
       args(2).toInt else 3
     val explain = args.length > 2 && args(2) == "explain"
-    val spark = SparkSession.builder().appName("graft-quickbench")
-      .master("local[32]").config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // Graft.configure: probes must run under the graded surface's exact
+    // session config — notably the STATIC codegen-cache sizing, silently
+    // ignored if set after getOrCreate (r20 advisor fix)
+    val spark = graft.Graft.configure(SparkSession.builder()
+      .appName("graft-quickbench").master("local[32]"), 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)

@@ -215,6 +215,11 @@ class CorpusOpsSpec extends SparkSpec {
       "diameter, not the corpus diameter; an all-internal delta returns " +
       "the persisted table without running CC at all") {
     import spark.implicits._
+    // round-count properties are ROUND-LOOP contracts: force that tier
+    // (the union-find fast path resolves any sub-threshold graph in one
+    // pass with no rounds to count)
+    spark.conf.set("graft.cc.unionFindMaxEdges", "0")
+    try {
     // corpus: a 17-node chain — full CC needs several pointer-jump rounds
     val e0 = (0L until 16L).map(i => (i, i + 1))
     var fullRounds = 0
@@ -258,6 +263,7 @@ class CorpusOpsSpec extends SparkSpec {
     assert(noop.as[(Long, Long)].collect().toMap ===
       labelsAll.as[(Long, Long)].collect().toMap)
     assert(noopRounds === 0)
+    } finally spark.conf.unset("graft.cc.unionFindMaxEdges")
   }
 
   test("charShingles restores dedup signal on unsegmented text that " +
@@ -717,9 +723,14 @@ class CorpusOpsSpec extends SparkSpec {
     val pairs = Seq((12L, 11L), (11L, 10L), (10L, 9L), (9L, 8L), (8L, 7L),
       (101L, 100L)).toDF("id_a", "id_b")
     val rounds = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
-    val got = graft.dedup.Dedup.connectedComponents(pairs.repartition(3),
-        onRound = Some((r, n) => rounds += ((r, n))))
-      .as[(Long, Long)].collect().toMap
+    // the convergence curve is ROUND-LOOP telemetry: force that tier
+    // (the union-find fast path has no rounds and reports none)
+    spark.conf.set("graft.cc.unionFindMaxEdges", "0")
+    val got =
+      try graft.dedup.Dedup.connectedComponents(pairs.repartition(3),
+          onRound = Some((r, n) => rounds += ((r, n))))
+        .as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("graft.cc.unionFindMaxEdges")
     assert((7L to 12L).forall(got(_) == 7L))
     assert(rounds.toSeq === Seq((1, 4L), (2, 1L), (3, 0L)))
   }
@@ -734,23 +745,82 @@ class CorpusOpsSpec extends SparkSpec {
     }
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
-    val got = graft.dedup.Dedup
-      .connectedComponents(pairs, reliableCheckpoints = true)
-      .as[(Long, Long)].collect().toMap
-    assert((7L to 12L).forall(got(_) == 7L))
-    assert(got(100L) == 100L && got(101L) == 100L)
+    try {
+      val got = graft.dedup.Dedup
+        .connectedComponents(pairs, reliableCheckpoints = true)
+        .as[(Long, Long)].collect().toMap
+      assert((7L to 12L).forall(got(_) == 7L))
+      assert(got(100L) == 100L && got(101L) == 100L)
+    // clear the session-wide dir: leaking it made every later
+    // no-checkpoint-dir guard assertion in the JVM vacuously pass (r20)
+    } finally spark.sparkContext.setCheckpointDir(null)
   }
 
   test("connectedComponents refuses to return unconverged labels at maxIter") {
     import spark.implicits._
     // diameter-5 chain needs >1 pointer-jumping round; maxIter=1 must fail
-    // loudly instead of returning a plausible-looking half-merged labeling
+    // loudly instead of returning a plausible-looking half-merged labeling.
+    // maxIter is a ROUND-LOOP contract; force that tier (the union-find
+    // fast path is exact in one pass and has no rounds to cap)
     val pairs = Seq((12L, 11L), (11L, 10L), (10L, 9L), (9L, 8L), (8L, 7L))
       .toDF("id_a", "id_b")
-    val e = intercept[IllegalArgumentException] {
-      graft.dedup.Dedup.connectedComponents(pairs, maxIter = 1).collect()
+    spark.conf.set("graft.cc.unionFindMaxEdges", "0")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.dedup.Dedup.connectedComponents(pairs, maxIter = 1).collect()
+      }
+      assert(e.getMessage.contains("not converged"))
+    } finally spark.conf.unset("graft.cc.unionFindMaxEdges")
+  }
+
+  test("connectedComponents union-find tier is bit-equal to the pointer-" +
+      "jump loop on adversarial graphs (long chain, star merges through " +
+      "one hub, self-pairs, duplicate/reversed edges, cross-partition)") {
+    import spark.implicits._
+    // every shape that has historically broken a CC variant: a 64-node
+    // chain (worst-case diameter), a hub merging three chains (the
+    // merge-through-new-node shape), self-pairs over known and isolated
+    // ids, the same edge duplicated and reversed, and ids scattered so
+    // partition-local union-find cannot resolve anything locally
+    val chain = (1000L to 1063L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val hub = Seq((5L, 1010L), (5L, 2010L), (5L, 3010L))
+    val chains2 = (2000L to 2020L).sliding(2).map(s => (s.head, s.last)).toSeq ++
+      (3000L to 3020L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val selfs = Seq((1000L, 1000L), (777L, 777L))
+    val dups = Seq((1001L, 1000L), (1000L, 1001L), (1000L, 1001L))
+    val all = (chain ++ hub ++ chains2 ++ selfs ++ dups)
+    for (parts <- Seq(1, 7)) {
+      val pairs = all.toDF("id_a", "id_b").repartition(parts)
+      val fast = graft.dedup.Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      spark.conf.set("graft.cc.unionFindMaxEdges", "0")
+      val loop =
+        try graft.dedup.Dedup.connectedComponents(pairs)
+          .as[(Long, Long)].collect().toMap
+        finally spark.conf.unset("graft.cc.unionFindMaxEdges")
+      assert(fast === loop, s"parts=$parts")
+      // spot-check the labels themselves, not just cross-agreement
+      assert((1000L to 1063L).forall(fast(_) == 5L))
+      assert((2000L to 2020L).forall(fast(_) == 5L))
+      assert((3000L to 3020L).forall(fast(_) == 5L))
+      assert(fast(777L) == 777L && fast(5L) == 5L)
     }
-    assert(e.getMessage.contains("not converged"))
+  }
+
+  test("connectedComponents union-find threshold boundary: a graph one " +
+      "pair over graft.cc.unionFindMaxEdges takes the round loop and " +
+      "labels identically") {
+    import spark.implicits._
+    val pairs = Seq((12L, 11L), (11L, 10L), (10L, 9L), (9L, 8L), (8L, 7L),
+      (101L, 100L)).toDF("id_a", "id_b") // 6 pairs
+    def labels() = graft.dedup.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val fast = labels() // default threshold: union-find tier
+    spark.conf.set("graft.cc.unionFindMaxEdges", "5") // 6 > 5: loop tier
+    val loop = try labels()
+      finally spark.conf.unset("graft.cc.unionFindMaxEdges")
+    assert(fast === loop)
+    assert((7L to 12L).forall(fast(_) == 7L) && fast(101L) == 100L)
   }
 
   test("connectedComponents agrees with brute-force closure on simhash pairs") {
