@@ -2188,7 +2188,14 @@ object TrainingData {
             .reduce(_ unionByName _))
           .select(col("format"), col("width"),
             lit(null).cast(LongType).as("duration_ms"))
-        val av = Multimodal.avMetadata(Seq(
+        // the A/V side goes through the JVM mapPartitions rung
+        // (avMetadataFast — AvFastSpec pins it bit-compatible with the
+        // expression parser): the interpreted chunk-walk folds were
+        // ~0.1 ms/row and the census wall's dominant term (r20, guide
+        // §4; CensusProbe A/B: av synth+meta noop 2.1-2.4 s -> 0.7 s).
+        // The per-family exhibit queries (q128/q153/q158/q169) keep the
+        // expression parser — both stay oracle-checked.
+        val av = graft.multimodal.AvFast.avMetadataFast(Seq(
             Multimodal.synthAvBytes(d, "doc_id"),
             Multimodal.synthAudioBytes(d, "doc_id"),
             Multimodal.synthOggBytes(d, "doc_id"),
@@ -4111,11 +4118,19 @@ object TrainingData {
           graft.text.RobotsOps.synthWildcardRobots(docs, "doc_id"),
           "robots_txt", "graftbot")
           .select(col("domain_id"), col("robots_rules"))
-        val allowed = cand
+        // snap: `allowed` feeds the redirect universe, the finals join
+        // AND the c2 aggregate — three re-derivations of the union+
+        // distinct+robots-join+interpreted-matcher subtree without
+        // truncation. r20 A/B (two paired same-window runs, q156 as
+        // control): 1.73->1.50 s and control-normalized 2.89x->2.34x —
+        // a mild local win where the r19 ALL-frames (cand+allowed+
+        // finals) snap was a wash: one eager job buys back three
+        // subtree re-runs, three eager jobs bought back too little.
+        val allowed = graft.Graft.snap(cand
           .join(broadcast(robots), Seq("domain_id"))
           .where(graft.text.RobotsOps.isAllowed(col("robots_rules"),
             col("path")))
-          .select(col("uid"), col("domain_id"), col("url"))
+          .select(col("uid"), col("domain_id"), col("url")))
         // 3. redirect resolution over the crawl's edge set (q156 shape)
         val edges = docs.where(m(id, 4) =!= 0).select(
           urlOf(id).as("src"),

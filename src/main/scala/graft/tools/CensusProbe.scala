@@ -54,6 +54,13 @@ object CensusProbe {
         Multimodal.synthOggBytes(d, "doc_id"),
         Multimodal.synthWebmBytes(d, "doc_id")).reduce(_ unionByName _))
         .select("av_format", "width", "duration_ms")) }
+      t("av synth+meta (JVM rung)") { noop(
+        graft.multimodal.AvFast.avMetadataFast(Seq(
+          Multimodal.synthAvBytes(d, "doc_id"),
+          Multimodal.synthAudioBytes(d, "doc_id"),
+          Multimodal.synthOggBytes(d, "doc_id"),
+          Multimodal.synthWebmBytes(d, "doc_id")).reduce(_ unionByName _))
+        .select("av_format", "width", "duration_ms")) }
     }
     spark.stop()
   }
