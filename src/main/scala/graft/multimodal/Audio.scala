@@ -233,6 +233,147 @@ object Audio {
       .drop("__af_hx", "__af_lt", "__af_st", "__af_by", "__af_mg", "__af_e")
   }
 
+  /** JVM decode rung for [[audioEnergyFingerprint]] — the mapPartitions
+    * twin (the [[graft.multimodal.AvFast]] / Png / Jpeg ladder, r20,
+    * guide §4): the expression fingerprint's per-row cost is
+    * interpreted HOF evaluation over every sample (~1.5 ms/clip at the
+    * exhibit sizes — the whole q176 wall); the same walk+decode in
+    * plain JVM code runs at ~µs/clip. Offset-for-offset translation of
+    * the expression pipeline — same chunk walk, same per-format
+    * magnitude formulas, same double accumulation ORDER per frame, so
+    * energies and every fingerprint bit are BIT-IDENTICAL (AudioSpec's
+    * parity test pins it across all four sample layouts, plants,
+    * truncation and garbage). The expression form stays the exhibit
+    * (q175); compositions (q176's banding) read this rung. */
+  def audioEnergyFingerprintFast(media: DataFrame,
+                                 contentCol: String = "content",
+                                 maxBytes: Int = 1 << 20,
+                                 maxChunks: Int = 16): DataFrame = {
+    require(maxBytes >= 128, s"maxBytes too small: $maxBytes")
+    require(maxChunks >= 1 && maxChunks <= 256, s"maxChunks: $maxChunks")
+    require(!media.columns.contains("afp"),
+      "Audio.audioEnergyFingerprintFast: media already has an 'afp' " +
+        "column — rename it first")
+    val schema = org.apache.spark.sql.types.StructType(
+      media.schema.fields :+
+        org.apache.spark.sql.types.StructField("afp", LongType))
+    val idx = media.schema.fieldIndex(contentCol)
+    val mb = maxBytes
+    val mc = maxChunks
+    media.mapPartitions { it =>
+      it.map { r =>
+        val content = if (r.isNullAt(idx)) null
+          else r.get(idx).asInstanceOf[Array[Byte]]
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ fingerprintJvm(content, mb, mc))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** One blob's 64-bit frame-energy fingerprint, or null — the JVM twin
+    * of the expression pipeline (offsets in bytes; the expression works
+    * in 1-based hex chars, char 2b+1 <-> byte b). */
+  private[multimodal] def fingerprintJvm(content: Array[Byte],
+                                         maxBytes: Int,
+                                         maxChunks: Int): java.lang.Long = {
+    if (content == null) return null
+    val p = if (content.length <= maxBytes) content
+      else java.util.Arrays.copyOf(content, maxBytes)
+    val L = p.length
+    @inline def u(i: Int): Int = p(i) & 0xFF
+    def le16(i: Int): Long = u(i) | (u(i + 1).toLong << 8)
+    def le32(i: Int): Long = u(i) | (u(i + 1).toLong << 8) |
+      (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+    def cc(i: Int, s: String): Boolean =
+      (0 until s.length).forall(k => u(i + k) == s.charAt(k))
+    if (L < 12 || !cc(0, "RIFF") || !cc(8, "WAVE")) return null
+    // chunk walk (the avMetadata WAV shape): fmt -> afmt/bits, data ->
+    // dpos/dsize; done once both seen
+    var b = 12L
+    var afmt, bits, dsize: java.lang.Long = null
+    var dpos: java.lang.Long = null // payload byte offset
+    var done = false
+    var i = 0
+    while (i < maxChunks && !done) {
+      if (L < b + 8) done = true
+      else {
+        val bi = b.toInt
+        val size = le32(bi + 4)
+        if (cc(bi, "fmt ") && L >= b + 24 && size >= 16) {
+          afmt = le16(bi + 8); bits = le16(bi + 22)
+          done = dpos != null
+        } else if (cc(bi, "data")) {
+          dpos = b + 8; dsize = size
+          done = afmt != null
+        }
+        b = b + 8 + size + (size % 2)
+      }
+      i += 1
+    }
+    val fmtBits = afmt != null && bits != null &&
+      ((afmt == 1L && (bits == 16L || bits == 8L || bits == 24L)) ||
+        (afmt == 3L && bits == 32L))
+    if (!fmtBits || dpos == null || dsize == null) return null
+    val bytesPer = (bits / 8).toInt
+    val n = dsize / bytesPer
+    if (n < 65 || L < dpos + dsize) return null
+    val d0 = dpos.toInt
+    val nI = n.toInt
+    // magnitudes, per-format formulas identical to the expression twins
+    val mg = new Array[Double](nI)
+    var k = 0
+    if (afmt == 3L) {
+      while (k < nI) {
+        val b0 = u(d0 + k * 4); val b1 = u(d0 + k * 4 + 1)
+        val b2 = u(d0 + k * 4 + 2); val b3 = u(d0 + k * 4 + 3)
+        val fe = (b3 % 128) * 2 + b2 / 128
+        val fm = (b2 % 128).toLong * 65536L + b1.toLong * 256L + b0
+        mg(k) =
+          if (fe == 0) fm.toDouble * math.pow(2.0, -149.0)
+          else if (fe == 255) Double.NaN
+          else (fm + (1L << 23)).toDouble * math.pow(2.0, fe - 150.0)
+        k += 1
+      }
+    } else if (bits == 16L) {
+      while (k < nI) {
+        val uu = u(d0 + k * 2) + u(d0 + k * 2 + 1).toLong * 256L
+        mg(k) = math.abs((uu + 32768L) % 65536L - 32768L).toDouble
+        k += 1
+      }
+    } else if (bits == 24L) {
+      while (k < nI) {
+        val uu = u(d0 + k * 3) + u(d0 + k * 3 + 1).toLong * 256L +
+          u(d0 + k * 3 + 2).toLong * 65536L
+        mg(k) = math.abs((uu + (1L << 23)) % (1L << 24) - (1L << 23)).toDouble
+        k += 1
+      }
+    } else {
+      while (k < nI) { mg(k) = math.abs(u(d0 + k) - 128L).toDouble; k += 1 }
+    }
+    // 65 frame energies — SAME accumulation order as the expression
+    // aggregate (ascending sample index within the frame, seed 0.0),
+    // so the doubles are bit-identical
+    val e = new Array[Double](65)
+    var f = 0
+    while (f < 65) {
+      val lo = (f * n + 64) / 65
+      val hi = ((f + 1) * n + 64) / 65
+      var acc = 0.0d
+      var s = lo
+      while (s < hi) { acc += mg(s.toInt); s += 1 }
+      if (java.lang.Double.isNaN(acc)) return null
+      e(f) = acc
+      f += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (e(bit + 1) > e(bit)) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
   /** Deterministic WAV-PCM exhibit bytes — the [[Multimodal
     * .synthDhashImageBytes]] pattern for audio. Samples follow
     * s(id, i) = pmod((eid·31 + i·17)·(eid + i + 7), 16384) − 8192 over

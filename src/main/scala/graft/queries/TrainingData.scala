@@ -5246,7 +5246,13 @@ object TrainingData {
     // Hamming join (Σ bucket² on the Spark side, never |audio|²).
     Q("q176_audio_neardup",
       (s, dir) => {
-        val sigs = graft.multimodal.Audio.audioEnergyFingerprint(
+        // the banding composition reads the JVM fingerprint rung
+        // (audioEnergyFingerprintFast — AudioSpec pins it bit-identical
+        // to the expression pipeline): the interpreted per-sample
+        // decode was the whole q176 wall (r19 AudioProbe: 2.8-3.1 s
+        // for 2000 clips; the rung decodes them in ~0.1 s). q175 stays
+        // the expression exhibit — both oracle-checked (r20, guide §4).
+        val sigs = graft.multimodal.Audio.audioEnergyFingerprintFast(
             graft.multimodal.Audio.synthWavPcmBytes(
               t(s, dir, "documents").select("doc_id")
                 .where(col("doc_id") < 2000), "doc_id"))

@@ -28,9 +28,24 @@ object QuickBench {
     val explain = args.length > 2 && args(2) == "explain"
     // Graft.configure: probes must run under the graded surface's exact
     // session config — notably the STATIC codegen-cache sizing, silently
-    // ignored if set after getOrCreate (r20 advisor fix)
+    // ignored if set after getOrCreate (r20 advisor fix).
+    // SPARK_GRAFT_CPUS (default 32) mirrors Bench's core-count contract
+    // so low-vs-high-core scaling pairs can be measured on a subset
+    // without paying a full-suite run (the r20 sf1.0 scaling exhibit).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Graft.configure(SparkSession.builder()
-      .appName("graft-quickbench").master("local[32]"), 32).getOrCreate()
+      .appName("graft-quickbench").master(s"local[$cpus]"), cpus.toInt)
+      .getOrCreate()
+    // SPARK_GRAFT_MAXPART (optional): shrink the input split size so a
+    // single small rehearsal parquet scans as MANY tasks — the local
+    // emulation of a corpus-scale scan (where splits number in the
+    // thousands and map-side work genuinely parallelizes). Without it
+    // a 15 MB sf1.0 file is ONE split and map-side-heavy queries show
+    // 4 cores = 32 cores whatever the data size (r20 scaling exhibit).
+    sys.env.get("SPARK_GRAFT_MAXPART").foreach { v =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    }
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)
