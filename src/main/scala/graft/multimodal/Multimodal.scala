@@ -895,6 +895,125 @@ object Multimodal {
       .drop("__dh_hx", "__dh_lt", "__dh_st", "__dh_g")
   }
 
+  /** JVM decode rung for [[imageDhash]] — the mapPartitions twin (the
+    * [[AvFast]] / [[Png]] / [[Jpeg]] / Audio-fingerprint ladder, r20,
+    * guide §4): the 9×8 grid's 216 pixel reads run as an interpreted
+    * HOF lambda in the expression form; the same reads in plain JVM
+    * code cost ~µs/image. Offset-for-offset translation — same
+    * BMP/ICO gates (incl. the expression's CLAMPED data-dependent
+    * reads on truncated ICO directories), same stride/row/topdown
+    * arithmetic, same grid sampling and bit layout — so every dhash
+    * bit is identical (ImageDhashSpec's parity test pins it across
+    * all three layouts, plants, garbage and malformed blobs). The
+    * expression form stays the exhibit (q166/q125-class); banding
+    * compositions (q167/q170/q174/q185) read this rung. */
+  def imageDhashFast(media: DataFrame, contentCol: String = "content",
+                     maxBytes: Int = 1 << 20): DataFrame = {
+    require(maxBytes >= 128, s"maxBytes too small: $maxBytes")
+    require(!media.columns.contains("dhash"),
+      "Multimodal.imageDhashFast: media already has a 'dhash' column — " +
+        "rename it first")
+    val schema = StructType(media.schema.fields :+
+      StructField("dhash", LongType))
+    val idx = media.schema.fieldIndex(contentCol)
+    val mb = maxBytes
+    media.mapPartitions { it =>
+      it.map { r =>
+        val content = if (r.isNullAt(idx)) null
+          else r.get(idx).asInstanceOf[Array[Byte]]
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ dhashJvm(content, mb))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** One blob's 64-bit dHash, or null — the JVM twin of the expression
+    * pipeline (byte offsets; the expression works in hex chars). */
+  private[multimodal] def dhashJvm(content: Array[Byte],
+                                   maxBytes: Int): java.lang.Long = {
+    if (content == null) return null
+    val p = if (content.length <= maxBytes) content
+      else java.util.Arrays.copyOf(content, maxBytes)
+    val L = p.length
+    @inline def u(i: Int): Int = p(i) & 0xFF
+    // fixed-offset LE reads (all gated offsets are inside the length
+    // checks below)
+    def le(at: Int, n: Int): Long = {
+      var v = 0L; var i = n - 1
+      while (i >= 0) { v = (v << 8) | u(at + i); i -= 1 }
+      v
+    }
+    // data-dependent reads CLAMP to the prefix like the expression's
+    // concat-of-substrings (missing bytes contribute nothing; an
+    // entirely-missing read is null)
+    def leClamped(at: Long, n: Int): java.lang.Long = {
+      var v = 0L; var any = false; var i = n - 1
+      while (i >= 0) {
+        val b = at + i
+        if (b >= 0 && b < L) { v = (v << 8) | u(b.toInt); any = true }
+        i -= 1
+      }
+      if (any) v else null
+    }
+    // (pixoff, w, h, topdown, bpc) per container, or null
+    var pixoff, w, h, bpc = 0L
+    var topdown = false
+    var some = false
+    if (L >= 54 && u(0) == 'B' && u(1) == 'M' &&
+        le(14, 4) >= 40 && (le(28, 2) == 24 || le(28, 2) == 32) &&
+        le(30, 4) == 0 && le(18, 4) >= 1 && le(18, 4) <= 2147483647L && {
+          val hRaw = le(22, 4)
+          (if (hRaw >= 2147483648L) 4294967296L - hRaw else hRaw) >= 1
+        }) {
+      val hRaw = le(22, 4)
+      pixoff = le(10, 4); w = le(18, 4)
+      topdown = hRaw >= 2147483648L
+      h = if (topdown) 4294967296L - hRaw else hRaw
+      bpc = le(28, 2) / 8
+      some = true
+    } else if (L >= 22 && u(0) == 0 && u(1) == 0 && u(2) == 1 && u(3) == 0 &&
+               le(4, 2) >= 1) {
+      val off = le(18, 4)
+      val dib = leClamped(off, 4)
+      val ibpp = leClamped(off + 14, 2)
+      val comp = leClamped(off + 16, 4)
+      val iw = leClamped(off + 4, 4)
+      val ihd = leClamped(off + 8, 4)
+      if (dib != null && dib == 40L && ibpp != null &&
+          (ibpp == 24L || ibpp == 32L) && comp != null && comp == 0L &&
+          iw != null && iw >= 1L && iw <= 2147483647L &&
+          ihd != null && ihd >= 2L) {
+        pixoff = off + 40; w = iw
+        h = ihd / 2; topdown = false; bpc = ibpp / 8
+        some = true
+      }
+    }
+    if (!some) return null
+    val stride = (w * bpc * 8 + 31) / 32 * 4
+    // overflow-safe covered gate (an adversarial 2^31 x 2^31 header
+    // must NULL here, never wrap into a passing bound)
+    if (h != 0 && stride > (Long.MaxValue - pixoff) / h) return null
+    if (L < pixoff + stride * h) return null // covered gate
+    val g = new Array[Long](72)
+    var i = 0
+    while (i < 72) {
+      val gy = i / 9; val gx = i % 9
+      val srcX = gx * w / 9
+      val srcY = gy * h / 8
+      val row = if (topdown) srcY else h - 1 - srcY
+      val base = (pixoff + row * stride + srcX * bpc).toInt
+      g(i) = u(base).toLong + u(base + 1) + u(base + 2)
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      val left = (b / 8) * 9 + b % 8
+      if (g(left + 1) > g(left)) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Deterministic PIXEL-BEARING image exhibit bytes for [[imageDhash]]
     * — 9x8 images (the dHash grid exactly, so sampling is identity and
     * the q166 oracle recomputes every bit as id arithmetic) whose

@@ -4645,7 +4645,10 @@ object TrainingData {
     // feasible; the Spark side is the banded join at any scale.
     Q("q167_image_neardup",
       (s, dir) => {
-        val sigs = graft.multimodal.Multimodal.imageDhash(
+        // imageDhashFast: the banding composition reads the JVM decode
+        // rung (ImageDhashSpec pins it bit-identical to the expression
+        // dHash); q166/q125-class exhibits keep the expression form
+        val sigs = graft.multimodal.Multimodal.imageDhashFast(
             graft.multimodal.Multimodal.synthDhashImageBytes(
               t(s, dir, "documents").select("doc_id")
                 .where(col("doc_id") < 2000), "doc_id"))
@@ -4803,7 +4806,7 @@ object TrainingData {
     // a recursive CTE (the q91 pattern).
     Q("q170_image_dup_groups",
       (s, dir) => {
-        val sigs = graft.multimodal.Multimodal.imageDhash(
+        val sigs = graft.multimodal.Multimodal.imageDhashFast(
             graft.multimodal.Multimodal.synthDhashImageBytes(
               t(s, dir, "documents").select("doc_id")
                 .where(col("doc_id") < 600), "doc_id"))
@@ -5109,7 +5112,7 @@ object TrainingData {
     Q("q174_image_neardup_mixed",
       (s, dir) => {
         val docs = t(s, dir, "documents").select("doc_id")
-        val bmp = graft.multimodal.Multimodal.imageDhash(
+        val bmp = graft.multimodal.Multimodal.imageDhashFast(
             graft.multimodal.Multimodal.synthDhashImageBytes(
               docs.where(col("doc_id") < 300), "doc_id"))
           .where(col("dhash").isNotNull)
@@ -5857,7 +5860,7 @@ object TrainingData {
     Q("q185_image_neardup_trimodal",
       (s, dir) => {
         val docs = t(s, dir, "documents").select("doc_id")
-        val bmp = graft.multimodal.Multimodal.imageDhash(
+        val bmp = graft.multimodal.Multimodal.imageDhashFast(
             graft.multimodal.Multimodal.synthDhashImageBytes(
               docs.where(col("doc_id") < 300), "doc_id"))
           .where(col("dhash").isNotNull)
