@@ -614,6 +614,275 @@ object Multimodal {
       .drop("__img_hx", "__img_sof", "__img_tif", "__img_isp")
   }
 
+  /** JVM decode rung for [[imageDims]] — the mapPartitions twin (the
+    * [[AvFast]]/[[imageDhashFast]]/Png/Jpeg/Audio ladder, r20, guide
+    * §4): the header folds (JPEG segment walk, TIFF/EXIF IFD scans,
+    * ISO-BMFF box walk) run interpreted per row in the expression form;
+    * the same walks in plain JVM code cost ~µs/image. Offset-for-offset
+    * translation of every gate and read, INCLUDING the expression's
+    * clamped-substring semantics on truncated headers (a partial
+    * big-endian read yields the value of the available prefix bytes, a
+    * partial little-endian read drops the missing high bytes — exactly
+    * what conv-over-substring produces), so labels, dims and
+    * orientation are bit-identical — ImageDimsFastSpec pins parity
+    * across all five synth families, format subsets, truncations and
+    * malformed headers. The expression form stays the exhibit
+    * (q125/q127/q130-class); the census (q133) reads this rung. */
+  def imageDimsFast(media: DataFrame, contentCol: String = "content",
+                    maxSegments: Int = 16,
+                    headerBytes: Int = 256 * 1024,
+                    formats: Set[String] = ImageFormats): DataFrame = {
+    require(maxSegments >= 1 && maxSegments <= 256,
+      s"maxSegments must be in [1, 256], got $maxSegments")
+    require(headerBytes >= 32,
+      s"headerBytes must cover at least the PNG IHDR (32), got $headerBytes")
+    require(formats.nonEmpty && formats.subsetOf(ImageFormats),
+      s"formats must be a non-empty subset of $ImageFormats, got $formats")
+    Seq("format", "width", "height", "orientation").foreach(c =>
+      require(!media.columns.contains(c),
+        s"Multimodal.imageDimsFast: media already has a '$c' column — " +
+          "rename it first; imageDimsFast appends its own"))
+    val schema = StructType(media.schema.fields ++ Seq(
+      StructField("format", StringType), StructField("orientation", LongType),
+      StructField("width", LongType), StructField("height", LongType)))
+    val idx = media.schema.fieldIndex(contentCol)
+    val ms = maxSegments; val hb = headerBytes; val fm = formats
+    media.mapPartitions { it =>
+      it.map { r =>
+        val content = if (r.isNullAt(idx)) null
+          else r.get(idx).asInstanceOf[Array[Byte]]
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ dimsJvm(content, ms, hb, fm))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** (format, orientation, width, height) for one blob — the JVM twin
+    * of the imageDims expression pipeline (byte offsets; char 2b+1 <->
+    * byte b). */
+  private[multimodal] def dimsJvm(content: Array[Byte], maxSegments: Int,
+                                  headerBytes: Int,
+                                  formats: Set[String]): Seq[Any] = {
+    if (content == null) return Seq(null, null, null, null)
+    val p = if (content.length <= headerBytes) content
+      else java.util.Arrays.copyOf(content, headerBytes)
+    val L = p.length
+    @inline def u(i: Int): Int = p(i) & 0xFF
+    def cc(i: Int, s: String): Boolean = i + s.length <= L &&
+      (0 until s.length).forall(k => u(i + k) == s.charAt(k))
+    // CLAMPED reads — the conv-over-substring semantics: BE keeps the
+    // available PREFIX bytes as the whole (smaller) number, LE drops
+    // the missing high bytes; an entirely-absent read is null
+    def beC(at: Long, n: Int): java.lang.Long = {
+      if (at >= L || at < 0) return null
+      var v = 0L; var i = at.toInt; val end = math.min(at + n, L).toInt
+      while (i < end) { v = (v << 8) | u(i); i += 1 }
+      v
+    }
+    def leC(at: Long, n: Int): java.lang.Long = {
+      var v = 0L; var any = false; var i = n - 1
+      while (i >= 0) {
+        val b = at + i
+        if (b >= 0 && b < L) { v = (v << 8) | u(b.toInt); any = true }
+        i -= 1
+      }
+      if (any) v else null
+    }
+    def want(fs: String*): Boolean = fs.exists(formats.contains)
+    // ---- sniff (the expression when-chain's order)
+    def hasSig(s: Array[Int]): Boolean = L >= s.length &&
+      s.indices.forall(k => u(k) == s(k))
+    val isFtyp = cc(4, "ftyp")
+    val fmt: String =
+      if (hasSig(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))) "png"
+      else if (L >= 2 && u(0) == 0xFF && u(1) == 0xD8) "jpeg"
+      else if (cc(0, "GIF87a") || cc(0, "GIF89a")) "gif"
+      else if (cc(0, "RIFF") && cc(8, "WEBP")) "webp"
+      else if (cc(0, "BM")) "bmp"
+      else if (hasSig(Array(0x49, 0x49, 0x2A, 0x00)) ||
+               hasSig(Array(0x4D, 0x4D, 0x00, 0x2A))) "tiff"
+      else if (hasSig(Array(0x00, 0x00, 0x01, 0x00)) && L >= 6 &&
+               { val c = leC(4, 2); c != null && c >= 1 } && !isFtyp) "ico"
+      else if (isFtyp) {
+        if (cc(8, "avif") || cc(8, "avis")) "avif"
+        else if (cc(8, "heic") || cc(8, "heix")) "heic"
+        else if (cc(8, "mif1") || cc(8, "msf1")) "heif"
+        else null
+      } else null
+    var width: Any = null
+    var height: Any = null
+    var orientation: Any = null
+
+    if (fmt == "png" && want("png")) {
+      width = beC(16, 4); height = beC(20, 4)
+    }
+
+    if (fmt == "jpeg" && want("jpeg")) {
+      // segment walk: SOF dims + the APP1/Exif TIFF-header position
+      val sof = Set(0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+      var b = 2L
+      var posNull = false
+      var done = false
+      var h, w: Any = null
+      var ex: java.lang.Long = null // byte pos of the embedded TIFF header
+      var i = 0
+      while (i < maxSegments && !done && !posNull) {
+        if (b >= L) done = true
+        else {
+          val m0 = u(b.toInt)
+          val m1 = if (b + 1 < L) u((b + 1).toInt) else -1
+          if (m0 == 0xFF && sof.contains(m1)) {
+            h = beC(b + 5, 2); w = beC(b + 7, 2); done = true
+          } else if (m0 == 0xFF && m1 == 0xFF) b += 1
+          else if (m0 != 0xFF || m1 == 0xD9) done = true
+          else if (m1 == 0xE1 && cc((b + 4).toInt, "Exif") &&
+                   b + 9 < L && u((b + 8).toInt) == 0 &&
+                   u((b + 9).toInt) == 0 && ex == null) {
+            ex = b + 10
+            val seg = beC(b + 2, 2) // fully inside: the Exif probe covers it
+            b = b + 2 + seg
+          } else {
+            val seg = beC(b + 2, 2)
+            if (seg == null) posNull = true else b = b + 2 + seg
+          }
+        }
+        i += 1
+      }
+      // EXIF orientation: bounded IFD scan at the recorded TIFF base
+      if (ex != null && ex < L) {
+        val exB = ex.toInt
+        val le = cc(exB, "II") && exB + 3 < L && u(exB + 2) == 0x2A &&
+          u(exB + 3) == 0x00
+        val be = cc(exB, "MM") && exB + 3 < L && u(exB + 2) == 0x00 &&
+          u(exB + 3) == 0x2A
+        def eu16(at: Long): java.lang.Long = if (le) leC(at, 2) else beC(at, 2)
+        def eu32(at: Long): java.lang.Long = if (le) leC(at, 4) else beC(at, 4)
+        if (le || be) {
+          val o = eu32(exB + 4)
+          // the expression guard is hexlen >= b + 2o + 5 (char space),
+          // i.e. one byte PAST the u16 entry count — replicate exactly
+          if (o != null && L >= exB + o + 3) {
+            val n = eu16(exB + o)
+            if (n != null) {
+              var i2 = 1
+              var r: Any = null
+              while (r == null && i2 <= maxSegments && i2 <= n &&
+                     L >= exB + o + 12 * (i2 - 1) + 14) {
+                val ebB = exB + o + 12 * (i2 - 1) + 2
+                val tag = eu16(ebB); val typ = eu16(ebB + 2)
+                val v = eu16(ebB + 8)
+                if (tag != null && tag == 274L && typ != null && typ == 3L &&
+                    v != null && v >= 1 && v <= 8) r = v
+                i2 += 1
+              }
+              orientation = r
+            }
+          }
+        }
+      }
+      val swap = orientation != null && orientation.asInstanceOf[Long] >= 5
+      width = if (swap) h else w
+      height = if (swap) w else h
+    }
+
+    if (fmt == "gif" && want("gif") && L >= 10) {
+      width = leC(6, 2); height = leC(8, 2)
+    }
+
+    if (fmt == "webp" && want("webp")) {
+      if (cc(12, "VP8 ")) {
+        if (L >= 30 && u(23) == 0x9D && u(24) == 0x01 && u(25) == 0x2A) {
+          width = leC(26, 2).longValue % 16384
+          height = leC(28, 2).longValue % 16384
+        }
+      } else if (cc(12, "VP8L")) {
+        if (L >= 25 && u(20) == 0x2F) {
+          val b32 = leC(21, 4).longValue
+          width = b32 % 16384 + 1
+          height = (b32 >> 14) % 16384 + 1
+        }
+      } else if (cc(12, "VP8X")) {
+        if (L >= 30) {
+          width = leC(24, 3).longValue + 1
+          height = leC(27, 3).longValue + 1
+        }
+      }
+    }
+
+    if (fmt == "bmp" && want("bmp") && L >= 18) {
+      val dib = leC(14, 4).longValue
+      if (dib == 12 && L >= 22) { width = leC(18, 2); height = leC(20, 2) }
+      else if (dib >= 40 && L >= 26) {
+        val wv = leC(18, 4).longValue
+        if (wv < 2147483648L) width = wv
+        val hv = leC(22, 4).longValue
+        height = if (hv >= 2147483648L) 4294967296L - hv else hv
+      }
+    }
+
+    if (fmt == "tiff" && want("tiff")) {
+      val le = u(0) == 0x49
+      def tu16(at: Long): java.lang.Long = if (le) leC(at, 2) else beC(at, 2)
+      def tu32(at: Long): java.lang.Long = if (le) leC(at, 4) else beC(at, 4)
+      val off = tu32(4)
+      if (off != null && L >= off + 2) {
+        val n = tu16(off)
+        var w, h: Any = null
+        var i = 0
+        while (i < maxSegments &&
+               !(w != null && h != null) &&
+               n != null && i < n && L >= off + 12 * i + 14) {
+          val ebB = off + 12 * i + 2
+          val tag = tu16(ebB); val typ = tu16(ebB + 2)
+          def value: Any =
+            if (typ != null && typ == 3L) tu16(ebB + 8)
+            else if (typ != null && typ == 4L) tu32(ebB + 8)
+            else null
+          if (tag != null && tag == 256L) w = value
+          else if (tag != null && tag == 257L) h = value
+          i += 1
+        }
+        width = w; height = h
+      }
+    }
+
+    if (fmt == "ico" && want("ico") && L >= 8) {
+      val wv = u(6).toLong; val hv = u(7).toLong
+      width = if (wv == 0) 256L else wv
+      height = if (hv == 0) 256L else hv
+    }
+
+    if ((fmt == "avif" || fmt == "heic" || fmt == "heif") && want(fmt)) {
+      // ISO-BMFF box walk to the first ispe (descends meta/iprp/ipco)
+      var b = 0L
+      var done = false
+      var w, h: Any = null
+      var i = 0
+      while (i < 2 * maxSegments && !done) {
+        if (b > L - 8) done = true
+        else {
+          val bi = b.toInt
+          val size = beC(b, 4).longValue
+          if (cc(bi + 4, "meta")) b += 12
+          else if (cc(bi + 4, "iprp") || cc(bi + 4, "ipco")) b += 8
+          else if (cc(bi + 4, "ispe") && size >= 20) {
+            if (L >= b + 20) { w = beC(b + 12, 4); h = beC(b + 16, 4) }
+            done = true
+          } else if (size == 1) {
+            if (L >= b + 16 && beC(b + 8, 4) == 0L &&
+                beC(b + 12, 4) >= 16L) b += beC(b + 12, 4)
+            else done = true
+          } else if (size < 8) done = true
+          else b += size
+        }
+        i += 1
+      }
+      width = w; height = h
+    }
+
+    Seq(fmt, orientation, width, height)
+  }
+
   /** Deterministic VALID image-container exhibit bytes from an id column —
     * the test/demo source for [[imageDims]] (this container ships no image
     * files, and checked-in binaries couldn't scale with sf). Even ids

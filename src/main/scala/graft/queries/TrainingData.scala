@@ -2179,7 +2179,13 @@ object TrainingData {
         // (measured r13: per-family parsing made the census 2.6x
         // slower, pure planning). It is also the honest corpus shape:
         // one media table through one parser, whatever the mix.
-        val img = Multimodal.imageDims(Seq(
+        // both census halves read their JVM mapPartitions rungs
+        // (imageDimsFast / avMetadataFast — each parity-pinned against
+        // its expression twin by ImageDimsFastSpec / AvFastSpec): the
+        // interpreted header folds were the census's wall (r20, guide
+        // §4). The per-family exhibit queries keep the expression
+        // parsers — both stay oracle-checked.
+        val img = Multimodal.imageDimsFast(Seq(
             Multimodal.synthImageBytes(d, "doc_id"),
             Multimodal.synthWebImageBytes(d, "doc_id"),
             Multimodal.synthBmpIcoBytes(d, "doc_id"),

@@ -43,6 +43,13 @@ object CensusProbe {
         Multimodal.synthTiffBytes(d, "doc_id"),
         Multimodal.synthIsobmffBytes(d, "doc_id")).reduce(_ unionByName _))
         .select("format", "width")) }
+      t("img synth+dims (JVM rung)") { noop(Multimodal.imageDimsFast(Seq(
+        Multimodal.synthImageBytes(d, "doc_id"),
+        Multimodal.synthWebImageBytes(d, "doc_id"),
+        Multimodal.synthBmpIcoBytes(d, "doc_id"),
+        Multimodal.synthTiffBytes(d, "doc_id"),
+        Multimodal.synthIsobmffBytes(d, "doc_id")).reduce(_ unionByName _))
+        .select("format", "width")) }
       t("av synth only") { noop(Seq(
         Multimodal.synthAvBytes(d, "doc_id"),
         Multimodal.synthAudioBytes(d, "doc_id"),
